@@ -1,0 +1,345 @@
+"""Partition transforms: identity / bucket[N] / truncate[W] / year / month /
+day / hour / void.
+
+This is the reference's entire scalar-function surface
+(/root/reference/crates/iceberg/src/spec/transform.rs:52-137, dispatch in
+transform/mod.rs:57). Each transform here supports BOTH execution contexts:
+
+- ``spark_column(col, src_type)`` -> a ``pyspark.sql.Column`` (JVM-side,
+  whole-stage-codegen friendly wherever a builtin expression exists; only
+  bucket needs a pandas_udf because Spark's hash() is murmur3 seed-42 with
+  incompatible encodings);
+- ``apply(value, src_type)``      -> python scalar (driver-side, used by
+  InclusiveProjection when projecting row predicates into partition space and
+  when rendering partition paths).
+
+Temporal transforms use FLOOR division (pre-1970 values go negative), the
+classic correctness trap the reference unit-tests heavily (transform/
+temporal.rs); e.g. month('1969-12-15') == -1, day('1969-12-31') == -1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from decimal import Decimal
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources import types as ice
+from ..sources.datum import days_from_date, micros_from_ts
+from .murmur3 import murmur3_32, murmur3_32_long_vec
+
+_MAX_INT32 = 0x7FFFFFFF
+
+
+class Transform:
+    name: str = "?"
+
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        raise NotImplementedError
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        raise NotImplementedError
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        raise NotImplementedError
+
+    def preserves_order(self) -> bool:
+        """True if t(a) <= t(b) whenever a <= b (enables range projection)."""
+        return False
+
+    def to_human(self, v: Any) -> str:
+        return "null" if v is None else str(v)
+
+    def __repr__(self) -> str:
+        return self.name
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Transform) and repr(self) == repr(other)
+
+    def __hash__(self) -> int:
+        return hash(repr(self))
+
+
+class IdentityTransform(Transform):
+    name = "identity"
+
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        return src
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        return c
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        return v
+
+    def preserves_order(self) -> bool:
+        return True
+
+
+class VoidTransform(Transform):
+    name = "void"
+
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        return src
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        return F.lit(None)
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        return None
+
+
+class BucketTransform(Transform):
+    """bucket[N]: (murmur3_x86_32(iceberg_bytes(v)) & MAX_INT) % N.
+
+    Encodings (public Iceberg spec Appendix B; behavior parity with
+    transform/bucket.rs:40-80): int/long/date -> 8-byte LE long; time/
+    timestamp[tz] -> 8-byte LE micros; string -> UTF-8; binary -> raw;
+    decimal -> minimal big-endian two's-complement of the unscaled value.
+    """
+
+    def __init__(self, n: int):
+        assert n > 0
+        self.n = n
+        self.name = f"bucket[{n}]"
+
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        return ice.INT
+
+    def hash_value(self, v: Any, src: ice.IcebergType) -> int:
+        if isinstance(v, bool):
+            raise TypeError("bucket on boolean unsupported")
+        if isinstance(v, dt.datetime):
+            data = _le8(micros_from_ts(v))
+        elif isinstance(v, dt.date):
+            data = _le8(days_from_date(v))
+        elif isinstance(v, int):
+            data = _le8(v)
+        elif isinstance(v, str):
+            data = v.encode("utf-8")
+        elif isinstance(v, (bytes, bytearray)):
+            data = bytes(v)
+        elif isinstance(v, Decimal):
+            unscaled = int(v.scaleb(-v.as_tuple().exponent))
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            data = unscaled.to_bytes(length, "big", signed=True)
+        else:
+            raise TypeError(f"bucket unsupported for {type(v)}")
+        return murmur3_32(data)
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        return (self.hash_value(v, src) & _MAX_INT32) % self.n
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        n = self.n
+        src_name = src.name if isinstance(src, ice.PrimitiveType) else "struct"
+
+        if src_name in ("int", "long", "date", "time", "timestamp", "timestamptz"):
+            # numpy-vectorized over the 8-byte-LE encoding
+            @pandas_udf("int")
+            def bucket_long(s: pd.Series) -> pd.Series:
+                mask = pd.isna(s).to_numpy()
+                if src_name == "date":
+                    vals = pd.to_datetime(s)
+                    arr = vals.values.astype("datetime64[D]").astype(np.int64)
+                elif src_name in ("timestamp", "timestamptz"):
+                    arr = pd.to_datetime(s).values.astype("datetime64[us]").astype(np.int64)
+                else:
+                    # int64-exact: avoid float64 round-trip for big keys
+                    arr = s.fillna(0).astype(np.int64).to_numpy()
+                safe = np.where(mask, 0, arr).astype(np.int64)
+                h = murmur3_32_long_vec(safe)
+                out = ((h.astype(np.int64) & _MAX_INT32) % n).astype("int32")
+                res = pd.Series(out).astype("Int32")
+                res[mask] = pd.NA
+                return res
+
+            return bucket_long(c)
+
+        hasher = self  # python-side fallback (strings, decimal, binary)
+
+        @pandas_udf("int")
+        def bucket_any(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None or v != v else
+                         (hasher.hash_value(v, src) & _MAX_INT32) % n).astype("Int32")
+
+        return bucket_any(c)
+
+
+class TruncateTransform(Transform):
+    """truncate[W]: ints floor to width multiple; strings first W code points;
+    decimals scaled truncation (spec/transform.rs:76-103 semantics)."""
+
+    def __init__(self, w: int):
+        assert w > 0
+        self.w = w
+        self.name = f"truncate[{w}]"
+
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        return src
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        w = self.w
+        if isinstance(v, bool):
+            raise TypeError("truncate on boolean unsupported")
+        if isinstance(v, int):
+            return v - (((v % w) + w) % w)
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, Decimal):
+            scale = -v.as_tuple().exponent
+            unscaled = int(v.scaleb(scale))
+            trunc = unscaled - (((unscaled % w) + w) % w)
+            return Decimal(trunc).scaleb(-scale)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)[:w]
+        raise TypeError(f"truncate unsupported for {type(v)}")
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        w = self.w
+        if isinstance(src, ice.PrimitiveType):
+            if src.name in ("int", "long"):
+                return c - F.pmod(c, F.lit(w))
+            if src.name == "string":
+                return F.substring(c, 1, w)  # code-point based — matches spec
+            if src.name.startswith("decimal"):
+                _, scale = ice._dec_parts(src.name)
+                unscaled = (c * F.lit(10 ** scale)).cast("long")
+                trunc = unscaled - F.pmod(unscaled, F.lit(w))
+                return (trunc / F.lit(10 ** scale)).cast(ice.type_to_spark(src))
+            if src.name == "binary":
+                # no builtin bytes-substr; python fallback
+                @pandas_udf("binary")
+                def trunc_bin(s: pd.Series) -> pd.Series:
+                    return s.map(lambda b: None if b is None else bytes(b)[:w])
+                return trunc_bin(c)
+        raise TypeError(f"truncate unsupported for {src}")
+
+    def preserves_order(self) -> bool:
+        return True
+
+
+class _TemporalTransform(Transform):
+    def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
+        return ice.INT
+
+    def preserves_order(self) -> bool:
+        return True
+
+    def _to_date(self, v: Any) -> dt.date:
+        return v.date() if isinstance(v, dt.datetime) else v
+
+
+class YearTransform(_TemporalTransform):
+    name = "year"
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        return self._to_date(v).year - 1970
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        return (F.year(c) - F.lit(1970)).cast("int")
+
+    def to_human(self, v: Any) -> str:
+        return "null" if v is None else str(1970 + v)
+
+
+class MonthTransform(_TemporalTransform):
+    name = "month"
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        d = self._to_date(v)
+        return (d.year - 1970) * 12 + (d.month - 1)
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        return ((F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)).cast("int")
+
+    def to_human(self, v: Any) -> str:
+        if v is None:
+            return "null"
+        y, m = divmod(v, 12)
+        return f"{1970 + y:04d}-{m + 1:02d}"
+
+
+class DayTransform(_TemporalTransform):
+    name = "day"
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        return days_from_date(self._to_date(v))
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("int")
+
+    def to_human(self, v: Any) -> str:
+        return "null" if v is None else (dt.date(1970, 1, 1) + dt.timedelta(days=v)).isoformat()
+
+
+class HourTransform(_TemporalTransform):
+    name = "hour"
+
+    def apply(self, v: Any, src: ice.IcebergType) -> Any:
+        if v is None:
+            return None
+        if isinstance(v, dt.datetime):
+            us = micros_from_ts(v)
+            return us // 3_600_000_000  # floor division — negative-safe
+        raise TypeError("hour() requires timestamp")
+
+    def spark_column(self, c: Column, src: ice.IcebergType) -> Column:
+        # floor(epoch-micros / 3600e6); unix_micros needs TIMESTAMP (ltz) —
+        # for NTZ, to_utc-free cast is exact under session tz UTC
+        us = F.unix_micros(c.cast("timestamp"))
+        return F.floor(us / F.lit(3_600_000_000)).cast("int")
+
+    def to_human(self, v: Any) -> str:
+        if v is None:
+            return "null"
+        t = dt.datetime(1970, 1, 1) + dt.timedelta(hours=v)
+        return t.strftime("%Y-%m-%d-%H")
+
+
+_TRANSFORM_RE = re.compile(r"^(\w+)(?:\[(\d+)\])?$")
+
+
+def parse_transform(s: str) -> Transform:
+    m = _TRANSFORM_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"bad transform {s!r}")
+    base, arg = m.group(1), m.group(2)
+    if base == "identity":
+        return IdentityTransform()
+    if base == "void":
+        return VoidTransform()
+    if base == "bucket":
+        return BucketTransform(int(arg))
+    if base == "truncate":
+        return TruncateTransform(int(arg))
+    if base == "year":
+        return YearTransform()
+    if base == "month":
+        return MonthTransform()
+    if base == "day":
+        return DayTransform()
+    if base == "hour":
+        return HourTransform()
+    raise ValueError(f"unknown transform {s!r}")
+
+
+def _le8(v: int) -> bytes:
+    return int(v).to_bytes(8, "little", signed=True)

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Every knob here is chosen for the 100 TB target, then clamped for local[N]
+testing: AQE on (runtime re-plan + skew-join), 128 MB scan partitions,
+auto-broadcast for small dims, UTC session timezone (oracle parity), and
+nanos-as-long so the ns-timestamp `events` table is readable (Spark has no ns
+timestamp; we convert to micros explicitly — same lossy coercion the reference
+applies to INT96, arrow/reader/pipeline.rs:201-216).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def get_spark(app_name: str = "iceberg_rust_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cpus, 32)
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing the ns-timestamp events table:
+    with nanosAsLong=true the `ts` column arrives as long nanos -> convert to
+    micro-precision TIMESTAMP_NTZ (documented lossy, like the reference's
+    INT96 coercion)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+    return df

@@ -1,0 +1,342 @@
+"""Scan planning + distributed read: the reference's killer feature, Spark-first.
+
+Planning (driver-side, O(metadata) — never lists the object store; counterpart
+of /root/reference/crates/iceberg/src/scan/mod.rs:381-499):
+  manifest list -> [ManifestEvaluator over partition FieldSummaries]
+  -> manifests  -> [ExpressionEvaluator on exact partition values]
+                   [InclusiveMetricsEvaluator on file column metrics]
+  -> FileScanTasks (+ matched delete files via sequence-number rules,
+     delete_file_index.rs:84-168: pos-delete applies when delete.seq >=
+     data.seq, eq-delete when delete.seq > data.seq).
+
+Execution (cluster-side): ``spark.read.schema(...).parquet(*files)`` per
+schema-/delete-group; schema evolution resolves columns BY FIELD ID with
+type promotion + initial_default (the 4-rule projection of
+arrow/record_batch_transformer.rs:347-351); deletes become anti-joins; the
+full row predicate is re-applied on top (Inexact-pushdown fail-safe), which
+Catalyst pushes into the Parquet reader for row-group/page pruning — the two
+pruning levels we deliberately delegate to Spark.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import expr as E
+from ..plans.evaluators import (ColumnMetrics, FieldSummary, PartitionFieldInfo,
+                                file_might_match, inclusive_projection,
+                                manifest_might_match, partition_might_match)
+from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
+                       CONTENT_POSITION_DELETES, STATUS_DELETED, DataFile,
+                       ManifestEntry, ManifestFile, read_manifest,
+                       read_manifest_list)
+from .metadata import Snapshot, TableMetadata
+from .types import Schema, type_to_spark
+
+
+@functools.lru_cache(maxsize=4096)
+def _cached_manifest(path: str, mtime_ns: int) -> tuple:
+    return tuple(read_manifest(path))
+
+
+def load_manifest(path: str) -> Sequence[ManifestEntry]:
+    """Manifests are immutable once written; cache keyed by (path, mtime)."""
+    return _cached_manifest(path, os.stat(path).st_mtime_ns)
+
+
+@dataclass
+class FileScanTask:
+    """Unit of read work (counterpart of scan/task.rs:55-118)."""
+    data_file: DataFile
+    sequence_number: int
+    pos_deletes: List[DataFile] = dc_field(default_factory=list)
+    eq_deletes: List[DataFile] = dc_field(default_factory=list)
+
+
+@dataclass
+class ScanPlan:
+    tasks: List[FileScanTask]
+    snapshot: Optional[Snapshot]
+    # planning observability (scan_metrics.rs counterpart)
+    total_manifests: int = 0
+    skipped_manifests: int = 0
+    total_data_files: int = 0
+    skipped_by_partition: int = 0
+    skipped_by_metrics: int = 0
+
+
+class TableScan:
+    def __init__(self, metadata: TableMetadata,
+                 row_filter: Optional[E.Predicate] = None,
+                 selected_columns: Optional[List[str]] = None,
+                 snapshot_id: Optional[int] = None,
+                 as_of_timestamp_ms: Optional[int] = None,
+                 case_sensitive: bool = True,
+                 include_metadata_columns: bool = False):
+        self.metadata = metadata
+        self.row_filter = row_filter or E.ALWAYS_TRUE
+        self.selected_columns = selected_columns
+        self.snapshot_id = snapshot_id
+        self.as_of_timestamp_ms = as_of_timestamp_ms
+        self.case_sensitive = case_sensitive
+        self.include_metadata_columns = include_metadata_columns
+
+    # -- snapshot resolution ----------------------------------------------
+    def _resolve_snapshot(self) -> Optional[Snapshot]:
+        md = self.metadata
+        if self.snapshot_id is not None:
+            snap = md.snapshot_by_id(self.snapshot_id)
+            if snap is None:
+                raise ValueError(f"no snapshot {self.snapshot_id}")
+            return snap
+        if self.as_of_timestamp_ms is not None:
+            snap = md.snapshot_as_of(self.as_of_timestamp_ms)
+            if snap is None:
+                raise ValueError(f"no snapshot at or before {self.as_of_timestamp_ms}")
+            return snap
+        return md.current_snapshot()
+
+    # -- planning ----------------------------------------------------------
+    def plan_files(self) -> ScanPlan:
+        md = self.metadata
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return ScanPlan(tasks=[], snapshot=None)
+        schema = md.schema(snap.schema_id)
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
+
+        manifest_list_path = snap.manifest_list
+        manifests = read_manifest_list(manifest_list_path)
+        plan = ScanPlan(tasks=[], snapshot=snap, total_manifests=len(manifests))
+
+        # partition predicate per spec id (cached like scan/cache.rs:31)
+        part_pred_cache: Dict[int, E.Predicate] = {}
+
+        def partition_pred(spec_id: int) -> E.Predicate:
+            if spec_id not in part_pred_cache:
+                spec = md.spec(spec_id)
+                infos = []
+                for pf in spec.fields:
+                    src = schema.field_by_id(pf.source_id)
+                    if src is None:
+                        continue
+                    infos.append(PartitionFieldInfo(src.name, pf.name,
+                                                    pf.transform, src.field_type))
+                part_pred_cache[spec_id] = inclusive_projection(bound, infos)
+            return part_pred_cache[spec_id]
+
+        data_entries: List[ManifestEntry] = []
+        delete_entries: List[ManifestEntry] = []
+        for mf in manifests:
+            ppred = partition_pred(mf.partition_spec_id)
+            if mf.partitions and not manifest_might_match(
+                    ppred, {k: FieldSummary(v.contains_null, v.contains_nan,
+                                            _cmp(v.lower), _cmp(v.upper))
+                            for k, v in mf.partitions.items()}):
+                plan.skipped_manifests += 1
+                continue
+            for entry in load_manifest(mf.manifest_path):
+                if entry.status == STATUS_DELETED:
+                    continue
+                if entry.data_file.content == CONTENT_DATA:
+                    data_entries.append(entry)
+                else:
+                    delete_entries.append(entry)
+
+        plan.total_data_files = len(data_entries)
+
+        for entry in data_entries:
+            df_ = entry.data_file
+            ppred = partition_pred(df_.spec_id)
+            if df_.partition and not partition_might_match(ppred, df_.partition):
+                plan.skipped_by_partition += 1
+                continue
+            metrics = self._metrics_for_file(df_, schema)
+            if not file_might_match(bound, metrics, df_.record_count):
+                plan.skipped_by_metrics += 1
+                continue
+            task = FileScanTask(data_file=df_, sequence_number=entry.sequence_number)
+            for de in delete_entries:
+                d = de.data_file
+                applies = (_partitions_compatible(d.partition, df_.partition)
+                           if d.partition else True)
+                if not applies:
+                    continue
+                if d.content == CONTENT_POSITION_DELETES and de.sequence_number >= entry.sequence_number:
+                    task.pos_deletes.append(d)
+                elif d.content == CONTENT_EQUALITY_DELETES and de.sequence_number > entry.sequence_number:
+                    task.eq_deletes.append(d)
+            plan.tasks.append(task)
+        return plan
+
+    def _metrics_for_file(self, df_: DataFile, current_schema: Schema) -> Dict[str, ColumnMetrics]:
+        """Map file-local column stats to CURRENT schema names via field ids."""
+        name_map = self._name_mapping(df_.schema_id, current_schema)
+        out: Dict[str, ColumnMetrics] = {}
+        for cur_name, file_name in name_map.items():
+            out[cur_name] = ColumnMetrics(
+                value_count=df_.value_counts.get(file_name),
+                null_count=df_.null_value_counts.get(file_name),
+                nan_count=df_.nan_value_counts.get(file_name),
+                lower=df_.lower_bounds.get(file_name),
+                upper=df_.upper_bounds.get(file_name))
+        return out
+
+    def _name_mapping(self, file_schema_id: Optional[int],
+                      current_schema: Schema) -> Dict[str, str]:
+        """current column name -> file column name (by field id)."""
+        if file_schema_id is None or file_schema_id == current_schema.schema_id:
+            return {f.name: f.name for f in current_schema.fields}
+        try:
+            file_schema = self.metadata.schema(file_schema_id)
+        except KeyError:
+            return {f.name: f.name for f in current_schema.fields}
+        out = {}
+        for f in current_schema.fields:
+            old = file_schema.field_by_id(f.field_id)
+            if old is not None:
+                out[f.name] = old.name
+        return out
+
+    # -- execution ---------------------------------------------------------
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        md = self.metadata
+        plan = self.plan_files()
+        snap = plan.snapshot
+        schema = md.schema(snap.schema_id) if snap else md.schema()
+        spark_schema = schema.to_spark()
+
+        if not plan.tasks:
+            return spark.createDataFrame([], spark_schema)
+
+        # group: same write-schema + same applicable delete sets read together
+        groups: Dict[Tuple, List[FileScanTask]] = {}
+        for t in plan.tasks:
+            sig = (t.data_file.schema_id,
+                   tuple(sorted(d.file_path for d in t.pos_deletes)),
+                   tuple(sorted(d.file_path for d in t.eq_deletes)))
+            groups.setdefault(sig, []).append(t)
+
+        parts: List[DataFrame] = []
+        for (schema_id, pos_paths, eq_paths), tasks in groups.items():
+            files = [t.data_file.file_path for t in tasks]
+            file_schema = self._file_schema(schema_id, schema)
+            need_meta = bool(pos_paths) or self.include_metadata_columns
+            reader = spark.read.schema(file_schema.to_spark())
+            gdf = reader.parquet(*files)
+            if need_meta:
+                gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
+                         .withColumn("_pos", F.col("_metadata.row_index"))
+            if pos_paths:
+                gdf = _apply_pos_deletes(spark, gdf, list(pos_paths))
+            # project file schema -> current schema by field id
+            gdf = _project_to_schema(gdf, file_schema, schema,
+                                     keep_meta=self.include_metadata_columns)
+            if eq_paths:
+                eq_files = [d for t in tasks for d in t.eq_deletes]
+                gdf = _apply_eq_deletes(spark, gdf, eq_files, schema)
+            parts.append(gdf)
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        if not isinstance(bound, E.AlwaysTrue):
+            out = out.filter(E.to_spark_column(bound))
+        if self.selected_columns is not None:
+            out = out.select(*self.selected_columns)
+        return out
+
+    def _file_schema(self, schema_id: Optional[int], current: Schema) -> Schema:
+        if schema_id is None:
+            return current
+        try:
+            return self.metadata.schema(schema_id)
+        except KeyError:
+            return current
+
+
+def _cmp(v: Any) -> Any:
+    from .datum import to_comparable
+    return to_comparable(v)
+
+
+def _partitions_compatible(delete_part: Dict[str, Any], data_part: Dict[str, Any]) -> bool:
+    """A partition-scoped delete applies to files in the same partition."""
+    for k, v in delete_part.items():
+        if k in data_part and _cmp(data_part[k]) != _cmp(v):
+            return False
+    return True
+
+
+def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
+                       pos_delete_paths: List[str]) -> DataFrame:
+    """Positional deletes: anti-join on (file, pos). Delete files carry
+    (file_path string, pos long) per the spec. Small delete sets broadcast."""
+    del_df = spark.read.parquet(*pos_delete_paths).select(
+        F.col("file_path").alias("_del_file"), F.col("pos").alias("_del_pos"))
+    joined = gdf.join(
+        F.broadcast(del_df),
+        on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),
+            gdf["_pos"] == del_df["_del_pos"]],
+        how="left_anti")
+    return joined
+
+
+def _norm_path(c):
+    return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
+                      eq_deletes: List[DataFile], schema: Schema) -> DataFrame:
+    """Equality deletes as left_anti joins. Spark's null-unsafe join keys keep
+    data rows whose equality column is NULL — exactly Iceberg's null-keep
+    semantics (caching_delete_file_loader.rs:422-426)."""
+    by_cols: Dict[Tuple[str, ...], List[str]] = {}
+    for d in eq_deletes:
+        cols = tuple(sorted(_eq_cols(d, schema)))
+        by_cols.setdefault(cols, []).append(d.file_path)
+    out = gdf
+    for cols, paths in by_cols.items():
+        del_df = spark.read.parquet(*sorted(set(paths))).select(*cols).dropDuplicates()
+        out = out.join(F.broadcast(del_df), on=list(cols), how="left_anti")
+    return out
+
+
+def _eq_cols(d: DataFile, schema: Schema) -> List[str]:
+    names = []
+    for fid in d.equality_ids:
+        f = schema.field_by_id(fid)
+        if f is not None:
+            names.append(f.name)
+    return names
+
+
+def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
+                       keep_meta: bool = False) -> DataFrame:
+    """4-rule field-id projection: same id present -> use (rename+promote);
+    promotable -> cast; initial_default -> constant; else NULL (error if
+    required). Mirrors record_batch_transformer.rs:697-749 behavior."""
+    cols = []
+    for f in current.fields:
+        old = file_schema.field_by_id(f.field_id)
+        tgt = type_to_spark(f.field_type)
+        if old is not None:
+            cols.append(F.col(old.name).cast(tgt).alias(f.name))
+        elif f.initial_default is not None:
+            cols.append(F.lit(f.initial_default).cast(tgt).alias(f.name))
+        elif f.required:
+            raise ValueError(f"required field {f.name} absent from file schema "
+                             f"{file_schema.schema_id} and has no default")
+        else:
+            cols.append(F.lit(None).cast(tgt).alias(f.name))
+    if keep_meta:
+        cols += [F.col("_file"), F.col("_pos")]
+    return gdf.select(*cols)

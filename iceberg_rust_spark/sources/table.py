@@ -1,0 +1,519 @@
+"""Table facade: scans, transactional writes, row-level deletes, maintenance.
+
+Re-expresses the reference's Table + Transaction stack
+(/root/reference/crates/iceberg/src/table.rs:199, transaction/mod.rs:88)
+Spark-first. All data movement is DataFrame jobs; all metadata movement is
+driver-side Python over KB-MB of Parquet manifests; commits are catalog CAS
+with refresh-and-reapply retry (transaction/mod.rs:175-219 semantics,
+exponential backoff per commit.retry.* properties).
+
+Row-level deletes come in both Iceberg flavors:
+- copy-on-write DELETE: strict-metrics whole-file drops + rewrite of
+  partially-matching files (composition the reference leaves to engines);
+- merge-on-read DELETE: positional delete files (file_path,pos) and equality
+  delete files, applied at scan time as anti-joins.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+import uuid
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import expr as E
+from ..plans.evaluators import file_must_match
+from .catalog import CommitConflict, FileSystemCatalog
+from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
+                       CONTENT_POSITION_DELETES, STATUS_ADDED, STATUS_EXISTING,
+                       DataFile, FieldSummaryRec, ManifestEntry, ManifestFile,
+                       read_manifest_list, write_manifest, write_manifest_list)
+from .metadata import (MAIN_BRANCH, PartitionField, PartitionSpec, Snapshot,
+                       SnapshotRef, TableMetadata, new_snapshot_id, now_ms)
+from .scan import TableScan, load_manifest
+from .types import (FIELD_ID_KEY, NestedField, Schema, is_promotable,
+                    type_to_spark)
+from .write import align_df_to_schema, collect_parquet_stats, write_data_files
+from ..functions.transforms import parse_transform
+
+
+class Table:
+    def __init__(self, catalog: FileSystemCatalog, identifier: str,
+                 metadata: TableMetadata, version: int):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.metadata = metadata
+        self.version = version
+
+    # ------------------------------------------------------------------ api
+    @staticmethod
+    def create(catalog: FileSystemCatalog, identifier: str, schema: Schema,
+               partition_spec: Optional[PartitionSpec] = None,
+               properties: Optional[Dict[str, str]] = None) -> "Table":
+        md = TableMetadata(
+            location="",  # set by catalog
+            schemas=[schema], current_schema_id=schema.schema_id,
+            partition_specs=[partition_spec or PartitionSpec(0, [])],
+            default_spec_id=(partition_spec.spec_id if partition_spec else 0),
+            last_column_id=schema.highest_field_id,
+            last_partition_id=max([f.field_id for f in (partition_spec.fields if partition_spec else [])],
+                                  default=999),
+            properties=properties or {}, last_updated_ms=now_ms())
+        md = catalog.create_table(identifier, md)
+        return Table(catalog, identifier, md, 1)
+
+    @staticmethod
+    def load(catalog: FileSystemCatalog, identifier: str) -> "Table":
+        md, v = catalog.load_table(identifier)
+        return Table(catalog, identifier, md, v)
+
+    def refresh(self) -> "Table":
+        self.metadata, self.version = self.catalog.load_table(self.identifier)
+        return self
+
+    @property
+    def schema(self) -> Schema:
+        return self.metadata.schema()
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec()
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    # ----------------------------------------------------------------- scan
+    def scan(self, row_filter: Optional[E.Predicate] = None,
+             selected_columns: Optional[List[str]] = None,
+             snapshot_id: Optional[int] = None,
+             as_of_timestamp_ms: Optional[int] = None,
+             include_metadata_columns: bool = False) -> TableScan:
+        return TableScan(self.metadata, row_filter, selected_columns,
+                         snapshot_id, as_of_timestamp_ms,
+                         include_metadata_columns=include_metadata_columns)
+
+    def to_df(self, spark: SparkSession, **kwargs) -> DataFrame:
+        return self.scan(**kwargs).to_df(spark)
+
+    # ---------------------------------------------------------------- writes
+    def append(self, spark: SparkSession, df: DataFrame) -> "Table":
+        """Fast-append (transaction/append.rs:33-90): write files, new manifest,
+        re-point manifest list."""
+        data_files = write_data_files(spark, df, self.metadata)
+        return self._commit_retry(lambda md: self._snapshot_update(
+            md, "append", added=data_files))
+
+    def overwrite_all(self, spark: SparkSession, df: DataFrame) -> "Table":
+        """Replace the whole table contents in one atomic snapshot."""
+        data_files = write_data_files(spark, df, self.metadata)
+        return self._commit_retry(lambda md: self._snapshot_update(
+            md, "overwrite", added=data_files, remove_all=True))
+
+    def delete_where(self, spark: SparkSession, pred: E.Predicate,
+                     mode: str = "cow") -> "Table":
+        """Row-level DELETE.
+
+        cow: strict-metrics whole-file drops (file_must_match) + rewrite of
+             partially-matching files with NOT(pred).
+        mor: write a positional-delete file for matching (file,pos) rows.
+        """
+        if mode == "mor":
+            return self._delete_mor_positional(spark, pred)
+        md = self.metadata
+        schema = md.schema()
+        bound = E.bind(pred, schema)
+        plan = self.scan(row_filter=pred).plan_files()
+        if not plan.tasks:
+            return self
+        drop_paths: List[str] = []
+        rewrite: List = []
+        scan_obj = self.scan(row_filter=pred)
+        for t in plan.tasks:
+            metrics = scan_obj._metrics_for_file(t.data_file, schema)
+            if file_must_match(bound, metrics, t.data_file.record_count) \
+                    and not t.pos_deletes and not t.eq_deletes:
+                drop_paths.append(t.data_file.file_path)
+            else:
+                rewrite.append(t)
+        added: List[DataFile] = []
+        if rewrite:
+            files = [t.data_file.file_path for t in rewrite]
+            keep_df = spark.read.schema(schema.to_spark()).parquet(*files) \
+                .filter(~E.to_spark_column(bound))
+            added = write_data_files(spark, keep_df, md)
+            drop_paths += files
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "delete" if not added else "overwrite",
+            added=added, removed_paths=set(drop_paths)))
+
+    def _delete_mor_positional(self, spark: SparkSession, pred: E.Predicate) -> "Table":
+        schema = self.metadata.schema()
+        bound = E.bind(pred, schema)
+        hits = self.scan(include_metadata_columns=True).to_df(spark) \
+            .filter(E.to_spark_column(bound)) \
+            .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("file_path"),
+                    F.col("_pos").alias("pos"))
+        out = os.path.join(self.location, "data",
+                           f"pos-del-{uuid.uuid4().hex[:12]}")
+        hits.repartition(1).sortWithinPartitions("file_path", "pos") \
+            .write.parquet(out)
+        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
+                 for f in fs if f.endswith(".parquet")]
+        stats = collect_parquet_stats(spark, files)
+        dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
+                         record_count=stats[p]["num_rows"],
+                         file_size_in_bytes=stats[p]["size"],
+                         schema_id=schema.schema_id, spec_id=self.spec.spec_id)
+                for p in files]
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "delete", added_deletes=dels))
+
+    def delete_by_equality(self, spark: SparkSession, keys_df: DataFrame,
+                           eq_column_names: List[str]) -> "Table":
+        """Merge-on-read equality delete: write the key tuples as an
+        equality-delete file (writer/base_writer/equality_delete_writer.rs
+        counterpart)."""
+        schema = self.metadata.schema()
+        eq_ids = []
+        for name in eq_column_names:
+            f = schema.field_by_name(name)
+            if f is None:
+                raise ValueError(f"no column {name}")
+            eq_ids.append(f.field_id)
+        out = os.path.join(self.location, "data", f"eq-del-{uuid.uuid4().hex[:12]}")
+        keys_df.select(*eq_column_names).dropDuplicates().repartition(1).write.parquet(out)
+        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
+                 for f in fs if f.endswith(".parquet")]
+        stats = collect_parquet_stats(spark, files)
+        dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
+                         record_count=stats[p]["num_rows"],
+                         file_size_in_bytes=stats[p]["size"],
+                         equality_ids=eq_ids,
+                         schema_id=schema.schema_id, spec_id=self.spec.spec_id)
+                for p in files]
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "delete", added_deletes=dels))
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, spark: SparkSession,
+                small_file_bytes: Optional[int] = None) -> "Table":
+        """Bin-pack compaction: rewrite partitions holding >1 small file into
+        target-size files; atomic replace snapshot. (Composed from the
+        reference's primitives; it has no single compaction op — SURVEY §7.)"""
+        md = self.metadata
+        target = int(md.properties.get("write.target-file-size-bytes",
+                                       str(512 * 1024 * 1024)))
+        threshold = small_file_bytes or target // 2
+        plan = self.scan().plan_files()
+        by_part: Dict[Tuple, List] = {}
+        for t in plan.tasks:
+            key = tuple(sorted((k, str(v)) for k, v in t.data_file.partition.items()))
+            by_part.setdefault(key, []).append(t)
+        rewrite_paths: List[str] = []
+        for _key, tasks in by_part.items():
+            small = [t for t in tasks if t.data_file.file_size_in_bytes < threshold]
+            if len(small) > 1:
+                rewrite_paths += [t.data_file.file_path for t in small]
+        if not rewrite_paths:
+            return self
+        schema = md.schema()
+        df = spark.read.schema(schema.to_spark()).parquet(*rewrite_paths)
+        added = write_data_files(spark, df, md)
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "replace", added=added, removed_paths=set(rewrite_paths)))
+
+    def expire_snapshots(self, older_than_ms: Optional[int] = None,
+                         retain_last: int = 1) -> "Table":
+        """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86
+        semantics): age + retain-last, never expiring ref heads."""
+        def action(md: TableMetadata) -> TableMetadata:
+            cutoff = older_than_ms if older_than_ms is not None else now_ms()
+            keep_ids = {r.snapshot_id for r in md.refs.values()}
+            if md.current_snapshot_id is not None:
+                keep_ids.add(md.current_snapshot_id)
+            chron = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
+            for s in chron[-max(retain_last, 1):]:
+                keep_ids.add(s.snapshot_id)
+            md.snapshots = [s for s in md.snapshots
+                            if s.snapshot_id in keep_ids or s.timestamp_ms > cutoff]
+            valid = {s.snapshot_id for s in md.snapshots}
+            md.snapshot_log = [e for e in md.snapshot_log if e["snapshot-id"] in valid]
+            return md
+        return self._commit_retry(action)
+
+    def update_properties(self, updates: Dict[str, str],
+                          removals: Optional[Sequence[str]] = None) -> "Table":
+        def action(md: TableMetadata) -> TableMetadata:
+            md.properties.update(updates)
+            for k in removals or []:
+                md.properties.pop(k, None)
+            return md
+        return self._commit_retry(action)
+
+    def update_schema(self) -> "SchemaUpdate":
+        return SchemaUpdate(self)
+
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Table":
+        def action(md: TableMetadata) -> TableMetadata:
+            if md.snapshot_by_id(snapshot_id) is None:
+                raise ValueError(f"no snapshot {snapshot_id}")
+            md.refs[name] = SnapshotRef(snapshot_id, ref_type)
+            return md
+        return self._commit_retry(action)
+
+    # -------------------------------------------------------- metadata tables
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(s.snapshot_id, s.parent_snapshot_id, s.sequence_number,
+                 s.timestamp_ms, s.operation, s.manifest_list) for s in self.metadata.snapshots]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, sequence_number long, "
+                  "committed_at_ms long, operation string, manifest_list string")
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log]
+        return spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
+
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap:
+            for m in read_manifest_list(snap.manifest_list):
+                rows.append((m.manifest_path, m.manifest_length, m.partition_spec_id,
+                             m.content, m.sequence_number, m.added_files_count,
+                             m.existing_files_count, m.deleted_files_count,
+                             m.added_rows_count))
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, content int, "
+                  "sequence_number long, added_data_files_count int, "
+                  "existing_data_files_count int, deleted_data_files_count int, "
+                  "added_rows_count long")
+
+    def files_df(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for t in self.scan().plan_files().tasks:
+            f = t.data_file
+            rows.append((f.file_path, f.file_format, f.record_count,
+                         f.file_size_in_bytes, str(f.partition), f.spec_id,
+                         f.schema_id))
+        return spark.createDataFrame(
+            rows, "file_path string, file_format string, record_count long, "
+                  "file_size_in_bytes long, partition string, spec_id int, schema_id int")
+
+    # ------------------------------------------------------ incremental read
+    def incremental_scan(self, from_snapshot_id: int,
+                         to_snapshot_id: Optional[int] = None) -> TableScan:
+        """Appended-files-between-snapshots scan (change-feed for appends);
+        see streaming/incremental.py for the Structured Streaming wrapper."""
+        md = self.metadata
+        from_snap = md.snapshot_by_id(from_snapshot_id)
+        if from_snap is None:
+            raise ValueError(f"no snapshot {from_snapshot_id}")
+        scan = self.scan(snapshot_id=to_snapshot_id or md.current_snapshot_id)
+        min_seq = from_snap.sequence_number
+
+        orig_plan = scan.plan_files
+
+        def plan_files():
+            plan = orig_plan()
+            plan.tasks = [t for t in plan.tasks if t.sequence_number > min_seq]
+            return plan
+
+        scan.plan_files = plan_files  # type: ignore[method-assign]
+        return scan
+
+    # ----------------------------------------------------------- commit core
+    def _commit_retry(self, action: Callable[[TableMetadata], TableMetadata]) -> "Table":
+        props = self.metadata.properties
+        max_retries = int(props.get("commit.retry.num-retries", "4"))
+        min_wait = float(props.get("commit.retry.min-wait-ms", "100")) / 1000.0
+        max_wait = float(props.get("commit.retry.max-wait-ms", "60000")) / 1000.0
+        attempt = 0
+        while True:
+            md, version = self.catalog.load_table(self.identifier)
+            md = action(md)
+            md.last_updated_ms = now_ms()
+            try:
+                new_version = self.catalog.commit_table(self.identifier, version, md)
+                self.metadata, self.version = md, new_version
+                return self
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                wait = min(max_wait, min_wait * (2.0 ** (attempt - 1)))
+                time.sleep(wait * (0.5 + random.random() / 2))
+
+    def _snapshot_update(self, md: TableMetadata, operation: str,
+                         added: Optional[List[DataFile]] = None,
+                         added_deletes: Optional[List[DataFile]] = None,
+                         removed_paths: Optional[set] = None,
+                         remove_all: bool = False) -> TableMetadata:
+        """Build the next snapshot: new manifest(s) for added files, carried
+        (possibly rewritten) manifests for survivors, new manifest list."""
+        added = added or []
+        added_deletes = added_deletes or []
+        removed_paths = removed_paths or set()
+        seq = md.last_sequence_number + 1
+        snap_id = new_snapshot_id()
+        md_dir = os.path.join(md.location, "metadata")
+        manifests: List[ManifestFile] = []
+
+        def new_manifest(files: List[DataFile], content: int) -> ManifestFile:
+            path = os.path.join(md_dir, f"manifest-{uuid.uuid4().hex[:16]}.parquet")
+            entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, seq, f)
+                       for f in files]
+            length = write_manifest(path, entries)
+            return ManifestFile(
+                manifest_path=path, manifest_length=length,
+                partition_spec_id=md.default_spec_id, content=min(content, 1),
+                sequence_number=seq, min_sequence_number=seq,
+                added_snapshot_id=snap_id, added_files_count=len(files),
+                added_rows_count=sum(f.record_count for f in files),
+                partitions=_field_summaries(files))
+
+        if added:
+            manifests.append(new_manifest(added, CONTENT_DATA))
+        if added_deletes:
+            manifests.append(new_manifest(added_deletes, 1))
+
+        # carry forward previous manifests
+        cur = md.current_snapshot()
+        if cur is not None and not remove_all:
+            for mf in read_manifest_list(cur.manifest_list):
+                if not removed_paths:
+                    manifests.append(mf)
+                    continue
+                entries = list(load_manifest(mf.manifest_path))
+                kept = [e for e in entries if e.data_file.file_path not in removed_paths]
+                if len(kept) == len(entries):
+                    manifests.append(mf)
+                elif kept:
+                    path = os.path.join(md_dir, f"manifest-{uuid.uuid4().hex[:16]}.parquet")
+                    rewritten = [ManifestEntry(STATUS_EXISTING, e.snapshot_id,
+                                               e.sequence_number, e.file_sequence_number,
+                                               e.data_file) for e in kept]
+                    length = write_manifest(path, rewritten)
+                    manifests.append(ManifestFile(
+                        manifest_path=path, manifest_length=length,
+                        partition_spec_id=mf.partition_spec_id, content=mf.content,
+                        sequence_number=mf.sequence_number,
+                        min_sequence_number=mf.min_sequence_number,
+                        added_snapshot_id=snap_id,
+                        existing_files_count=len(kept),
+                        existing_rows_count=sum(e.data_file.record_count for e in kept),
+                        partitions=_field_summaries([e.data_file for e in kept])))
+                # fully-removed manifest: dropped
+
+        ml_path = os.path.join(md_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.parquet")
+        write_manifest_list(ml_path, manifests)
+
+        total_records = sum(m.added_rows_count + m.existing_rows_count
+                           for m in manifests if m.content == 0)
+        total_files = sum(m.added_files_count + m.existing_files_count
+                          for m in manifests if m.content == 0)
+        snap = Snapshot(
+            snapshot_id=snap_id, sequence_number=seq, timestamp_ms=now_ms(),
+            manifest_list=ml_path,
+            summary={"operation": operation,
+                     "added-data-files": str(len(added)),
+                     "added-delete-files": str(len(added_deletes)),
+                     "added-records": str(sum(f.record_count for f in added)),
+                     "removed-data-files": str(len(removed_paths)),
+                     "total-records": str(total_records),
+                     "total-data-files": str(total_files)},
+            parent_snapshot_id=md.current_snapshot_id,
+            schema_id=md.current_schema_id)
+        md.snapshots.append(snap)
+        md.current_snapshot_id = snap_id
+        md.last_sequence_number = seq
+        md.refs[MAIN_BRANCH] = SnapshotRef(snap_id, "branch")
+        md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap_id})
+        return md
+
+
+def _field_summaries(files: List[DataFile]) -> Dict[str, FieldSummaryRec]:
+    """Aggregate per-partition-field min/max/contains-null across files
+    (manifest_list/manifest_file.rs FieldSummary counterpart)."""
+    from .datum import to_comparable
+    out: Dict[str, FieldSummaryRec] = {}
+    for f in files:
+        for name, v in f.partition.items():
+            s = out.setdefault(name, FieldSummaryRec())
+            if v is None:
+                s.contains_null = True
+                continue
+            cv = to_comparable(v)
+            if s.lower is None or cv < to_comparable(s.lower):
+                s.lower = v
+            if s.upper is None or cv > to_comparable(s.upper):
+                s.upper = v
+    return out
+
+
+class SchemaUpdate:
+    """Schema-evolution builder (transaction/update_schema.rs:42-147
+    counterpart): add/drop/rename/promote; new ids never reuse old ones."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self._adds: List[Tuple[str, str, bool, Any]] = []   # name, type, required, default
+        self._drops: List[str] = []
+        self._renames: Dict[str, str] = {}
+        self._promotes: Dict[str, str] = {}
+
+    def add_column(self, name: str, ice_type_name: str, required: bool = False,
+                   initial_default: Any = None) -> "SchemaUpdate":
+        if required and initial_default is None:
+            raise ValueError("new required column needs initial_default")
+        self._adds.append((name, ice_type_name, required, initial_default))
+        return self
+
+    def drop_column(self, name: str) -> "SchemaUpdate":
+        self._drops.append(name)
+        return self
+
+    def rename_column(self, old: str, new: str) -> "SchemaUpdate":
+        self._renames[old] = new
+        return self
+
+    def promote_column(self, name: str, new_type: str) -> "SchemaUpdate":
+        self._promotes[name] = new_type
+        return self
+
+    def commit(self) -> Table:
+        from .types import PrimitiveType, type_from_json
+
+        def action(md: TableMetadata) -> TableMetadata:
+            cur = md.schema()
+            fields: List[NestedField] = []
+            for f in cur.fields:
+                if f.name in self._drops:
+                    continue
+                name = self._renames.get(f.name, f.name)
+                ftype = f.field_type
+                if f.name in self._promotes:
+                    new_t = type_from_json(self._promotes[f.name])
+                    if not is_promotable(ftype, new_t):
+                        raise ValueError(f"cannot promote {ftype} -> {new_t}")
+                    ftype = new_t
+                fields.append(NestedField(f.field_id, name, ftype, f.required,
+                                          f.doc, f.initial_default, f.write_default))
+            next_id = md.last_column_id
+            for name, tname, required, default in self._adds:
+                if any(x.name == name for x in fields):
+                    raise ValueError(f"column {name} already exists")
+                next_id += 1
+                fields.append(NestedField(next_id, name, type_from_json(tname),
+                                          required, None, default, default))
+            new_schema = Schema(fields, schema_id=cur.schema_id + 1)
+            md.schemas.append(new_schema)
+            md.current_schema_id = new_schema.schema_id
+            md.last_column_id = max(next_id, md.last_column_id)
+            return md
+
+        return self.table._commit_retry(action)

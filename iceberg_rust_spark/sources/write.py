@@ -1,0 +1,260 @@
+"""Write path: partition fan-out + per-file column metrics -> DataFile entries.
+
+Spark-first reshape of the reference's write stack (§2.1 of SURVEY.md):
+- partition projection  (arrow/partition_value_calculator.rs:39-150)  ->
+  ``withColumn('_p_<name>', transform_expr)``
+- fanout/clustered writers (writer/partitioning/{fanout,clustered}_writer.rs) ->
+  ``df.repartition(...)`` + ``write.partitionBy(*_p cols)`` — Spark's own
+  fan-out executes the per-partition-key file split distributed;
+- rolling writer (writer/file_writer/rolling_writer.rs:125) ->
+  ``spark.sql.files.maxRecordsPerFile`` via ``write.target-file-size-bytes`` /
+  estimated row width;
+- per-file column metrics (writer/file_writer/parquet_writer.rs:432-487) ->
+  distributed Parquet footer scan (``sparkContext.parallelize(files)
+  .mapPartitions``) so metric collection scales with the cluster, never the
+  driver. NOTE: Parquet footers carry no NaN counts, so ``nan_value_counts``
+  stays unknown => the metrics evaluator is conservative for is_nan/not_nan.
+
+Distribution modes (write.distribution-mode table property, like Iceberg's):
+  none   — no shuffle before write (fanout writers per task)
+  hash   — repartition by partition key: one task per key set, fewest files
+  range  — sortWithinPartitions by partition key (clustered writer behavior)
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+import uuid
+from decimal import Decimal
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.transforms import Transform
+from .datum import date_from_days, ts_from_micros
+from .manifest import CONTENT_DATA, DataFile
+from .metadata import PartitionSpec, TableMetadata
+from .types import (IcebergType, NestedField, PrimitiveType, Schema,
+                    type_to_spark)
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+PART_COL_PREFIX = "_p_"
+
+
+def align_df_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
+    """Select/cast the input DataFrame to the table schema (by name), applying
+    write defaults and required-ness checks."""
+    cols = []
+    df_cols = set(df.columns)
+    for f in schema.fields:
+        tgt = type_to_spark(f.field_type)
+        if f.name in df_cols:
+            cols.append(F.col(f.name).cast(tgt).alias(f.name))
+        elif f.write_default is not None:
+            cols.append(F.lit(f.write_default).cast(tgt).alias(f.name))
+        elif f.required:
+            raise ValueError(f"required column {f.name!r} missing from input")
+        else:
+            cols.append(F.lit(None).cast(tgt).alias(f.name))
+    return df.select(*cols)
+
+
+def partition_columns(schema: Schema, spec: PartitionSpec) -> List[Tuple[str, Any, Transform, IcebergType]]:
+    """[(partition column name, source name, transform, source type)]"""
+    out = []
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        if src is None:
+            raise ValueError(f"partition source id {pf.source_id} not in schema")
+        out.append((PART_COL_PREFIX + pf.name, src.name, pf.transform, src.field_type))
+    return out
+
+
+def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata,
+                     data_dir: Optional[str] = None) -> List[DataFile]:
+    """Write ``df`` as parquet data files for the table, returning DataFile
+    descriptors with per-file column metrics. Does NOT commit."""
+    schema = metadata.schema()
+    spec = metadata.spec()
+    df = align_df_to_schema(df, schema)
+
+    write_id = uuid.uuid4().hex[:16]
+    base = data_dir or os.path.join(metadata.location, "data")
+    out_dir = os.path.join(base, write_id)
+
+    pcols = partition_columns(schema, spec)
+    mode = metadata.properties.get("write.distribution-mode", "hash")
+    target_file_bytes = int(metadata.properties.get(
+        "write.target-file-size-bytes", str(512 * 1024 * 1024)))
+
+    writer_df = df
+    if pcols:
+        for pname, srcname, transform, styp in pcols:
+            writer_df = writer_df.withColumn(
+                pname, transform.spark_column(F.col(srcname), styp))
+        names = [p[0] for p in pcols]
+        if mode == "hash":
+            writer_df = writer_df.repartition(*[F.col(n) for n in names])
+        elif mode == "range":
+            writer_df = writer_df.sortWithinPartitions(*names)
+        writer = writer_df.write.partitionBy(*names)
+    else:
+        writer = writer_df.write
+    writer.option("compression", metadata.properties.get(
+        "write.parquet.compression-codec", "zstd"))
+    writer.mode("errorifexists").parquet(out_dir)
+
+    files = _list_parquet_files(out_dir)
+    stats = collect_parquet_stats(spark, files)
+
+    data_files: List[DataFile] = []
+    for path in sorted(files):
+        st = stats[path]
+        partition = _parse_partition_from_path(path, out_dir, pcols)
+        data_files.append(DataFile(
+            file_path=path, file_format="parquet", content=CONTENT_DATA,
+            partition=partition,
+            record_count=st["num_rows"], file_size_in_bytes=st["size"],
+            column_sizes=st["column_sizes"], value_counts=st["value_counts"],
+            null_value_counts=st["null_counts"], nan_value_counts={},
+            lower_bounds=st["lower"], upper_bounds=st["upper"],
+            split_offsets=st["split_offsets"],
+            schema_id=schema.schema_id, spec_id=spec.spec_id))
+    return data_files
+
+
+def _list_parquet_files(root: str) -> List[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.join(dirpath, n))
+    return out
+
+
+def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:
+    """Distributed footer scan: executors read Parquet footers with pyarrow;
+    only tiny per-file stat dicts return to the driver. At 100 TB this is one
+    short all-metadata job, never a driver loop over data."""
+    if not files:
+        return {}
+    n_slices = max(1, min(len(files), 256))
+    rdd = spark.sparkContext.parallelize(files, n_slices)
+
+    def scan(paths):
+        import pyarrow.parquet as _pq
+        for p in paths:
+            try:
+                yield p, _footer_stats(_pq, p)
+            except Exception as exc:  # surface, don't swallow
+                yield p, {"error": str(exc)}
+
+    result = dict(rdd.mapPartitions(lambda it: scan(it)).collect())
+    errs = {p: s["error"] for p, s in result.items() if "error" in s}
+    if errs:
+        raise RuntimeError(f"footer scan failed: {errs}")
+    return result
+
+
+def _footer_stats(_pq, path: str) -> dict:
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    ncols = md.num_columns
+    names = [md.schema.column(i).name for i in range(ncols)]
+    value_counts: Dict[str, int] = {}
+    null_counts: Dict[str, int] = {}
+    column_sizes: Dict[str, int] = {}
+    lower: Dict[str, Any] = {}
+    upper: Dict[str, Any] = {}
+    split_offsets: List[int] = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        split_offsets.append(g.column(0).file_offset)
+        for i in range(ncols):
+            c = g.column(i)
+            name = names[i]
+            column_sizes[name] = column_sizes.get(name, 0) + c.total_compressed_size
+            value_counts[name] = value_counts.get(name, 0) + c.num_values
+            s = c.statistics
+            if s is None:
+                continue
+            if s.null_count is not None:
+                null_counts[name] = null_counts.get(name, 0) + s.null_count
+            if s.has_min_max:
+                mn, mx = s.min, s.max
+                if name not in lower or _cmp_lt(mn, lower[name]):
+                    lower[name] = mn
+                if name not in upper or _cmp_lt(upper[name], mx):
+                    upper[name] = mx
+    return {"num_rows": md.num_rows, "size": os.path.getsize(path),
+            "column_sizes": column_sizes, "value_counts": value_counts,
+            "null_counts": null_counts, "lower": lower, "upper": upper,
+            "split_offsets": split_offsets}
+
+
+def _cmp_lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Partition path rendering / parsing (hive-style dirs written by Spark)
+# ---------------------------------------------------------------------------
+
+def _parse_partition_from_path(path: str, root: str,
+                               pcols: List[Tuple[str, str, Transform, IcebergType]]) -> Dict[str, Any]:
+    """Recover typed partition values from Spark-written hive-style dirs."""
+    rel = os.path.relpath(os.path.dirname(path), root)
+    partition: Dict[str, Any] = {}
+    if rel == ".":
+        return partition
+    segs = [s for s in rel.split(os.sep) if s]
+    by_name = {p[0]: p for p in pcols}
+    for seg in segs:
+        if "=" not in seg:
+            continue
+        raw_name, raw_val = seg.split("=", 1)
+        info = by_name.get(raw_name)
+        if info is None:
+            continue
+        pname, _src, transform, styp = info
+        key = pname[len(PART_COL_PREFIX):]
+        if raw_val == HIVE_NULL:
+            partition[key] = None
+        else:
+            partition[key] = _parse_part_value(
+                urllib.parse.unquote(raw_val), transform, styp)
+    return partition
+
+
+def _parse_part_value(s: str, transform: Transform, src_type: IcebergType) -> Any:
+    """Inverse of Spark's partition-dir value rendering, typed by the
+    transform's result type."""
+    from ..functions.transforms import (BucketTransform, DayTransform,
+                                        HourTransform, MonthTransform,
+                                        YearTransform)
+    if isinstance(transform, (BucketTransform, YearTransform, MonthTransform,
+                              DayTransform, HourTransform)):
+        return int(s)
+    # identity / truncate: result type == source type
+    if isinstance(src_type, PrimitiveType):
+        n = src_type.name
+        if n in ("int", "long"):
+            return int(s)
+        if n in ("float", "double"):
+            return float(s)
+        if n == "boolean":
+            return s.lower() == "true"
+        if n == "date":
+            import datetime as dt
+            return dt.date.fromisoformat(s)
+        if n in ("timestamp", "timestamptz"):
+            import datetime as dt
+            return dt.datetime.fromisoformat(s.replace(" ", "T"))
+        if n.startswith("decimal"):
+            return Decimal(s)
+    return s
