@@ -1,38 +1,711 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 inventory + LLM-pipeline
+extensions) to callables ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL over the raw parquet views. Column names
+and value computations are kept in lockstep; float aggregates use the
+cast-to-DECIMAL trick so sums are exact and engine-order-independent, then a
+final CAST to DOUBLE (deterministic) for identical hashes.
+
+Iceberg-format queries run against a lazily-built warehouse of tables derived
+from the same parquet inputs (built once per sf_dir under /tmp, COMPLETE-
+marker cached), so the oracle can express the expected result in plain SQL on
+the originals.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from iceberg_rust_spark import (FileSystemCatalog, PartitionField,
+                                PartitionSpec, Table, expr as E)
+from iceberg_rust_spark.functions import text as TX
+from iceberg_rust_spark.functions.transforms import parse_transform
+from iceberg_rust_spark.functions.vector import as_double_array, cosine_rounded
+from iceberg_rust_spark.operators import dedup as DD
+from iceberg_rust_spark.operators import multimodal as MM
+from iceberg_rust_spark.operators import similarity as SIM
+from iceberg_rust_spark.sources.types import schema_from_spark
+from iceberg_rust_spark.session import read_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _sum_dec(c, alias: str, scale: int = 4):
+    return F.sum(_dec(c, scale)).cast("double").alias(alias)
+
+
+def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Iceberg warehouse fixtures (built once per sf_dir, derived from testdata)
+# ---------------------------------------------------------------------------
+
+_MOR_PRICE_CUT = 300000.0
+
+
+def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
+    key = os.path.abspath(sf_dir)
+    wh = f"/tmp/isr_wh_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    marker = os.path.join(wh, "_COMPLETE")
+    cat = FileSystemCatalog(wh)
+    if os.path.isfile(marker):
+        return cat
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = FileSystemCatalog(wh)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+
+    def fid(schema, name):
+        return schema.field_by_name(name).field_id
+
+    # 1. lineitem, hidden-partitioned by month(l_shipdate)
+    s = schema_from_spark(li.schema)
+    t = Table.create(cat, "db.lineitem", s, PartitionSpec(0, [
+        PartitionField(fid(s, "l_shipdate"), 1000, "l_shipdate_month",
+                       parse_transform("month"))]))
+    t.append(spark, li)
+
+    # 2. orders, bucket[8](o_custkey)
+    s = schema_from_spark(orders.schema)
+    t = Table.create(cat, "db.orders_bucket", s, PartitionSpec(0, [
+        PartitionField(fid(s, "o_custkey"), 1000, "o_custkey_bucket",
+                       parse_transform("bucket[8]"))]))
+    t.append(spark, orders)
+
+    # 3. part, truncate[7](p_brand)  ('Brand#13' -> 'Brand#1' group)
+    s = schema_from_spark(part.schema)
+    t = Table.create(cat, "db.part_trunc", s, PartitionSpec(0, [
+        PartitionField(fid(s, "p_brand"), 1000, "p_brand_trunc",
+                       parse_transform("truncate[7]"))]))
+    t.append(spark, part)
+
+    # 4. schema evolution: v1(o_orderkey, total) even keys; evolve +o_orderpriority
+    #    default 'NONE'; append odd keys under v2
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0) \
+        .select("o_orderkey", F.col("o_totalprice").alias("total"))
+    s = schema_from_spark(v1.schema)
+    t = Table.create(cat, "db.orders_evo", s)
+    t.append(spark, v1)
+    t.update_schema().add_column("o_orderpriority", "string",
+                                 initial_default="NONE").commit()
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1) \
+        .select("o_orderkey", F.col("o_totalprice").alias("total"), "o_orderpriority")
+    t.append(spark, v2)
+
+    # 5. time travel / incremental: snapshot1 = even keys, snapshot2 += odd keys
+    s = schema_from_spark(orders.schema)
+    t = Table.create(cat, "db.orders_tt", s)
+    t.append(spark, orders.where(F.col("o_orderkey") % 2 == 0))
+    t.append(spark, orders.where(F.col("o_orderkey") % 2 == 1))
+
+    # 6. copy-on-write delete of o_orderstatus = 'F'
+    t = Table.create(cat, "db.orders_delcow", schema_from_spark(orders.schema))
+    t.append(spark, orders)
+    t.delete_where(spark, E.col("o_orderstatus") == "F", mode="cow")
+
+    # 7. merge-on-read positional delete of o_totalprice > cut
+    t = Table.create(cat, "db.orders_delmor", schema_from_spark(orders.schema))
+    t.append(spark, orders)
+    t.delete_where(spark, E.col("o_totalprice") > _MOR_PRICE_CUT, mode="mor")
+
+    # 8. merge-on-read equality delete of o_orderpriority = '1-URGENT'
+    t = Table.create(cat, "db.orders_deleq", schema_from_spark(orders.schema))
+    t.append(spark, orders)
+    t.delete_by_equality(
+        spark, spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+        ["o_orderpriority"])
+
+    # 9. compaction: 3 small appends then bin-pack rewrite
+    t = Table.create(cat, "db.orders_compact", schema_from_spark(orders.schema))
+    for m in range(3):
+        t.append(spark, orders.where(F.col("o_orderkey") % 3 == m))
+    t.compact(spark)
+
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return cat
+
+
+def _ice(spark: SparkSession, sf_dir: str, name: str) -> Table:
+    return Table.load(_warehouse(spark, sf_dir), f"db.{name}")
+
+
+# ---------------------------------------------------------------------------
+# dedup/text fixtures: documents plus deterministic noisy copies
+# ---------------------------------------------------------------------------
+
+_COPY_OFFSET = 100000
+
+
+def _docs_with_exact_copies(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    copy = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                    "text", "lang", "source", "n_chars")
+    return d.unionByName(copy)
+
+
+def _docs_with_near_copies(spark, sf_dir, max_id: int):
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_id)
+    noisy = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                     F.expr("substr(text, 1, greatest(length(text) - 40, 1))").alias("text"))
+    return d.select("doc_id", "text").unionByName(noisy)
+
+
+_SQL_DOCS_EXACT = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + {_COPY_OFFSET}, text FROM documents
+"""
+
+
+def _sql_docs_near(max_id: int) -> str:
+    return f"""
+    SELECT doc_id, text FROM documents WHERE doc_id < {max_id}
+    UNION ALL
+    SELECT doc_id + {_COPY_OFFSET},
+           substr(text, 1, greatest(length(text) - 40, 1))
+    FROM documents WHERE doc_id < {max_id}
+    """
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+
+_Q1_CUT = dt.datetime(1998, 9, 2)
+
+
+def q_iceberg_q1(spark, sf_dir):
+    t = _ice(spark, sf_dir, "lineitem")
+    df = t.scan(row_filter=E.col("l_shipdate") <= _Q1_CUT).to_df(spark)
+    return (df.groupBy("l_returnflag", "l_linestatus")
+            .agg(_sum_dec("l_quantity", "sum_qty"),
+                 _sum_dec("l_extendedprice", "sum_base_price"),
+                 F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+                  .cast("double").alias("sum_disc_price"),
+                 (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_iceberg_q6(spark, sf_dir):
+    t = _ice(spark, sf_dir, "lineitem")
+    pred = ((E.col("l_shipdate") >= dt.datetime(1997, 1, 1))
+            & (E.col("l_shipdate") < dt.datetime(1998, 1, 1))
+            & (E.col("l_discount") >= 0.05) & (E.col("l_discount") <= 0.07)
+            & (E.col("l_quantity") < 24.0))
+    df = t.scan(row_filter=pred).to_df(spark)
+    return df.agg(F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+                  .cast("double").alias("revenue"),
+                  F.count("*").alias("n_rows"))
+
+
+def q_iceberg_partition_prune(spark, sf_dir):
+    t = _ice(spark, sf_dir, "lineitem")
+    pred = ((E.col("l_shipdate") >= dt.datetime(1997, 6, 1))
+            & (E.col("l_shipdate") < dt.datetime(1997, 7, 1)))
+    df = t.scan(row_filter=pred).to_df(spark)
+    return (df.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"), _sum_dec("l_quantity", "sum_qty")))
+
+
+def q_iceberg_bucket_prune(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_bucket")
+    df = t.scan(row_filter=E.col("o_custkey") == 42).to_df(spark)
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus",
+                     F.col("o_totalprice").cast("double").alias("o_totalprice"))
+
+
+def q_iceberg_truncate_prune(spark, sf_dir):
+    t = _ice(spark, sf_dir, "part_trunc")
+    df = t.scan(row_filter=E.col("p_brand") == "Brand#13").to_df(spark)
+    return df.agg(F.count("*").alias("n_parts"),
+                  _sum_dec("p_retailprice", "sum_price"))
+
+
+def q_iceberg_schema_evolution(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_evo")
+    return t.to_df(spark).select("o_orderkey", "total", "o_orderpriority")
+
+
+def q_iceberg_time_travel(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_tt")
+    first = min(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    df = t.scan(snapshot_id=first.snapshot_id).to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_incremental(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_tt")
+    first = min(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    df = t.incremental_scan(first.snapshot_id).to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_delete_cow(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_delcow")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_delete_mor(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_delmor")
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_delete_eq(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_deleq")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_compaction(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_compact")
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_snapshots_meta(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_tt")
+    return t.snapshots_df(spark).select("snapshot_id", "sequence_number", "operation")
+
+
+# ---- relational (Spark-native operators over raw parquet) ------------------
+
+_Q3_DATE = dt.datetime(1997, 3, 15)
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .where((F.col("o_orderdate") < _Q3_DATE) & (F.col("l_shipdate") > _Q3_DATE))
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "o_orderkey")
+            .limit(10)
+            .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+def q5_region_revenue(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q10_returned_items(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .where(F.col("l_returnflag") == "R")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+def q_window_topn(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("c_mktsegment", "c_custkey",
+                    F.col("c_acctbal").cast("double").alias("c_acctbal"), "rn"))
+
+
+def q_window_running(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select("o_custkey", "o_orderkey",
+                    F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"))
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price")))
+
+
+def q_set_except(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return rich.exceptAll(rich.join(with_orders, "c_custkey", "left_semi"))
+
+
+def q_anti_join(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
+
+
+def q_semi_join(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey").agg(F.count("*").alias("n_customers")))
+
+
+def q_events_hourly(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return (e.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                    "yyyy-MM-dd HH:00:00").alias("hour_start"),
+                      "event_type")
+            .agg(F.count("*").alias("n"), _sum_dec("value", "sum_value")))
+
+
+def q_events_sessions(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (us - F.lag(us).over(w)) > F.lit(30 * 60 * 1_000_000)
+    flagged = e.select("user_id", F.when(gap, 1).otherwise(0).alias("new_sess"))
+    return (flagged.groupBy("user_id")
+            .agg((F.sum("new_sess") + 1).alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+# ---- LLM-pipeline operators ------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs_with_near_copies(spark, sf_dir, 150),
+                                  threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
+                                threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return DD.simhash_signatures(docs)
+
+
+def q_text_quality(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select("doc_id", TX.token_count(t).alias("n_tokens"),
+                    TX.punct_ratio(t).alias("punct_ratio"),
+                    TX.avg_word_len(t).alias("avg_word_len"),
+                    TX.quality_score(t).alias("quality"))
+
+
+def q_text_langid(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(spark, emb, query_vec_id=7, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(spark, emb, query_vec_id=7, k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(spark, emb, query_vec_id=7, k=10)
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = MM.synthetic_media_df(spark, 64)
+    with_meta = MM.attach_media_meta(media)
+    feats = MM.extract_features(media)
+    return (with_meta.join(feats, "media_id")
+            .select("media_id", F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height"),
+                    F.size("features").alias("feat_dim")))
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 shape through the Iceberg scan at sf0.001."""
+    return q_iceberg_q1(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # iceberg table format core
+        "iceberg_q1_pricing": q_iceberg_q1,
+        "iceberg_q6_revenue": q_iceberg_q6,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
+        "iceberg_truncate_prune": q_iceberg_truncate_prune,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_delete_cow": q_iceberg_delete_cow,
+        "iceberg_delete_mor": q_iceberg_delete_mor,
+        "iceberg_delete_eq": q_iceberg_delete_eq,
+        "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        # relational operators (Spark-native)
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q10_returned_items": q10_returned_items,
+        "window_topn": q_window_topn,
+        "window_running": q_window_running,
+        "rollup_orders": q_rollup_orders,
+        "set_except": q_set_except,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        # LLM-data-pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rev = ("CAST(l_extendedprice AS DECIMAL(18,4)) * "
+           "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")
+    t = "text"
+    return {
+        "iceberg_q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_sql_sum_dec('l_quantity', 'sum_qty')},
+                   {_sql_sum_dec('l_extendedprice', 'sum_base_price')},
+                   CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "iceberg_q6_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0""",
+        "iceberg_partition_prune": f"""
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   {_sql_sum_dec('l_quantity', 'sum_qty')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate <  TIMESTAMP '1997-07-01'
+            GROUP BY l_returnflag""",
+        "iceberg_bucket_prune": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_custkey = 42""",
+        "iceberg_truncate_prune": f"""
+            SELECT COUNT(*) AS n_parts, {_sql_sum_dec('p_retailprice', 'sum_price')}
+            FROM part WHERE p_brand = 'Brand#13'""",
+        "iceberg_schema_evolution": """
+            SELECT o_orderkey, o_totalprice AS total,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'NONE'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders""",
+        "iceberg_time_travel": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""",
+        "iceberg_incremental": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus""",
+        "iceberg_delete_cow": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority""",
+        "iceberg_delete_mor": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
+            GROUP BY o_orderstatus""",
+        "iceberg_delete_eq": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_orderpriority""",
+        "iceberg_compaction": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY o_orderstatus""",
+        # relational
+        "q3_shipping_priority": f"""
+            SELECT o_orderkey, CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-03-15'
+              AND l_shipdate  > TIMESTAMP '1997-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10""",
+        "q5_region_revenue": f"""
+            SELECT n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue
+            FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY n_name""",
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, CAST(SUM({rev}) AS DOUBLE) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "window_topn": """
+            SELECT c_mktsegment, c_custkey,
+                   CAST(c_acctbal AS DOUBLE) AS c_acctbal, rn
+            FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                         row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS rn
+                  FROM customer) WHERE rn <= 3""",
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders WHERE o_custkey < 100""",
+        "rollup_orders": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "set_except": """
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            EXCEPT ALL
+            SELECT c_custkey FROM customer
+            WHERE c_acctbal > 5000
+              AND c_custkey IN (SELECT o_custkey FROM orders)""",
+        "anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer WHERE NOT EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment""",
+        "semi_join": """
+            SELECT c_nationkey, COUNT(*) AS n_customers
+            FROM customer WHERE EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey""",
+        "events_hourly": f"""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+                   event_type, COUNT(*) AS n, {_sql_sum_dec('value', 'sum_value')}
+            FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+            SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+            FROM (SELECT user_id,
+                         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+                                   lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                  FROM events)
+            GROUP BY user_id""",
+        # LLM ops
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM ({_SQL_DOCS_EXACT})
+            GROUP BY {TX.sql_fingerprint(t)}""",
+        "dedup_ngram": f"""
+            WITH src AS ({_sql_docs_near(150)}),
+            g AS (SELECT doc_id,
+                         {TX.sql_word_ngrams_over('t')} AS grams
+                  FROM (SELECT doc_id, {TX.sql_tokens('text')} AS t FROM src))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams)) /
+                         greatest(len(a.grams) + len(b.grams)
+                                  - len(list_intersect(a.grams, b.grams)), 1), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.grams, b.grams)) /
+                        greatest(len(a.grams) + len(b.grams)
+                                 - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5""",
+        "text_quality": f"""
+            SELECT doc_id, {TX.sql_token_count(t)} AS n_tokens,
+                   {TX.sql_punct_ratio(t)} AS punct_ratio,
+                   {TX.sql_avg_word_len(t)} AS avg_word_len,
+                   {TX.sql_quality_score(t)} AS quality
+            FROM documents""",
+        "text_langid": f"""
+            SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
+        "text_fingerprint": f"""
+            SELECT doc_id, {TX.sql_fingerprint(t)} AS fp FROM documents""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 7)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+                         (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))) *
+                          sqrt(list_dot_product(qe, qe))), 6) AS sim
+            FROM embeddings, q WHERE vec_id <> 7
+            ORDER BY sim DESC, vec_id LIMIT 10""",
+        # no oracle (non-SQL-expressible / approximate / metadata):
+        #   iceberg_snapshots_meta, dedup_minhash, dedup_simhash,
+        #   ann_lsh_topk, ann_ivf_topk, multimodal_features
+    }

@@ -1,0 +1,63 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Warehouse build (write path: partitioned appends, metric collection, deletes,
+compaction) is timed separately as setup_sec; the headline metric is the sum
+of query wall times on a warm session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from iceberg_rust_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
+    "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_compaction",
+    "q3_shipping_priority", "q5_region_revenue", "q10_returned_items",
+    "window_topn", "rollup_orders", "events_hourly", "events_sessions",
+    "dedup_exact", "dedup_minhash", "text_quality", "text_fingerprint",
+    "ann_cosine_topk", "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    t0 = time.time()
+    entry._warehouse(spark, sf_dir)  # build iceberg fixtures once
+    setup_sec = round(time.time() - t0, 3)
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3), "unit": "sec",
+        "queries": timings, "sf": sf, "setup_sec": setup_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

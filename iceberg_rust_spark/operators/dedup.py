@@ -1,0 +1,148 @@
+"""Deduplication operators for training-data pipelines, designed shuffle-first.
+
+Beyond-reference surface (driver north star). Every operator is pure
+DataFrame composition — no Python in the row path:
+
+- exact_dedup:     one hash-groupBy shuffle on a fingerprint; map-side combine.
+- minhash_lsh:     shingle -> 64 minhashes (single exploded shuffle with 64
+                   min() aggregates) -> banded LSH bucket join -> exact-verify
+                   candidates. At 100 TB the band-bucket join replaces the
+                   O(n^2) cross join with an O(sum bucket^2) join whose skew
+                   AQE handles; verification joins shingle arrays back by id.
+- simhash:         64-bit signature via per-bit +/-1 sums (64 JVM aggregates
+                   over one exploded shuffle).
+- ngram_jaccard_pairs: brute-force verified word-3-gram Jaccard on a bounded
+                   id range — the oracle-checkable twin of minhash_lsh.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, word_ngrams
+
+# deterministic odd multipliers/offsets for 64 minhash permutations
+# h_i(x) = (a_i * (x mod p) + b_i) mod p  over xxhash64 shingle values.
+# p = 2^31-1 keeps every intermediate < 2^62: safe under ANSI overflow checks.
+_P = (1 << 31) - 1  # Mersenne prime
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _perm_params(i: int) -> tuple:
+    # fixed, seedless (resume-safe) parameter derivation
+    a = ((2 * i + 1) * 0x9E3779B9) % _P
+    b = ((i * i + 7) * 0xC2B2AE3D) % _P
+    return (a | 1), b
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id doc per normalized-text fingerprint. One shuffle."""
+    return (docs
+            .withColumn("_fp", fingerprint(F.col(text_col)))
+            .groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+            .select(id_col, "dup_count"))
+
+
+def shingle_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               n: int = 3) -> DataFrame:
+    """doc -> distinct word-n-gram shingles hashed to int64 (xxhash64)."""
+    return (docs
+            .select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+            .select(id_col, F.xxhash64("_g").alias("shingle")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """64 minhash values per doc as columns mh_0..mh_63; single shuffle with
+    64 map-side-combinable min() aggregates (no Python UDF)."""
+    sh = shingle_df(docs, text_col, id_col, n)
+    aggs = []
+    reduced = F.pmod(F.col("shingle"), F.lit(_P))
+    for i in range(_N_HASHES):
+        a, b = _perm_params(i)
+        h = F.pmod(reduced * F.lit(a) + F.lit(b), F.lit(_P))
+        aggs.append(F.min(h).alias(f"mh_{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      n: int = 3) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    banded-LSH candidate generation + exact shingle-set verification.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, n)
+    band_cols = []
+    for b in range(_BANDS):
+        cols = [F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("sig")))
+    buckets = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+               .select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cands = (left.join(right, on=["band", "sig"])
+             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .dropDuplicates())
+    grams = docs.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    verified = (cands.join(ga, "id_a").join(gb, "id_b")
+                .withColumn("jaccard", F.round(
+                    F.size(F.array_intersect("g_a", "g_b")) /
+                    F.size(F.array_union("g_a", "g_b")), 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    return verified
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc (token-hash bit votes), as a signed long.
+
+    One exploded shuffle; 64 conditional-sum aggregates, all codegen'd.
+    """
+    toks = (docs
+            .select(F.col(id_col),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\W+")).alias("_t"))
+            .where(F.col("_t") != "")
+            .select(id_col, F.xxhash64("_t").alias("h")))
+    aggs = []
+    for b in range(_N_HASHES):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{b}"))
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(_N_HASHES):
+        sig = sig + F.when(F.col(f"v_{b}") > 0,
+                           F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        n: int = 3, max_id: Optional[int] = None) -> DataFrame:
+    """Brute-force word-n-gram Jaccard pairs — the SQL-expressible oracle twin
+    of minhash_lsh_pairs. Bound the id domain (max_id) before the cross join;
+    at scale this is the verification kernel, not the candidate generator."""
+    d = docs
+    if max_id is not None:
+        d = d.where(F.col(id_col) < max_id)
+    grams = d.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", F.round(
+                F.size(F.array_intersect("g_a", "g_b")) /
+                F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. All math in builtin higher-order
+  functions (double precision, left-to-right sums) so the DuckDB oracle can
+  reproduce it bit-for-bit.
+- lsh_topk: random-hyperplane (SRP) LSH bucketing as the 100 TB scale path —
+  candidates only from matching sign-pattern buckets (multi-probe via bit
+  flips), then exact re-rank. Hyperplanes are derived deterministically from a
+  seed so results are reproducible run-to-run.
+- ivf_topk: IVF-style coarse quantization: k-means-lite centroids (one sampled
+  driver-side init, few Lloyd iterations distributed), assign -> probe nearest
+  n_probe cells -> exact re-rank inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vector import as_double_array, cosine_rounded
+
+
+def brute_force_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against one stored vector. The query vector ships as
+    a broadcast literal array; the scan stays a single pass, no shuffle before
+    the top-k (orderBy+limit => TakeOrderedAndProject)."""
+    q = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    if not q:
+        raise ValueError(f"no vector id {query_vec_id}")
+    qv = [float(x) for x in q[0][0]]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    return (emb.where(F.col(id_col) != query_vec_id)
+            .select(F.col(id_col),
+                    cosine_rounded(as_double_array(F.col(vec_col)), qcol).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-pattern bucket id: bit b = 1 if dot(v, plane_b) > 0."""
+    bits = []
+    for b, plane in enumerate(planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        d = F.aggregate(F.zip_with(vec_col, coeffs, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
+             k: int = 10, n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", multiprobe_bits: int = 1) -> DataFrame:
+    """Approximate top-k: restrict to SRP buckets within ``multiprobe_bits``
+    bit flips of the query's bucket, exact re-rank inside. At 100 TB the
+    bucket column is a partition/cluster key, turning ANN into a pruned scan."""
+    row = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    if not row:
+        raise ValueError(f"no vector id {query_vec_id}")
+    qv = np.array([float(x) for x in row[0][0]])
+    planes = _hyperplanes(len(qv), n_planes)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) > 0:
+            qbucket |= (1 << b)
+    probe = {qbucket}
+    if multiprobe_bits >= 1:
+        for b in range(n_planes):
+            probe.add(qbucket ^ (1 << b))
+    v = as_double_array(F.col(vec_col))
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (emb.withColumn("_bucket", srp_bucket_col(v, planes))
+            .where(F.col("_bucket").isin(list(probe)))
+            .where(F.col(id_col) != query_vec_id)
+            .select(F.col(id_col), cosine_rounded(v, qcol).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col))
+            .limit(k))
+
+
+def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
+             k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             iters: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 11) -> DataFrame:
+    """IVF: coarse-quantize vectors into n_cells (mini k-means), probe the
+    n_probe nearest cells to the query, exact re-rank inside them."""
+    v = as_double_array(F.col(vec_col))
+    sample = emb.select(v.alias("v")).limit(n_cells * 20).collect()
+    if not sample:
+        raise ValueError("empty embedding table")
+    arr = np.array([r["v"] for r in sample])
+    rng = np.random.RandomState(seed)
+    centroids = arr[rng.choice(len(arr), size=min(n_cells, len(arr)), replace=False)]
+
+    def assign_expr(cents: np.ndarray):
+        dists = []
+        for ci, c in enumerate(cents):
+            ccol = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(F.zip_with(v, ccol, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        return F.array_min(F.array(*dists)).getField("c")
+
+    for _ in range(iters):
+        assigned = emb.withColumn("_cell", assign_expr(centroids))
+        stats = (assigned.groupBy("_cell")
+                 .agg(*[F.avg(v.getItem(i)).alias(f"m{i}")
+                        for i in range(centroids.shape[1])]).collect())
+        for r in stats:
+            centroids[r["_cell"]] = [r[f"m{i}"] for i in range(centroids.shape[1])]
+
+    row = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    if not row:
+        raise ValueError(f"no vector id {query_vec_id}")
+    qv = np.array([float(x) for x in row[0][0]])
+    cell_d = ((centroids - qv) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(cell_d)[:n_probe]]
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (emb.withColumn("_cell", assign_expr(centroids))
+            .where(F.col("_cell").isin(probe_cells))
+            .where(F.col(id_col) != query_vec_id)
+            .select(F.col(id_col), cosine_rounded(v, qcol).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col))
+            .limit(k))

@@ -398,4 +398,4 @@ def file_must_match(row_pred: E.Predicate,
 
     if record_count == 0:
         return True
-    return ev(pred)
+    return ev(row_pred)
