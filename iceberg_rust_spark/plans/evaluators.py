@@ -293,9 +293,10 @@ def _eval_bounds(pred: E.Predicate, lookup) -> bool:
             if p.op == E.IN:
                 lits = [to_comparable(v) for v in p.literals]
                 try:
-                    if lower is not None and all(v < lower for v in lits):
-                        return ROWS_CANNOT_MATCH
-                    if upper is not None and all(v > upper for v in lits):
+                    in_range = [v for v in lits
+                                if (lower is None or v >= lower)
+                                and (upper is None or v <= upper)]
+                    if not in_range:
                         return ROWS_CANNOT_MATCH
                 except TypeError:
                     return ROWS_MIGHT_MATCH

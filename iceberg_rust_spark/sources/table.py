@@ -222,7 +222,11 @@ class Table:
         if not rewrite_paths:
             return self
         schema = md.schema()
-        df = spark.read.schema(schema.to_spark()).parquet(*rewrite_paths)
+        total_bytes = sum(t.data_file.file_size_in_bytes for t in plan.tasks
+                          if t.data_file.file_path in set(rewrite_paths))
+        n_out = max(1, (total_bytes + target - 1) // target)
+        df = spark.read.schema(schema.to_spark()).parquet(*rewrite_paths) \
+            .coalesce(int(n_out))
         added = write_data_files(spark, df, md)
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added=added, removed_paths=set(rewrite_paths)))

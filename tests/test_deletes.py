@@ -1,0 +1,73 @@
+"""Row-level deletes: COW, MOR positional, MOR equality (incl. the null-keep
+semantics of caching_delete_file_loader.rs:422-426 and sequence-number
+visibility of delete_file_index.rs:84-168 — FIXTURES.md §5)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_rust_spark import Table, expr as E
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+
+@pytest.fixture()
+def users_table(spark, warehouse):
+    rows = [(1, "alice", 1.0), (2, "bob", 2.0), (3, None, 3.0),
+            (4, "carol", 4.0), (5, "bob", 5.0), (6, "dave", 6.0)]
+    df = spark.createDataFrame(rows, "id long, user string, val double")
+    t = Table.create(warehouse, "db.users", schema_from_spark(df.schema))
+    t.append(spark, df.where("id <= 3"))
+    t.append(spark, df.where("id > 3"))
+    return t
+
+
+def ids(spark, t, **scan_kw):
+    return sorted(r[0] for r in t.scan(**scan_kw).to_df(spark).select("id").collect())
+
+
+def test_cow_delete(spark, users_table):
+    t = users_table.delete_where(spark, E.col("val") > 4.5, mode="cow")
+    assert ids(spark, t) == [1, 2, 3, 4]
+    # whole-file drop path: both files of second append removed when all match
+    t2 = t.delete_where(spark, E.col("id") >= 1, mode="cow")
+    assert ids(spark, t2) == []
+
+
+def test_mor_positional_delete(spark, users_table):
+    t = users_table.delete_where(spark, E.col("id").isin([2, 4]), mode="mor")
+    assert ids(spark, t) == [1, 3, 5, 6]
+    # delete file participates in planning, not data rewrite
+    ops = [s.operation for s in t.metadata.snapshots]
+    assert ops[-1] == "delete"
+    # double-delete is idempotent
+    t2 = t.delete_where(spark, E.col("id") == 2, mode="mor")
+    assert ids(spark, t2) == [1, 3, 5, 6]
+
+
+def test_mor_equality_delete_null_keep(spark, users_table):
+    keys = spark.createDataFrame([("bob",)], "user string")
+    t = users_table.delete_by_equality(spark, keys, ["user"])
+    # bob rows (2,5) gone; NULL-user row 3 KEPT (null-keep semantics)
+    assert ids(spark, t) == [1, 3, 4, 6]
+
+
+def test_eq_delete_sequence_visibility(spark, users_table, warehouse):
+    keys = spark.createDataFrame([("bob",)], "user string")
+    t = users_table.delete_by_equality(spark, keys, ["user"])
+    # rows appended AFTER the delete are NOT affected (delete.seq < new data.seq)
+    late = spark.createDataFrame([(7, "bob", 7.0)], "id long, user string, val double")
+    t.append(spark, late)
+    assert ids(spark, t) == [1, 3, 4, 6, 7]
+
+
+def test_pos_delete_then_append(spark, users_table):
+    t = users_table.delete_where(spark, E.col("id") == 1, mode="mor")
+    late = spark.createDataFrame([(8, "zed", 8.0)], "id long, user string, val double")
+    t.append(spark, late)
+    assert ids(spark, t) == [2, 3, 4, 5, 6, 8]
+
+
+def test_time_travel_before_delete(spark, users_table):
+    before = users_table.metadata.current_snapshot_id
+    t = users_table.delete_where(spark, E.col("id") <= 2, mode="cow")
+    assert ids(spark, t) == [3, 4, 5, 6]
+    assert ids(spark, t, snapshot_id=before) == [1, 2, 3, 4, 5, 6]

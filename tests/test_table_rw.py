@@ -1,0 +1,161 @@
+"""Integration: create/append/scan, pruning exactness, overwrite, compaction,
+expire, metadata tables (FIXTURES.md §3 oracle: pruned scan must select
+exactly what full-scan + filter selects)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_rust_spark import (PartitionField, PartitionSpec, Table,
+                                expr as E)
+from iceberg_rust_spark.functions.transforms import parse_transform
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def make_table(warehouse, spark, df, name="db.t", part=None, props=None):
+    schema = schema_from_spark(df.schema)
+    spec = None
+    if part:
+        src, pname, tr = part
+        fid = schema.field_by_name(src).field_id
+        spec = PartitionSpec(0, [PartitionField(fid, 1000, pname,
+                                                parse_transform(tr))])
+    t = Table.create(warehouse, name, schema, spec, properties=props or {})
+    t.append(spark, df)
+    return t
+
+
+def test_unpartitioned_roundtrip(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem)
+    assert t.to_df(spark).count() == lineitem.count()
+    got = t.to_df(spark).agg(F.sum("l_quantity")).collect()[0][0]
+    exp = lineitem.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(got - exp) < 1e-6
+
+
+@pytest.mark.parametrize("pred,col_pred", [
+    (E.col("l_shipdate") <= dt.datetime(1998, 1, 1),
+     "l_shipdate <= '1998-01-01'"),
+    ((E.col("l_shipdate") >= dt.datetime(1997, 3, 1))
+     & (E.col("l_shipdate") < dt.datetime(1997, 4, 1)),
+     "l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'"),
+    (E.col("l_quantity") > 45.0, "l_quantity > 45.0"),
+])
+def test_partition_pruning_exactness(spark, warehouse, lineitem, pred, col_pred):
+    t = make_table(warehouse, spark, lineitem,
+                   part=("l_shipdate", "ship_month", "month"))
+    scan = t.scan(row_filter=pred)
+    plan = scan.plan_files()
+    got = {tuple(r) for r in scan.to_df(spark)
+           .select("l_orderkey", "l_linenumber").collect()}
+    exp = {tuple(r) for r in lineitem.filter(col_pred)
+           .select("l_orderkey", "l_linenumber").collect()}
+    assert got == exp
+    assert plan.total_data_files > 0
+
+
+def test_month_pruning_skips_files(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem,
+                   part=("l_shipdate", "ship_month", "month"))
+    pred = ((E.col("l_shipdate") >= dt.datetime(1997, 6, 1))
+            & (E.col("l_shipdate") < dt.datetime(1997, 7, 1)))
+    plan = t.scan(row_filter=pred).plan_files()
+    # one month +/- boundary relaxation => at most 3 of ~80 monthly files
+    assert len(plan.tasks) <= 3
+    assert plan.skipped_by_partition > 50
+
+
+def test_bucket_pruning_exactness(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem,
+                   part=("l_orderkey", "ok_bucket", "bucket[8]"))
+    scan = t.scan(row_filter=E.col("l_orderkey") == 33)
+    plan = scan.plan_files()
+    assert len(plan.tasks) <= plan.total_data_files // 2  # pruned most buckets
+    got = scan.to_df(spark).count()
+    exp = lineitem.filter(F.col("l_orderkey") == 33).count()
+    assert got == exp
+
+
+def test_metrics_pruning_without_partitioning(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem)
+    # out-of-range predicate prunes all files via min/max metrics
+    plan = t.scan(row_filter=E.col("l_quantity") > 1e9).plan_files()
+    assert len(plan.tasks) == 0
+    assert plan.skipped_by_metrics == plan.total_data_files
+
+
+def test_select_columns(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem)
+    df = t.scan(selected_columns=["l_orderkey", "l_quantity"]).to_df(spark)
+    assert df.columns == ["l_orderkey", "l_quantity"]
+
+
+def test_overwrite_all(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem)
+    sub = lineitem.limit(10)
+    t.overwrite_all(spark, sub)
+    assert t.to_df(spark).count() == 10
+    assert len(t.metadata.snapshots) == 2
+
+
+def test_compaction_preserves_data(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(500))
+    for i in range(3):
+        t.append(spark, lineitem.limit(100))
+    before = t.to_df(spark).count()
+    files_before = len(t.scan().plan_files().tasks)
+    t.compact(spark)
+    assert t.to_df(spark).count() == before
+    assert len(t.scan().plan_files().tasks) < files_before
+
+
+def test_expire_snapshots(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(50))
+    t.append(spark, lineitem.limit(50))
+    t.append(spark, lineitem.limit(50))
+    assert len(t.metadata.snapshots) == 3
+    t.expire_snapshots(older_than_ms=t.metadata.last_updated_ms + 10_000,
+                       retain_last=1)
+    assert len(t.metadata.snapshots) == 1
+    assert t.to_df(spark).count() == 150  # current state intact
+
+
+def test_metadata_tables(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(100))
+    t.append(spark, lineitem.limit(100))
+    assert t.snapshots_df(spark).count() == 2
+    assert t.history_df(spark).count() == 2
+    assert t.manifests_df(spark).count() >= 2
+    assert t.files_df(spark).count() >= 2
+
+
+def test_time_travel_and_refs(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(100))
+    snap1 = t.metadata.current_snapshot_id
+    t.append(spark, lineitem.limit(50))
+    assert t.scan(snapshot_id=snap1).to_df(spark).count() == 100
+    assert t.to_df(spark).count() == 150
+    t.set_ref("v1", snap1, "tag")
+    t2 = Table.load(warehouse, "db.t")
+    assert t2.metadata.refs["v1"].snapshot_id == snap1
+    ts1 = t.metadata.snapshot_by_id(snap1).timestamp_ms
+    assert t.scan(as_of_timestamp_ms=ts1).to_df(spark).count() == 100
+
+
+def test_required_column_enforced(spark, warehouse):
+    from iceberg_rust_spark.sources.types import (LONG, STRING, NestedField,
+                                                  Schema)
+    s = Schema([NestedField(1, "id", LONG, required=True),
+                NestedField(2, "name", STRING)])
+    t = Table.create(warehouse, "db.req", s)
+    df = spark.createDataFrame([("a",)], "name string")
+    with pytest.raises(ValueError, match="required"):
+        t.append(spark, df)

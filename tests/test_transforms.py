@@ -1,0 +1,127 @@
+"""Transform fidelity tests.
+
+Oracle values come from the public Iceberg spec (Appendix B bucket test
+vectors) and the documented floor-division temporal semantics the reference
+unit-tests heavily (transform/temporal.rs, transform/bucket.rs:40-111).
+"""
+
+import datetime as dt
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+from iceberg_rust_spark.functions import transforms as TR
+from iceberg_rust_spark.functions.murmur3 import murmur3_32, murmur3_32_long_vec
+from iceberg_rust_spark.sources import types as ice
+
+
+def test_murmur3_spec_vectors():
+    # public Iceberg spec Appendix B hash values
+    import struct
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    # date 2017-11-16 = 17486 days
+    assert murmur3_32(struct.pack("<q", 17486)) == -653330422
+    # timestamp 2017-11-16T22:31:08 = 1510871468000000 us
+    assert murmur3_32(struct.pack("<q", 1510871468000000)) == -2047944441
+
+
+def test_murmur3_vec_matches_scalar():
+    import struct
+    rng = np.random.RandomState(1)
+    vals = rng.randint(-2**62, 2**62, size=1000, dtype=np.int64)
+    vec = murmur3_32_long_vec(vals)
+    for i in range(0, 1000, 97):
+        assert vec[i] == murmur3_32(struct.pack("<q", int(vals[i])))
+
+
+def test_bucket_apply():
+    b = TR.BucketTransform(16)
+    assert b.apply(34, ice.INT) == (2017239379 & 0x7FFFFFFF) % 16
+    assert b.apply("iceberg", ice.STRING) == (1210000089 & 0x7FFFFFFF) % 16
+    assert b.apply(None, ice.INT) is None
+    # decimal: minimal big-endian two's-complement of unscaled value
+    assert b.apply(Decimal("14.20"), ice.decimal(9, 2)) == \
+        (murmur3_32(int(1420).to_bytes(2, "big", signed=True)) & 0x7FFFFFFF) % 16
+
+
+def test_truncate_semantics():
+    t = TR.TruncateTransform(10)
+    assert t.apply(1, ice.INT) == 0
+    assert t.apply(-1, ice.INT) == -10       # floor, not toward zero
+    assert t.apply(-10, ice.INT) == -10
+    assert t.apply(11, ice.INT) == 10
+    ts = TR.TruncateTransform(3)
+    assert ts.apply("iceberg", ice.STRING) == "ice"
+    assert ts.apply("hi", ice.STRING) == "hi"
+    td = TR.TruncateTransform(50)
+    assert td.apply(Decimal("10.65"), ice.decimal(9, 2)) == Decimal("10.50")
+
+
+def test_temporal_floor_pre_1970():
+    y, m, d, h = TR.YearTransform(), TR.MonthTransform(), TR.DayTransform(), TR.HourTransform()
+    assert y.apply(dt.date(1970, 1, 1), ice.DATE) == 0
+    assert y.apply(dt.date(1969, 12, 31), ice.DATE) == -1
+    assert m.apply(dt.date(1969, 12, 15), ice.DATE) == -1
+    assert m.apply(dt.date(1970, 1, 15), ice.DATE) == 0
+    assert m.apply(dt.date(1971, 2, 1), ice.DATE) == 13
+    assert d.apply(dt.date(1969, 12, 31), ice.DATE) == -1
+    assert d.apply(dt.date(1970, 1, 2), ice.DATE) == 1
+    assert h.apply(dt.datetime(1969, 12, 31, 23, 30), ice.TIMESTAMP) == -1
+    assert h.apply(dt.datetime(1970, 1, 1, 0, 30), ice.TIMESTAMP) == 0
+
+
+def test_to_human():
+    assert TR.MonthTransform().to_human(-1) == "1969-12"
+    assert TR.MonthTransform().to_human(13) == "1971-02"
+    assert TR.DayTransform().to_human(-1) == "1969-12-31"
+    assert TR.YearTransform().to_human(-1) == "1969"
+
+
+def test_parse_transform_roundtrip():
+    for s in ["identity", "void", "bucket[16]", "truncate[4]", "year",
+              "month", "day", "hour"]:
+        assert repr(TR.parse_transform(s)) == s
+
+
+@pytest.mark.parametrize("src,vals", [
+    ("long", [0, 1, -1, 34, 2**40, -2**40, None]),
+    ("int", [0, 5, -5, 2**30, None]),
+])
+def test_bucket_spark_column_matches_apply(spark, src, vals):
+    import pyspark.sql.functions as F
+    styp = ice.LONG if src == "long" else ice.INT
+    b = TR.BucketTransform(16)
+    df = spark.createDataFrame([(v,) for v in vals], f"v {src}")
+    got = [r[0] for r in df.select(b.spark_column(F.col("v"), styp)).collect()]
+    exp = [b.apply(v, styp) for v in vals]
+    assert got == exp
+
+
+def test_bucket_spark_column_strings_and_dates(spark):
+    import pyspark.sql.functions as F
+    b = TR.BucketTransform(8)
+    df = spark.createDataFrame([("iceberg",), ("",), (None,)], "v string")
+    got = [r[0] for r in df.select(b.spark_column(F.col("v"), ice.STRING)).collect()]
+    assert got == [b.apply("iceberg", ice.STRING), b.apply("", ice.STRING), None]
+    ddf = spark.createDataFrame([(dt.date(2017, 11, 16),), (dt.date(1969, 1, 1),)], "v date")
+    gd = [r[0] for r in ddf.select(b.spark_column(F.col("v"), ice.DATE)).collect()]
+    assert gd == [b.apply(dt.date(2017, 11, 16), ice.DATE), b.apply(dt.date(1969, 1, 1), ice.DATE)]
+
+
+def test_temporal_spark_column_matches_apply(spark):
+    import pyspark.sql.functions as F
+    dates = [dt.date(1969, 12, 31), dt.date(1970, 1, 1), dt.date(2024, 2, 29)]
+    df = spark.createDataFrame([(d,) for d in dates], "v date")
+    for t in [TR.YearTransform(), TR.MonthTransform(), TR.DayTransform()]:
+        got = [r[0] for r in df.select(t.spark_column(F.col("v"), ice.DATE)).collect()]
+        assert got == [t.apply(d, ice.DATE) for d in dates], repr(t)
+
+
+def test_truncate_spark_column(spark):
+    import pyspark.sql.functions as F
+    t = TR.TruncateTransform(10)
+    df = spark.createDataFrame([(1,), (-1,), (-10,), (11,)], "v long")
+    got = [r[0] for r in df.select(t.spark_column(F.col("v"), ice.LONG)).collect()]
+    assert got == [0, -10, -10, 10]
