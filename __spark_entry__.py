@@ -138,6 +138,18 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
         t.append(spark, orders.where(F.col("o_orderkey") % 3 == m))
     t.compact(spark)
 
+    # 10. external-file import via name mapping (no rewrite)
+    t = Table.create(cat, "db.orders_ext", schema_from_spark(orders.schema))
+    t.add_files(spark, [os.path.join(sf_dir, "orders.parquet")])
+
+    # 11. a versioned SQL view over the iceberg lineitem table
+    from iceberg_rust_spark.sources.views import ViewCatalog
+    ViewCatalog(cat).create_view("db.lineitem_monthly", """
+        SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY date_format(l_shipdate, 'yyyy-MM')""")
+
     with open(marker, "w") as fh:
         fh.write("ok")
     return cat
@@ -406,6 +418,31 @@ def q_events_sessions(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def q_iceberg_add_files(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_ext")
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_view_monthly(spark, sf_dir):
+    from iceberg_rust_spark.sources.views import ViewCatalog
+    cat = _warehouse(spark, sf_dir)
+    return ViewCatalog(cat).read_view(spark, "db.lineitem_monthly")
+
+
+def q_asof_join(spark, sf_dir):
+    from iceberg_rust_spark.operators.asof import asof_join
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id") < 200) \
+        .select("event_id", "user_id", "ts")
+    o = read_table(spark, sf_dir, "orders") \
+        .groupBy("o_custkey", "o_orderdate") \
+        .agg(F.max("o_orderkey").alias("o_orderkey")) \
+        .withColumnRenamed("o_custkey", "user_id")
+    joined = asof_join(e, o, on=["user_id"], left_ts="ts",
+                       right_ts="o_orderdate", how="inner")
+    return joined.select("event_id", "user_id", "o_orderkey")
+
+
 # ---- LLM-pipeline operators ------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -495,7 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_delete_eq": q_iceberg_delete_eq,
         "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_add_files": q_iceberg_add_files,
+        "iceberg_view_monthly": q_view_monthly,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        "asof_join_events": q_asof_join,
         # relational operators (Spark-native)
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -591,6 +631,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders GROUP BY o_orderstatus""",
+        "iceberg_add_files": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY o_orderstatus""",
+        "iceberg_view_monthly": f"""
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n,
+                   {_sql_sum_dec('l_quantity', 'sum_qty')}
+            FROM lineitem GROUP BY 1""",
+        "asof_join_events": """
+            WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
+                              max(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY 1, 2),
+                 e AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 200)
+            SELECT e.event_id, e.user_id, o.o_orderkey
+            FROM e ASOF JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
         # relational
         "q3_shipping_priority": f"""
             SELECT o_orderkey, CAST(SUM({rev}) AS DOUBLE) AS revenue,

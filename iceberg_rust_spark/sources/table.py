@@ -71,6 +71,15 @@ class Table:
         md, v = catalog.load_table(identifier)
         return Table(catalog, identifier, md, v)
 
+    @staticmethod
+    def from_metadata_path(metadata_path: str) -> "Table":
+        """StaticTable (table.rs:344 counterpart): read-only table loaded
+        straight from a metadata JSON file, no catalog. Commits raise."""
+        with open(metadata_path) as fh:
+            md = TableMetadata.from_json(fh.read())
+        t = Table(None, f"static:{metadata_path}", md, -1)  # type: ignore[arg-type]
+        return t
+
     def refresh(self) -> "Table":
         self.metadata, self.version = self.catalog.load_table(self.identifier)
         return self
@@ -330,12 +339,95 @@ class Table:
         scan.plan_files = plan_files  # type: ignore[method-assign]
         return scan
 
+    # ------------------------------------------------------- more DDL actions
+    def update_location(self, new_location: str) -> "Table":
+        def action(md: TableMetadata) -> TableMetadata:
+            md.location = new_location
+            return md
+        return self._commit_retry(action)
+
+    def upgrade_format_version(self, version: int) -> "Table":
+        def action(md: TableMetadata) -> TableMetadata:
+            if version < md.format_version:
+                raise ValueError(f"cannot downgrade v{md.format_version} -> v{version}")
+            md.format_version = version
+            return md
+        return self._commit_retry(action)
+
+    def replace_sort_order(self, *fields: Tuple[str, str]) -> "Table":
+        """Metadata-only sort order replacement (transaction/sort_order.rs
+        counterpart): fields = (column_name, 'asc'|'desc'). The write path
+        additionally honors it by sorting within partitions."""
+        from .metadata import SortField, SortOrder
+        from ..functions.transforms import IdentityTransform
+
+        def action(md: TableMetadata) -> TableMetadata:
+            schema = md.schema()
+            sfs = []
+            for name, direction in fields:
+                f = schema.field_by_name(name)
+                if f is None:
+                    raise ValueError(f"no column {name}")
+                if direction not in ("asc", "desc"):
+                    raise ValueError(f"bad direction {direction}")
+                sfs.append(SortField(f.field_id, IdentityTransform(), direction))
+            order_id = max((o.order_id for o in md.sort_orders), default=0) + 1
+            md.sort_orders.append(SortOrder(order_id, sfs))
+            md.default_sort_order_id = order_id
+            return md
+        return self._commit_retry(action)
+
+    def add_files(self, spark: SparkSession, paths: List[str],
+                  name_mapping: Optional[Dict[str, str]] = None) -> "Table":
+        """Import external Parquet files without rewriting them (the
+        name-mapping fallback of spec/name_mapping/ for id-less files):
+        columns resolve by name against the current schema;
+        ``name_mapping`` maps external column name -> canonical column name.
+        Only unpartitioned tables (external files carry no partition info)."""
+        md = self.metadata
+        if not md.spec().is_unpartitioned:
+            raise ValueError("add_files requires an unpartitioned table")
+        schema = md.schema()
+        mapping = dict(name_mapping or {})
+        stats = collect_parquet_stats(spark, paths)
+        known = {f.name for f in schema.fields}
+
+        def canon(stat_map: Dict[str, Any]) -> Dict[str, Any]:
+            out = {}
+            for k, v in stat_map.items():
+                ck = mapping.get(k, k)
+                if ck in known:
+                    out[ck] = v
+            return out
+
+        files = []
+        for p in paths:
+            st = stats[p]
+            cols = set(canon({c: 1 for c in st["value_counts"]}))
+            missing_required = [f.name for f in schema.fields
+                                if f.required and f.name not in cols]
+            if missing_required:
+                raise ValueError(f"{p}: required columns missing: {missing_required}")
+            files.append(DataFile(
+                file_path=os.path.abspath(p), record_count=st["num_rows"],
+                file_size_in_bytes=st["size"],
+                column_sizes=canon(st["column_sizes"]),
+                value_counts=canon(st["value_counts"]),
+                null_value_counts=canon(st["null_counts"]),
+                lower_bounds=canon(st["lower"]), upper_bounds=canon(st["upper"]),
+                split_offsets=st["split_offsets"],
+                schema_id=schema.schema_id, spec_id=md.default_spec_id))
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "append", added=files))
+
     # ----------------------------------------------------------- commit core
     def _commit_retry(self, action: Callable[[TableMetadata], TableMetadata]) -> "Table":
         props = self.metadata.properties
         max_retries = int(props.get("commit.retry.num-retries", "4"))
         min_wait = float(props.get("commit.retry.min-wait-ms", "100")) / 1000.0
         max_wait = float(props.get("commit.retry.max-wait-ms", "60000")) / 1000.0
+        if self.catalog is None:
+            raise RuntimeError("static table is read-only")
         attempt = 0
         while True:
             md, version = self.catalog.load_table(self.identifier)

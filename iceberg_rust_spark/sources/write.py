@@ -90,6 +90,7 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
         "write.target-file-size-bytes", str(512 * 1024 * 1024)))
 
     writer_df = df
+    sort_cols = _sort_columns(metadata)
     if pcols:
         for pname, srcname, transform, styp in pcols:
             writer_df = writer_df.withColumn(
@@ -97,13 +98,18 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
         names = [p[0] for p in pcols]
         if mode == "hash":
             writer_df = writer_df.repartition(*[F.col(n) for n in names])
-        elif mode == "range":
-            writer_df = writer_df.sortWithinPartitions(*names)
+        if sort_cols or mode == "range":
+            writer_df = writer_df.sortWithinPartitions(*(names + sort_cols))
         writer = writer_df.write.partitionBy(*names)
     else:
+        if sort_cols:
+            writer_df = writer_df.sortWithinPartitions(*sort_cols)
         writer = writer_df.write
     writer.option("compression", metadata.properties.get(
         "write.parquet.compression-codec", "zstd"))
+    max_records = metadata.properties.get("write.max-records-per-file")
+    if max_records:
+        writer.option("maxRecordsPerFile", int(max_records))
     writer.mode("errorifexists").parquet(out_dir)
 
     files = _list_parquet_files(out_dir)
@@ -123,6 +129,23 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             split_offsets=st["split_offsets"],
             schema_id=schema.schema_id, spec_id=spec.spec_id))
     return data_files
+
+
+def _sort_columns(metadata: TableMetadata) -> List[Any]:
+    """Sorted-write support: default sort order -> sortWithinPartitions cols
+    (reference stores the order as metadata only; we additionally apply it)."""
+    schema = metadata.schema()
+    order = next((o for o in metadata.sort_orders
+                  if o.order_id == metadata.default_sort_order_id), None)
+    cols = []
+    if order:
+        for sf in order.fields:
+            f = schema.field_by_id(sf.source_id)
+            if f is None:
+                continue
+            c = sf.transform.spark_column(F.col(f.name), f.field_type)
+            cols.append(c.desc() if sf.direction == "desc" else c.asc())
+    return cols
 
 
 def _list_parquet_files(root: str) -> List[str]:
