@@ -131,8 +131,10 @@ class TableScan:
                 part_pred_cache[spec_id] = inclusive_projection(bound, infos)
             return part_pred_cache[spec_id]
 
-        data_entries: List[ManifestEntry] = []
-        delete_entries: List[ManifestEntry] = []
+        # manifest-level pruning, then concurrent manifest fetch (the
+        # reference's num_cpus-concurrency planning pipeline,
+        # scan/mod.rs:419-465 — here a thread pool over cached parquet reads)
+        surviving: List[ManifestFile] = []
         for mf in manifests:
             ppred = partition_pred(mf.partition_spec_id)
             if mf.partitions and not manifest_might_match(
@@ -141,7 +143,20 @@ class TableScan:
                             for k, v in mf.partitions.items()}):
                 plan.skipped_manifests += 1
                 continue
-            for entry in load_manifest(mf.manifest_path):
+            surviving.append(mf)
+
+        if len(surviving) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(16, len(surviving))) as ex:
+                loaded = list(ex.map(lambda m: load_manifest(m.manifest_path),
+                                     surviving))
+        else:
+            loaded = [load_manifest(m.manifest_path) for m in surviving]
+
+        data_entries: List[ManifestEntry] = []
+        delete_entries: List[ManifestEntry] = []
+        for entries in loaded:
+            for entry in entries:
                 if entry.status == STATUS_DELETED:
                     continue
                 if entry.data_file.content == CONTENT_DATA:
