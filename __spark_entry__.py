@@ -186,6 +186,28 @@ _SQL_DOCS_EXACT = f"""
 """
 
 
+def _emb_with_near_copies(spark, sf_dir, max_id: int):
+    """embeddings (vec_id < max_id) plus deterministic near-duplicate copies:
+    every component shifted by +0.02 (cosine vs the original ≈ 0.987-0.990 on
+    this data; unrelated pairs stay < 0.52)."""
+    e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_id)
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("embedding"))
+    noisy = base.select((F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+                        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"))
+    return base.unionByName(noisy)
+
+
+def _sql_emb_near(max_id: int) -> str:
+    return f"""
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings WHERE vec_id < {max_id}
+    UNION ALL
+    SELECT vec_id + {_COPY_OFFSET},
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02)
+    FROM embeddings WHERE vec_id < {max_id}
+    """
+
+
 def _sql_docs_near(max_id: int) -> str:
     return f"""
     SELECT doc_id, text FROM documents WHERE doc_id < {max_id}
@@ -418,6 +440,86 @@ def q_events_sessions(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+_Q4_LO = dt.datetime(1996, 1, 1)
+_Q4_HI = dt.datetime(1996, 4, 1)
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join), adapted to
+    the simplified schema: orders in a quarter with >=1 returned lineitem."""
+    o = read_table(spark, sf_dir, "orders") \
+        .where((F.col("o_orderdate") >= _Q4_LO) & (F.col("o_orderdate") < _Q4_HI))
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("order_count")))
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional supplier/customer nation-pair revenue by
+    ship year. Nation dims broadcast; one shuffle for the final group-by."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    vol = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+            .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) |
+                   ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(vol).cast("double").alias("revenue")))
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo-type revenue share for one ship month; part broadcast."""
+    l = read_table(spark, sf_dir, "lineitem") \
+        .where((F.col("l_shipdate") >= dt.datetime(1997, 9, 1)) &
+               (F.col("l_shipdate") < dt.datetime(1997, 10, 1)))
+    p = read_table(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+               .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double") * 100.0
+         / F.sum(rev).cast("double")).alias("promo_revenue"))
+
+
+def q16_brand_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape on the simplified schema (lineitem stands in for
+    partsupp): distinct supplier count per brand/type."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+            .limit(20))
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds 300, with customer."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+           .where(F.col("sum_qty_dec") > 300))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
 def q_iceberg_add_files(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_ext")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -462,6 +564,24 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return DD.simhash_signatures(docs)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return DD.embedding_cosine_pairs(_emb_with_near_copies(spark, sf_dir, 200),
+                                     threshold=0.95)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    return DD.embedding_lsh_pairs(_emb_with_near_copies(spark, sf_dir, 500),
+                                  threshold=0.95)
+
+
+def q_text_tokens(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select("doc_id", TX.token_count(t).alias("n_ws_tokens"),
+                    TX.bpe_token_count(t).alias("n_bpe_tokens"),
+                    F.length(t).alias("n_chars"))
 
 
 def q_text_quality(spark, sf_dir):
@@ -538,8 +658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join,
         # relational operators (Spark-native)
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q16_brand_suppliers": q16_brand_suppliers,
+        "q18_large_orders": q18_large_orders,
         "window_topn": q_window_topn,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
@@ -553,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -658,6 +786,53 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate  > TIMESTAMP '1997-03-15'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
+        "q7_nation_volume": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(volume) AS DOUBLE) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                         {rev} AS volume
+                  FROM lineitem
+                    JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year""",
+        "q14_promo_revenue": f"""
+            SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {rev}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   * 100.0 /
+                   CAST(SUM({rev}) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'""",
+        "q16_brand_suppliers": """
+            SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_type
+            ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""",
+        "q18_large_orders": """
+            WITH big AS (SELECT l_orderkey,
+                                SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
+                         FROM lineitem GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "q5_region_revenue": f"""
             SELECT n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue
             FROM customer
@@ -741,6 +916,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.grams, b.grams)) /
                         greatest(len(a.grams) + len(b.grams)
                                  - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5""",
+        "dedup_embedding": f"""
+            WITH src AS ({_sql_emb_near(200)})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS sim
+            FROM src a JOIN src b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding) /
+                        (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                         sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.95""",
+        "text_tokens": f"""
+            SELECT doc_id, {TX.sql_token_count(t)} AS n_ws_tokens,
+                   {TX.sql_bpe_token_count(t)} AS n_bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents""",
         "text_quality": f"""
             SELECT doc_id, {TX.sql_token_count(t)} AS n_tokens,
                    {TX.sql_punct_ratio(t)} AS punct_ratio,
@@ -763,5 +953,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id LIMIT 10""",
         # no oracle (non-SQL-expressible / approximate / metadata):
         #   iceberg_snapshots_meta, dedup_minhash, dedup_simhash,
-        #   ann_lsh_topk, ann_ivf_topk, multimodal_features
+        #   dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk,
+        #   multimodal_features
     }

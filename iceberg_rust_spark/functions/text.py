@@ -26,10 +26,24 @@ PUNCT_CLASS = r"[.,!?;:]"
 WORD_SPLIT = r"\s+"
 NORM_STRIP = r"[^a-z0-9 ]"
 
+# GPT-2-pre-tokenizer-shaped pattern, restricted to constructs that behave
+# identically in Java regex (Spark) and RE2 (DuckDB): contractions, letter
+# runs, digit runs, symbol runs — each optionally preceded by one space.
+# Alternation order matters ('s before the letter-run branch).
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (empty string counts 1, same as the oracle)."""
     return F.size(F.split(F.trim(text), WORD_SPLIT))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of GPT-2-style pre-tokenizer pieces.
+
+    A cheap, deterministic proxy for LLM token budgeting over 100 TB of text —
+    one builtin regexp per row, whole-stage codegen, no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
 
 
 def char_count(text: Column) -> Column:
@@ -111,6 +125,11 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
 
 def sql_token_count(col: str) -> str:
     return f"len(string_split_regex(trim({col}), '\\s+'))"
+
+
+def sql_bpe_token_count(col: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
 def sql_marker_hits(col: str, lang: str) -> str:

@@ -22,6 +22,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint, word_ngrams
+from ..functions.vector import as_double_array, cosine_rounded
 
 # deterministic odd multipliers/offsets for 64 minhash permutations
 # h_i(x) = (a_i * (x mod p) + b_i) mod p  over xxhash64 shingle values.
@@ -126,6 +127,63 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         sig = sig + F.when(F.col(f"v_{b}") > 0,
                            F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    Brute-force O(n^2) verification kernel, all math in builtin higher-order
+    functions — the SQL-expressible oracle twin of embedding_lsh_pairs. Bound
+    the input id range before calling at scale; the LSH variant is the
+    candidate generator for 100 TB."""
+    v = as_double_array(F.col(vec_col))
+    a = emb.select(F.col(id_col).alias("id_a"), v.alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine_rounded(F.col("_va"), F.col("_vb")))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
+                        n_tables: int = 6, n_planes: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding.
+
+    n_tables independent SRP sign-pattern buckets per vector; candidates are
+    pairs sharing a bucket in ANY table (equality join on (table, bucket) —
+    the O(n^2) cross join becomes O(sum bucket^2), skew handled by AQE), then
+    exact cosine verification. Near-identical vectors agree on every
+    hyperplane sign with high probability, so recall at threshold>=0.9 is
+    near-1 while random pairs collide in one 8-plane table with p≈1/256."""
+    from .similarity import _hyperplanes, srp_bucket_col
+    first = emb.select(vec_col).first()
+    if first is None:
+        return embedding_cosine_pairs(emb, threshold, id_col, vec_col)
+    dim = len(first[0])
+    v = as_double_array(F.col(vec_col))
+    tables = F.array(*[
+        F.struct(F.lit(ti).alias("t"),
+                 srp_bucket_col(v, _hyperplanes(dim, n_planes, seed=7 + ti))
+                 .alias("bucket"))
+        for ti in range(n_tables)])
+    buckets = (emb.select(F.col(id_col), F.explode(tables).alias("bk"))
+               .select(id_col, F.col("bk.t").alias("t"),
+                       F.col("bk.bucket").alias("bucket")))
+    cands = (buckets.alias("l").join(buckets.alias("r"), on=["t", "bucket"])
+             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .dropDuplicates())
+    va = emb.select(F.col(id_col).alias("id_a"), v.alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", cosine_rounded(F.col("_va"), F.col("_vb")))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -114,6 +114,43 @@ def test_ivf_topk_contains_planted_neighbor(spark, emb):
     assert 11 in got
 
 
+def test_embedding_cosine_pairs(spark, emb):
+    pairs = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in DD.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert (7, 11) in pairs and pairs[(7, 11)] > 0.99  # planted near-pair
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    for (a, b), sim in pairs.items():
+        exp = float(np.dot(vecs[a], vecs[b]) /
+                    (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        assert abs(sim - exp) < 1e-5
+
+
+def test_embedding_lsh_pairs_finds_planted(spark, emb):
+    got = {(r["id_a"], r["id_b"]) for r in
+           DD.embedding_lsh_pairs(emb, threshold=0.9).collect()}
+    assert (7, 11) in got
+    brute = {(r["id_a"], r["id_b"]) for r in
+             DD.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert got <= brute  # LSH never invents pairs (exact verification)
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world's 42 test"), (2, "don't stop"), (3, "abc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # Hello / , / world / 's / 42 / test
+    assert out[1] == 6
+    # don / 't / stop
+    assert out[2] == 3
+    assert out[3] == 1
+    import duckdb
+    sql = f"SELECT {TX.sql_bpe_token_count('t')} FROM (VALUES ('Hello, world''s 42 test'), ('don''t stop'), ('abc')) v(t)"
+    assert [r[0] for r in duckdb.sql(sql).fetchall()] == [6, 3, 1]
+
+
 def test_multimodal_plumbing(spark):
     media = MM.synthetic_media_df(spark, 16)
     wm = MM.attach_media_meta(media)
