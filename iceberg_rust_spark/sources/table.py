@@ -110,12 +110,14 @@ class Table:
         return self.scan(**kwargs).to_df(spark)
 
     # ---------------------------------------------------------------- writes
-    def append(self, spark: SparkSession, df: DataFrame) -> "Table":
+    def append(self, spark: SparkSession, df: DataFrame,
+               extra_summary: Optional[Dict[str, str]] = None) -> "Table":
         """Fast-append (transaction/append.rs:33-90): write files, new manifest,
-        re-point manifest list."""
+        re-point manifest list. ``extra_summary`` lands in the snapshot summary
+        (used e.g. by the streaming sink for exactly-once batch bookkeeping)."""
         data_files = write_data_files(spark, df, self.metadata)
         return self._commit_retry(lambda md: self._snapshot_update(
-            md, "append", added=data_files))
+            md, "append", added=data_files, extra_summary=extra_summary))
 
     def overwrite_all(self, spark: SparkSession, df: DataFrame) -> "Table":
         """Replace the whole table contents in one atomic snapshot."""
@@ -448,7 +450,8 @@ class Table:
                          added: Optional[List[DataFile]] = None,
                          added_deletes: Optional[List[DataFile]] = None,
                          removed_paths: Optional[set] = None,
-                         remove_all: bool = False) -> TableMetadata:
+                         remove_all: bool = False,
+                         extra_summary: Optional[Dict[str, str]] = None) -> TableMetadata:
         """Build the next snapshot: new manifest(s) for added files, carried
         (possibly rewritten) manifests for survivors, new manifest list."""
         added = added or []
@@ -521,7 +524,8 @@ class Table:
                      "added-records": str(sum(f.record_count for f in added)),
                      "removed-data-files": str(len(removed_paths)),
                      "total-records": str(total_records),
-                     "total-data-files": str(total_files)},
+                     "total-data-files": str(total_files),
+                     **(extra_summary or {})},
             parent_snapshot_id=md.current_snapshot_id,
             schema_id=md.current_schema_id)
         md.snapshots.append(snap)
