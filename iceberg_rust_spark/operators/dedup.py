@@ -159,20 +159,19 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     exact cosine verification. Near-identical vectors agree on every
     hyperplane sign with high probability, so recall at threshold>=0.9 is
     near-1 while random pairs collide in one 8-plane table with p≈1/256."""
-    from .similarity import _hyperplanes, srp_bucket_col
+    import numpy as np
+
+    from .similarity import _hyperplanes, srp_buckets_batch
     first = emb.select(vec_col).first()
     if first is None:
         return embedding_cosine_pairs(emb, threshold, id_col, vec_col)
     dim = len(first[0])
     v = as_double_array(F.col(vec_col))
-    tables = F.array(*[
-        F.struct(F.lit(ti).alias("t"),
-                 srp_bucket_col(v, _hyperplanes(dim, n_planes, seed=7 + ti))
-                 .alias("bucket"))
-        for ti in range(n_tables)])
-    buckets = (emb.select(F.col(id_col), F.explode(tables).alias("bk"))
-               .select(id_col, F.col("bk.t").alias("t"),
-                       F.col("bk.bucket").alias("bucket")))
+    planes = np.stack([_hyperplanes(dim, n_planes, seed=7 + ti)
+                       for ti in range(n_tables)])
+    bucket_udf = srp_buckets_batch(planes)
+    buckets = (emb.select(F.col(id_col), bucket_udf(v).alias("bks"))
+               .select(F.col(id_col), F.posexplode("bks").alias("t", "bucket")))
     cands = (buckets.alias("l").join(buckets.alias("r"), on=["t", "bucket"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
              .select(F.col(f"l.{id_col}").alias("id_a"),

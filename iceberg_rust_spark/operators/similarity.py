@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.vector import as_double_array, cosine_rounded
@@ -55,6 +56,34 @@ def srp_bucket_col(vec_col, planes: np.ndarray):
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def srp_buckets_batch(all_planes: np.ndarray):
+    """Vectorized multi-table SRP bucketing: one Arrow-batched pandas UDF
+    computing every table's sign-pattern bucket with a single numpy matmul
+    per batch. For T tables x P planes the builtin-expression route
+    (srp_bucket_col) generates T*P nested aggregate lambdas — fine for one
+    table, but the codegen blows up quadratically; at T>=4 the matmul UDF is
+    faster to plan AND to run, and stays so at 100 TB (Arrow transfer is
+    amortized, the math is BLAS).
+
+    ``all_planes``: shape (T, P, D). Returns a UDF: array<float> -> array<int>
+    of T bucket ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, _ = all_planes.shape
+    flat = all_planes.reshape(n_tables * n_planes, -1).T  # (D, T*P)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf("array<int>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())            # (n, D)
+        bits = (mat @ flat) > 0                 # (n, T*P)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2).astype("int32")  # (n, T)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
