@@ -152,6 +152,10 @@ class TableMetadata:
     sort_orders: List[SortOrder] = dc_field(default_factory=lambda: [SortOrder(0, [])])
     default_sort_order_id: int = 0
     refs: Dict[str, SnapshotRef] = dc_field(default_factory=dict)
+    # statistics files + encryption keys (v3), managed via TableUpdate IR
+    statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
+    partition_statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
+    encryption_keys: List[Dict[str, Any]] = dc_field(default_factory=list)
 
     # -- lookups -----------------------------------------------------------
     def schema(self, schema_id: Optional[int] = None) -> Schema:
@@ -208,6 +212,12 @@ class TableMetadata:
             "default-sort-order-id": self.default_sort_order_id,
             "refs": {k: v.to_json() for k, v in self.refs.items()},
         }
+        if self.statistics:
+            d["statistics"] = self.statistics
+        if self.partition_statistics:
+            d["partition-statistics"] = self.partition_statistics
+        if self.encryption_keys:
+            d["encryption-keys"] = self.encryption_keys
         return json.dumps(d, indent=2)
 
     @staticmethod
@@ -233,6 +243,9 @@ class TableMetadata:
             sort_orders=[SortOrder.from_json(s) for s in d.get("sort-orders", [SortOrder(0, []).to_json()])],
             default_sort_order_id=d.get("default-sort-order-id", 0),
             refs={k: SnapshotRef.from_json(v) for k, v in d.get("refs", {}).items()},
+            statistics=d.get("statistics", []),
+            partition_statistics=d.get("partition-statistics", []),
+            encryption_keys=d.get("encryption-keys", []),
         )
 
 

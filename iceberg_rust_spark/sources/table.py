@@ -261,6 +261,20 @@ class Table:
             return md
         return self._commit_retry(action)
 
+    def commit_updates(self, updates: List[Dict[str, Any]],
+                       requirements: Sequence[Dict[str, Any]] = ()) -> "Table":
+        """REST-catalog-protocol commit (catalog/mod.rs:443-649): check every
+        TableRequirement against the CURRENT metadata, fold the TableUpdate
+        list into a copy, CAS it in. Conflicts refresh-and-retry; requirement
+        failures abort (they are the optimistic-concurrency guards)."""
+        from .updates import apply_updates, check_requirement
+
+        def action(md: TableMetadata) -> TableMetadata:
+            for req in requirements:
+                check_requirement(md, req)
+            return apply_updates(md, list(updates))
+        return self._commit_retry(action)
+
     def update_properties(self, updates: Dict[str, str],
                           removals: Optional[Sequence[str]] = None) -> "Table":
         def action(md: TableMetadata) -> TableMetadata:

@@ -1,0 +1,253 @@
+"""Commit-protocol IR: TableUpdate appliers + TableRequirement checks.
+
+Counterpart of the reference's catalog commit protocol
+(crates/iceberg/src/catalog/mod.rs:443-649): the same externally-tagged
+kebab-case wire shapes the Iceberg REST catalog speaks —
+``{"action": "add-schema", ...}`` updates and
+``{"type": "assert-table-uuid", ...}`` requirements. A catalog commit is
+"check every requirement against the CURRENT metadata, then fold every update
+into a copy, then CAS" — requirements are the optimistic-concurrency guards,
+updates are the state transition.
+
+Validation mirrors the builder rules of spec/table_metadata_builder.rs:
+unique ids on add, no dangling current/default pointers, no removing the
+active schema/spec, last-added (-1) sentinel resolution.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional
+
+from .metadata import (Snapshot, SnapshotRef, SortOrder, TableMetadata,
+                       PartitionSpec)
+from .types import Schema
+
+LAST_ADDED = -1
+
+
+class RequirementFailed(Exception):
+    """An assert-* requirement did not hold against current metadata."""
+
+
+class InvalidUpdate(Exception):
+    """An update is malformed or violates a metadata invariant."""
+
+
+# ---------------------------------------------------------------------------
+# requirements (catalog/mod.rs:443-501)
+# ---------------------------------------------------------------------------
+
+def check_requirement(md: Optional[TableMetadata], req: Dict[str, Any]) -> None:
+    """Raise RequirementFailed unless ``req`` holds for ``md`` (None = table
+    does not exist)."""
+    t = req.get("type")
+    if t == "assert-create":
+        if md is not None:
+            raise RequirementFailed("table already exists")
+        return
+    if md is None:
+        raise RequirementFailed(f"table does not exist (required for {t})")
+    if t == "assert-table-uuid":
+        if md.table_uuid != req["uuid"]:
+            raise RequirementFailed(
+                f"uuid {md.table_uuid} != required {req['uuid']}")
+    elif t == "assert-ref-snapshot-id":
+        ref = md.refs.get(req["ref"])
+        want = req.get("snapshot-id")
+        if want is None:
+            if ref is not None:
+                raise RequirementFailed(f"ref {req['ref']} must not exist")
+        elif ref is None or ref.snapshot_id != want:
+            raise RequirementFailed(
+                f"ref {req['ref']} is {ref and ref.snapshot_id}, required {want}")
+    elif t == "assert-last-assigned-field-id":
+        if md.last_column_id != req["last-assigned-field-id"]:
+            raise RequirementFailed(
+                f"last-column-id {md.last_column_id} != "
+                f"{req['last-assigned-field-id']}")
+    elif t == "assert-current-schema-id":
+        if md.current_schema_id != req["current-schema-id"]:
+            raise RequirementFailed(
+                f"current-schema-id {md.current_schema_id} != "
+                f"{req['current-schema-id']}")
+    elif t == "assert-last-assigned-partition-id":
+        if md.last_partition_id != req["last-assigned-partition-id"]:
+            raise RequirementFailed(
+                f"last-partition-id {md.last_partition_id} != "
+                f"{req['last-assigned-partition-id']}")
+    elif t == "assert-default-spec-id":
+        if md.default_spec_id != req["default-spec-id"]:
+            raise RequirementFailed(
+                f"default-spec-id {md.default_spec_id} != {req['default-spec-id']}")
+    elif t == "assert-default-sort-order-id":
+        if md.default_sort_order_id != req["default-sort-order-id"]:
+            raise RequirementFailed(
+                f"default-sort-order-id {md.default_sort_order_id} != "
+                f"{req['default-sort-order-id']}")
+    else:
+        raise InvalidUpdate(f"unknown requirement type: {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# updates (catalog/mod.rs:506-649)
+# ---------------------------------------------------------------------------
+
+def apply_updates(md: TableMetadata,
+                  updates: List[Dict[str, Any]]) -> TableMetadata:
+    """Fold update dicts into a copy of ``md``; original is untouched."""
+    out = copy.deepcopy(md)
+    state = {"last_added_schema": None, "last_added_spec": None,
+             "last_added_order": None}
+    for upd in updates:
+        _apply_one(out, upd, state)
+    return out
+
+
+def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
+    action = upd.get("action")
+    if action == "upgrade-format-version":
+        v = upd["format-version"]
+        if v < md.format_version:
+            raise InvalidUpdate(
+                f"cannot downgrade format version {md.format_version} -> {v}")
+        md.format_version = v
+    elif action == "assign-uuid":
+        md.table_uuid = upd["uuid"]
+    elif action == "add-schema":
+        schema = (upd["schema"] if isinstance(upd["schema"], Schema)
+                  else Schema.from_json_dict(upd["schema"]))
+        if any(s.schema_id == schema.schema_id for s in md.schemas):
+            raise InvalidUpdate(f"schema id {schema.schema_id} already exists")
+        md.schemas.append(schema)
+        md.last_column_id = max(md.last_column_id, schema.highest_field_id)
+        state["last_added_schema"] = schema.schema_id
+    elif action == "set-current-schema":
+        sid = upd["schema-id"]
+        if sid == LAST_ADDED:
+            if state["last_added_schema"] is None:
+                raise InvalidUpdate("set-current-schema -1 without add-schema")
+            sid = state["last_added_schema"]
+        md.schema(sid)  # raises KeyError if absent
+        md.current_schema_id = sid
+    elif action == "add-spec":
+        spec = (upd["spec"] if isinstance(upd["spec"], PartitionSpec)
+                else PartitionSpec.from_json(upd["spec"]))
+        if any(s.spec_id == spec.spec_id for s in md.partition_specs):
+            raise InvalidUpdate(f"spec id {spec.spec_id} already exists")
+        for pf in spec.fields:
+            if md.schema().field_by_id(pf.source_id) is None:
+                raise InvalidUpdate(
+                    f"partition field {pf.name} references unknown "
+                    f"source id {pf.source_id}")
+        md.partition_specs.append(spec)
+        if spec.fields:
+            md.last_partition_id = max(md.last_partition_id,
+                                       max(f.field_id for f in spec.fields))
+        state["last_added_spec"] = spec.spec_id
+    elif action == "set-default-spec":
+        sid = upd["spec-id"]
+        if sid == LAST_ADDED:
+            if state["last_added_spec"] is None:
+                raise InvalidUpdate("set-default-spec -1 without add-spec")
+            sid = state["last_added_spec"]
+        md.spec(sid)
+        md.default_spec_id = sid
+    elif action == "add-sort-order":
+        so = (upd["sort-order"] if isinstance(upd["sort-order"], SortOrder)
+              else SortOrder.from_json(upd["sort-order"]))
+        if any(s.order_id == so.order_id for s in md.sort_orders):
+            raise InvalidUpdate(f"sort order id {so.order_id} already exists")
+        md.sort_orders.append(so)
+        state["last_added_order"] = so.order_id
+    elif action == "set-default-sort-order":
+        oid = upd["sort-order-id"]
+        if oid == LAST_ADDED:
+            if state["last_added_order"] is None:
+                raise InvalidUpdate("set-default-sort-order -1 without add-sort-order")
+            oid = state["last_added_order"]
+        if not any(s.order_id == oid for s in md.sort_orders):
+            raise InvalidUpdate(f"no sort order id {oid}")
+        md.default_sort_order_id = oid
+    elif action == "add-snapshot":
+        snap = (upd["snapshot"] if isinstance(upd["snapshot"], Snapshot)
+                else Snapshot.from_json(upd["snapshot"]))
+        if md.snapshot_by_id(snap.snapshot_id) is not None:
+            raise InvalidUpdate(f"snapshot {snap.snapshot_id} already exists")
+        if snap.sequence_number <= md.last_sequence_number and md.snapshots:
+            raise InvalidUpdate(
+                f"snapshot sequence {snap.sequence_number} not after "
+                f"{md.last_sequence_number}")
+        md.snapshots.append(snap)
+        md.last_sequence_number = max(md.last_sequence_number,
+                                      snap.sequence_number)
+        md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                                "snapshot-id": snap.snapshot_id})
+    elif action == "set-snapshot-ref":
+        name = upd["ref-name"]
+        snap_id = upd["snapshot-id"]
+        if md.snapshot_by_id(snap_id) is None:
+            raise InvalidUpdate(f"ref {name} -> unknown snapshot {snap_id}")
+        md.refs[name] = SnapshotRef(snap_id, upd.get("type", "branch"))
+        if name == "main":
+            md.current_snapshot_id = snap_id
+    elif action == "remove-snapshots":
+        ids = set(upd["snapshot-ids"])
+        still_ref = {r.snapshot_id for r in md.refs.values()}
+        bad = ids & still_ref
+        if bad:
+            raise InvalidUpdate(f"cannot remove referenced snapshots {sorted(bad)}")
+        md.snapshots = [s for s in md.snapshots if s.snapshot_id not in ids]
+        md.snapshot_log = [e for e in md.snapshot_log
+                           if e["snapshot-id"] not in ids]
+    elif action == "remove-snapshot-ref":
+        md.refs.pop(upd["ref-name"], None)
+    elif action == "set-location":
+        md.location = upd["location"]
+    elif action == "set-properties":
+        md.properties.update(upd["updates"])
+    elif action == "remove-properties":
+        for k in upd["removals"]:
+            md.properties.pop(k, None)
+    elif action == "remove-partition-specs":
+        ids = set(upd["spec-ids"])
+        if md.default_spec_id in ids:
+            raise InvalidUpdate("cannot remove the default partition spec")
+        md.partition_specs = [s for s in md.partition_specs
+                              if s.spec_id not in ids]
+    elif action == "remove-schemas":
+        ids = set(upd["schema-ids"])
+        if md.current_schema_id in ids:
+            raise InvalidUpdate("cannot remove the current schema")
+        in_use = {s.schema_id for s in md.snapshots if s.schema_id is not None}
+        bad = ids & in_use
+        if bad:
+            raise InvalidUpdate(f"cannot remove schemas used by snapshots: {sorted(bad)}")
+        md.schemas = [s for s in md.schemas if s.schema_id not in ids]
+    elif action == "set-statistics":
+        sf = upd["statistics"]
+        md.statistics = [s for s in md.statistics
+                         if s.get("snapshot-id") != sf.get("snapshot-id")] + [sf]
+    elif action == "remove-statistics":
+        md.statistics = [s for s in md.statistics
+                         if s.get("snapshot-id") != upd["snapshot-id"]]
+    elif action == "set-partition-statistics":
+        sf = upd["partition-statistics"]
+        md.partition_statistics = [
+            s for s in md.partition_statistics
+            if s.get("snapshot-id") != sf.get("snapshot-id")] + [sf]
+    elif action == "remove-partition-statistics":
+        md.partition_statistics = [
+            s for s in md.partition_statistics
+            if s.get("snapshot-id") != upd["snapshot-id"]]
+    elif action == "add-encryption-key":
+        key = upd["encryption-key"]
+        if any(k.get("key-id") == key.get("key-id")
+               for k in md.encryption_keys):
+            raise InvalidUpdate(f"encryption key {key.get('key-id')} exists")
+        md.encryption_keys.append(key)
+    elif action == "remove-encryption-key":
+        md.encryption_keys = [k for k in md.encryption_keys
+                              if k.get("key-id") != upd["key-id"]]
+    else:
+        raise InvalidUpdate(f"unknown update action: {action!r}")

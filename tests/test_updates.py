@@ -1,0 +1,148 @@
+"""Commit-protocol IR: TableUpdate appliers, TableRequirement checks,
+and the end-to-end REST-shape commit through the catalog CAS."""
+
+import pytest
+
+from iceberg_rust_spark import Table
+from iceberg_rust_spark.sources.metadata import (PartitionSpec, Snapshot,
+                                                 TableMetadata)
+from iceberg_rust_spark.sources.types import LONG, STRING, NestedField, Schema
+from iceberg_rust_spark.sources.updates import (InvalidUpdate,
+                                                RequirementFailed,
+                                                apply_updates,
+                                                check_requirement)
+
+
+def _md() -> TableMetadata:
+    schema = Schema([NestedField(1, "id", LONG, True),
+                     NestedField(2, "name", STRING, False)], schema_id=0)
+    return TableMetadata(location="/tmp/t", schemas=[schema],
+                         current_schema_id=0,
+                         partition_specs=[PartitionSpec(0, [])],
+                         default_spec_id=0, last_column_id=2)
+
+
+def test_requirements_pass_and_fail():
+    md = _md()
+    check_requirement(md, {"type": "assert-table-uuid", "uuid": md.table_uuid})
+    check_requirement(md, {"type": "assert-current-schema-id",
+                           "current-schema-id": 0})
+    check_requirement(md, {"type": "assert-last-assigned-field-id",
+                           "last-assigned-field-id": 2})
+    check_requirement(None, {"type": "assert-create"})
+    with pytest.raises(RequirementFailed):
+        check_requirement(md, {"type": "assert-create"})
+    with pytest.raises(RequirementFailed):
+        check_requirement(md, {"type": "assert-table-uuid", "uuid": "nope"})
+    with pytest.raises(RequirementFailed):
+        check_requirement(None, {"type": "assert-table-uuid", "uuid": "x"})
+    # ref requirement: absent ref asserted absent passes; asserted present fails
+    check_requirement(md, {"type": "assert-ref-snapshot-id", "ref": "main",
+                           "snapshot-id": None})
+    with pytest.raises(RequirementFailed):
+        check_requirement(md, {"type": "assert-ref-snapshot-id", "ref": "main",
+                               "snapshot-id": 42})
+
+
+def test_schema_updates_with_last_added_sentinel():
+    md = _md()
+    new_schema = Schema([NestedField(1, "id", LONG, True),
+                         NestedField(2, "name", STRING, False),
+                         NestedField(3, "extra", STRING, False)], schema_id=1)
+    out = apply_updates(md, [
+        {"action": "add-schema", "schema": new_schema},
+        {"action": "set-current-schema", "schema-id": -1},
+    ])
+    assert out.current_schema_id == 1
+    assert out.last_column_id == 3
+    assert md.current_schema_id == 0  # original untouched
+    with pytest.raises(InvalidUpdate):
+        apply_updates(out, [{"action": "add-schema", "schema": new_schema}])
+    with pytest.raises(InvalidUpdate):
+        apply_updates(md, [{"action": "set-current-schema", "schema-id": -1}])
+
+
+def test_snapshot_ref_and_remove_protection():
+    md = _md()
+    snap = Snapshot(snapshot_id=101, sequence_number=1, timestamp_ms=1000,
+                    manifest_list="/tmp/t/metadata/ml.parquet",
+                    summary={"operation": "append"}, schema_id=0)
+    out = apply_updates(md, [
+        {"action": "add-snapshot", "snapshot": snap},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "snapshot-id": 101, "type": "branch"},
+    ])
+    assert out.current_snapshot_id == 101
+    assert out.refs["main"].snapshot_id == 101
+    # a referenced snapshot cannot be removed
+    with pytest.raises(InvalidUpdate):
+        apply_updates(out, [{"action": "remove-snapshots",
+                             "snapshot-ids": [101]}])
+    # drop the ref first, then removal is fine
+    out2 = apply_updates(out, [
+        {"action": "remove-snapshot-ref", "ref-name": "main"},
+        {"action": "remove-snapshots", "snapshot-ids": [101]},
+    ])
+    assert out2.snapshots == []
+
+
+def test_properties_specs_and_guards():
+    md = _md()
+    out = apply_updates(md, [
+        {"action": "set-properties", "updates": {"a": "1", "b": "2"}},
+        {"action": "remove-properties", "removals": ["a", "zz"]},
+        {"action": "upgrade-format-version", "format-version": 3},
+        {"action": "set-location", "location": "/tmp/t2"},
+    ])
+    assert out.properties == {"b": "2"}
+    assert out.format_version == 3 and out.location == "/tmp/t2"
+    with pytest.raises(InvalidUpdate):
+        apply_updates(out, [{"action": "upgrade-format-version",
+                             "format-version": 2}])
+    with pytest.raises(InvalidUpdate):
+        apply_updates(md, [{"action": "remove-partition-specs", "spec-ids": [0]}])
+    with pytest.raises(InvalidUpdate):
+        apply_updates(md, [{"action": "remove-schemas", "schema-ids": [0]}])
+    with pytest.raises(InvalidUpdate):
+        apply_updates(md, [{"action": "frobnicate"}])
+
+
+def test_statistics_and_encryption_keys_roundtrip():
+    md = _md()
+    out = apply_updates(md, [
+        {"action": "set-statistics",
+         "statistics": {"snapshot-id": 7, "statistics-path": "/s.puffin",
+                        "file-size-in-bytes": 10}},
+        {"action": "add-encryption-key",
+         "encryption-key": {"key-id": "k1", "encrypted-key-metadata": "AAAA"}},
+    ])
+    assert out.statistics[0]["snapshot-id"] == 7
+    assert out.encryption_keys[0]["key-id"] == "k1"
+    # serde roundtrip keeps them
+    back = TableMetadata.from_json(out.to_json())
+    assert back.statistics == out.statistics
+    assert back.encryption_keys == out.encryption_keys
+    out2 = apply_updates(out, [
+        {"action": "remove-statistics", "snapshot-id": 7},
+        {"action": "remove-encryption-key", "key-id": "k1"},
+    ])
+    assert out2.statistics == [] and out2.encryption_keys == []
+
+
+def test_commit_updates_through_catalog(spark, warehouse):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    from iceberg_rust_spark.sources.types import schema_from_spark
+    t = Table.create(warehouse, "db.proto", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    uuid = t.metadata.table_uuid
+    t = t.commit_updates(
+        updates=[{"action": "set-properties", "updates": {"owner": "etl"}}],
+        requirements=[{"type": "assert-table-uuid", "uuid": uuid}])
+    assert t.metadata.properties["owner"] == "etl"
+    # stale requirement aborts without committing
+    with pytest.raises(RequirementFailed):
+        t.commit_updates(
+            updates=[{"action": "set-properties", "updates": {"x": "1"}}],
+            requirements=[{"type": "assert-current-schema-id",
+                           "current-schema-id": 99}])
+    assert "x" not in t.refresh().metadata.properties
