@@ -51,6 +51,11 @@ class DataFile:
     sort_order_id: Optional[int] = None
     schema_id: Optional[int] = None  # schema under which this file was written
     spec_id: int = 0
+    # deletion-vector support (v3; data_file.rs:171-179): a DV "file" is a
+    # blob inside a Puffin file scoped to ONE data file
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
 
 
 @dataclass
@@ -114,6 +119,9 @@ _MANIFEST_SCHEMA = pa.schema([
     ("split_offsets_json", pa.string()),
     ("equality_ids_json", pa.string()),
     ("sort_order_id", pa.int32()),
+    ("referenced_data_file", pa.string()),
+    ("content_offset", pa.int64()),
+    ("content_size_in_bytes", pa.int64()),
 ])
 
 
@@ -152,6 +160,9 @@ def write_manifest(path: str, entries: List[ManifestEntry]) -> int:
         rows["split_offsets_json"].append(json.dumps(f.split_offsets))
         rows["equality_ids_json"].append(json.dumps(f.equality_ids))
         rows["sort_order_id"].append(f.sort_order_id if f.sort_order_id is not None else -1)
+        rows["referenced_data_file"].append(f.referenced_data_file)
+        rows["content_offset"].append(f.content_offset)
+        rows["content_size_in_bytes"].append(f.content_size_in_bytes)
     table = pa.table(rows, schema=_MANIFEST_SCHEMA)
     pq.write_table(table, path, compression="zstd")
     return os.path.getsize(path)
@@ -162,6 +173,10 @@ def read_manifest(path: str) -> List[ManifestEntry]:
     out: List[ManifestEntry] = []
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     n = t.num_rows
+    # columns added after a manifest was written read as all-None
+    for name in ("referenced_data_file", "content_offset",
+                 "content_size_in_bytes"):
+        cols.setdefault(name, [None] * n)
     for i in range(n):
         df = DataFile(
             file_path=cols["file_path"][i],
@@ -181,6 +196,9 @@ def read_manifest(path: str) -> List[ManifestEntry]:
             sort_order_id=None if cols["sort_order_id"][i] == -1 else cols["sort_order_id"][i],
             schema_id=None if cols["schema_id"][i] == -1 else cols["schema_id"][i],
             spec_id=cols["spec_id"][i],
+            referenced_data_file=cols["referenced_data_file"][i],
+            content_offset=cols["content_offset"][i],
+            content_size_in_bytes=cols["content_size_in_bytes"][i],
         )
         out.append(ManifestEntry(
             status=cols["status"][i], snapshot_id=cols["snapshot_id"][i],

@@ -179,6 +179,10 @@ class TableScan:
             task = FileScanTask(data_file=df_, sequence_number=entry.sequence_number)
             for de in delete_entries:
                 d = de.data_file
+                # a deletion vector is scoped to exactly one data file
+                if d.referenced_data_file is not None \
+                        and d.referenced_data_file != df_.file_path:
+                    continue
                 applies = (_partitions_compatible(d.partition, df_.partition)
                            if d.partition else True)
                 if not applies:
@@ -249,7 +253,9 @@ class TableScan:
                 gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
                          .withColumn("_pos", F.col("_metadata.row_index"))
             if pos_paths:
-                gdf = _apply_pos_deletes(spark, gdf, list(pos_paths))
+                pos_dels = {(d.file_path, d.referenced_data_file): d
+                            for t in tasks for d in t.pos_deletes}
+                gdf = _apply_pos_deletes(spark, gdf, list(pos_dels.values()))
             # project file schema -> current schema by field id
             gdf = _project_to_schema(gdf, file_schema, schema,
                                      keep_meta=self.include_metadata_columns)
@@ -292,11 +298,33 @@ def _partitions_compatible(delete_part: Dict[str, Any], data_part: Dict[str, Any
 
 
 def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
-                       pos_delete_paths: List[str]) -> DataFrame:
-    """Positional deletes: anti-join on (file, pos). Delete files carry
-    (file_path string, pos long) per the spec. Small delete sets broadcast."""
-    del_df = spark.read.parquet(*pos_delete_paths).select(
-        F.col("file_path").alias("_del_file"), F.col("pos").alias("_del_pos"))
+                       pos_deletes: List["DataFile"]) -> DataFrame:
+    """Positional deletes: anti-join on (file, pos). Parquet delete files
+    carry (file_path string, pos long) rows per the spec; Puffin
+    deletion-vector blobs are decoded on the driver (metadata-sized) into the
+    same shape. Small delete sets broadcast."""
+    parquet_paths = sorted({d.file_path for d in pos_deletes
+                            if d.file_format == "parquet"})
+    dv_files = [d for d in pos_deletes if d.file_format == "puffin"]
+    parts = []
+    if parquet_paths:
+        parts.append(spark.read.parquet(*parquet_paths)
+                     .select(F.col("file_path").alias("_del_file"),
+                             F.col("pos").alias("_del_pos")))
+    if dv_files:
+        from .puffin import deserialize_dv, read_blob, BlobMetadata
+        rows = []
+        for d in dv_files:
+            blob = read_blob(d.file_path, BlobMetadata(
+                type="deletion-vector-v1", fields=[], snapshot_id=0,
+                sequence_number=0, offset=d.content_offset,
+                length=d.content_size_in_bytes))
+            for p in deserialize_dv(blob):
+                rows.append((d.referenced_data_file, int(p)))
+        parts.append(spark.createDataFrame(rows, "_del_file string, _del_pos long"))
+    del_df = parts[0]
+    for p in parts[1:]:
+        del_df = del_df.unionByName(p)
     joined = gdf.join(
         F.broadcast(del_df),
         on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),

@@ -135,6 +135,8 @@ class Table:
         """
         if mode == "mor":
             return self._delete_mor_positional(spark, pred)
+        if mode == "dv":
+            return self._delete_mor_dv(spark, pred)
         md = self.metadata
         schema = md.schema()
         bound = E.bind(pred, schema)
@@ -183,6 +185,51 @@ class Table:
                 for p in files]
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels))
+
+    def _delete_mor_dv(self, spark: SparkSession, pred: E.Predicate) -> "Table":
+        """Merge-on-read delete as Puffin deletion vectors (v3): one
+        deletion-vector-v1 roaring blob per affected data file, all in a
+        single Puffin file; each gets its own manifest entry carrying
+        referenced_data_file + content_offset/size (data_file.rs:171-179).
+        Positions are collected to the driver — a DV is metadata-sized (bitmap
+        of row positions); at 100 TB the per-file position sets would be
+        aggregated executor-side and only the serialized bitmaps shipped."""
+        from .puffin import (DELETION_VECTOR_V1, BlobMetadata, serialize_dv,
+                             write_puffin)
+        schema = self.metadata.schema()
+        bound = E.bind(pred, schema)
+        hits = self.scan(include_metadata_columns=True).to_df(spark) \
+            .filter(E.to_spark_column(bound)) \
+            .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("fp"),
+                    F.col("_pos").alias("pos")) \
+            .groupBy("fp").agg(F.sort_array(F.collect_list("pos")).alias("poss")) \
+            .collect()
+        if not hits:
+            return self
+        out_path = os.path.join(self.location, "data",
+                                f"dv-{uuid.uuid4().hex[:12]}.puffin")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        blobs = []
+        for r in hits:
+            blobs.append((BlobMetadata(
+                type=DELETION_VECTOR_V1, fields=[], snapshot_id=0,
+                sequence_number=self.metadata.last_sequence_number + 1,
+                offset=0, length=0,
+                properties={"referenced-data-file": r["fp"],
+                            "cardinality": str(len(r["poss"]))}),
+                serialize_dv(r["poss"])))
+        metas = write_puffin(out_path, blobs)
+        dels = [DataFile(
+            file_path=out_path, file_format="puffin",
+            content=CONTENT_POSITION_DELETES,
+            record_count=int(m.properties["cardinality"]),
+            file_size_in_bytes=os.path.getsize(out_path),
+            referenced_data_file=m.properties["referenced-data-file"],
+            content_offset=m.offset, content_size_in_bytes=m.length,
+            schema_id=schema.schema_id, spec_id=self.spec.spec_id)
+            for m in metas]
+        return self._commit_retry(lambda md: self._snapshot_update(
+            md, "delete", added_deletes=dels))
 
     def delete_by_equality(self, spark: SparkSession, keys_df: DataFrame,
                            eq_column_names: List[str]) -> "Table":
