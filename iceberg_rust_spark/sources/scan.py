@@ -234,16 +234,24 @@ class TableScan:
         if not plan.tasks:
             return spark.createDataFrame([], spark_schema)
 
-        # group: same write-schema + same applicable delete sets read together
+        # group: same write-schema + same applicable delete sets + same
+        # (spec, partition) read together — the last so the reserved
+        # _spec_id/_partition columns (metadata_columns.rs:33-66) are
+        # constant per group
         groups: Dict[Tuple, List[FileScanTask]] = {}
         for t in plan.tasks:
             sig = (t.data_file.schema_id,
                    tuple(sorted(d.file_path for d in t.pos_deletes)),
                    tuple(sorted(d.file_path for d in t.eq_deletes)))
+            if self.include_metadata_columns:
+                sig = sig + (t.data_file.spec_id,
+                             tuple(sorted((k, str(v)) for k, v in
+                                          t.data_file.partition.items())))
             groups.setdefault(sig, []).append(t)
 
         parts: List[DataFrame] = []
-        for (schema_id, pos_paths, eq_paths), tasks in groups.items():
+        for sig, tasks in groups.items():
+            schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
             file_schema = self._file_schema(schema_id, schema)
             need_meta = bool(pos_paths) or self.include_metadata_columns
@@ -252,6 +260,13 @@ class TableScan:
             if need_meta:
                 gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
                          .withColumn("_pos", F.col("_metadata.row_index"))
+            if self.include_metadata_columns:
+                # reserved _spec_id/_partition (metadata_columns.rs:33-66);
+                # _partition is rendered as a canonical JSON string so groups
+                # from different partition specs still union cleanly
+                first = tasks[0].data_file
+                gdf = gdf.withColumn("_spec_id", F.lit(first.spec_id)) \
+                         .withColumn("_partition", F.lit(_part_json(first.partition)))
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
@@ -287,6 +302,15 @@ class TableScan:
 def _cmp(v: Any) -> Any:
     from .datum import to_comparable
     return to_comparable(v)
+
+
+def _part_json(part: Dict[str, Any]) -> Optional[str]:
+    """Canonical JSON rendering of a partition tuple (sorted keys, values
+    stringified) for the reserved _partition column."""
+    import json
+    if not part:
+        return None
+    return json.dumps({k: str(v) for k, v in sorted(part.items())})
 
 
 def _partitions_compatible(delete_part: Dict[str, Any], data_part: Dict[str, Any]) -> bool:
@@ -382,4 +406,7 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
             cols.append(F.lit(None).cast(tgt).alias(f.name))
     if keep_meta:
         cols += [F.col("_file"), F.col("_pos")]
+        for extra in ("_spec_id", "_partition"):
+            if extra in gdf.columns:
+                cols.append(F.col(extra))
     return gdf.select(*cols)
