@@ -58,8 +58,11 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
+_WH_VERSION = 2  # bump when the fixture set changes to invalidate the cache
+
+
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
-    key = os.path.abspath(sf_dir)
+    key = f"{os.path.abspath(sf_dir)}@v{_WH_VERSION}"
     wh = f"/tmp/isr_wh_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     marker = os.path.join(wh, "_COMPLETE")
     cat = FileSystemCatalog(wh)
@@ -124,6 +127,11 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
     t = Table.create(cat, "db.orders_delmor", schema_from_spark(orders.schema))
     t.append(spark, orders)
     t.delete_where(spark, E.col("o_totalprice") > _MOR_PRICE_CUT, mode="mor")
+
+    # 7b. merge-on-read delete via Puffin deletion vectors (v3 DV path)
+    t = Table.create(cat, "db.orders_deldv", schema_from_spark(orders.schema))
+    t.append(spark, orders)
+    t.delete_where(spark, E.col("o_orderpriority") == "2-HIGH", mode="dv")
 
     # 8. merge-on-read equality delete of o_orderpriority = '1-URGENT'
     t = Table.create(cat, "db.orders_deleq", schema_from_spark(orders.schema))
@@ -302,6 +310,12 @@ def q_iceberg_delete_cow(spark, sf_dir):
 def q_iceberg_delete_mor(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_delmor")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_delete_dv(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_deldv")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
@@ -650,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_delete_cow": q_iceberg_delete_cow,
         "iceberg_delete_mor": q_iceberg_delete_mor,
+        "iceberg_delete_dv": q_iceberg_delete_dv,
         "iceberg_delete_eq": q_iceberg_delete_eq,
         "iceberg_compaction": q_iceberg_compaction,
         "iceberg_add_files": q_iceberg_add_files,
@@ -750,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
             GROUP BY o_orderstatus""",
+        "iceberg_delete_dv": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE o_orderpriority <> '2-HIGH'
+            GROUP BY o_orderpriority""",
         "iceberg_delete_eq": f"""
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}

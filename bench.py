@@ -21,7 +21,8 @@ from iceberg_rust_spark.session import get_spark
 
 BENCH_QUERIES = [
     "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
-    "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_compaction",
+    "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
+    "iceberg_compaction",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q7_nation_volume", "q10_returned_items", "q14_promo_revenue",
     "q18_large_orders", "window_topn", "rollup_orders", "events_hourly",

@@ -381,6 +381,27 @@ class Table:
                   "file_size_in_bytes long, partition string, spec_id int, schema_id int")
 
     # ------------------------------------------------------ incremental read
+    def entries_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: one row per live manifest entry of the current
+        snapshot (the `entries` inspect table), with content/status/seq and
+        per-file stats — metadata-only, no data IO."""
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap is not None:
+            for mf in read_manifest_list(snap.manifest_list):
+                for e in load_manifest(mf.manifest_path):
+                    f = e.data_file
+                    rows.append((e.status, e.snapshot_id, e.sequence_number,
+                                 f.content, f.file_path, f.file_format,
+                                 f.record_count, f.file_size_in_bytes,
+                                 f.spec_id,
+                                 f.referenced_data_file))
+        return spark.createDataFrame(
+            rows, "status int, snapshot_id long, sequence_number long, "
+                  "content int, file_path string, file_format string, "
+                  "record_count long, file_size_in_bytes long, spec_id int, "
+                  "referenced_data_file string")
+
     def incremental_scan(self, from_snapshot_id: int,
                          to_snapshot_id: Optional[int] = None) -> TableScan:
         """Appended-files-between-snapshots scan (change-feed for appends);

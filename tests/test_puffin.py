@@ -79,3 +79,8 @@ def test_delete_where_dv_mode(spark, warehouse):
     want = sorted(r["id"] for r in
                   df.where((F.col("grp") != 3) & (F.col("grp") != 5)).collect())
     assert got == want
+    # entries metadata table surfaces the DV entries with their referenced file
+    entries = t.entries_df(spark).collect()
+    dv_entries = [e for e in entries if e["file_format"] == "puffin"]
+    assert dv_entries and all(e["referenced_data_file"] for e in dv_entries)
+    assert any(e["content"] == 0 for e in entries)  # data entries present too
