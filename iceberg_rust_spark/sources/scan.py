@@ -255,8 +255,17 @@ class TableScan:
             files = [t.data_file.file_path for t in tasks]
             file_schema = self._file_schema(schema_id, schema)
             need_meta = bool(pos_paths) or self.include_metadata_columns
-            reader = spark.read.schema(file_schema.to_spark())
-            gdf = reader.parquet(*files)
+            if schema_id is None:
+                # external id-less files (add_files): infer the physical
+                # schema, then rename aliases -> canonical via name mapping
+                # (spec/name_mapping fallback, arrow/reader/pipeline.rs:160-196)
+                gdf = spark.read.parquet(*files)
+                alias_map = self._alias_map(schema)
+                for alias, canonical in alias_map.items():
+                    if alias in gdf.columns and alias != canonical:
+                        gdf = gdf.withColumnRenamed(alias, canonical)
+            else:
+                gdf = spark.read.schema(file_schema.to_spark()).parquet(*files)
             if need_meta:
                 gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
                          .withColumn("_pos", F.col("_metadata.row_index"))
@@ -289,6 +298,14 @@ class TableScan:
         if self.selected_columns is not None:
             out = out.select(*self.selected_columns)
         return out
+
+    def _alias_map(self, schema: Schema) -> Dict[str, str]:
+        """alias -> canonical name from the persisted name mapping."""
+        from .name_mapping import NAME_MAPPING_PROPERTY, NameMapping
+        text = self.metadata.properties.get(NAME_MAPPING_PROPERTY)
+        if not text:
+            return {}
+        return NameMapping.from_json(text).alias_to_canonical(schema)
 
     def _file_schema(self, schema_id: Optional[int], current: Schema) -> Schema:
         if schema_id is None:
@@ -395,7 +412,7 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
     for f in current.fields:
         old = file_schema.field_by_id(f.field_id)
         tgt = type_to_spark(f.field_type)
-        if old is not None:
+        if old is not None and old.name in gdf.columns:
             cols.append(F.col(old.name).cast(tgt).alias(f.name))
         elif f.initial_default is not None:
             cols.append(F.lit(f.initial_default).cast(tgt).alias(f.name))

@@ -461,18 +461,35 @@ class Table:
             return md
         return self._commit_retry(action)
 
+    def set_name_mapping(self, mapping: "NameMapping") -> "Table":
+        """Persist a NameMapping in the schema.name-mapping.default property
+        (spec/name_mapping/mod.rs:31) for id-less-file column resolution."""
+        from .name_mapping import NAME_MAPPING_PROPERTY
+        return self.update_properties({NAME_MAPPING_PROPERTY: mapping.to_json()})
+
+    def name_mapping(self) -> Optional["NameMapping"]:
+        from .name_mapping import NAME_MAPPING_PROPERTY, NameMapping
+        text = self.metadata.properties.get(NAME_MAPPING_PROPERTY)
+        return NameMapping.from_json(text) if text else None
+
     def add_files(self, spark: SparkSession, paths: List[str],
                   name_mapping: Optional[Dict[str, str]] = None) -> "Table":
         """Import external Parquet files without rewriting them (the
         name-mapping fallback of spec/name_mapping/ for id-less files):
-        columns resolve by name against the current schema;
-        ``name_mapping`` maps external column name -> canonical column name.
-        Only unpartitioned tables (external files carry no partition info)."""
+        columns resolve by name against the current schema. ``name_mapping``
+        maps external column name -> canonical column name; when omitted, the
+        table's persisted schema.name-mapping.default (set_name_mapping) is
+        consulted. Only unpartitioned tables (external files carry no
+        partition info)."""
         md = self.metadata
         if not md.spec().is_unpartitioned:
             raise ValueError("add_files requires an unpartitioned table")
         schema = md.schema()
-        mapping = dict(name_mapping or {})
+        if name_mapping is not None:
+            mapping = dict(name_mapping)
+        else:
+            nm = self.name_mapping()
+            mapping = nm.alias_to_canonical(schema) if nm else {}
         stats = collect_parquet_stats(spark, paths)
         known = {f.name for f in schema.fields}
 
@@ -500,7 +517,10 @@ class Table:
                 null_value_counts=canon(st["null_counts"]),
                 lower_bounds=canon(st["lower"]), upper_bounds=canon(st["upper"]),
                 split_offsets=st["split_offsets"],
-                schema_id=schema.schema_id, spec_id=md.default_spec_id))
+                # schema_id None marks an id-less EXTERNAL file: the read
+                # path infers its physical schema and resolves columns via
+                # the name mapping instead of an explicit read schema
+                schema_id=None, spec_id=md.default_spec_id))
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "append", added=files))
 
