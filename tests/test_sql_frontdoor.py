@@ -1,0 +1,83 @@
+"""SQL front door (catalog-provider shim) + partition spec evolution."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from iceberg_rust_spark import (PartitionField, PartitionSpec, Table,
+                                expr as E)
+from iceberg_rust_spark.functions.transforms import parse_transform
+from iceberg_rust_spark.sources.sql import run_sql
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+
+def test_run_sql_resolves_tables_and_filters(spark, warehouse):
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(100)],
+        "id long, cat string, amount double")
+    t = Table.create(warehouse, "db.sales", schema_from_spark(df.schema))
+    t.append(spark, df)
+
+    out = run_sql(spark, warehouse,
+                  "SELECT cat, count(*) AS n, sum(amount) AS s "
+                  "FROM db.sales WHERE id < 10 GROUP BY cat ORDER BY cat")
+    rows = [(r["cat"], r["n"]) for r in out.collect()]
+    assert rows == [("c0", 4), ("c1", 3), ("c2", 3)]
+
+    # scan_filters pushes file-level pruning; SQL WHERE still re-applies
+    out2 = run_sql(spark, warehouse,
+                   "SELECT count(*) AS n FROM db.sales WHERE id < 10",
+                   scan_filters={"db.sales": E.col("id") < 10})
+    assert out2.collect()[0]["n"] == 10
+
+
+def test_run_sql_joins_two_tables(spark, warehouse):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, w double")
+    Table.create(warehouse, "db.ta", schema_from_spark(a.schema)).append(spark, a)
+    Table.create(warehouse, "db.tb", schema_from_spark(b.schema)).append(spark, b)
+    out = run_sql(spark, warehouse,
+                  "SELECT ta.v, tb.w FROM db.ta ta JOIN db.tb tb ON ta.k = tb.k "
+                  "ORDER BY ta.v")
+    assert [(r["v"], r["w"]) for r in out.collect()] == [("x", 10.0), ("y", 20.0)]
+
+
+def test_partition_spec_evolution_end_to_end(spark, warehouse):
+    """Write under month(ts) spec, evolve to identity(cat), write again;
+    scans prune correctly across both specs and values stay correct."""
+    rows = [(i, dt.datetime(2024, 1 + (i % 3), 5), f"c{i % 2}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    schema = schema_from_spark(df.schema)
+    spec_a = PartitionSpec(0, [PartitionField(
+        schema.field_by_name("ts").field_id, 1000, "ts_month",
+        parse_transform("month"))])
+    t = Table.create(warehouse, "db.evo", schema, spec_a)
+    t = t.append(spark, df.where(F.col("id") < 30))
+
+    spec_b = PartitionSpec(1, [PartitionField(
+        schema.field_by_name("cat").field_id, 1001, "cat",
+        parse_transform("identity"))])
+    t = t.commit_updates(updates=[
+        {"action": "add-spec", "spec": spec_b},
+        {"action": "set-default-spec", "spec-id": -1},
+    ])
+    assert t.metadata.default_spec_id == 1
+    t = t.append(spark, df.where(F.col("id") >= 30))
+
+    # full read across both specs
+    assert t.to_df(spark).count() == 60
+
+    # time-based predicate prunes spec-A files (month transform)
+    scan = t.scan(row_filter=E.col("ts") >= dt.datetime(2024, 3, 1))
+    plan = scan.plan_files()
+    assert plan.skipped_by_partition > 0
+    got = scan.to_df(spark).count()
+    want = df.where(F.col("ts") >= dt.datetime(2024, 3, 1)).count()
+    assert got == want
+
+    # category predicate prunes spec-B files (identity transform)
+    scan2 = t.scan(row_filter=E.col("cat") == "c0")
+    got2 = scan2.to_df(spark).count()
+    want2 = df.where(F.col("cat") == "c0").count()
+    assert got2 == want2
