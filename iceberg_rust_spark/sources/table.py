@@ -308,6 +308,52 @@ class Table:
             return md
         return self._commit_retry(action)
 
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> List[str]:
+        """Delete files under the table location referenced by NO snapshot
+        (the GC the reference leaves to the caller after expire_snapshots).
+
+        Referenced = every data/delete/DV file and manifest (-list) reachable
+        from any retained snapshot, plus everything under metadata/. Only
+        files older than ``older_than_ms`` (default: now) are removed —
+        protects in-flight writes that have produced files but not yet
+        committed. Returns removed (or would-remove, when dry_run) paths.
+
+        At 100 TB this is a driver walk of the object listing vs a referenced
+        set built from metadata only — both O(file-count), no data IO."""
+        md = self.metadata
+        cutoff = older_than_ms if older_than_ms is not None else now_ms()
+        referenced: set = set()
+        for snap in md.snapshots:
+            referenced.add(os.path.abspath(snap.manifest_list))
+            try:
+                manifests = read_manifest_list(snap.manifest_list)
+            except FileNotFoundError:
+                continue
+            for mf in manifests:
+                referenced.add(os.path.abspath(mf.manifest_path))
+                for e in load_manifest(mf.manifest_path):
+                    referenced.add(os.path.abspath(e.data_file.file_path))
+        removed: List[str] = []
+        meta_dir = os.path.abspath(os.path.join(self.location, "metadata"))
+        for dirpath, _dirs, names in os.walk(self.location):
+            in_meta = os.path.abspath(dirpath).startswith(meta_dir)
+            for n in names:
+                if n.startswith(".") or n.startswith("_"):
+                    continue  # Spark sidecars (_SUCCESS, .crc) are not data
+                if in_meta and not (n.startswith("manifest-") or
+                                    n.startswith("snap-")):
+                    continue  # table-metadata jsons + version hints stay
+                p = os.path.abspath(os.path.join(dirpath, n))
+                if p in referenced:
+                    continue
+                if os.path.getmtime(p) * 1000 > cutoff:
+                    continue
+                removed.append(p)
+                if not dry_run:
+                    os.remove(p)
+        return removed
+
     def commit_updates(self, updates: List[Dict[str, Any]],
                        requirements: Sequence[Dict[str, Any]] = ()) -> "Table":
         """REST-catalog-protocol commit (catalog/mod.rs:443-649): check every
