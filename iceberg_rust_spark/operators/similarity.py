@@ -107,7 +107,8 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
             probe.add(qbucket ^ (1 << b))
     v = as_double_array(F.col(vec_col))
     qcol = F.array(*[F.lit(float(x)) for x in qv])
-    return (emb.withColumn("_bucket", srp_bucket_col(v, planes))
+    bucket_udf = srp_buckets_batch(planes[np.newaxis, :, :])
+    return (emb.withColumn("_bucket", bucket_udf(v).getItem(0))
             .where(F.col("_bucket").isin(list(probe)))
             .where(F.col(id_col) != query_vec_id)
             .select(F.col(id_col), cosine_rounded(v, qcol).alias("sim"))
@@ -130,13 +131,18 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     centroids = arr[rng.choice(len(arr), size=min(n_cells, len(arr)), replace=False)]
 
     def assign_expr(cents: np.ndarray):
-        dists = []
-        for ci, c in enumerate(cents):
-            ccol = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(F.zip_with(v, ccol, lambda x, y: (x - y) * (x - y)),
-                            F.lit(0.0), lambda acc, x: acc + x)
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        return F.array_min(F.array(*dists)).getField("c")
+        # vectorized nearest-centroid: one Arrow batch matmul per partition
+        # (argmin over ||v||^2 - 2 v.C^T + ||C||^2; ||v||^2 constant in argmin)
+        C = cents.copy()
+        c_norms = (C ** 2).sum(axis=1)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            mat = np.stack(col.to_numpy())
+            d = c_norms[np.newaxis, :] - 2.0 * (mat @ C.T)
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        return _assign(v)
 
     for _ in range(iters):
         assigned = emb.withColumn("_cell", assign_expr(centroids))
