@@ -534,6 +534,20 @@ def q18_large_orders(spark, sf_dir):
             .limit(100))
 
 
+def q_events_variant(spark, sf_dir):
+    """Semi-structured column path (§1.2 variant): parse the JSON props
+    column to Spark 4 VariantType, extract a typed field, aggregate. The
+    extraction runs on the binary variant encoding (no per-row JSON re-parse
+    after the initial cast), the Spark-4-native answer to the reference's v3
+    variant type (spec/datatypes.rs:94)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k")))
+
+
 def q_iceberg_add_files(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_ext")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -688,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_variant": q_events_variant,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -918,6 +933,12 @@ def oracle_sql() -> dict[str, str]:
                                    > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
                   FROM events)
             GROUP BY user_id""",
+        "events_variant": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+                   MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type""",
         # LLM ops
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count

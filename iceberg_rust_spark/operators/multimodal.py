@@ -121,6 +121,38 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(sample, schema=schema)
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Image resize plumbing: (media_id, resized binary, width, height).
+
+    STUB kernel: a real impl decodes + resamples per Arrow batch (PIL/opencv);
+    here the payload is deterministically re-hashed to width*height//8 bytes
+    so batch sizing, schema, and downstream joins behave exactly like the
+    real operator. Swap the kernel, keep the plan."""
+    schema = f"{id_col} long, resized binary, width int, height int"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            n_out = max(1, width * height // 8)
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                # STUB: stretch a sha1 stream to the target byte budget
+                seed = hashlib.sha1(bytes(p)).digest()
+                reps = (n_out // len(seed)) + 1
+                ids.append(mid)
+                blobs.append((seed * reps)[:n_out])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "resized": blobs,
+                "width": pd.Series([width] * len(ids), dtype="int32"),
+                "height": pd.Series([height] * len(ids), dtype="int32")})
+
+    return df.mapInPandas(resize, schema=schema)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/demos (tiny PNGs + blobs)."""
     rows = []

@@ -166,6 +166,17 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
 
 
+def test_multimodal_resize(spark):
+    media = MM.synthetic_media_df(spark, 8)
+    out = MM.resize_images(media, 32, 32).collect()
+    assert len(out) == 8
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert all(len(r["resized"]) == 32 * 32 // 8 for r in out)
+    # deterministic: same payload -> same resized bytes
+    out2 = MM.resize_images(media, 32, 32).collect()
+    assert sorted(r["resized"] for r in out) == sorted(r["resized"] for r in out2)
+
+
 def test_incremental_reader(spark, warehouse, tmp_path):
     from iceberg_rust_spark import Table
     from iceberg_rust_spark.sources.types import schema_from_spark
