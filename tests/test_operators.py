@@ -177,6 +177,29 @@ def test_multimodal_resize(spark):
     assert sorted(r["resized"] for r in out) == sorted(r["resized"] for r in out2)
 
 
+def test_salted_join_matches_plain_join(spark):
+    from iceberg_rust_spark.operators.skew import salted_count, salted_join
+    # 90% of big rows share one hot key
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)).alias("k"),
+        F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(7)],
+        "k string, w double")
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw"))
+    salted = salted_join(big, small, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+    sc = salted_count(big, ["k"], value_col="v")
+    pc = big.groupBy("k").agg(F.count("*").alias("n"),
+                              F.sum("v").alias("sum_v"))
+    assert sorted(map(tuple, pc.collect())) == sorted(map(tuple, sc.collect()))
+
+
 def test_incremental_reader(spark, warehouse, tmp_path):
     from iceberg_rust_spark import Table
     from iceberg_rust_spark.sources.types import schema_from_spark
