@@ -106,6 +106,16 @@ class FileSystemCatalog:
         new_version = base_version + 1
         md_dir = self._metadata_dir(identifier)
         target = os.path.join(md_dir, f"v{new_version}.metadata.json")
+        # spec metadata-log: record the superseded metadata file, capped by
+        # write.metadata.previous-versions-max (default 100)
+        prev = os.path.join(md_dir, f"v{base_version}.metadata.json")
+        if os.path.isfile(prev):
+            metadata.metadata_log.append({
+                "timestamp-ms": int(os.path.getmtime(prev) * 1000),
+                "metadata-file": prev})
+            keep = int(metadata.properties.get(
+                "write.metadata.previous-versions-max", "100"))
+            metadata.metadata_log = metadata.metadata_log[-keep:]
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
