@@ -1,0 +1,69 @@
+"""CDC changelog scan: inserts, MOR/DV/eq deletes, COW rewrites."""
+
+import pyspark.sql.functions as F
+
+from iceberg_rust_spark import Table, expr as E
+from iceberg_rust_spark.sources.types import schema_from_spark
+from iceberg_rust_spark.streaming.changes import changes_df
+
+
+def _counts(df):
+    return {(r["_change_type"], r["_change_ordinal"]): r["n"]
+            for r in df.groupBy("_change_type", "_change_ordinal")
+            .agg(F.count("*").alias("n")).collect()}
+
+
+def test_changes_append_and_mor_delete(spark, warehouse):
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    t = Table.create(warehouse, "db.cdc1", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("id") < 60))
+    t = t.append(spark, df.where(F.col("id") >= 60))
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+
+    ch = changes_df(spark, t)
+    counts = _counts(ch)
+    assert counts[("insert", 0)] == 60
+    assert counts[("insert", 1)] == 40
+    assert counts[("delete", 2)] == 25  # g==1 rows
+    # the deleted rows are exactly the g==1 rows
+    deleted = ch.where((F.col("_change_type") == "delete"))
+    assert sorted(r["id"] for r in deleted.collect()) == \
+        sorted(r["id"] for r in df.where(F.col("g") == 1).collect())
+
+
+def test_changes_dv_and_eq_delete(spark, warehouse):
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    t = Table.create(warehouse, "db.cdc2", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 2, mode="dv")
+    t = t.delete_by_equality(
+        spark, spark.createDataFrame([(4,)], "g long"), ["g"])
+
+    ch = changes_df(spark, t)
+    counts = _counts(ch)
+    assert counts[("insert", 0)] == 50
+    assert counts[("delete", 1)] == 10  # DV: g==2
+    assert counts[("delete", 2)] == 10  # eq: g==4
+    # incremental window: only the eq-delete snapshot
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    ch2 = changes_df(spark, t, from_snapshot_id=snaps[1].snapshot_id)
+    assert _counts(ch2) == {("delete", 0): 10}
+
+
+def test_changes_cow_rewrite_emits_delete_and_insert(spark, warehouse):
+    df = spark.range(0, 40).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    t = Table.create(warehouse, "db.cdc3", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 0, mode="cow")
+    ch = changes_df(spark, t)
+    counts = _counts(ch)
+    assert counts[("insert", 0)] == 40
+    # file-granularity: the rewritten file's rows emit delete + re-insert
+    assert counts[("delete", 1)] == 40
+    assert counts.get(("insert", 1), 0) == 20  # survivors re-inserted
+    # net state from the changelog equals the table state
+    last = ch.withColumn("_k", F.col("id"))
+    net_deleted = ch.where(F.col("_change_type") == "delete") \
+        .groupBy("id").count()
+    net = 40 - 40 + 20  # inserts(0) - deletes(1) + inserts(1)
+    assert t.to_df(spark).count() == net == 20
