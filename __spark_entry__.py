@@ -534,6 +534,113 @@ def q18_large_orders(spark, sf_dir):
             .limit(100))
 
 
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem stands in for partsupp): part values that
+    exceed a fixed share of the national total — HAVING over a scalar
+    subquery, computed as a cross join against a 1-row aggregate."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    val = (_dec("l_extendedprice") * _dec("l_quantity"))
+    joined = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .where(F.col("n_name") == "NATION_3"))
+    per_part = joined.groupBy("l_partkey").agg(
+        F.sum(val).alias("value_dec"))
+    total = per_part.agg((F.sum("value_dec") * F.lit(0.001))
+                         .alias("threshold_dec"))
+    return (per_part.crossJoin(total)
+            .where(F.col("value_dec") > F.col("threshold_dec"))
+            .select("l_partkey",
+                    F.col("value_dec").cast("double").alias("value"))
+            .orderBy(F.col("value").desc(), "l_partkey").limit(50))
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of order counts per customer (left join +
+    two-level aggregation)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders") \
+        .where(~F.col("o_orderpriority").startswith("4"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with max quarterly revenue (view + max
+    subquery, tie-safe via a window max)."""
+    l = read_table(spark, sf_dir, "lineitem") \
+        .where((F.col("l_shipdate") >= dt.datetime(1997, 1, 1)) &
+               (F.col("l_shipdate") < dt.datetime(1997, 4, 1)))
+    s = read_table(spark, sf_dir, "supplier")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    revenue = l.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev_dec"))
+    mx = revenue.agg(F.max("total_rev_dec").alias("mx"))
+    return (revenue.crossJoin(mx)
+            .where(F.col("total_rev_dec") == F.col("mx"))
+            .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev_dec").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from line items below 20% of the part's average
+    quantity (correlated avg subquery, decorrelated to a join)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_q = l.groupBy("l_partkey").agg(
+        (F.avg(_dec("l_quantity")) * F.lit(0.2)).alias("avg_fifth"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(avg_q, "l_partkey")
+            .where(_dec("l_quantity") < F.col("avg_fifth"))
+            .agg((F.sum(_dec("l_extendedprice")) / F.lit(7).cast("decimal(18,4)"))
+                 .cast("double").alias("avg_yearly")))
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers whose lineitems in failed orders were the
+    ONLY returned items of the order (EXISTS + NOT EXISTS pair, decorrelated
+    to semi/anti joins)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    mine = l.where(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_suppkey")
+    others_returned = (mine.alias("a").join(
+        mine.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey")) &
+        (F.col("a.l_suppkey") != F.col("b.l_suppkey")), "left_semi"))
+    sole = mine.exceptAll(others_returned)
+    return (sole.join(o, sole.l_orderkey == o.o_orderkey, "left_semi")
+            .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("s_name", "n_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(25))
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers without orders, grouped by
+    nation bucket (scalar avg subquery + NOT EXISTS anti join)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal", 2)).alias("ab"))
+    rich = (c.crossJoin(avg_bal)
+            .where(_dec("c_acctbal", 2) > F.col("ab"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti"))
+    return (rich.groupBy(F.pmod(F.col("c_nationkey"), F.lit(5)).alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"),
+                 _sum_dec("c_acctbal", "totacctbal", 2))
+            .orderBy("cntrycode"))
+
+
 def q_events_variant(spark, sf_dir):
     """Semi-structured column path (§1.2 variant): parse the JSON props
     column to Spark 4 VariantType, extract a typed field, aggregate. The
@@ -691,9 +798,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
         "q16_brand_suppliers": q16_brand_suppliers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "window_topn": q_window_topn,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
@@ -844,6 +957,77 @@ def oracle_sql() -> dict[str, str]:
                   WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             GROUP BY supp_nation, cust_nation, l_year""",
+        "q11_important_stock": """
+            WITH pp AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         CAST(l_quantity AS DECIMAL(18,4))) AS value_dec
+              FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3' GROUP BY l_partkey)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+            FROM pp, (SELECT SUM(value_dec) * 0.001 AS threshold FROM pp) t
+            WHERE value_dec > threshold
+            ORDER BY value DESC, l_partkey LIMIT 50""",
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN
+                       (SELECT * FROM orders
+                        WHERE o_orderpriority NOT LIKE '4%') o
+                       ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "q15_top_supplier": f"""
+            WITH rev AS (SELECT l_suppkey, SUM({rev}) AS total_rev_dec
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                           AND l_shipdate <  TIMESTAMP '1997-04-01'
+                         GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(total_rev_dec AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+                 (SELECT MAX(total_rev_dec) AS mx FROM rev) m
+            WHERE total_rev_dec = m.mx
+            ORDER BY s_suppkey""",
+        "q17_small_quantity_revenue": """
+            WITH avg_q AS (SELECT l_partkey,
+                                  AVG(CAST(l_quantity AS DECIMAL(18,4))) * 0.2
+                                    AS avg_fifth
+                           FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) /
+                        CAST(7 AS DECIMAL(18,4)) AS DOUBLE) AS avg_yearly
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN avg_q USING (l_partkey)
+            WHERE p_brand = 'Brand#23'
+              AND CAST(l_quantity AS DECIMAL(18,4)) < avg_fifth""",
+        "q21_waiting_supplier": """
+            WITH mine AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                          WHERE l_returnflag = 'R')
+            SELECT s_name, n_name, COUNT(*) AS numwait
+            FROM (SELECT * FROM mine a WHERE NOT EXISTS
+                    (SELECT 1 FROM mine b
+                     WHERE b.l_orderkey = a.l_orderkey
+                       AND b.l_suppkey <> a.l_suppkey)) sole
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY s_name, n_name
+            ORDER BY numwait DESC, s_name LIMIT 25""",
+        "q22_global_sales_opportunity": f"""
+            SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+                   COUNT(*) AS numcust,
+                   {_sql_sum_dec('c_acctbal', 'totacctbal', 2)}
+            FROM customer,
+                 (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+                  FROM customer WHERE c_acctbal > 0) a
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) > ab
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1""",
         "q14_promo_revenue": f"""
             SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {rev}
                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
