@@ -56,6 +56,8 @@ class DataFile:
     referenced_data_file: Optional[str] = None
     content_offset: Optional[int] = None
     content_size_in_bytes: Optional[int] = None
+    # v3 row lineage (scan/task.rs:70-76): _row_id = first_row_id + position
+    first_row_id: Optional[int] = None
 
 
 @dataclass
@@ -122,6 +124,7 @@ _MANIFEST_SCHEMA = pa.schema([
     ("referenced_data_file", pa.string()),
     ("content_offset", pa.int64()),
     ("content_size_in_bytes", pa.int64()),
+    ("first_row_id", pa.int64()),
 ])
 
 
@@ -163,6 +166,7 @@ def write_manifest(path: str, entries: List[ManifestEntry]) -> int:
         rows["referenced_data_file"].append(f.referenced_data_file)
         rows["content_offset"].append(f.content_offset)
         rows["content_size_in_bytes"].append(f.content_size_in_bytes)
+        rows["first_row_id"].append(f.first_row_id)
     table = pa.table(rows, schema=_MANIFEST_SCHEMA)
     pq.write_table(table, path, compression="zstd")
     return os.path.getsize(path)
@@ -175,7 +179,7 @@ def read_manifest(path: str) -> List[ManifestEntry]:
     n = t.num_rows
     # columns added after a manifest was written read as all-None
     for name in ("referenced_data_file", "content_offset",
-                 "content_size_in_bytes"):
+                 "content_size_in_bytes", "first_row_id"):
         cols.setdefault(name, [None] * n)
     for i in range(n):
         df = DataFile(
@@ -199,6 +203,7 @@ def read_manifest(path: str) -> List[ManifestEntry]:
             referenced_data_file=cols["referenced_data_file"][i],
             content_offset=cols["content_offset"][i],
             content_size_in_bytes=cols["content_size_in_bytes"][i],
+            first_row_id=cols["first_row_id"][i],
         )
         out.append(ManifestEntry(
             status=cols["status"][i], snapshot_id=cols["snapshot_id"][i],

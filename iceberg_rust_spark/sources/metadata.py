@@ -156,6 +156,8 @@ class TableMetadata:
     statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
     partition_statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
     encryption_keys: List[Dict[str, Any]] = dc_field(default_factory=list)
+    # v3 row lineage (table_metadata.rs:140): next first-row-id to assign
+    next_row_id: int = 0
 
     # -- lookups -----------------------------------------------------------
     def schema(self, schema_id: Optional[int] = None) -> Schema:
@@ -218,6 +220,7 @@ class TableMetadata:
             d["partition-statistics"] = self.partition_statistics
         if self.encryption_keys:
             d["encryption-keys"] = self.encryption_keys
+        d["next-row-id"] = self.next_row_id
         return json.dumps(d, indent=2)
 
     @staticmethod
@@ -246,6 +249,7 @@ class TableMetadata:
             statistics=d.get("statistics", []),
             partition_statistics=d.get("partition-statistics", []),
             encryption_keys=d.get("encryption-keys", []),
+            next_row_id=d.get("next-row-id", 0),
         )
 
 

@@ -276,6 +276,22 @@ class TableScan:
                 first = tasks[0].data_file
                 gdf = gdf.withColumn("_spec_id", F.lit(first.spec_id)) \
                          .withColumn("_partition", F.lit(_part_json(first.partition)))
+                # v3 row lineage: _row_id = first_row_id + position
+                # (scan/task.rs:70-76); per-file base joined in via a tiny
+                # broadcast map
+                frids = [(t.data_file.file_path, t.data_file.first_row_id)
+                         for t in tasks]
+                if any(fr is not None for _, fr in frids):
+                    frid_df = spark.createDataFrame(
+                        frids, "_frid_file string, _frid long")
+                    gdf = gdf.join(
+                        F.broadcast(frid_df),
+                        _norm_path(gdf["_file"]) == _norm_path(frid_df["_frid_file"]),
+                        "left") \
+                        .withColumn("_row_id", F.col("_frid") + F.col("_pos")) \
+                        .drop("_frid_file", "_frid")
+                else:
+                    gdf = gdf.withColumn("_row_id", F.lit(None).cast("long"))
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
@@ -423,7 +439,7 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
             cols.append(F.lit(None).cast(tgt).alias(f.name))
     if keep_meta:
         cols += [F.col("_file"), F.col("_pos")]
-        for extra in ("_spec_id", "_partition"):
+        for extra in ("_spec_id", "_partition", "_row_id"):
             if extra in gdf.columns:
                 cols.append(F.col(extra))
     return gdf.select(*cols)

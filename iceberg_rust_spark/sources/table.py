@@ -624,6 +624,12 @@ class Table:
                 partitions=_field_summaries(files))
 
         if added:
+            # v3 row lineage: stamp each new data file's first_row_id from
+            # the table's next-row-id counter (table_metadata.rs:140)
+            for f in added:
+                if f.content == CONTENT_DATA and f.first_row_id is None:
+                    f.first_row_id = md.next_row_id
+                    md.next_row_id += f.record_count
             manifests.append(new_manifest(added, CONTENT_DATA))
         if added_deletes:
             manifests.append(new_manifest(added_deletes, 1))
