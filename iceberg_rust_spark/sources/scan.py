@@ -50,6 +50,16 @@ def load_manifest(path: str) -> Sequence[ManifestEntry]:
     return _cached_manifest(path, os.stat(path).st_mtime_ns)
 
 
+@functools.lru_cache(maxsize=1024)
+def _cached_manifest_list(path: str, mtime_ns: int) -> tuple:
+    return tuple(read_manifest_list(path))
+
+
+def load_manifest_list(path: str) -> Sequence[ManifestFile]:
+    """Manifest lists are immutable too (io/object_cache.rs:49 counterpart)."""
+    return _cached_manifest_list(path, os.stat(path).st_mtime_ns)
+
+
 @dataclass
 class FileScanTask:
     """Unit of read work (counterpart of scan/task.rs:55-118)."""
@@ -112,7 +122,7 @@ class TableScan:
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
 
         manifest_list_path = snap.manifest_list
-        manifests = read_manifest_list(manifest_list_path)
+        manifests = load_manifest_list(manifest_list_path)
         plan = ScanPlan(tasks=[], snapshot=snap, total_manifests=len(manifests))
 
         # partition predicate per spec id (cached like scan/cache.rs:31)
