@@ -93,3 +93,34 @@ def test_windowed_counts_watermark(spark, warehouse, tmp_path):
     assert got[(t0.replace(minute=10), "view")] == (1, 1.0)
     # the late event's own window never closed -> not emitted
     assert (late_ts, "click") not in got
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    from iceberg_rust_spark.streaming.stateful import sessionize_stream
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    # user 1: two sessions split by a 2-hour gap; user 2: one session
+    rows = [(1, t0, "a", 1.0), (2, t0 + dt.timedelta(minutes=5), "a", 1.0),
+            (3, t0 + dt.timedelta(minutes=10), "a", 1.0),
+            (4, t0 + dt.timedelta(hours=2), "a", 1.0),
+            (5, t0, "b", 1.0)]
+    ev = [(eid, ts, et, v) for eid, ts, et, v in rows]
+    df_rows = [(eid, ts, 1 if et == "a" else 2, et, v)
+               for eid, ts, et, v in ev]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(df_rows, schema).coalesce(1) \
+        .write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (sessions.writeStream.format("memory").queryName("sess_out")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in spark.sql("select * from sess_out").collect()}
+    # only user 1's FIRST session closed (the 2h-later event exceeded the
+    # gap); the trailing sessions stay open in state awaiting timeout
+    assert got == {(1, t0): 3}
