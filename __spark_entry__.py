@@ -641,6 +641,93 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .orderBy("cntrycode"))
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_1 suppliers' share of ASIA customers' ECONOMY-
+    part market by order year. All dims broadcast, so the only shuffles are
+    the two fact joins (l_orderkey, o_custkey) and the final year group-by."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders") \
+        .where((F.col("o_orderdate") >= dt.datetime(1995, 1, 1)) &
+               (F.col("o_orderdate") < dt.datetime(1997, 1, 1)))
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey) \
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    j = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")))
+    share = (F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)
+                   .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double") /
+             F.sum(rev).cast("double"))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(share.alias("mkt_share")))
+
+
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (schema has no partsupp/supplycost, so profit =
+    revenue): supplier-nation profit by order year over parts named
+    '%gear%'. part/supplier/nation broadcast."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    n = read_table(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(rev).cast("double").alias("profit")))
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (no container/shipmode columns in the testdata):
+    disjunctive brand x quantity-range predicate. The OR-of-ANDs stays a
+    single scan filter after the broadcast part join — no union rewrite."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (((F.col("p_brand") == "Brand#12") & (q >= 1) & (q <= 11)) |
+            ((F.col("p_brand") == "Brand#23") & (q >= 10) & (q <= 20)) |
+            ((F.col("p_brand") == "Brand#3") & (q >= 20) & (q <= 30)))
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (lineitem stands in for partsupp availability):
+    NATION_1 suppliers that shipped > 300 units of 'blue%' parts in 1995.
+    The shipped-quantity aggregate is small -> broadcast left-semi join."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").startswith("blue"))
+    l = read_table(spark, sf_dir, "lineitem") \
+        .where((F.col("l_shipdate") >= dt.datetime(1995, 1, 1)) &
+               (F.col("l_shipdate") < dt.datetime(1996, 1, 1)))
+    shipped = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+               .groupBy("l_suppkey")
+               .agg(F.sum(_dec("l_quantity")).alias("qty"))
+               .where(F.col("qty") > 300))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(shipped), s.s_suppkey == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name",
+                    F.col("s_acctbal").cast("double").alias("s_acctbal")))
+
+
 def q_events_variant(spark, sf_dir):
     """Semi-structured column path (§1.2 variant): parse the JSON props
     column to Spark 4 VariantType, extract a typed field, aggregate. The
@@ -797,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_nation_profit": q9_nation_profit,
         "q10_returned_items": q10_returned_items,
         "q11_important_stock": q11_important_stock,
         "q13_customer_distribution": q13_customer_distribution,
@@ -805,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_brand_suppliers": q16_brand_suppliers,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "window_topn": q_window_topn,
@@ -957,6 +1048,53 @@ def oracle_sql() -> dict[str, str]:
                   WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             GROUP BY supp_nation, cust_nation, l_year""",
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {rev}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM({rev}) AS DOUBLE) AS mkt_share
+            FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region   ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1""",
+        "q9_nation_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM({rev}) AS DOUBLE) AS profit
+            FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2""",
+        "q19_discounted_revenue": f"""
+            SELECT CAST(SUM({rev}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity >= 1  AND l_quantity <= 11)
+               OR (p_brand = 'Brand#23' AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#3'  AND l_quantity >= 20 AND l_quantity <= 30)""",
+        "q20_excess_suppliers": """
+            WITH shipped AS (
+              SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'blue%'
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+            SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+              AND s_suppkey IN (SELECT l_suppkey FROM shipped)""",
         "q11_important_stock": """
             WITH pp AS (
               SELECT l_partkey,
