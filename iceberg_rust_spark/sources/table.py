@@ -448,6 +448,104 @@ class Table:
                   "record_count long, file_size_in_bytes long, spec_id int, "
                   "referenced_data_file string")
 
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `refs`: one row per branch/tag (spec
+        table_metadata.rs refs map)."""
+        rows = [(name, r.type, r.snapshot_id)
+                for name, r in sorted(self.metadata.refs.items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long")
+
+    def partitions_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `partitions`: per-partition record/file/byte totals
+        aggregated from manifest entries — metadata-only, no data IO (the
+        reference's inspect surface exposes the same aggregation)."""
+        agg: Dict[Tuple[str, int], List[int]] = {}
+        for t in self.scan().plan_files().tasks:
+            f = t.data_file
+            rec = agg.setdefault((str(f.partition), f.spec_id), [0, 0, 0])
+            rec[0] += f.record_count
+            rec[1] += 1
+            rec[2] += f.file_size_in_bytes
+        rows = [(part, spec_id, v[0], v[1], v[2])
+                for (part, spec_id), v in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows, "partition string, spec_id int, record_count long, "
+                  "file_count long, total_size_bytes long")
+
+    # ------------------------------------------------------------ statistics
+    def analyze(self, spark: SparkSession,
+                columns: Optional[List[str]] = None) -> "Table":
+        """Compute per-column NDV + null counts over the current snapshot in
+        ONE distributed aggregation (HLL-backed approx_count_distinct — the
+        Spark-native analogue of the spec's theta sketches), write a Puffin
+        statistics file, and commit it through the `set-statistics` update
+        (reference: transaction/update_statistics.rs, puffin/blob.rs:25).
+
+        Blob layout: one blob per column, type ``ndv-long-v1`` (8-byte LE
+        NDV), ``fields=[field_id]``, and the spec's ``ndv`` property on the
+        blob metadata so readers that only look at properties still work.
+        The datasketches lib isn't in this container, so the blob payload is
+        our own fixed-width encoding rather than a serialized theta sketch.
+        """
+        import struct as _struct
+
+        from .puffin import BlobMetadata, write_puffin
+
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            raise ValueError("analyze: table has no snapshot")
+        schema = self.schema
+        cols = columns or [f.name for f in schema.fields]
+        df = self.to_df(spark)
+        aggs = []
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c, 0.01).alias(f"ndv_{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        row = df.agg(*aggs).collect()[0]
+
+        blobs = []
+        for c in cols:
+            fid = schema.field_by_name(c).field_id
+            ndv, nulls = int(row[f"ndv_{c}"]), int(row[f"nulls_{c}"])
+            blobs.append((BlobMetadata(
+                type="ndv-long-v1", fields=[fid],
+                snapshot_id=snap.snapshot_id,
+                sequence_number=snap.sequence_number, offset=0, length=0,
+                properties={"ndv": str(ndv), "null-count": str(nulls)}),
+                _struct.pack("<q", ndv)))
+        path = os.path.join(self.location, "metadata",
+                            f"stats-{snap.snapshot_id}-{uuid.uuid4().hex}.puffin")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        written = write_puffin(path, blobs)
+        stats_file = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+            "file-footer-size-in-bytes": 0,
+            "blob-metadata": [m.to_json() for m in written],
+        }
+        return self.commit_updates(
+            [{"action": "set-statistics", "statistics": stats_file}])
+
+    def column_stats(self) -> Dict[str, Dict[str, int]]:
+        """Read back the committed statistics file for the snapshot it was
+        computed at: {column_name: {"ndv": n, "null_count": n}}."""
+        from .puffin import read_puffin_footer
+
+        out: Dict[str, Dict[str, int]] = {}
+        by_id = {f.field_id: f.name for f in self.schema.fields}
+        for sf in self.metadata.statistics:
+            metas, _props = read_puffin_footer(sf["statistics-path"])
+            for m in metas:
+                if m.type != "ndv-long-v1" or not m.fields:
+                    continue
+                name = by_id.get(m.fields[0])
+                if name:
+                    out[name] = {"ndv": int(m.properties.get("ndv", 0)),
+                                 "null_count": int(m.properties.get("null-count", 0))}
+        return out
+
     def incremental_scan(self, from_snapshot_id: int,
                          to_snapshot_id: Optional[int] = None) -> TableScan:
         """Appended-files-between-snapshots scan (change-feed for appends);
