@@ -29,6 +29,15 @@ from .table import Table
 from .views import ViewCatalog
 
 
+# inspect/metadata tables addressable from SQL as ns.table.<meta>
+# (counterpart of the reference's IcebergMetadataScan,
+# physical_plan/metadata_scan.rs:30)
+_META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
+                "manifests": "manifests_df", "files": "files_df",
+                "entries": "entries_df", "refs": "refs_df",
+                "partitions": "partitions_df"}
+
+
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             scan_filters: Optional[Dict[str, "E.Predicate"]] = None) -> DataFrame:
     """Execute ``query`` with catalog identifiers resolved to Iceberg scans."""
@@ -39,16 +48,28 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         for tname in catalog.list_tables(ns):
             full = f"{ns}.{tname}"
             pat = re.compile(rf"(?<![\w.]){re.escape(full)}(?![\w.])")
-            if not pat.search(rewritten):
+            meta_hits = {
+                meta: re.compile(
+                    rf"(?<![\w.]){re.escape(full)}\.{meta}(?![\w.])")
+                for meta in _META_TABLES
+                if re.search(rf"(?<![\w.]){re.escape(full)}\.{meta}(?![\w.])",
+                             rewritten)}
+            if not pat.search(rewritten) and not meta_hits:
                 continue
-            view_name = f"__ice_{ns}_{tname}"
             try:
                 t = Table.load(catalog, full)
             except NoSuchTable:
                 continue
-            t.scan(row_filter=scan_filters.get(full)) \
-                .to_df(spark).createOrReplaceTempView(view_name)
-            rewritten = pat.sub(view_name, rewritten)
+            for meta, mpat in meta_hits.items():
+                mview = f"__ice_meta_{ns}_{tname}_{meta}"
+                getattr(t, _META_TABLES[meta])(spark) \
+                    .createOrReplaceTempView(mview)
+                rewritten = mpat.sub(mview, rewritten)
+            if pat.search(rewritten):
+                view_name = f"__ice_{ns}_{tname}"
+                t.scan(row_filter=scan_filters.get(full)) \
+                    .to_df(spark).createOrReplaceTempView(view_name)
+                rewritten = pat.sub(view_name, rewritten)
         for vname in vc.list_views(ns):
             full = f"{ns}.{vname}"
             pat = re.compile(rf"(?<![\w.]){re.escape(full)}(?![\w.])")

@@ -528,6 +528,54 @@ class Table:
         return self.commit_updates(
             [{"action": "set-statistics", "statistics": stats_file}])
 
+    def analyze_partitions(self, spark: SparkSession) -> "Table":
+        """Write a partition-statistics file for the current snapshot (spec
+        `partition-statistics`; reference spec/partition_statistics_file) and
+        commit it via `set-partition-statistics`.
+
+        Rows come from manifest metadata only (record/file/byte counts per
+        partition), so this is a driver-side pass over the already-cached
+        manifests — no data IO; stored as parquet like the Java impl.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            raise ValueError("analyze_partitions: table has no snapshot")
+        rows = self.partitions_df(spark).collect()
+        tbl = pa.table({
+            "partition": [r["partition"] for r in rows],
+            "spec_id": pa.array([r["spec_id"] for r in rows], pa.int32()),
+            "data_record_count": pa.array(
+                [r["record_count"] for r in rows], pa.int64()),
+            "data_file_count": pa.array(
+                [r["file_count"] for r in rows], pa.int64()),
+            "total_data_file_size_in_bytes": pa.array(
+                [r["total_size_bytes"] for r in rows], pa.int64()),
+        })
+        path = os.path.join(
+            self.location, "metadata",
+            f"partition-stats-{snap.snapshot_id}-{uuid.uuid4().hex}.parquet")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        stats_file = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        return self.commit_updates(
+            [{"action": "set-partition-statistics",
+              "partition-statistics": stats_file}])
+
+    def partition_stats_df(self, spark: SparkSession) -> DataFrame:
+        """Read back the committed partition-statistics parquet files."""
+        paths = [sf["statistics-path"]
+                 for sf in self.metadata.partition_statistics]
+        if not paths:
+            raise ValueError("no partition statistics; run analyze_partitions")
+        return spark.read.parquet(*paths)
+
     def column_stats(self) -> Dict[str, Dict[str, int]]:
         """Read back the committed statistics file for the snapshot it was
         computed at: {column_name: {"ndv": n, "null_count": n}}."""

@@ -22,6 +22,17 @@ SESSION_SCHEMA = ("user_id long, session_start timestamp, "
 STATE_SCHEMA = "start long, last long, n long"
 
 
+def dedup_stream(events: DataFrame, keys: list, ts_col: str = "ts",
+                 delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state bounded
+    by the watermark (``dropDuplicatesWithinWatermark``) so the key store
+    can't grow without bound — the streaming face of operators/dedup.py's
+    batch exact_dedup, sized for an unbounded 100 TB ingest where an
+    unbounded ``dropDuplicates`` state would eventually OOM the store."""
+    return (events.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                       user_col: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:

@@ -81,3 +81,26 @@ def test_partition_spec_evolution_end_to_end(spark, warehouse):
     got2 = scan2.to_df(spark).count()
     want2 = df.where(F.col("cat") == "c0").count()
     assert got2 == want2
+
+
+def test_run_sql_metadata_tables(spark, warehouse):
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.mt", schema_from_spark(df.schema))
+    t = t.append(spark, df).append(spark, df)
+
+    snaps = run_sql(spark, warehouse,
+                    "SELECT count(*) AS n FROM db.mt.snapshots").collect()
+    assert snaps[0]["n"] == 2
+    # metadata table joined against the data table in one statement
+    out = run_sql(spark, warehouse, """
+        SELECT s.snapshot_id, d.total
+        FROM (SELECT max(snapshot_id) AS snapshot_id FROM db.mt.snapshots) s
+        CROSS JOIN (SELECT count(*) AS total FROM db.mt) d""").collect()
+    assert out[0]["total"] == 80
+    files = run_sql(spark, warehouse,
+                    "SELECT sum(record_count) AS rc FROM db.mt.files").collect()
+    assert files[0]["rc"] == 80
+    refs = run_sql(spark, warehouse,
+                   "SELECT name, type FROM db.mt.refs").collect()
+    assert [(r["name"], r["type"]) for r in refs] == [("main", "branch")]

@@ -52,6 +52,22 @@ def test_analyze_replaces_stats_for_same_snapshot(spark, warehouse):
     assert set(t.column_stats()) == {"g", "v"}
 
 
+def test_partition_statistics_file(spark, warehouse):
+    t, _ = _mk(spark, warehouse, name="db.pstats", partitioned=True)
+    t = t.analyze_partitions(spark)
+    assert len(t.metadata.partition_statistics) == 1
+    sf = t.metadata.partition_statistics[0]
+    assert sf["snapshot-id"] == t.metadata.current_snapshot_id
+    assert os.path.exists(sf["statistics-path"])
+
+    ps = t.partition_stats_df(spark).collect()
+    assert len(ps) == 4
+    assert sum(r["data_record_count"] for r in ps) == 100
+    # survives a metadata round-trip through the catalog
+    reloaded = t.refresh()
+    assert reloaded.metadata.partition_statistics == t.metadata.partition_statistics
+
+
 def test_refs_and_partitions_metadata_tables(spark, warehouse):
     t, df = _mk(spark, warehouse, name="db.meta", partitioned=True)
     t = t.set_ref("audit", t.metadata.current_snapshot_id, ref_type="tag")

@@ -124,3 +124,26 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # only user 1's FIRST session closed (the 2h-later event exceeded the
     # gap); the trailing sessions stay open in state awaiting timeout
     assert got == {(1, t0): 3}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from iceberg_rust_spark.streaming.stateful import dedup_stream
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    rows = [(1, t0, 10), (1, t0, 10),                       # exact dup
+            (2, t0 + dt.timedelta(minutes=1), 11),
+            (1, t0 + dt.timedelta(minutes=2), 10),          # dup within delay
+            (3, t0 + dt.timedelta(minutes=3), 12)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(src)
+    out = dedup_stream(stream, ["event_id"], delay="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dd_out")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select * from dd_out").collect())
+    assert got == [1, 2, 3]
