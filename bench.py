@@ -24,8 +24,10 @@ BENCH_QUERIES = [
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
     "iceberg_compaction",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q7_nation_volume", "q10_returned_items", "q14_promo_revenue",
-    "q18_large_orders", "window_topn", "rollup_orders", "events_hourly",
+    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
+    "q10_returned_items", "q14_promo_revenue",
+    "q18_large_orders", "q19_discounted_revenue",
+    "window_topn", "rollup_orders", "events_hourly",
     "events_sessions", "dedup_exact", "dedup_minhash", "dedup_embedding_lsh",
     "text_quality", "text_tokens", "text_fingerprint",
     "ann_cosine_topk", "ann_lsh_topk",

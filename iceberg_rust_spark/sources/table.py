@@ -101,7 +101,18 @@ class Table:
              selected_columns: Optional[List[str]] = None,
              snapshot_id: Optional[int] = None,
              as_of_timestamp_ms: Optional[int] = None,
+             ref: Optional[str] = None,
              include_metadata_columns: bool = False) -> TableScan:
+        """``ref`` selects a named branch/tag (spec refs map) — the
+        ref-addressable read the reference resolves through
+        TableMetadata::snapshot_for_ref."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            r = self.metadata.refs.get(ref)
+            if r is None:
+                raise ValueError(f"no such ref: {ref}")
+            snapshot_id = r.snapshot_id
         return TableScan(self.metadata, row_filter, selected_columns,
                          snapshot_id, as_of_timestamp_ms,
                          include_metadata_columns=include_metadata_columns)
@@ -111,13 +122,18 @@ class Table:
 
     # ---------------------------------------------------------------- writes
     def append(self, spark: SparkSession, df: DataFrame,
-               extra_summary: Optional[Dict[str, str]] = None) -> "Table":
+               extra_summary: Optional[Dict[str, str]] = None,
+               branch: Optional[str] = None) -> "Table":
         """Fast-append (transaction/append.rs:33-90): write files, new manifest,
         re-point manifest list. ``extra_summary`` lands in the snapshot summary
-        (used e.g. by the streaming sink for exactly-once batch bookkeeping)."""
+        (used e.g. by the streaming sink for exactly-once batch bookkeeping).
+        ``branch`` commits to a named branch ref instead of main (WAP-style
+        isolated writes; main is untouched until a set_ref fast-forward). A
+        missing branch is created from the current main head."""
         data_files = write_data_files(spark, df, self.metadata)
         return self._commit_retry(lambda md: self._snapshot_update(
-            md, "append", added=data_files, extra_summary=extra_summary))
+            md, "append", added=data_files, extra_summary=extra_summary,
+            branch=branch))
 
     def overwrite_all(self, spark: SparkSession, df: DataFrame) -> "Table":
         """Replace the whole table contents in one atomic snapshot."""
@@ -385,6 +401,12 @@ class Table:
             if md.snapshot_by_id(snapshot_id) is None:
                 raise ValueError(f"no snapshot {snapshot_id}")
             md.refs[name] = SnapshotRef(snapshot_id, ref_type)
+            if name == MAIN_BRANCH:
+                # same main special-case as the set-snapshot-ref applier:
+                # re-pointing main IS the fast-forward/rollback primitive
+                md.current_snapshot_id = snapshot_id
+                md.snapshot_log.append({
+                    "timestamp-ms": now_ms(), "snapshot-id": snapshot_id})
             return md
         return self._commit_retry(action)
 
@@ -745,9 +767,13 @@ class Table:
                          added_deletes: Optional[List[DataFile]] = None,
                          removed_paths: Optional[set] = None,
                          remove_all: bool = False,
-                         extra_summary: Optional[Dict[str, str]] = None) -> TableMetadata:
+                         extra_summary: Optional[Dict[str, str]] = None,
+                         branch: Optional[str] = None) -> TableMetadata:
         """Build the next snapshot: new manifest(s) for added files, carried
-        (possibly rewritten) manifests for survivors, new manifest list."""
+        (possibly rewritten) manifests for survivors, new manifest list.
+        With ``branch`` set (non-main), the new snapshot extends and re-points
+        that ref only; current_snapshot_id and the snapshot log stay on main.
+        """
         added = added or []
         added_deletes = added_deletes or []
         removed_paths = removed_paths or set()
@@ -780,8 +806,13 @@ class Table:
         if added_deletes:
             manifests.append(new_manifest(added_deletes, 1))
 
-        # carry forward previous manifests
-        cur = md.current_snapshot()
+        # carry forward previous manifests from the base (branch head if
+        # writing to a branch, else the main current snapshot)
+        on_branch = branch is not None and branch != MAIN_BRANCH
+        if on_branch and branch in md.refs:
+            cur = md.snapshot_by_id(md.refs[branch].snapshot_id)
+        else:
+            cur = md.current_snapshot()
         if cur is not None and not remove_all:
             for mf in read_manifest_list(cur.manifest_list):
                 if not removed_paths:
@@ -826,13 +857,17 @@ class Table:
                      "total-records": str(total_records),
                      "total-data-files": str(total_files),
                      **(extra_summary or {})},
-            parent_snapshot_id=md.current_snapshot_id,
+            parent_snapshot_id=(cur.snapshot_id if cur else None),
             schema_id=md.current_schema_id)
         md.snapshots.append(snap)
-        md.current_snapshot_id = snap_id
         md.last_sequence_number = seq
-        md.refs[MAIN_BRANCH] = SnapshotRef(snap_id, "branch")
-        md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap_id})
+        if on_branch:
+            md.refs[branch] = SnapshotRef(snap_id, "branch")
+        else:
+            md.current_snapshot_id = snap_id
+            md.refs[MAIN_BRANCH] = SnapshotRef(snap_id, "branch")
+            md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                                    "snapshot-id": snap_id})
         return md
 
 

@@ -148,6 +148,12 @@ def test_time_travel_and_refs(spark, warehouse, lineitem):
     assert t2.metadata.refs["v1"].snapshot_id == snap1
     ts1 = t.metadata.snapshot_by_id(snap1).timestamp_ms
     assert t.scan(as_of_timestamp_ms=ts1).to_df(spark).count() == 100
+    # ref-addressable read: tag resolves to its pinned snapshot
+    t3 = t.refresh()
+    assert t3.scan(ref="v1").to_df(spark).count() == 100
+    assert t3.scan(ref="main").to_df(spark).count() == 150
+    with pytest.raises(ValueError, match="no such ref"):
+        t3.scan(ref="nope")
 
 
 def test_required_column_enforced(spark, warehouse):
@@ -159,3 +165,21 @@ def test_required_column_enforced(spark, warehouse):
     df = spark.createDataFrame([("a",)], "name string")
     with pytest.raises(ValueError, match="required"):
         t.append(spark, df)
+
+
+def test_branch_writes_isolate_then_fast_forward(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(100))
+    t = t.append(spark, lineitem.limit(50), branch="audit")
+    # main untouched; branch sees base + its own append (WAP isolation)
+    assert t.to_df(spark).count() == 100
+    assert t.scan(ref="audit").to_df(spark).count() == 150
+    t = t.append(spark, lineitem.limit(25), branch="audit")
+    assert t.scan(ref="audit").to_df(spark).count() == 175
+    assert t.to_df(spark).count() == 100
+    # branch head chains parents back to the shared base
+    head = t.metadata.snapshot_by_id(t.metadata.refs["audit"].snapshot_id)
+    mid = t.metadata.snapshot_by_id(head.parent_snapshot_id)
+    assert mid.parent_snapshot_id == t.metadata.current_snapshot_id
+    # publish: fast-forward main to the branch head
+    t = t.set_ref("main", t.metadata.refs["audit"].snapshot_id)
+    assert t.to_df(spark).count() == 175
