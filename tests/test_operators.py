@@ -218,3 +218,31 @@ def test_incremental_reader(spark, warehouse, tmp_path):
     more = [(sid, [r["id"] for r in df.collect()])
             for sid, df in rd.micro_batches(spark)]
     assert [b[1] for b in more] == [[4]]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from iceberg_rust_spark.operators.bucketing import (
+        bucketed_join, count_shuffles, write_bucketed)
+    import pyspark.sql.functions as F
+
+    orders = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("status"))
+    items = spark.range(0, 6000).select(
+        (F.col("id") % 2000).alias("k"), F.col("id").alias("item"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    write_bucketed(orders, "bktdb.orders_b", ["k"], 8)
+    write_bucketed(items, "bktdb.items_b", ["k"], 8)
+    try:
+        j = bucketed_join(spark, "bktdb.orders_b", "bktdb.items_b", ["k"],
+                          force_sort_merge=True, expect_shuffle_free=True)
+        assert count_shuffles(j) == 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 6000
+        # same result as the plain (shuffling) join
+        plain = orders.join(items, "k").count()
+        assert plain == 6000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.items_b")
