@@ -798,6 +798,25 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                                   threshold=0.95)
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic md5-keyed corpus sample (curation op): same rows in
+    every engine/run; pure filter, no shuffle."""
+    from iceberg_rust_spark.operators.sampling import deterministic_sample
+    d = read_table(spark, sf_dir, "documents")
+    return (deterministic_sample(d, "doc_id", 0.25)
+            .select("doc_id", "source", F.length("text").alias("n_chars")))
+
+
+def q_doc_quota(spark, sf_dir):
+    """Per-source document quota (cap N docs per domain), deterministic
+    order; the bounded-shuffle curation op."""
+    from iceberg_rust_spark.operators.sampling import quota_per_group
+    d = read_table(spark, sf_dir, "documents")
+    return (quota_per_group(d, ["source"], 50, order_col="doc_id")
+            .groupBy("source").agg(F.count("*").alias("n_docs"),
+                                   F.max("doc_id").alias("max_kept_id")))
+
+
 def q_text_tokens(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -914,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "doc_sample": q_doc_sample,
+        "doc_quota": q_doc_quota,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -923,6 +944,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _sql_sample_pred(key_sql: str, rate: float) -> str:
+    from iceberg_rust_spark.operators.sampling import sql_sample_predicate
+    return sql_sample_predicate(key_sql, rate)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1289,6 +1315,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.embedding, b.embedding) /
                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
                          sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.95""",
+        "doc_sample": f"""
+            SELECT doc_id, source, length(text) AS n_chars
+            FROM documents
+            WHERE {_sql_sample_pred('doc_id', 0.25)}""",
+        "doc_quota": """
+            SELECT source, COUNT(*) AS n_docs, MAX(doc_id) AS max_kept_id
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 50 GROUP BY source""",
         "text_tokens": f"""
             SELECT doc_id, {TX.sql_token_count(t)} AS n_ws_tokens,
                    {TX.sql_bpe_token_count(t)} AS n_bpe_tokens,

@@ -1,0 +1,64 @@
+"""Deterministic sampling / quota operators for training-data curation.
+
+At 100 TB, curation needs sampling that is (a) reproducible across runs and
+engines — no RNG seeds that change with partitioning — and (b) expressible
+as a scan-level filter so it composes with pushdown. Both operators here are
+pure column expressions (JVM-side, whole-stage codegen; no UDF, no shuffle
+for the sample; one bounded shuffle for the quota).
+
+Engine-portable determinism: the sample keeps a row iff the first 8 hex
+chars of md5(key) compare below a hex threshold string. md5 is bit-identical
+everywhere (Spark, DuckDB, Python), so the SAME rows are selected by every
+engine — which is also what makes the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(rate: float) -> str:
+    """rate in [0,1] -> 8-hex-digit threshold string ('40000000' for 0.25)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "gggggggg"  # 'g' > any hex digit: keeps everything
+    return format(int(rate * 0x100000000), "08x")
+
+
+def sample_predicate(key: Column, rate: float) -> Column:
+    """Boolean column: deterministically keep ~``rate`` of rows by key.
+    Same key ⇒ same verdict in every run/engine (md5-prefix ordering)."""
+    return F.substring(F.md5(key.cast("string")), 1, 8) < _hex_threshold(rate)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Reproducible ~``rate`` sample keyed on ``key_col``. A filter, not a
+    shuffle: survives pushdown and never resamples differently when the
+    input repartitions (unlike df.sample, whose output depends on split
+    layout)."""
+    return df.where(sample_predicate(F.col(key_col), rate))
+
+
+def sql_sample_predicate(key_sql: str, rate: float) -> str:
+    """DuckDB/ANSI twin of sample_predicate — selects the SAME rows."""
+    return (f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8) < "
+            f"'{_hex_threshold(rate)}'")
+
+
+def quota_per_group(df: DataFrame, group_cols: List[str], quota: int,
+                    order_col: Optional[str] = None,
+                    keep_col: str = None) -> DataFrame:
+    """Cap rows per group (e.g. max N documents per source domain), keeping
+    the first ``quota`` by ``order_col`` (deterministic tie-break required —
+    pass a unique column). One hash-shuffle on the group key; each group is
+    processed streaming by the window, so a skewed giant group costs one
+    task's sort, never memory (rank, don't collect). At extreme skew,
+    pre-aggregate with operators/skew.py salting."""
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= quota).drop("_rn"))

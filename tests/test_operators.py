@@ -246,3 +246,27 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.items_b")
+
+
+def test_deterministic_sample_and_quota(spark):
+    from iceberg_rust_spark.operators.sampling import (
+        deterministic_sample, quota_per_group)
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 4000).select(F.col("id"), (F.col("id") % 13).alias("g"))
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+    # repartitioning must not change the selected set (df.sample would)
+    s2 = {r["id"] for r in
+          deterministic_sample(df.repartition(17), "id", 0.3).collect()}
+    assert s1 == s2
+    assert 0.25 < len(s1) / 4000 < 0.35
+    assert deterministic_sample(df, "id", 1.0).count() == 4000
+    assert deterministic_sample(df, "id", 0.0).count() == 0
+
+    q = quota_per_group(df, ["g"], 10, order_col="id")
+    per = {r["g"]: r["n"] for r in
+           q.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in per.values())
+    # keeps the FIRST `quota` by order_col
+    kept0 = sorted(r["id"] for r in q.where(F.col("g") == 0).collect())
+    assert kept0 == [i * 13 for i in range(10)]
