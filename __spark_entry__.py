@@ -58,7 +58,7 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
-_WH_VERSION = 2  # bump when the fixture set changes to invalidate the cache
+_WH_VERSION = 3  # bump when the fixture set changes to invalidate the cache
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
@@ -145,6 +145,15 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
     for m in range(3):
         t.append(spark, orders.where(F.col("o_orderkey") % 3 == m))
     t.compact(spark)
+
+    # 9b. single-snapshot MERGE upsert: keys %10==0 re-priced + re-prioritized
+    t = Table.create(cat, "db.orders_merge", schema_from_spark(orders.schema))
+    t = t.append(spark, orders)
+    src = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate", F.lit("MERGED").alias("o_orderpriority"))
+    t.merge(spark, src, ["o_orderkey"])
 
     # 10. external-file import via name mapping (no rewrite)
     t = Table.create(cat, "db.orders_ext", schema_from_spark(orders.schema))
@@ -742,6 +751,12 @@ def q_events_variant(spark, sf_dir):
                  F.min("k").alias("min_k"), F.max("k").alias("max_k")))
 
 
+def q_iceberg_merge(spark, sf_dir):
+    t = _ice(spark, sf_dir, "orders_merge")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
 def q_iceberg_add_files(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_ext")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -893,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_delete_dv": q_iceberg_delete_dv,
         "iceberg_delete_eq": q_iceberg_delete_eq,
+        "iceberg_merge": q_iceberg_merge,
         "iceberg_compaction": q_iceberg_compaction,
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_view_monthly": q_view_monthly,
@@ -1019,6 +1035,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_orderpriority""",
+        "iceberg_merge": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM (SELECT o_orderpriority, o_totalprice FROM orders
+                  WHERE o_orderkey % 10 <> 0
+                  UNION ALL
+                  SELECT 'MERGED' AS o_orderpriority, o_totalprice * 2
+                  FROM orders WHERE o_orderkey % 10 = 0)
             GROUP BY o_orderpriority""",
         "iceberg_compaction": f"""
             SELECT o_orderstatus, COUNT(*) AS n,

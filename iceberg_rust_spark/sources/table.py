@@ -273,6 +273,45 @@ class Table:
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels))
 
+    def merge(self, spark: SparkSession, source_df: DataFrame,
+              key_columns: List[str]) -> "Table":
+        """Upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT) in ONE
+        snapshot: write the source rows as data files AND the source keys as
+        an equality-delete file, commit both atomically. Both carry the same
+        sequence number, and equality deletes only apply to files with a
+        STRICTLY LOWER sequence (scan rule above; reference
+        delete_file_index.rs:84-168) — so old rows with matching keys
+        disappear and their replacements survive, with no window where a
+        reader can observe the delete without the insert.
+
+        Scale shape: the source writes distribute like any append; the key
+        tuples are a narrow projection (typically <<1% of the data width),
+        and applying them at read is a broadcast/left-anti join per task —
+        no read-side shuffle of the fact table."""
+        schema = self.metadata.schema()
+        eq_ids = []
+        for name in key_columns:
+            f = schema.field_by_name(name)
+            if f is None:
+                raise ValueError(f"no column {name}")
+            eq_ids.append(f.field_id)
+        data_files = write_data_files(spark, source_df, self.metadata)
+        out = os.path.join(self.location, "data",
+                           f"eq-del-{uuid.uuid4().hex[:12]}")
+        source_df.select(*key_columns).dropDuplicates() \
+            .repartition(1).write.parquet(out)
+        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
+                 for f in fs if f.endswith(".parquet")]
+        stats = collect_parquet_stats(spark, files)
+        dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
+                         record_count=stats[p]["num_rows"],
+                         file_size_in_bytes=stats[p]["size"],
+                         equality_ids=eq_ids,
+                         schema_id=schema.schema_id, spec_id=self.spec.spec_id)
+                for p in files]
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "overwrite", added=data_files, added_deletes=dels))
+
     # ------------------------------------------------------------ maintenance
     def compact(self, spark: SparkSession,
                 small_file_bytes: Optional[int] = None) -> "Table":

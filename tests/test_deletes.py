@@ -71,3 +71,39 @@ def test_time_travel_before_delete(spark, users_table):
     t = users_table.delete_where(spark, E.col("id") <= 2, mode="cow")
     assert ids(spark, t) == [3, 4, 5, 6]
     assert ids(spark, t, snapshot_id=before) == [1, 2, 3, 4, 5, 6]
+
+
+def test_merge_upsert_single_snapshot(spark, warehouse):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)],
+        "id long, name string, amount double")
+    t = Table.create(warehouse, "db.merge", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    n_snaps = len(t.metadata.snapshots)
+
+    # update ids 10..19 (new values), insert ids 100..104
+    src = spark.createDataFrame(
+        [(i, f"UPD{i}", float(i) * 10) for i in range(10, 20)] +
+        [(i, f"NEW{i}", -1.0) for i in range(100, 105)],
+        "id long, name string, amount double")
+    t = t.merge(spark, src, ["id"])
+    assert len(t.metadata.snapshots) == n_snaps + 1  # ONE snapshot
+
+    got = {r["id"]: (r["name"], r["amount"]) for r in t.to_df(spark).collect()}
+    assert len(got) == 105
+    assert got[15] == ("UPD15", 150.0)   # matched -> updated
+    assert got[5] == ("v5", 5.0)         # untouched
+    assert got[102] == ("NEW102", -1.0)  # not matched -> inserted
+
+    # time travel still sees the pre-merge state
+    prev = t.metadata.snapshots[-2].snapshot_id
+    old = {r["id"]: r["name"] for r in
+           t.scan(snapshot_id=prev).to_df(spark).collect()}
+    assert old[15] == "v15" and 102 not in old
+
+    # a second merge hitting previously-merged rows
+    src2 = spark.createDataFrame([(15, "FINAL", 0.0)],
+                                 "id long, name string, amount double")
+    t = t.merge(spark, src2, ["id"])
+    got2 = {r["id"]: r["name"] for r in t.to_df(spark).collect()}
+    assert got2[15] == "FINAL" and len(got2) == 105
