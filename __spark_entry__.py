@@ -854,6 +854,37 @@ def q_text_langid(spark, sf_dir):
     return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_pred"))
 
 
+def q_text_top_terms(spark, sf_dir):
+    """Corpus document-frequency top-20 terms: one partial-aggregated
+    shuffle on term after an explode — the vocabulary-stats primitive."""
+    d = read_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.array_distinct(
+        TX.alpha_tokens(F.col("text")))).alias("term"))
+    return (terms.groupBy("term").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), "term").limit(20))
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms. Shape: explode -> (doc,term) agg ->
+    term-df agg joined back (AQE picks broadcast while the vocabulary fits,
+    shuffle-hash beyond) -> per-doc window top-k. ln+round(6) keeps the
+    score engine-portable for the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(
+        TX.alpha_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(n)
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.log(F.col("n_docs") /
+                                                  F.col("df")), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).drop("rn"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -954,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_top_terms": q_text_top_terms,
+        "text_tfidf": q_text_tfidf,
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1364,6 +1397,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_langid": f"""
             SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
+        "text_top_terms": f"""
+            SELECT term, COUNT(*) AS df
+            FROM (SELECT unnest(list_distinct({TX.sql_alpha_tokens(t)}))
+                         AS term FROM documents)
+            GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+        "text_tfidf": f"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest({TX.sql_alpha_tokens(t)}) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tfidf
+            FROM (SELECT doc_id, tf.term AS term,
+                         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY round(tf * ln(n_docs * 1.0 / df), 6)
+                                      DESC, tf.term) AS rn
+                  FROM tf JOIN dfreq ON tf.term = dfreq.term, n)
+            WHERE rn <= 3""",
         "text_fingerprint": f"""
             SELECT doc_id, {TX.sql_fingerprint(t)} AS fp FROM documents""",
         "ann_cosine_topk": """

@@ -108,6 +108,11 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalized_text(text), "UTF-8"))
 
 
+def alpha_tokens(text: Column) -> Column:
+    """All lowercase alpha tokens (non-distinct) — TF tokenizer."""
+    return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda t: t != "")
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (1-based element_at to
     mirror DuckDB list indexing in the oracle)."""
@@ -179,6 +184,11 @@ def sql_tokens(col: str) -> str:
     """Token-list expression; alias it (e.g. ``AS t``) in a CTE, then build
     grams with :func:`sql_word_ngrams_over`."""
     return f"string_split_regex(lower(trim({col})), '\\W+')"
+
+
+def sql_alpha_tokens(col: str) -> str:
+    return (f"list_filter(string_split_regex(lower({col}), '[^a-z]+'), "
+            f"t -> t <> '')")
 
 
 def sql_word_ngrams_over(t: str, n: int = 3) -> str:
