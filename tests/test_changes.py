@@ -67,3 +67,23 @@ def test_changes_cow_rewrite_emits_delete_and_insert(spark, warehouse):
         .groupBy("id").count()
     net = 40 - 40 + 20  # inserts(0) - deletes(1) + inserts(1)
     assert t.to_df(spark).count() == net == 20
+
+
+def test_changes_merge_emits_delete_and_insert(spark, warehouse):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "id long, name string")
+    t = Table.create(warehouse, "db.chmerge", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    base = t.metadata.current_snapshot_id
+    src = spark.createDataFrame([(5, "UPD5"), (99, "NEW99")],
+                                "id long, name string")
+    t = t.merge(spark, src, ["id"])
+
+    ch = changes_df(spark, t, from_snapshot_id=base).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add((r["id"], r["name"]))
+    # the merge snapshot: old row 5 deleted; rows 5(new) and 99 inserted.
+    # (id 99 matched nothing, so the eq delete deletes no existing row)
+    assert by_type["insert"] == {(5, "UPD5"), (99, "NEW99")}
+    assert by_type["delete"] == {(5, "v5")}

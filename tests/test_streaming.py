@@ -147,3 +147,38 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.sql("select * from dd_out").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two event streams joined on key within an event-time interval —
+    watermarks bound both join-state buffers (the 100 TB-safe shape)."""
+    imps = str(tmp_path / "imps")
+    clicks = str(tmp_path / "clicks")
+    ckpt = str(tmp_path / "jckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    ischema = "ad_id long, imp_ts timestamp"
+    cschema = "ad_id long, click_ts timestamp"
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(minutes=1)), (3, t0)],
+        ischema).coalesce(1).write.parquet(imps)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5)),          # within the hour -> match
+         (2, t0 + dt.timedelta(hours=2)),            # too late -> no match
+         (4, t0 + dt.timedelta(minutes=2))],         # no impression
+        cschema).coalesce(1).write.parquet(clicks)
+
+    si = (spark.readStream.schema(spark.createDataFrame([], ischema).schema)
+          .parquet(imps).withWatermark("imp_ts", "10 minutes"))
+    sc = (spark.readStream.schema(spark.createDataFrame([], cschema).schema)
+          .parquet(clicks).withWatermark("click_ts", "10 minutes"))
+    j = si.join(
+        sc, (si.ad_id == sc.ad_id) &
+            (sc.click_ts >= si.imp_ts) &
+            (sc.click_ts <= si.imp_ts + F.expr("INTERVAL 1 HOUR"))
+    ).select(si.ad_id, "imp_ts", "click_ts")
+    q = (j.writeStream.format("memory").queryName("ssj_out")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["ad_id"]) for r in spark.sql("select * from ssj_out").collect()}
+    assert got == {1}
