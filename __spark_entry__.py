@@ -737,6 +737,17 @@ def q20_excess_suppliers(spark, sf_dir):
                     F.col("s_acctbal").cast("double").alias("s_acctbal")))
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile`; at
+    100 TB swap for percentile_approx — kept exact here so the DuckDB
+    quantile_cont oracle matches bit-for-bit after round(6))."""
+    e = read_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.count("*").alias("n")))
+
+
 def q_events_variant(spark, sf_dir):
     """Semi-structured column path (§1.2 variant): parse the JSON props
     column to Spark 4 VariantType, extract a typed field, aggregate. The
@@ -972,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
         # LLM-data-pipeline operators
         "dedup_exact": q_dedup_exact,
@@ -1339,6 +1351,12 @@ def oracle_sql() -> dict[str, str]:
                                    > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
                   FROM events)
             GROUP BY user_id""",
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type""",
         "events_variant": """
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,

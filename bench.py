@@ -22,14 +22,15 @@ from iceberg_rust_spark.session import get_spark
 BENCH_QUERIES = [
     "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
-    "iceberg_compaction",
+    "iceberg_merge", "iceberg_compaction",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q7_nation_volume", "q8_market_share", "q9_nation_profit",
     "q10_returned_items", "q14_promo_revenue",
     "q18_large_orders", "q19_discounted_revenue",
     "window_topn", "rollup_orders", "events_hourly",
     "events_sessions", "dedup_exact", "dedup_minhash", "dedup_embedding_lsh",
-    "text_quality", "text_tokens", "text_fingerprint",
+    "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
+    "doc_sample", "doc_quota",
     "ann_cosine_topk", "ann_lsh_topk",
 ]
 

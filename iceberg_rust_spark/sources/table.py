@@ -344,6 +344,41 @@ class Table:
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added=added, removed_paths=set(rewrite_paths)))
 
+    def rewrite_zorder(self, spark: SparkSession, cols: List[str],
+                       n_files: Optional[int] = None) -> "Table":
+        """Rewrite ALL data files clustered by the Morton code of ``cols``
+        (operators/zorder.py), atomically replacing the snapshot. After the
+        rewrite, min/max footer stats are tight on EVERY listed column, so
+        metadata pruning (plans/evaluators.py) skips files for predicates on
+        any of them — the multi-dimensional complement of bin-pack compact().
+        """
+        from ..operators.zorder import zorder_repartition
+
+        md = self.metadata
+        if not md.spec().is_unpartitioned:
+            # a partitioned write re-shuffles on the partition key and would
+            # undo the z clustering; z-order the partition-local files instead
+            raise ValueError("rewrite_zorder supports unpartitioned tables; "
+                             "for partitioned tables z-order within "
+                             "partitions is a future extension")
+        plan = self.scan().plan_files()
+        if not plan.tasks:
+            return self
+        paths = [t.data_file.file_path for t in plan.tasks]
+        if n_files is None:
+            target = int(md.properties.get("write.target-file-size-bytes",
+                                           str(512 * 1024 * 1024)))
+            total = sum(t.data_file.file_size_in_bytes for t in plan.tasks)
+            n_files = max(1, int((total + target - 1) // target))
+        schema = md.schema()
+        df = spark.read.schema(schema.to_spark()).parquet(*paths)
+        clustered = zorder_repartition(df, cols, int(n_files))
+        # unpartitioned write path keeps the incoming partitioning: one
+        # output file per contiguous z range
+        added = write_data_files(spark, clustered, md)
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "replace", added=added, removed_paths=set(paths)))
+
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
                          retain_last: int = 1) -> "Table":
         """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86

@@ -65,3 +65,39 @@ def test_concurrent_appends_both_land(spark, warehouse):
     got = sorted(r["id"] for r in final.to_df(spark).collect())
     assert got == [10, 20]
     assert len(final.metadata.snapshots) == 2
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, warehouse):
+    from iceberg_rust_spark import expr as E
+    # two independent-ish dimensions, written in random order across 8 files
+    df = (spark.range(0, 40_000)
+          .select(F.col("id").alias("a"),
+                  ((F.col("id") * 2654435761) % 40_000).alias("b"),
+                  F.rand(7).alias("shuffle_key"))
+          .repartition(8, "shuffle_key").drop("shuffle_key"))
+    t = Table.create(warehouse, "db.zord",
+                     schema_from_spark(df.select("a", "b").schema))
+    t = t.append(spark, df.select("a", "b"))
+
+    def skipped(table, pred):
+        plan = table.scan(row_filter=pred).plan_files()
+        return plan.skipped_by_metrics, plan.total_data_files
+
+    pred_a = (E.col("a") >= 1000) & (E.col("a") < 2000)
+    pred_b = (E.col("b") >= 1000) & (E.col("b") < 2000)
+    sk_a0, n0 = skipped(t, pred_a)
+    sk_b0, _ = skipped(t, pred_b)
+    assert sk_a0 == 0 and sk_b0 == 0  # random layout: nothing prunable
+
+    t = t.rewrite_zorder(spark, ["a", "b"], n_files=16)
+    sk_a1, n1 = skipped(t, pred_a)
+    sk_b1, _ = skipped(t, pred_b)
+    assert n1 == 16
+    # z-order gives BOTH columns file-level locality
+    assert sk_a1 >= n1 // 2, f"a-pruning weak: {sk_a1}/{n1}"
+    assert sk_b1 >= n1 // 2, f"b-pruning weak: {sk_b1}/{n1}"
+    # data intact
+    assert t.to_df(spark).count() == 40_000
+    got = t.scan(row_filter=pred_a).to_df(spark) \
+        .where("a >= 1000 and a < 2000").count()
+    assert got == 1000
