@@ -64,8 +64,10 @@ class FileSystemCatalog:
         ns_dir = os.path.join(self.warehouse, *namespace.split("."))
         if not os.path.isdir(ns_dir):
             return []
-        return sorted(name for name in os.listdir(ns_dir)
-                      if os.path.isdir(os.path.join(ns_dir, name, "metadata")))
+        return sorted(
+            name for name in os.listdir(ns_dir)
+            if os.path.isfile(os.path.join(ns_dir, name, "metadata",
+                                           "version-hint.text")))
 
     # -- tables ------------------------------------------------------------
     def table_exists(self, identifier: str) -> bool:
@@ -99,6 +101,31 @@ class FileSystemCatalog:
             shutil.rmtree(tdir)
         else:
             shutil.rmtree(os.path.join(tdir, "metadata"))
+
+    def rename_table(self, src: str, dst: str) -> None:
+        """Catalog-entry rename (Catalog::rename_table, catalog/mod.rs:~380):
+        only the identifier that resolves to the metadata moves — the table
+        LOCATION (data files, manifests) stays put and keeps its absolute
+        paths, so no data rewrite. Same semantics as the reference's
+        REST/memory catalogs, where identifier and location are independent.
+        """
+        if not self.table_exists(src):
+            raise NoSuchTable(src)
+        if self.table_exists(dst):
+            raise TableAlreadyExists(dst)
+        src_md = self._metadata_dir(src)
+        dst_md = self._metadata_dir(dst)
+        os.makedirs(dst_md, exist_ok=True)
+        md, version = self.load_table(src)
+        for f in os.listdir(src_md):
+            if f.endswith(".metadata.json") or f == "version-hint.text":
+                shutil.move(os.path.join(src_md, f), os.path.join(dst_md, f))
+        # metadata-log entries pointed at the moved version files — re-anchor
+        for entry in md.metadata_log:
+            entry["metadata-file"] = entry["metadata-file"].replace(
+                src_md, dst_md, 1)
+        with open(os.path.join(dst_md, f"v{version}.metadata.json"), "w") as fh:
+            fh.write(md.to_json())
 
     def commit_table(self, identifier: str, base_version: int,
                      metadata: TableMetadata) -> int:

@@ -115,3 +115,28 @@ def test_asof_join_semantics(spark):
     inner = {r["eid"] for r in
              asof_join(left, right, ["k"], "ts", "rts", how="inner").collect()}
     assert inner == {1, 3}
+
+
+def test_rename_table_keeps_location_and_data(spark, warehouse):
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                               "id long, v double")
+    t = Table.create(warehouse, "db.old_name", schema_from_spark(df.schema))
+    t = t.append(spark, df).append(spark, df)  # 2 snapshots, metadata-log
+    old_location = t.location
+
+    warehouse.rename_table("db.old_name", "db.new_name")
+    assert warehouse.table_exists("db.new_name")
+    assert not warehouse.table_exists("db.old_name")
+    assert "new_name" in warehouse.list_tables("db")
+    assert "old_name" not in warehouse.list_tables("db")
+
+    t2 = Table.load(warehouse, "db.new_name")
+    assert t2.location == old_location           # location unchanged
+    assert t2.to_df(spark).count() == 100        # data + manifests readable
+    # further commits work at the new identifier
+    t2 = t2.append(spark, df)
+    assert t2.to_df(spark).count() == 150
+    import pytest as _pytest
+    from iceberg_rust_spark.sources.catalog import NoSuchTable
+    with _pytest.raises(NoSuchTable):
+        warehouse.rename_table("db.old_name", "db.third")
