@@ -234,6 +234,20 @@ class TableScan:
         return out
 
     # -- execution ---------------------------------------------------------
+    def to_arrow(self, spark: SparkSession) -> "pyarrow.Table":
+        """Materialize the scan as a pyarrow Table — the reference's primary
+        read output (scan/mod.rs:192 to_arrow / ArrowRecordBatchStream).
+        Streams Arrow batches executor->driver (no Row round-trip); use for
+        driver-side handoff to pandas/duckdb/ML tooling, not as a
+        distributed path."""
+        import pyarrow as pa
+
+        df = self.to_df(spark)
+        batches = df._collect_as_arrow()
+        if batches:
+            return pa.Table.from_batches(batches)
+        return pa.Schema.from_pandas(df.limit(0).toPandas()).empty_table()
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         md = self.metadata
         plan = self.plan_files()

@@ -354,13 +354,10 @@ class Table:
         """
         from ..operators.zorder import zorder_repartition
 
+        from ..operators.zorder import zorder_column
+        from .write import partition_columns
+
         md = self.metadata
-        if not md.spec().is_unpartitioned:
-            # a partitioned write re-shuffles on the partition key and would
-            # undo the z clustering; z-order the partition-local files instead
-            raise ValueError("rewrite_zorder supports unpartitioned tables; "
-                             "for partitioned tables z-order within "
-                             "partitions is a future extension")
         plan = self.scan().plan_files()
         if not plan.tasks:
             return self
@@ -372,10 +369,25 @@ class Table:
             n_files = max(1, int((total + target - 1) // target))
         schema = md.schema()
         df = spark.read.schema(schema.to_spark()).parquet(*paths)
-        clustered = zorder_repartition(df, cols, int(n_files))
-        # unpartitioned write path keeps the incoming partitioning: one
-        # output file per contiguous z range
-        added = write_data_files(spark, clustered, md)
+        pcols = partition_columns(schema, md.spec())
+        if not pcols:
+            clustered = zorder_repartition(df, cols, int(n_files))
+        else:
+            # partitioned table: one range shuffle on (partition, z) lays
+            # rows out partition-major, z-minor; the write then only splits
+            # by directory (distribution_mode="none" -> no second shuffle)
+            z = zorder_column(df, cols)
+            tmp = df
+            for pname, src, transform, styp in pcols:
+                tmp = tmp.withColumn(pname,
+                                     transform.spark_column(F.col(src), styp))
+            names = [p[0] for p in pcols]
+            clustered = (tmp.withColumn("_zorder", z)
+                         .repartitionByRange(int(n_files), *names, "_zorder")
+                         .sortWithinPartitions(*names, "_zorder")
+                         .drop("_zorder", *names))
+        added = write_data_files(spark, clustered, md,
+                                 distribution_mode="none")
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added=added, removed_paths=set(paths)))
 

@@ -73,9 +73,14 @@ def partition_columns(schema: Schema, spec: PartitionSpec) -> List[Tuple[str, An
 
 
 def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata,
-                     data_dir: Optional[str] = None) -> List[DataFile]:
+                     data_dir: Optional[str] = None,
+                     distribution_mode: Optional[str] = None) -> List[DataFile]:
     """Write ``df`` as parquet data files for the table, returning DataFile
-    descriptors with per-file column metrics. Does NOT commit."""
+    descriptors with per-file column metrics. Does NOT commit.
+
+    ``distribution_mode`` overrides ``write.distribution-mode``: pass
+    ``"none"`` when the caller has already laid out partitions (e.g. a
+    z-order rewrite) and the write must not re-shuffle."""
     schema = metadata.schema()
     spec = metadata.spec()
     df = align_df_to_schema(df, schema)
@@ -85,7 +90,8 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     out_dir = os.path.join(base, write_id)
 
     pcols = partition_columns(schema, spec)
-    mode = metadata.properties.get("write.distribution-mode", "hash")
+    mode = distribution_mode or metadata.properties.get(
+        "write.distribution-mode", "hash")
     target_file_bytes = int(metadata.properties.get(
         "write.target-file-size-bytes", str(512 * 1024 * 1024)))
 

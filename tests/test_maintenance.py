@@ -101,3 +101,36 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, warehouse):
     got = t.scan(row_filter=pred_a).to_df(spark) \
         .where("a >= 1000 and a < 2000").count()
     assert got == 1000
+
+
+def test_zorder_rewrite_partitioned_table(spark, warehouse):
+    from iceberg_rust_spark import PartitionField, PartitionSpec, expr as E
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    df = (spark.range(0, 20_000)
+          .select((F.col("id") % 4).alias("g"),
+                  F.col("id").alias("a"),
+                  ((F.col("id") * 2654435761) % 20_000).alias("b"),
+                  F.rand(3).alias("sk"))
+          .repartition(8, "sk").drop("sk"))
+    schema = schema_from_spark(df.schema)
+    fid = schema.field_by_name("g").field_id
+    spec = PartitionSpec(0, [PartitionField(fid, 1000, "g",
+                                            parse_transform("identity"))])
+    t = Table.create(warehouse, "db.zordp", schema, spec)
+    t = t.append(spark, df)
+
+    t = t.rewrite_zorder(spark, ["a", "b"], n_files=16)
+    assert t.to_df(spark).count() == 20_000
+    # partition pruning still works after the rewrite
+    plan_g = t.scan(row_filter=E.col("g") == 1).plan_files()
+    assert plan_g.skipped_by_partition > 0
+    # and both z columns prune within the kept files
+    pa_ = (E.col("a") >= 1000) & (E.col("a") < 1500)
+    pb = (E.col("b") >= 1000) & (E.col("b") < 1500)
+    pl_a = t.scan(row_filter=pa_).plan_files()
+    pl_b = t.scan(row_filter=pb).plan_files()
+    assert pl_a.skipped_by_metrics >= pl_a.total_data_files // 3
+    assert pl_b.skipped_by_metrics >= pl_b.total_data_files // 3
+    got = t.scan(row_filter=pa_).to_df(spark) \
+        .where("a >= 1000 and a < 1500").count()
+    assert got == 500

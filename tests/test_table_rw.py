@@ -183,3 +183,18 @@ def test_branch_writes_isolate_then_fast_forward(spark, warehouse, lineitem):
     # publish: fast-forward main to the branch head
     t = t.set_ref("main", t.metadata.refs["audit"].snapshot_id)
     assert t.to_df(spark).count() == 175
+
+
+def test_scan_to_arrow(spark, warehouse, lineitem):
+    t = make_table(warehouse, spark, lineitem.limit(100))
+    tbl = t.scan(row_filter=E.col("l_quantity") > 25.0,
+                 selected_columns=["l_orderkey", "l_quantity"]).to_arrow(spark)
+    import pyarrow as pa
+    assert isinstance(tbl, pa.Table)
+    assert tbl.column_names == ["l_orderkey", "l_quantity"]
+    exp = lineitem.limit(100).where("l_quantity > 25.0").count()
+    assert tbl.num_rows == exp
+    assert all(v > 25.0 for v in tbl["l_quantity"].to_pylist())
+    # empty scan still yields a typed (zero-row) table
+    empty = t.scan(row_filter=E.col("l_quantity") > 1e9).to_arrow(spark)
+    assert empty.num_rows == 0
