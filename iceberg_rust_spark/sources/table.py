@@ -482,6 +482,11 @@ class Table:
     def update_schema(self) -> "SchemaUpdate":
         return SchemaUpdate(self)
 
+    def rollback_to(self, snapshot_id: int) -> "Table":
+        """Point main back at an earlier snapshot (metadata-only undo; the
+        rolled-past snapshots stay addressable until expiry)."""
+        return self.set_ref(MAIN_BRANCH, snapshot_id)
+
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Table":
         def action(md: TableMetadata) -> TableMetadata:
             if md.snapshot_by_id(snapshot_id) is None:

@@ -182,3 +182,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["ad_id"]) for r in spark.sql("select * from ssj_out").collect()}
     assert got == {1}
+
+
+def test_iceberg_to_iceberg_pipeline(spark, warehouse, tmp_path):
+    """End-to-end composition: iceberg source table -> incremental reader ->
+    aggregation -> exactly-once iceberg sink table; a second pass with no
+    new snapshots appends nothing."""
+    from iceberg_rust_spark.streaming.incremental import IncrementalReader
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    src = Table.create(warehouse, "db.pipe_src", schema_from_spark(
+        spark.createDataFrame([], EVENTS_SCHEMA).schema))
+    src = src.append(spark, spark.createDataFrame(
+        [(1, t0, "click", 1.0), (2, t0, "view", 2.0)], EVENTS_SCHEMA))
+    src = src.append(spark, spark.createDataFrame(
+        [(3, t0, "click", 5.0)], EVENTS_SCHEMA))
+
+    agg_schema = "event_type string, n long, sum_value double"
+    dst = Table.create(warehouse, "db.pipe_dst", schema_from_spark(
+        spark.createDataFrame([], agg_schema).schema))
+    rd = IncrementalReader(src, str(tmp_path / "pipe.ckpt"))
+
+    def run_once():
+        nonlocal dst
+        for snap_id, batch in rd.micro_batches(spark):
+            out = (batch.groupBy("event_type")
+                   .agg(F.count("*").alias("n"),
+                        F.sum("value").alias("sum_value")))
+            dst = dst.append(spark, out,
+                             extra_summary={"src-snapshot": str(snap_id)})
+
+    run_once()
+    got = {(r["event_type"], r["n"], r["sum_value"])
+           for r in dst.to_df(spark).collect()}
+    assert got == {("click", 1, 1.0), ("view", 1, 2.0), ("click", 1, 5.0)}
+    n_snaps = len(dst.metadata.snapshots)
+    run_once()  # no new source snapshots -> no new sink snapshots
+    assert len(dst.refresh().metadata.snapshots) == n_snaps
