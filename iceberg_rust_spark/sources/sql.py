@@ -38,10 +38,43 @@ _META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
                 "partitions": "partitions_df"}
 
 
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",
+                        re.IGNORECASE | re.DOTALL)
+_CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
+                      re.IGNORECASE | re.DOTALL)
+
+
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             scan_filters: Optional[Dict[str, "E.Predicate"]] = None) -> DataFrame:
-    """Execute ``query`` with catalog identifiers resolved to Iceberg scans."""
+    """Execute ``query`` with catalog identifiers resolved to Iceberg scans.
+
+    DML/DDL front door (counterpart of the reference's DataFusion
+    ``insert_into``, physical_plan/write.rs:61 + commit.rs:43):
+    ``INSERT INTO ns.t <select>`` appends the select's result to the Iceberg
+    table in one snapshot; ``CREATE TABLE ns.t AS <select>`` creates the
+    table from the result schema and appends. Both return the written rows.
+    """
     scan_filters = scan_filters or {}
+
+    m = _INSERT_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, select_sql = m.group(1), m.group(2)
+        t = _Table.load(catalog, target)
+        df = run_sql(spark, catalog, select_sql, scan_filters)
+        t.append(spark, df)
+        return df
+    m = _CTAS_RE.match(query)
+    if m:
+        from .table import Table as _Table
+        from .types import schema_from_spark
+
+        target, select_sql = m.group(1), m.group(2)
+        df = run_sql(spark, catalog, select_sql, scan_filters)
+        t = _Table.create(catalog, target, schema_from_spark(df.schema))
+        t.append(spark, df)
+        return df
     vc = ViewCatalog(catalog)
     rewritten = query
     for ns in catalog.list_namespaces():

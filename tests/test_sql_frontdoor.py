@@ -104,3 +104,31 @@ def test_run_sql_metadata_tables(spark, warehouse):
     refs = run_sql(spark, warehouse,
                    "SELECT name, type FROM db.mt.refs").collect()
     assert [(r["name"], r["type"]) for r in refs] == [("main", "branch")]
+
+
+def test_run_sql_insert_into_and_ctas(spark, warehouse):
+    df = spark.createDataFrame([(i, i % 3, float(i)) for i in range(60)],
+                               "id long, g long, v double")
+    Table.create(warehouse, "db.sqldml",
+                 schema_from_spark(df.schema)).append(spark, df)
+
+    # CTAS from a query over the iceberg table
+    run_sql(spark, warehouse, """
+        CREATE TABLE db.sqlagg AS
+        SELECT g, count(*) AS n, sum(v) AS sum_v FROM db.sqldml GROUP BY g""")
+    t = Table.load(warehouse, "db.sqlagg")
+    assert {(r["g"], r["n"]) for r in t.to_df(spark).collect()} == \
+        {(0, 20), (1, 20), (2, 20)}
+
+    # INSERT INTO appends one snapshot
+    run_sql(spark, warehouse, """
+        INSERT INTO db.sqlagg
+        SELECT g + 100 AS g, count(*) AS n, sum(v) AS sum_v
+        FROM db.sqldml GROUP BY g""")
+    t = t.refresh()
+    assert t.to_df(spark).count() == 6
+    assert len(t.metadata.snapshots) == 2
+    got = run_sql(spark, warehouse,
+                  "SELECT count(*) AS n FROM db.sqlagg WHERE g >= 100") \
+        .collect()[0]["n"]
+    assert got == 3
