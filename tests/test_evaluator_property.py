@@ -1,0 +1,128 @@
+"""Hypothesis soundness property for metrics pruning: file_might_match must
+NEVER say False for a file that contains a matching row (a false skip
+silently loses data), and file_must_match must never say True for a file
+containing a non-matching row. Over-approximation (might=True with no match)
+is allowed — that's only an IO cost."""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from iceberg_rust_spark.plans import expr as E
+from iceberg_rust_spark.plans.evaluators import (ColumnMetrics,
+                                                 file_might_match,
+                                                 file_must_match)
+from iceberg_rust_spark.sources.types import LONG, NestedField, Schema
+
+S = Schema([NestedField(1, "x", LONG)])
+
+values = st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                  min_size=1, max_size=12)
+operand = st.integers(-55, 55)
+
+
+def leaf_predicates(v):
+    c = E.col("x")
+    return [c < v, c <= v, c > v, c >= v, c == v, c != v,
+            c.is_null(), c.not_null(),
+            c.isin([v, v + 3]), c.not_in([v, v + 3])]
+
+
+@st.composite
+def predicates(draw, depth=2):
+    v = draw(operand)
+    p = draw(st.sampled_from(leaf_predicates(v)))
+    if depth > 0 and draw(st.booleans()):
+        q = draw(predicates(depth=depth - 1))
+        op = draw(st.sampled_from(["and", "or", "not"]))
+        if op == "and":
+            return p & q
+        if op == "or":
+            return p | q
+        return ~p
+    return p
+
+
+def row_matches(pred, value):
+    """Ground truth: evaluate the bound predicate on one row (SQL
+    three-valued logic on nulls collapsed to False at the top)."""
+    r = _eval(pred, value)
+    return r is True
+
+
+def _eval(p, v):
+    if isinstance(p, E.AlwaysTrue):
+        return True
+    if isinstance(p, E.AlwaysFalse):
+        return False
+    if isinstance(p, E.And):
+        l, r = _eval(p.left, v), _eval(p.right, v)
+        if l is False or r is False:
+            return False
+        if l is None or r is None:
+            return None
+        return True
+    if isinstance(p, E.Or):
+        l, r = _eval(p.left, v), _eval(p.right, v)
+        if l is True or r is True:
+            return True
+        if l is None or r is None:
+            return None
+        return False
+    if isinstance(p, E.Not):
+        r = _eval(p.child, v)
+        return None if r is None else (not r)
+    op = p.op
+    if op == "is_null":
+        return v is None
+    if op == "not_null":
+        return v is not None
+    if v is None:
+        return None  # comparisons with null are unknown
+    if op == "lt":
+        return v < p.literal
+    if op == "lt_eq":
+        return v <= p.literal
+    if op == "gt":
+        return v > p.literal
+    if op == "gt_eq":
+        return v >= p.literal
+    if op == "eq":
+        return v == p.literal
+    if op == "not_eq":
+        return v != p.literal
+    if op == "in":
+        return v in p.literals
+    if op == "not_in":
+        return v not in p.literals
+    raise AssertionError(f"unhandled op {op}")
+
+
+def metrics_for(vals):
+    non_null = [v for v in vals if v is not None]
+    return {"x": ColumnMetrics(
+        lower=min(non_null) if non_null else None,
+        upper=max(non_null) if non_null else None,
+        null_count=sum(1 for v in vals if v is None),
+        value_count=len(vals))}
+
+
+@settings(max_examples=400, deadline=None)
+@given(vals=values, pred=predicates())
+def test_inclusive_never_false_skips(vals, pred):
+    bound = E.bind(pred, S)
+    mets = metrics_for(vals)
+    any_match = any(row_matches(bound, v) for v in vals)
+    if any_match:
+        assert file_might_match(bound, mets), \
+            f"FALSE SKIP: {pred} on {vals} with {mets['x']}"
+
+
+@settings(max_examples=400, deadline=None)
+@given(vals=values, pred=predicates())
+def test_strict_never_false_keeps(vals, pred):
+    bound = E.bind(pred, S)
+    mets = metrics_for(vals)
+    all_match = all(row_matches(bound, v) for v in vals)
+    if not all_match:
+        assert not file_must_match(bound, mets), \
+            f"FALSE MUST-MATCH: {pred} on {vals} with {mets['x']}"
