@@ -42,6 +42,8 @@ _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
 _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
+                        re.IGNORECASE | re.DOTALL)
 
 
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
@@ -75,6 +77,19 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t = _Table.create(catalog, target, schema_from_spark(df.schema))
         t.append(spark, df)
         return df
+    m = _DELETE_RE.match(query)
+    if m:
+        from ..plans.sql_pred import sql_to_predicate
+        from .table import Table as _Table
+
+        target, where_sql = m.group(1), m.group(2)
+        pred = sql_to_predicate(where_sql)  # raises if not prunable: DELETE
+        # must never silently under/over-delete, so no fallback here
+        t = _Table.load(catalog, target)
+        n = t.scan(row_filter=pred).to_df(spark) \
+            .where(E.to_spark_column(pred)).count()
+        t.delete_where(spark, pred)
+        return spark.createDataFrame([(n,)], "deleted_rows long")
     vc = ViewCatalog(catalog)
     rewritten = query
     for ns in catalog.list_namespaces():

@@ -132,3 +132,37 @@ def test_run_sql_insert_into_and_ctas(spark, warehouse):
                   "SELECT count(*) AS n FROM db.sqlagg WHERE g >= 100") \
         .collect()[0]["n"]
     assert got == 3
+
+
+def test_sql_predicate_parser_roundtrip(spark):
+    import datetime as _dt
+    from iceberg_rust_spark.plans.sql_pred import sql_to_predicate
+    p = sql_to_predicate(
+        "a > 5 AND (b = 'x''y' OR c IN (1, 2, 3)) AND d IS NOT NULL "
+        "AND e BETWEEN 1.5 AND 2.5 AND f LIKE 'pre%' "
+        "AND ts >= TIMESTAMP '2024-01-02T03:04:05' AND NOT g < 0")
+    s = repr(p)
+    assert "starts_with" in s or "pre" in s
+    ts = sql_to_predicate("ts >= TIMESTAMP '2024-01-02T03:04:05'")
+    # unsupported constructs raise (fail-safe), never mis-parse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sql_to_predicate("a LIKE '%infix%'")
+    with _pytest.raises(ValueError):
+        sql_to_predicate("lower(a) = 'x'")
+
+
+def test_run_sql_delete_from(spark, warehouse):
+    df = spark.createDataFrame([(i, "keep" if i % 3 else "drop", float(i))
+                                for i in range(90)],
+                               "id long, tag string, v double")
+    Table.create(warehouse, "db.sqldel",
+                 schema_from_spark(df.schema)).append(spark, df)
+    out = run_sql(spark, warehouse,
+                  "DELETE FROM db.sqldel WHERE tag = 'drop' AND id < 60")
+    assert out.collect()[0]["deleted_rows"] == 20
+    t = Table.load(warehouse, "db.sqldel")
+    left = t.to_df(spark)
+    assert left.count() == 70
+    assert left.where("tag = 'drop' and id < 60").count() == 0
+    assert left.where("tag = 'drop'").count() == 10  # ids 60..89 %3==0
