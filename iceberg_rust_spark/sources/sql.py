@@ -9,10 +9,11 @@ query. Views resolve through ViewCatalog the same way.
 
 Pushdown semantics mirror the reference's Inexact pattern
 (table/mod.rs:145-151): filters written in SQL reach the Parquet reader via
-Catalyst (row-group + page pruning) but not our *file-level* metadata
-pruning — for that, pass ``scan_filters={"ns.table": Predicate}`` and the
-named tables are planned with the predicate (files pruned) while the full
-SQL WHERE clause still re-applies on top, so over-pruning is impossible and
+Catalyst (row-group + page pruning); for *file-level* metadata pruning,
+single-table ``SELECT ... FROM t WHERE <cond>`` queries are auto-parsed
+(plans/sql_pred.py) and planned with the predicate, and multi-table queries
+can pass ``scan_filters={"ns.table": Predicate}`` explicitly. The full SQL
+WHERE clause always re-applies on top, so over-pruning is impossible and
 under-pruning only costs IO.
 """
 
@@ -44,6 +45,29 @@ _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
+# single-table SELECT ... FROM t WHERE <cond> [GROUP/ORDER/HAVING/LIMIT...]
+_AUTO_PRUNE_RE = re.compile(
+    r"\bFROM\s+([\w.]+)\s+WHERE\s+(.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY|"
+    r"\s+HAVING|\s+LIMIT|\s*$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _auto_scan_filter(query: str) -> Optional[tuple]:
+    """(table, Predicate) for the single-table SELECT...WHERE shape, else
+    None. Inclusive file pruning of a predicate the full WHERE re-applies
+    can only over-read, never over-prune — so best-effort is safe."""
+    if re.search(r"\bJOIN\b|,\s*[\w.]+\s+(AS\s+)?\w*\s*(WHERE|,)", query,
+                 re.IGNORECASE):
+        return None
+    m = _AUTO_PRUNE_RE.search(query)
+    if not m:
+        return None
+    try:
+        from ..plans.sql_pred import sql_to_predicate
+
+        return m.group(1), sql_to_predicate(m.group(2))
+    except ValueError:
+        return None
 
 
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
@@ -90,6 +114,10 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             .where(E.to_spark_column(pred)).count()
         t.delete_where(spark, pred)
         return spark.createDataFrame([(n,)], "deleted_rows long")
+
+    auto = _auto_scan_filter(query)
+    if auto and auto[0] not in scan_filters:
+        scan_filters = {**scan_filters, auto[0]: auto[1]}
     vc = ViewCatalog(catalog)
     rewritten = query
     for ns in catalog.list_namespaces():

@@ -166,3 +166,29 @@ def test_run_sql_delete_from(spark, warehouse):
     assert left.count() == 70
     assert left.where("tag = 'drop' and id < 60").count() == 0
     assert left.where("tag = 'drop'").count() == 10  # ids 60..89 %3==0
+
+
+def test_auto_scan_filter_extraction(spark, warehouse):
+    import datetime as _dt
+    from iceberg_rust_spark.sources.sql import _auto_scan_filter
+    got = _auto_scan_filter(
+        "SELECT a, count(*) FROM db.t WHERE a > 5 AND b = 'x' GROUP BY a")
+    assert got is not None and got[0] == "db.t"
+    assert _auto_scan_filter(
+        "SELECT * FROM db.a JOIN db.b ON a.k = b.k WHERE a.x > 1") is None
+    assert _auto_scan_filter(
+        "SELECT * FROM db.t WHERE lower(a) = 'x'") is None  # unparsable -> skip
+
+    # end-to-end: partitioned table, WHERE prunes files yet results are exact
+    df = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1 + i % 6, 1), float(i)) for i in range(600)],
+        "id long, d timestamp, v double")
+    schema = schema_from_spark(df.schema)
+    fid = schema.field_by_name("d").field_id
+    spec = PartitionSpec(0, [PartitionField(fid, 1000, "d_month",
+                                            parse_transform("month"))])
+    Table.create(warehouse, "db.sqlprune", schema, spec).append(spark, df)
+    out = run_sql(spark, warehouse, """
+        SELECT count(*) AS n FROM db.sqlprune
+        WHERE d >= TIMESTAMP '2024-03-01' AND d < TIMESTAMP '2024-04-01'""")
+    assert out.collect()[0]["n"] == 100
