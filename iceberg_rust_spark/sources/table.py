@@ -172,13 +172,33 @@ class Table:
         added: List[DataFile] = []
         if rewrite:
             files = [t.data_file.file_path for t in rewrite]
-            keep_df = spark.read.schema(schema.to_spark()).parquet(*files) \
+            keep_df = self._live_rows_for_files(spark, files) \
                 .filter(~E.to_spark_column(bound))
             added = write_data_files(spark, keep_df, md)
             drop_paths += files
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete" if not added else "overwrite",
             added=added, removed_paths=set(drop_paths)))
+
+    def _live_rows_for_files(self, spark: SparkSession,
+                             paths: List[str]) -> DataFrame:
+        """LIVE rows of the given data files — pending pos/eq/DV deletes
+        APPLIED. Every copy-on-write rewrite (delete/update/compact/zorder)
+        must read through this, not raw parquet: a raw read resurrects rows
+        whose merge-on-read deletes are still outstanding, and the rewrite
+        then orphans those delete files."""
+        path_set = set(paths)
+        scan = self.scan()
+        orig_plan = scan.plan_files
+
+        def plan_files():
+            p = orig_plan()
+            p.tasks = [t for t in p.tasks
+                       if t.data_file.file_path in path_set]
+            return p
+
+        scan.plan_files = plan_files  # type: ignore[method-assign]
+        return scan.to_df(spark)
 
     def _delete_mor_positional(self, spark: SparkSession, pred: E.Predicate) -> "Table":
         schema = self.metadata.schema()
@@ -334,12 +354,10 @@ class Table:
                 rewrite_paths += [t.data_file.file_path for t in small]
         if not rewrite_paths:
             return self
-        schema = md.schema()
         total_bytes = sum(t.data_file.file_size_in_bytes for t in plan.tasks
                           if t.data_file.file_path in set(rewrite_paths))
         n_out = max(1, (total_bytes + target - 1) // target)
-        df = spark.read.schema(schema.to_spark()).parquet(*rewrite_paths) \
-            .coalesce(int(n_out))
+        df = self._live_rows_for_files(spark, rewrite_paths).coalesce(int(n_out))
         added = write_data_files(spark, df, md)
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added=added, removed_paths=set(rewrite_paths)))
@@ -368,7 +386,7 @@ class Table:
             total = sum(t.data_file.file_size_in_bytes for t in plan.tasks)
             n_files = max(1, int((total + target - 1) // target))
         schema = md.schema()
-        df = spark.read.schema(schema.to_spark()).parquet(*paths)
+        df = self._live_rows_for_files(spark, paths)
         pcols = partition_columns(schema, md.spec())
         if not pcols:
             clustered = zorder_repartition(df, cols, int(n_files))

@@ -107,3 +107,34 @@ def test_merge_upsert_single_snapshot(spark, warehouse):
     t = t.merge(spark, src2, ["id"])
     got2 = {r["id"]: r["name"] for r in t.to_df(spark).collect()}
     assert got2[15] == "FINAL" and len(got2) == 105
+
+
+def test_cow_rewrites_apply_pending_mor_deletes(spark, warehouse):
+    """Regression: COW delete / compact / zorder rewrites must not resurrect
+    rows whose merge-on-read deletes are still outstanding."""
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("g"))
+    schema = schema_from_spark(df.schema)
+
+    # COW delete after a MOR positional delete on the same files
+    t = Table.create(warehouse, "db.res1", schema).append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 0, mode="mor")
+    t = t.delete_where(spark, E.col("g") == 1, mode="cow")
+    assert t.to_df(spark).count() == 80
+    assert t.to_df(spark).where("g in (0, 1)").count() == 0
+
+    # compact after a DV delete
+    t2 = Table.create(warehouse, "db.res2", schema)
+    for m in range(3):
+        t2 = t2.append(spark, df.where(F.col("id") % 3 == m))
+    t2 = t2.delete_where(spark, E.col("g") == 5, mode="dv")
+    t2 = t2.compact(spark)
+    assert t2.to_df(spark).count() == 90
+    assert t2.to_df(spark).where("g = 5").count() == 0
+
+    # z-order rewrite after an equality delete
+    t3 = Table.create(warehouse, "db.res3", schema).append(spark, df)
+    t3 = t3.delete_by_equality(
+        spark, spark.createDataFrame([(7,)], "g long"), ["g"])
+    t3 = t3.rewrite_zorder(spark, ["id", "g"], n_files=4)
+    assert t3.to_df(spark).count() == 90
+    assert t3.to_df(spark).where("g = 7").count() == 0
