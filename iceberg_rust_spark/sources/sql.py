@@ -45,6 +45,35 @@ _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _split_assignments(set_clause: str) -> Dict[str, str]:
+    """'a = 1, b = v * 2' -> {'a': '1', 'b': 'v * 2'} (quote/paren aware)."""
+    parts, cur, depth, inq = [], [], 0, False
+    for ch in set_clause:
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        name, _, expr = p.partition("=")
+        if not _ or not name.strip().replace("_", "a").isalnum():
+            raise ValueError(f"bad SET assignment: {p!r}")
+        out[name.strip()] = expr.strip()
+    return out
 # single-table SELECT ... FROM t WHERE <cond> [GROUP/ORDER/HAVING/LIMIT...]
 _AUTO_PRUNE_RE = re.compile(
     r"\bFROM\s+([\w.]+)\s+WHERE\s+(.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY|"
@@ -114,6 +143,20 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             .where(E.to_spark_column(pred)).count()
         t.delete_where(spark, pred)
         return spark.createDataFrame([(n,)], "deleted_rows long")
+
+    m = _UPDATE_RE.match(query)
+    if m:
+        from ..plans.sql_pred import sql_to_predicate
+        from .table import Table as _Table
+
+        target, set_clause, where_sql = m.group(1), m.group(2), m.group(3)
+        pred = sql_to_predicate(where_sql)
+        assignments = _split_assignments(set_clause)
+        t = _Table.load(catalog, target)
+        n = t.scan(row_filter=pred).to_df(spark) \
+            .where(E.to_spark_column(pred)).count()
+        t.update_where(spark, pred, assignments)
+        return spark.createDataFrame([(n,)], "updated_rows long")
 
     auto = _auto_scan_filter(query)
     if auto and auto[0] not in scan_filters:

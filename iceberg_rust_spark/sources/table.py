@@ -293,6 +293,43 @@ class Table:
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels))
 
+    def update_where(self, spark: SparkSession, pred: E.Predicate,
+                     assignments: Dict[str, Any]) -> "Table":
+        """Row-level UPDATE, copy-on-write: rewrite ONLY the files that
+        might contain matches (file-pruned by the predicate); matching rows
+        get the SET expressions applied, the rest copy through unchanged;
+        one atomic replace snapshot. ``assignments`` values may be Spark
+        Columns, SQL expression strings, or plain literals; each is cast
+        back to the column's type."""
+        from pyspark.sql import Column as SparkColumn
+
+        md = self.metadata
+        schema = md.schema()
+        for name in assignments:
+            if schema.field_by_name(name) is None:
+                raise ValueError(f"no column {name}")
+        bound = E.bind(pred, schema)
+        plan = self.scan(row_filter=pred).plan_files()
+        if not plan.tasks:
+            return self
+        files = [t.data_file.file_path for t in plan.tasks]
+        df = self._live_rows_for_files(spark, files)
+        cond = E.to_spark_column(bound)
+        types = dict(df.dtypes)
+        out = df
+        for name, expr in assignments.items():
+            if isinstance(expr, SparkColumn):
+                col = expr
+            elif isinstance(expr, str):
+                col = F.expr(expr)
+            else:
+                col = F.lit(expr)
+            out = out.withColumn(name, F.when(cond, col.cast(types[name]))
+                                 .otherwise(F.col(name)))
+        added = write_data_files(spark, out, md)
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "overwrite", added=added, removed_paths=set(files)))
+
     def merge(self, spark: SparkSession, source_df: DataFrame,
               key_columns: List[str]) -> "Table":
         """Upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT) in ONE

@@ -192,3 +192,31 @@ def test_auto_scan_filter_extraction(spark, warehouse):
         SELECT count(*) AS n FROM db.sqlprune
         WHERE d >= TIMESTAMP '2024-03-01' AND d < TIMESTAMP '2024-04-01'""")
     assert out.collect()[0]["n"] == 100
+
+
+def test_update_where_and_sql_update(spark, warehouse):
+    from iceberg_rust_spark import expr as E2
+    df = spark.createDataFrame([(i, "open" if i % 2 else "closed", float(i))
+                                for i in range(80)],
+                               "id long, status string, v double")
+    t = Table.create(warehouse, "db.upd", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+
+    # programmatic UPDATE: files without matches are not rewritten
+    t = t.update_where(spark, E2.col("id") < 10,
+                       {"status": "'archived'", "v": "v * 100"})
+    got = {r["id"]: (r["status"], r["v"]) for r in t.to_df(spark).collect()}
+    assert got[3] == ("archived", 300.0)
+    assert got[50] == ("closed", 50.0)
+    assert len(got) == 80
+
+    # SQL UPDATE via the front door
+    out = run_sql(spark, warehouse,
+                  "UPDATE db.upd SET v = v + 0.5 WHERE status = 'archived'")
+    assert out.collect()[0]["updated_rows"] == 10
+    t = t.refresh()
+    assert t.to_df(spark).where("id = 3").collect()[0]["v"] == 300.5
+    # snapshot history preserved (time travel to pre-update)
+    first = t.metadata.snapshots[0].snapshot_id
+    old = t.scan(snapshot_id=first).to_df(spark)
+    assert old.where("id = 3").collect()[0]["status"] == "open"
