@@ -45,6 +45,9 @@ _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.*?)\s+ON\s+([\w,\s]+)$",
+    re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
@@ -143,6 +146,19 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             .where(E.to_spark_column(pred)).count()
         t.delete_where(spark, pred)
         return spark.createDataFrame([(n,)], "deleted_rows long")
+
+    m = _MERGE_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, source_sql, on_cols = m.group(1), m.group(2), m.group(3)
+        if source_sql.startswith("(") and source_sql.endswith(")"):
+            source_sql = source_sql[1:-1]
+        keys = [c.strip() for c in on_cols.split(",") if c.strip()]
+        t = _Table.load(catalog, target)
+        src = run_sql(spark, catalog, source_sql, scan_filters)
+        t.merge(spark, src, keys)
+        return src
 
     m = _UPDATE_RE.match(query)
     if m:

@@ -220,3 +220,18 @@ def test_update_where_and_sql_update(spark, warehouse):
     first = t.metadata.snapshots[0].snapshot_id
     old = t.scan(snapshot_id=first).to_df(spark)
     assert old.where("id = 3").collect()[0]["status"] == "open"
+
+
+def test_run_sql_merge_into(spark, warehouse):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "id long, name string")
+    Table.create(warehouse, "db.sqlmerge",
+                 schema_from_spark(df.schema)).append(spark, df)
+    run_sql(spark, warehouse, """
+        MERGE INTO db.sqlmerge USING (
+          SELECT id, 'MERGED' AS name FROM db.sqlmerge WHERE id < 3
+        ) ON id""")
+    t = Table.load(warehouse, "db.sqlmerge")
+    got = {r["id"]: r["name"] for r in t.to_df(spark).collect()}
+    assert len(got) == 20
+    assert got[1] == "MERGED" and got[10] == "v10"
