@@ -422,6 +422,16 @@ def q_rollup_orders(spark, sf_dir):
             .agg(F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price")))
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (partial-aggregated, one shuffle) — completes the grouping-sets
+    family next to rollup_orders."""
+    o = read_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 _sum_dec("o_totalprice", "sum_price")))
+
+
 def q_set_except(spark, sf_dir):
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
@@ -978,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
         "set_except": q_set_except,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -1321,6 +1332,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "cube_orders": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "set_except": """
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
             EXCEPT ALL
