@@ -422,6 +422,29 @@ def q_rollup_orders(spark, sf_dir):
             .agg(F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price")))
 
 
+def q_window_lag(spark, sf_dir):
+    """lead/lag family: per-user inter-event gap stats (seconds between
+    consecutive events) — one window shuffle on user_id."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = us - F.lag(us).over(w)  # integer µs: no float until the end
+    return (e.select("user_id", gap_us.alias("gap_us"))
+            .where(F.col("gap_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 (F.min("gap_us") / 1_000_000.0).alias("min_gap"),
+                 (F.max("gap_us") / 1_000_000.0).alias("max_gap")))
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT: customers who placed both an URGENT and a LOW order."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
 def q_cube_orders(spark, sf_dir):
     """CUBE over (status, priority): all 4 grouping combinations in one
     pass (partial-aggregated, one shuffle) — completes the grouping-sets
@@ -987,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "window_topn": q_window_topn,
         "window_running": q_window_running,
+        "window_lag": q_window_lag,
+        "set_intersect": q_set_intersect,
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
         "set_except": q_set_except,
@@ -1332,6 +1357,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "window_lag": """
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   MIN(gap_us) / 1000000.0 AS min_gap,
+                   MAX(gap_us) / 1000000.0 AS max_gap
+            FROM (SELECT user_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) -
+                         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS gap_us
+                  FROM events)
+            WHERE gap_us IS NOT NULL GROUP BY user_id""",
+        "set_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
         "cube_orders": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}

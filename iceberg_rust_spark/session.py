@@ -49,6 +49,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     INT96 coercion)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div: `/ 1000` would be double division, which rounds at
+        # int64-nanosecond magnitudes and lands 1µs off for some values
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
     return df
