@@ -341,8 +341,16 @@ def q_iceberg_compaction(spark, sf_dir):
 
 
 def q_iceberg_snapshots_meta(spark, sf_dir):
+    """Snapshots metadata table, projected to its DETERMINISTIC fields
+    (sequence/operation/record counts from the summary) so a constructed
+    SQL oracle can verify it — snapshot ids and timestamps are
+    run-dependent by design."""
     t = _ice(spark, sf_dir, "orders_tt")
-    return t.snapshots_df(spark).select("snapshot_id", "sequence_number", "operation")
+    s = t.snapshots_df(spark)
+    return s.select(
+        "sequence_number", "operation",
+        F.col("summary")["added-records"].cast("long").alias("added_records"),
+        F.col("summary")["total-records"].cast("long").alias("total_records"))
 
 
 # ---- relational (Spark-native operators over raw parquet) ------------------
@@ -969,6 +977,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver processes entries in dict order and r1's run
+    # stopped after the 50th entry, leaving the whole LLM-pipeline block
+    # ungraded. High-value / previously-unchecked queries go first; the
+    # well-proven TPC-H family (all green in r1, exercising the same built-in
+    # Spark join/agg machinery) is at the tail where a budget cut costs the
+    # least new information.
     return {
         # iceberg table format core
         "iceberg_q1_pricing": q_iceberg_q1,
@@ -988,40 +1002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_view_monthly": q_view_monthly,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        # ns-timestamp events queries (r1 casualties of the read_table bug)
         "asof_join_events": q_asof_join,
-        # relational operators (Spark-native)
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_nation_profit": q9_nation_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_brand_suppliers": q16_brand_suppliers,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "window_topn": q_window_topn,
-        "window_running": q_window_running,
         "window_lag": q_window_lag,
-        "set_intersect": q_set_intersect,
-        "rollup_orders": q_rollup_orders,
-        "cube_orders": q_cube_orders,
-        "set_except": q_set_except,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
-        # LLM-data-pipeline operators
+        # LLM-data-pipeline operators (unreached in r1's correctness run)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -1040,6 +1028,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        # relational operators (Spark-native; all green in r1)
+        "window_topn": q_window_topn,
+        "window_running": q_window_running,
+        "set_intersect": q_set_intersect,
+        "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "set_except": q_set_except,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_nation_profit": q9_nation_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_brand_suppliers": q16_brand_suppliers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
     }
 
 
@@ -1138,6 +1153,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n,
                    {_sql_sum_dec('l_quantity', 'sum_qty')}
             FROM lineitem GROUP BY 1""",
+        # constructed oracle: orders_tt = snapshot1 (even keys) + snapshot2
+        # (odd keys); counts derive from the same orders view the fixture
+        # was built from, so the expected summary is computable in SQL
+        "iceberg_snapshots_meta": """
+            SELECT CAST(1 AS BIGINT) AS sequence_number, 'append' AS operation,
+                   (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS added_records,
+                   (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS total_records
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'append',
+                   (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1),
+                   (SELECT COUNT(*) FROM orders)""",
         "asof_join_events": """
             WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
                               max(o_orderkey) AS o_orderkey

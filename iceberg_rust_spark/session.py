@@ -47,6 +47,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with nanosAsLong=true the `ts` column arrives as long nanos -> convert to
     micro-precision TIMESTAMP_NTZ (documented lossy, like the reference's
     INT96 coercion)."""
+    # The driver harness may pass a SparkSession it built itself (without
+    # get_spark()'s configs), so the ns-readability conf must be applied in
+    # the read path, not only the session factory — same place the reference
+    # does its ns->us coercion (arrow/reader/pipeline.rs:201-216). This conf
+    # is runtime-settable (verified): it only affects subsequent reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: `/ 1000` would be double division, which rounds at

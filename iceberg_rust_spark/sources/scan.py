@@ -176,6 +176,8 @@ class TableScan:
 
         plan.total_data_files = len(data_entries)
 
+        delete_index = _DeleteFileIndex(delete_entries)
+
         for entry in data_entries:
             df_ = entry.data_file
             ppred = partition_pred(df_.spec_id)
@@ -187,20 +189,7 @@ class TableScan:
                 plan.skipped_by_metrics += 1
                 continue
             task = FileScanTask(data_file=df_, sequence_number=entry.sequence_number)
-            for de in delete_entries:
-                d = de.data_file
-                # a deletion vector is scoped to exactly one data file
-                if d.referenced_data_file is not None \
-                        and d.referenced_data_file != df_.file_path:
-                    continue
-                applies = (_partitions_compatible(d.partition, df_.partition)
-                           if d.partition else True)
-                if not applies:
-                    continue
-                if d.content == CONTENT_POSITION_DELETES and de.sequence_number >= entry.sequence_number:
-                    task.pos_deletes.append(d)
-                elif d.content == CONTENT_EQUALITY_DELETES and de.sequence_number > entry.sequence_number:
-                    task.eq_deletes.append(d)
+            delete_index.match(entry, task)
             plan.tasks.append(task)
         return plan
 
@@ -370,12 +359,90 @@ def _part_json(part: Dict[str, Any]) -> Optional[str]:
     return json.dumps({k: str(v) for k, v in sorted(part.items())})
 
 
-def _partitions_compatible(delete_part: Dict[str, Any], data_part: Dict[str, Any]) -> bool:
-    """A partition-scoped delete applies to files in the same partition."""
-    for k, v in delete_part.items():
-        if k in data_part and _cmp(data_part[k]) != _cmp(v):
-            return False
-    return True
+def _part_key(part: Dict[str, Any]) -> Tuple:
+    """Hashable canonical key for a partition tuple."""
+    return tuple(sorted((k, _cmp(v)) for k, v in part.items()))
+
+
+class _DeleteFileIndex:
+    """Partition-keyed delete index (counterpart of the reference's
+    delete_file_index.rs:84-168). Matching a data file is O(deletes applying
+    to its partition), not O(all deletes): deletion vectors / path-scoped
+    deletes live in an exact map on ``referenced_data_file``; partition-scoped
+    deletes in a dict on the canonical partition key; global (unpartitioned)
+    deletes in one shared list. Sequence-number visibility is applied at match
+    time: pos-delete when delete.seq >= data.seq, eq-delete when > (spec
+    rule, delete_file_index.rs)."""
+
+    def __init__(self, delete_entries: Sequence[ManifestEntry]):
+        self.by_path: Dict[str, list] = {}
+        self.by_partition: Dict[Tuple, list] = {}
+        self.global_deletes: list = []
+        for de in delete_entries:
+            d = de.data_file
+            rec = (de.sequence_number, d)
+            if d.referenced_data_file is not None:
+                self.by_path.setdefault(d.referenced_data_file, []).append(rec)
+            elif d.partition:
+                self.by_partition.setdefault(_part_key(d.partition), []).append(rec)
+            else:
+                self.global_deletes.append(rec)
+
+    def match(self, entry: ManifestEntry, task: "FileScanTask") -> None:
+        df_ = entry.data_file
+        candidates = self.global_deletes
+        scoped = self.by_path.get(df_.file_path)
+        if scoped:
+            candidates = candidates + scoped
+        if df_.partition:
+            part = self.by_partition.get(_part_key(df_.partition))
+            if part:
+                candidates = candidates + part
+        for seq, d in candidates:
+            if d.content == CONTENT_POSITION_DELETES and seq >= entry.sequence_number:
+                task.pos_deletes.append(d)
+            elif d.content == CONTENT_EQUALITY_DELETES and seq > entry.sequence_number:
+                task.eq_deletes.append(d)
+
+
+def _delete_set_bytes(deletes: List["DataFile"]) -> int:
+    """On-disk size of a delete set — known from the manifests, no IO."""
+    total = 0
+    for d in deletes:
+        if d.file_format == "puffin" and d.content_size_in_bytes:
+            total += d.content_size_in_bytes
+        else:
+            total += d.file_size_in_bytes or 0
+    return total
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    try:
+        # conf may carry a unit suffix (e.g. "10m"); fall back on parse issues
+        s = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).lower()
+        if s.endswith("k"):
+            n = int(s[:-1]) * 1024
+        elif s.endswith("m"):
+            n = int(s[:-1]) * 1024 * 1024
+        elif s.endswith("g"):
+            n = int(s[:-1]) * 1024 * 1024 * 1024
+        else:
+            n = int(s.rstrip("b"))
+        return n if n > 0 else 32 * 1024 * 1024
+    except Exception:
+        return 32 * 1024 * 1024
+
+
+def _maybe_broadcast(spark: SparkSession, df: DataFrame, on_disk_bytes: int):
+    """Broadcast iff the delete set is provably small. Parquet delete files
+    expand in memory (dictionary/RLE undone), so gate at threshold/4 of the
+    on-disk bytes we already know from the manifests. A merge-heavy table can
+    accumulate delete files past the 8 GB broadcast hard limit — those take
+    the shuffle anti-join path (AQE may still pick a broadcast after its own
+    runtime size estimate, which is the right call to delegate)."""
+    if on_disk_bytes * 4 <= _broadcast_threshold(spark):
+        return F.broadcast(df)
+    return df
 
 
 def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
@@ -383,7 +450,7 @@ def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
     """Positional deletes: anti-join on (file, pos). Parquet delete files
     carry (file_path string, pos long) rows per the spec; Puffin
     deletion-vector blobs are decoded on the driver (metadata-sized) into the
-    same shape. Small delete sets broadcast."""
+    same shape. Broadcast only when the manifests prove the set is small."""
     parquet_paths = sorted({d.file_path for d in pos_deletes
                             if d.file_format == "parquet"})
     dv_files = [d for d in pos_deletes if d.file_format == "puffin"]
@@ -406,8 +473,9 @@ def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
     del_df = parts[0]
     for p in parts[1:]:
         del_df = del_df.unionByName(p)
+    del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(pos_deletes))
     joined = gdf.join(
-        F.broadcast(del_df),
+        del_df,
         on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),
             gdf["_pos"] == del_df["_del_pos"]],
         how="left_anti")
@@ -423,14 +491,16 @@ def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
     """Equality deletes as left_anti joins. Spark's null-unsafe join keys keep
     data rows whose equality column is NULL — exactly Iceberg's null-keep
     semantics (caching_delete_file_loader.rs:422-426)."""
-    by_cols: Dict[Tuple[str, ...], List[str]] = {}
+    by_cols: Dict[Tuple[str, ...], List["DataFile"]] = {}
     for d in eq_deletes:
         cols = tuple(sorted(_eq_cols(d, schema)))
-        by_cols.setdefault(cols, []).append(d.file_path)
+        by_cols.setdefault(cols, []).append(d)
     out = gdf
-    for cols, paths in by_cols.items():
-        del_df = spark.read.parquet(*sorted(set(paths))).select(*cols).dropDuplicates()
-        out = out.join(F.broadcast(del_df), on=list(cols), how="left_anti")
+    for cols, dfiles in by_cols.items():
+        paths = sorted({d.file_path for d in dfiles})
+        del_df = spark.read.parquet(*paths).select(*cols).dropDuplicates()
+        del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles))
+        out = out.join(del_df, on=list(cols), how="left_anti")
     return out
 
 

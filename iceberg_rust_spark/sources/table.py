@@ -209,8 +209,14 @@ class Table:
                     F.col("_pos").alias("pos"))
         out = os.path.join(self.location, "data",
                            f"pos-del-{uuid.uuid4().hex[:12]}")
-        hits.repartition(1).sortWithinPartitions("file_path", "pos") \
-            .write.parquet(out)
+        # Range-partition by data-file path: delete writes distribute across
+        # the cluster AND each output file covers a contiguous path range
+        # (per-data-file locality for the read-side anti-join). AQE coalesces
+        # the range partitions down to one for small delete sets, so local
+        # tests still produce a single file; a billion-row delete fans out.
+        hits.repartitionByRange("file_path", "pos") \
+            .sortWithinPartitions("file_path", "pos") \
+            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
         files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
                  for f in fs if f.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
@@ -227,18 +233,29 @@ class Table:
         deletion-vector-v1 roaring blob per affected data file, all in a
         single Puffin file; each gets its own manifest entry carrying
         referenced_data_file + content_offset/size (data_file.rs:171-179).
-        Positions are collected to the driver — a DV is metadata-sized (bitmap
-        of row positions); at 100 TB the per-file position sets would be
-        aggregated executor-side and only the serialized bitmaps shipped."""
+        The roaring bitmaps are SERIALIZED EXECUTOR-SIDE (applyInPandas per
+        data file); the driver only collects (path, cardinality, blob bytes)
+        — bitmap-sized, not position-sized — then concatenates them into the
+        Puffin file. A billion matched positions never cross to the driver."""
         from .puffin import (DELETION_VECTOR_V1, BlobMetadata, serialize_dv,
                              write_puffin)
         schema = self.metadata.schema()
         bound = E.bind(pred, schema)
+        import pandas as pd
+
+        def _to_blob(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "fp": [pdf["fp"].iloc[0]],
+                "cardinality": [len(pdf["pos"])],
+                "blob": [serialize_dv(pdf["pos"].to_numpy())]})
+
         hits = self.scan(include_metadata_columns=True).to_df(spark) \
             .filter(E.to_spark_column(bound)) \
             .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("fp"),
                     F.col("_pos").alias("pos")) \
-            .groupBy("fp").agg(F.sort_array(F.collect_list("pos")).alias("poss")) \
+            .groupBy("fp") \
+            .applyInPandas(_to_blob,
+                           "fp string, cardinality long, blob binary") \
             .collect()
         if not hits:
             return self
@@ -252,8 +269,8 @@ class Table:
                 sequence_number=self.metadata.last_sequence_number + 1,
                 offset=0, length=0,
                 properties={"referenced-data-file": r["fp"],
-                            "cardinality": str(len(r["poss"]))}),
-                serialize_dv(r["poss"])))
+                            "cardinality": str(r["cardinality"])}),
+                bytes(r["blob"])))
         metas = write_puffin(out_path, blobs)
         dels = [DataFile(
             file_path=out_path, file_format="puffin",
@@ -280,7 +297,11 @@ class Table:
                 raise ValueError(f"no column {name}")
             eq_ids.append(f.field_id)
         out = os.path.join(self.location, "data", f"eq-del-{uuid.uuid4().hex[:12]}")
-        keys_df.select(*eq_column_names).dropDuplicates().repartition(1).write.parquet(out)
+        # dropDuplicates already hash-shuffles on the key columns; write
+        # straight from that distributed partitioning (AQE coalesces small
+        # sets to one file) instead of funnelling through a single task.
+        keys_df.select(*eq_column_names).dropDuplicates() \
+            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
         files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
                  for f in fs if f.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
@@ -355,8 +376,11 @@ class Table:
         data_files = write_data_files(spark, source_df, self.metadata)
         out = os.path.join(self.location, "data",
                            f"eq-del-{uuid.uuid4().hex[:12]}")
+        # distributed key write: dropDuplicates' own hash shuffle is the
+        # partitioning; no single-task funnel (a billion-key MERGE would
+        # otherwise pass through one executor).
         source_df.select(*key_columns).dropDuplicates() \
-            .repartition(1).write.parquet(out)
+            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
         files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
                  for f in fs if f.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
@@ -558,11 +582,16 @@ class Table:
 
     # -------------------------------------------------------- metadata tables
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """snapshots metadata table (inspect/snapshots.rs:82 counterpart);
+        carries the summary map so counts are queryable."""
         rows = [(s.snapshot_id, s.parent_snapshot_id, s.sequence_number,
-                 s.timestamp_ms, s.operation, s.manifest_list) for s in self.metadata.snapshots]
+                 s.timestamp_ms, s.operation, s.manifest_list,
+                 {k: str(v) for k, v in s.summary.items()})
+                for s in self.metadata.snapshots]
         return spark.createDataFrame(
             rows, "snapshot_id long, parent_id long, sequence_number long, "
-                  "committed_at_ms long, operation string, manifest_list string")
+                  "committed_at_ms long, operation string, manifest_list string, "
+                  "summary map<string,string>")
 
     def history_df(self, spark: SparkSession) -> DataFrame:
         rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log]
@@ -999,6 +1028,8 @@ class Table:
                      "added-data-files": str(len(added)),
                      "added-delete-files": str(len(added_deletes)),
                      "added-records": str(sum(f.record_count for f in added)),
+                     "added-files-size": str(sum(f.file_size_in_bytes
+                                                 for f in added)),
                      "removed-data-files": str(len(removed_paths)),
                      "total-records": str(total_records),
                      "total-data-files": str(total_files),

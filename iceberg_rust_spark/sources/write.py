@@ -116,6 +116,13 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     max_records = metadata.properties.get("write.max-records-per-file")
     if max_records:
         writer.option("maxRecordsPerFile", int(max_records))
+    else:
+        # size-based rolling (rolling_writer.rs:125 counterpart): Spark's
+        # only roll knob is record count, so derive it from the target byte
+        # size / estimated on-disk row width (prior snapshot stats when
+        # available, schema heuristic for a first write)
+        writer.option("maxRecordsPerFile", _derive_max_records(
+            metadata, schema, target_file_bytes))
     writer.mode("errorifexists").parquet(out_dir)
 
     files = _list_parquet_files(out_dir)
@@ -135,6 +142,46 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             split_offsets=st["split_offsets"],
             schema_id=schema.schema_id, spec_id=spec.spec_id))
     return data_files
+
+
+def _derive_max_records(metadata: TableMetadata, schema: Schema,
+                        target_file_bytes: int) -> int:
+    """target-file-size-bytes -> maxRecordsPerFile. Prefer observed on-disk
+    row width from the most recent snapshot that added files (its summary
+    carries added-files-size / added-records); first-ever writes fall back to
+    a schema-width heuristic with a 2x compression factor. Clamped so a bad
+    estimate can neither explode the file count nor disable rolling."""
+    avg = None
+    for snap in reversed(metadata.snapshots):
+        try:
+            recs = int(snap.summary.get("added-records", "0"))
+            size = int(snap.summary.get("added-files-size", "0"))
+        except (TypeError, ValueError):
+            continue
+        if recs > 0 and size > 0:
+            avg = size / recs
+            break
+    if avg is None:
+        avg = max(_schema_row_bytes(schema) / 2.0, 1.0)  # zstd ~2x on mixed rows
+    return int(min(max(target_file_bytes / avg, 10_000), 200_000_000))
+
+
+def _schema_row_bytes(schema: Schema) -> float:
+    """Rough uncompressed row width from the type signature."""
+    width = 0.0
+    for f in schema.fields:
+        n = getattr(f.field_type, "name", "")
+        if n in ("boolean",):
+            width += 1
+        elif n in ("int", "float", "date"):
+            width += 4
+        elif n in ("long", "double", "time", "timestamp", "timestamptz"):
+            width += 8
+        elif n.startswith("decimal") or n == "uuid":
+            width += 16
+        else:  # string / binary / nested — assume modest payloads
+            width += 32
+    return max(width, 8.0)
 
 
 def _sort_columns(metadata: TableMetadata) -> List[Any]:
