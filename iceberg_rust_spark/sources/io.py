@@ -1,0 +1,333 @@
+"""FileIO: pluggable storage for the METADATA path (catalog, manifests,
+puffin, view/metadata JSON, checkpoints).
+
+Counterpart of the reference's FileIO trait
+(/root/reference/crates/iceberg/src/io/file_io.rs:63,170) with its opendal
+backends (crates/storage/opendal/src/{fs,memory,s3,...}.rs). Spark itself
+reads/writes the DATA files through its own Hadoop connectors (s3a:// etc.),
+so this abstraction only needs to cover driver-side metadata IO:
+
+- ``LocalFileIO``   — plain/``file://`` paths (default);
+- ``MemoryFileIO``  — ``memory://bucket/...`` in-process store (tests; the
+                      reference's memory backend);
+- ``FsspecFileIO``  — any scheme fsspec can mount (s3/gcs/abfs), gated
+                      behind an import-try since the lib may be absent.
+
+All paths flow through ``file_io_for(path)``; callers never touch ``os.*``
+for metadata. Joins stay string-based (``posix_join``) so URIs survive.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urlparse
+
+__all__ = ["FileIO", "LocalFileIO", "MemoryFileIO", "file_io_for",
+           "posix_join", "strip_scheme"]
+
+
+def posix_join(*parts: str) -> str:
+    """Join path segments without mangling URI schemes."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.rstrip("/") + "/" + p.lstrip("/")
+    return out
+
+
+def strip_scheme(path: str) -> str:
+    """file:///x -> /x (for handing to local-FS libraries / executors)."""
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        return rest if rest.startswith("/") else "/" + rest
+    return path
+
+
+class FileIO:
+    """Abstract storage interface; see module docstring."""
+
+    def read_bytes(self, path: str, offset: Optional[int] = None,
+                   length: Optional[int] = None) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """CAS primitive: create iff absent, else FileExistsError.
+        (Local: O_EXCL; object stores: conditional PUT / If-None-Match.)"""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic replace (metadata-sized objects only)."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_file(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime_ns(self, path: str) -> int:
+        """Version stamp for immutable-object caches (object_cache.rs:49)."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def delete_prefix(self, prefix: str) -> None:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> List[str]:
+        """Immediate child NAMES (files and dirs)."""
+        raise NotImplementedError
+
+    def list_files(self, prefix: str) -> List[str]:
+        """All file PATHS under prefix, recursively."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    # convenience ----------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_text(self, path: str, text: str) -> None:
+        self.write_bytes(path, text.encode("utf-8"))
+
+
+class LocalFileIO(FileIO):
+    """Posix FS; accepts bare paths and file:// URIs interchangeably."""
+
+    def read_bytes(self, path, offset=None, length=None):
+        with open(strip_scheme(path), "rb") as fh:
+            if offset is not None:
+                fh.seek(offset)
+                return fh.read(length) if length is not None else fh.read()
+            return fh.read()
+
+    def write_bytes(self, path, data):
+        p = strip_scheme(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(data)
+
+    def create_exclusive(self, path, data):
+        p = strip_scheme(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+
+    def rename(self, src, dst):
+        os.replace(strip_scheme(src), strip_scheme(dst))
+
+    def exists(self, path):
+        return os.path.exists(strip_scheme(path))
+
+    def is_file(self, path):
+        return os.path.isfile(strip_scheme(path))
+
+    def is_dir(self, path):
+        return os.path.isdir(strip_scheme(path))
+
+    def size(self, path):
+        return os.path.getsize(strip_scheme(path))
+
+    def mtime_ns(self, path):
+        return os.stat(strip_scheme(path)).st_mtime_ns
+
+    def delete(self, path):
+        os.remove(strip_scheme(path))
+
+    def delete_prefix(self, prefix):
+        import shutil
+        shutil.rmtree(strip_scheme(prefix), ignore_errors=True)
+
+    def list_dir(self, path):
+        p = strip_scheme(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def list_files(self, prefix):
+        root = strip_scheme(prefix)
+        out = []
+        for dirpath, _dirs, names in os.walk(root):
+            for n in names:
+                out.append(os.path.join(dirpath, n))
+        return sorted(out)
+
+    def makedirs(self, path):
+        os.makedirs(strip_scheme(path), exist_ok=True)
+
+
+# one store per memory://BUCKET, shared process-wide like the reference's
+# memory backend (crates/storage/opendal/src/memory.rs)
+_MEM_STORES: Dict[str, Dict[str, Tuple[bytes, int]]] = {}
+_MEM_LOCK = threading.Lock()
+
+
+class MemoryFileIO(FileIO):
+    def __init__(self, bucket: str):
+        self.bucket = bucket
+        with _MEM_LOCK:
+            self.store = _MEM_STORES.setdefault(bucket, {})
+
+    @staticmethod
+    def _key(path: str) -> str:
+        u = urlparse(path)
+        return u.path.lstrip("/")
+
+    def read_bytes(self, path, offset=None, length=None):
+        data, _ = self.store[self._key(path)]
+        if offset is not None:
+            end = offset + length if length is not None else None
+            return data[offset:end]
+        return data
+
+    def write_bytes(self, path, data):
+        with _MEM_LOCK:
+            self.store[self._key(path)] = (bytes(data), time.time_ns())
+
+    def create_exclusive(self, path, data):
+        with _MEM_LOCK:
+            k = self._key(path)
+            if k in self.store:
+                raise FileExistsError(path)
+            self.store[k] = (bytes(data), time.time_ns())
+
+    def rename(self, src, dst):
+        with _MEM_LOCK:
+            self.store[self._key(dst)] = self.store.pop(self._key(src))
+
+    def exists(self, path):
+        return self.is_file(path) or self.is_dir(path)
+
+    def is_file(self, path):
+        return self._key(path) in self.store
+
+    def is_dir(self, path):
+        k = self._key(path).rstrip("/") + "/"
+        return any(x.startswith(k) for x in self.store)
+
+    def size(self, path):
+        return len(self.store[self._key(path)][0])
+
+    def mtime_ns(self, path):
+        return self.store[self._key(path)][1]
+
+    def delete(self, path):
+        with _MEM_LOCK:
+            self.store.pop(self._key(path), None)
+
+    def delete_prefix(self, prefix):
+        k = self._key(prefix).rstrip("/") + "/"
+        with _MEM_LOCK:
+            for x in [x for x in self.store if x.startswith(k)]:
+                del self.store[x]
+
+    def list_dir(self, path):
+        k = self._key(path).rstrip("/")
+        k = k + "/" if k else ""
+        names = set()
+        for x in self.store:
+            if x.startswith(k):
+                names.add(x[len(k):].split("/", 1)[0])
+        return sorted(names)
+
+    def list_files(self, prefix):
+        u = urlparse(prefix)
+        base = f"{u.scheme}://{u.netloc}"
+        k = self._key(prefix).rstrip("/") + "/"
+        return sorted(f"{base}/{x}" for x in self.store if x.startswith(k))
+
+    def makedirs(self, path):
+        pass  # directories are implicit
+
+
+class FsspecFileIO(FileIO):
+    """Bridge to fsspec for object-store schemes (s3://, gs://, abfs://...).
+    Import-gated: absent in this container, present on real deployments."""
+
+    def __init__(self, scheme: str):
+        import fsspec  # noqa: gated import — raises if unavailable
+        self.fs = fsspec.filesystem(scheme)
+
+    def read_bytes(self, path, offset=None, length=None):
+        with self.fs.open(path, "rb") as fh:
+            if offset is not None:
+                fh.seek(offset)
+                return fh.read(length) if length is not None else fh.read()
+            return fh.read()
+
+    def write_bytes(self, path, data):
+        with self.fs.open(path, "wb") as fh:
+            fh.write(data)
+
+    def create_exclusive(self, path, data):
+        # object stores: best effort (S3 would use If-None-Match: *)
+        if self.fs.exists(path):
+            raise FileExistsError(path)
+        self.write_bytes(path, data)
+
+    def rename(self, src, dst):
+        self.fs.mv(src, dst)
+
+    def exists(self, path):
+        return self.fs.exists(path)
+
+    def is_file(self, path):
+        return self.fs.isfile(path)
+
+    def is_dir(self, path):
+        return self.fs.isdir(path)
+
+    def size(self, path):
+        return self.fs.size(path)
+
+    def mtime_ns(self, path):
+        try:
+            return int(self.fs.modified(path).timestamp() * 1e9)
+        except Exception:
+            return 0
+
+    def delete(self, path):
+        self.fs.rm_file(path)
+
+    def delete_prefix(self, prefix):
+        self.fs.rm(prefix, recursive=True)
+
+    def list_dir(self, path):
+        return sorted(p.rstrip("/").rsplit("/", 1)[-1]
+                      for p in self.fs.ls(path, detail=False))
+
+    def list_files(self, prefix):
+        return sorted(self.fs.find(prefix))
+
+    def makedirs(self, path):
+        self.fs.makedirs(path, exist_ok=True)
+
+
+_LOCAL = LocalFileIO()
+
+
+def file_io_for(path: str) -> FileIO:
+    """Scheme-dispatched FileIO (io/file_io.rs:63 `FileIO::from_path`)."""
+    scheme = urlparse(path).scheme if "://" in path else ""
+    if scheme in ("", "file"):
+        return _LOCAL
+    if scheme == "memory":
+        return MemoryFileIO(urlparse(path).netloc)
+    try:
+        return FsspecFileIO(scheme)
+    except ImportError as exc:
+        raise ValueError(
+            f"no FileIO backend for scheme {scheme!r} (fsspec missing)") from exc

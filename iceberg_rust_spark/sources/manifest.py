@@ -138,6 +138,25 @@ def _de_map(s: Optional[str]) -> Dict[str, Any]:
     return {k: de_value(v) for k, v in json.loads(s).items()}
 
 
+def _write_pq_via_io(table: "pa.Table", path: str) -> int:
+    """Serialize a metadata parquet through FileIO (any backend)."""
+    import io as _io
+
+    from .io import file_io_for
+    buf = _io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    data = buf.getvalue()
+    file_io_for(path).write_bytes(path, data)
+    return len(data)
+
+
+def _read_pq_via_io(path: str) -> "pa.Table":
+    import io as _io
+
+    from .io import file_io_for
+    return pq.read_table(_io.BytesIO(file_io_for(path).read_bytes(path)))
+
+
 def write_manifest(path: str, entries: List[ManifestEntry]) -> int:
     rows: Dict[str, list] = {name: [] for name in _MANIFEST_SCHEMA.names}
     for e in entries:
@@ -168,12 +187,11 @@ def write_manifest(path: str, entries: List[ManifestEntry]) -> int:
         rows["content_size_in_bytes"].append(f.content_size_in_bytes)
         rows["first_row_id"].append(f.first_row_id)
     table = pa.table(rows, schema=_MANIFEST_SCHEMA)
-    pq.write_table(table, path, compression="zstd")
-    return os.path.getsize(path)
+    return _write_pq_via_io(table, path)
 
 
 def read_manifest(path: str) -> List[ManifestEntry]:
-    t = pq.read_table(path)
+    t = _read_pq_via_io(path)
     out: List[ManifestEntry] = []
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     n = t.num_rows
@@ -255,12 +273,11 @@ def write_manifest_list(path: str, manifests: List[ManifestFile]) -> int:
                    "lower": ser_value(fs.lower), "upper": ser_value(fs.upper)}
             for name, fs in m.partitions.items()}))
     table = pa.table(rows, schema=_MANIFEST_LIST_SCHEMA)
-    pq.write_table(table, path, compression="zstd")
-    return os.path.getsize(path)
+    return _write_pq_via_io(table, path)
 
 
 def read_manifest_list(path: str) -> List[ManifestFile]:
-    t = pq.read_table(path)
+    t = _read_pq_via_io(path)
     cols = {name: t.column(name).to_pylist() for name in t.schema.names}
     out: List[ManifestFile] = []
     for i in range(t.num_rows):

@@ -212,52 +212,55 @@ def write_puffin(path: str, blobs: List[Tuple[BlobMetadata, bytes]],
                  properties: Optional[Dict[str, str]] = None) -> List[BlobMetadata]:
     """Write blobs to a Puffin file; offsets/lengths in the returned metadata
     are filled in from actual positions."""
+    from .io import file_io_for
+    import io as _io
     out_meta: List[BlobMetadata] = []
-    with open(path, "wb") as fh:
-        fh.write(MAGIC)
-        for meta, data in blobs:
-            meta.offset = fh.tell()
-            meta.length = len(data)
-            fh.write(data)
-            out_meta.append(meta)
-        payload = json.dumps({
-            "blobs": [m.to_json() for m in out_meta],
-            "properties": properties or {},
-        }).encode("utf-8")
-        fh.write(MAGIC)
-        fh.write(payload)
-        fh.write(struct.pack("<I", len(payload)))
-        fh.write(b"\x00\x00\x00\x00")  # flags: footer payload uncompressed
-        fh.write(MAGIC)
+    fh = _io.BytesIO()
+    fh.write(MAGIC)
+    for meta, data in blobs:
+        meta.offset = fh.tell()
+        meta.length = len(data)
+        fh.write(data)
+        out_meta.append(meta)
+    payload = json.dumps({
+        "blobs": [m.to_json() for m in out_meta],
+        "properties": properties or {},
+    }).encode("utf-8")
+    fh.write(MAGIC)
+    fh.write(payload)
+    fh.write(struct.pack("<I", len(payload)))
+    fh.write(b"\x00\x00\x00\x00")  # flags: footer payload uncompressed
+    fh.write(MAGIC)
+    file_io_for(path).write_bytes(path, fh.getvalue())
     return out_meta
 
 
 def read_puffin_footer(path: str) -> Tuple[List[BlobMetadata], Dict[str, str]]:
-    with open(path, "rb") as fh:
-        head = fh.read(4)
-        if head != MAGIC:
-            raise ValueError(f"bad puffin header magic {head!r}")
-        fh.seek(0, 2)
-        size = fh.tell()
-        fh.seek(size - 12)
-        (payload_len,) = struct.unpack("<I", fh.read(4))
-        flags = fh.read(4)
-        if fh.read(4) != MAGIC:
-            raise ValueError("bad puffin trailing magic")
-        if flags[0] & 1:
-            raise ValueError("compressed puffin footers not supported")
-        fh.seek(size - 12 - payload_len - 4)
-        if fh.read(4) != MAGIC:
-            raise ValueError("bad puffin footer magic")
-        payload = json.loads(fh.read(payload_len).decode("utf-8"))
+    from .io import file_io_for
+    fio = file_io_for(path)
+    # range reads only — header magic, 12-byte trailer, then the footer
+    # payload (object-store friendly: 3 small GETs, never the whole file)
+    if fio.read_bytes(path, 0, 4) != MAGIC:
+        raise ValueError("bad puffin header magic")
+    size = fio.size(path)
+    tail = fio.read_bytes(path, size - 12, 12)
+    (payload_len,) = struct.unpack("<I", tail[:4])
+    flags = tail[4:8]
+    if tail[8:] != MAGIC:
+        raise ValueError("bad puffin trailing magic")
+    if flags[0] & 1:
+        raise ValueError("compressed puffin footers not supported")
+    chunk = fio.read_bytes(path, size - 12 - payload_len - 4, 4 + payload_len)
+    if chunk[:4] != MAGIC:
+        raise ValueError("bad puffin footer magic")
+    payload = json.loads(chunk[4:].decode("utf-8"))
     blobs = [BlobMetadata.from_json(b) for b in payload.get("blobs", [])]
     return blobs, payload.get("properties", {})
 
 
 def read_blob(path: str, meta: BlobMetadata) -> bytes:
-    with open(path, "rb") as fh:
-        fh.seek(meta.offset)
-        return fh.read(meta.length)
+    from .io import file_io_for
+    return file_io_for(path).read_bytes(path, meta.offset, meta.length)
 
 
 def read_deletion_vectors(path: str) -> Dict[str, np.ndarray]:

@@ -42,22 +42,32 @@ from .types import Schema, type_to_spark
 
 @functools.lru_cache(maxsize=4096)
 def _cached_manifest(path: str, mtime_ns: int) -> tuple:
+    if path.endswith(".avro"):
+        # spec-layout manifest written by a real Iceberg implementation
+        # (interop path — avro_manifest.py); self-decoding via embedded schema
+        from .avro_manifest import read_avro_manifest
+        return tuple(read_avro_manifest(path))
     return tuple(read_manifest(path))
 
 
 def load_manifest(path: str) -> Sequence[ManifestEntry]:
     """Manifests are immutable once written; cache keyed by (path, mtime)."""
-    return _cached_manifest(path, os.stat(path).st_mtime_ns)
+    from .io import file_io_for
+    return _cached_manifest(path, file_io_for(path).mtime_ns(path))
 
 
 @functools.lru_cache(maxsize=1024)
 def _cached_manifest_list(path: str, mtime_ns: int) -> tuple:
+    if path.endswith(".avro"):
+        from .avro_manifest import read_avro_manifest_list
+        return tuple(read_avro_manifest_list(path))
     return tuple(read_manifest_list(path))
 
 
 def load_manifest_list(path: str) -> Sequence[ManifestFile]:
     """Manifest lists are immutable too (io/object_cache.rs:49 counterpart)."""
-    return _cached_manifest_list(path, os.stat(path).st_mtime_ns)
+    from .io import file_io_for
+    return _cached_manifest_list(path, file_io_for(path).mtime_ns(path))
 
 
 @dataclass

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..plans import expr as E
 from ..plans.evaluators import file_must_match
+from .io import file_io_for
 from .catalog import CommitConflict, FileSystemCatalog
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_ADDED, STATUS_EXISTING,
@@ -34,11 +35,19 @@ from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        read_manifest_list, write_manifest, write_manifest_list)
 from .metadata import (MAIN_BRANCH, PartitionField, PartitionSpec, Snapshot,
                        SnapshotRef, TableMetadata, new_snapshot_id, now_ms)
-from .scan import TableScan, load_manifest
+from .scan import TableScan, load_manifest, load_manifest_list
 from .types import (FIELD_ID_KEY, NestedField, Schema, is_promotable,
                     type_to_spark)
 from .write import align_df_to_schema, collect_parquet_stats, write_data_files
 from ..functions.transforms import parse_transform
+
+
+def _canon(path: str) -> str:
+    """Scheme-free absolute path for identity comparison (file:// == local);
+    non-local URIs pass through unchanged."""
+    from .io import strip_scheme
+    p = strip_scheme(path)
+    return os.path.abspath(p) if "://" not in p else p
 
 
 class Table:
@@ -75,8 +84,8 @@ class Table:
     def from_metadata_path(metadata_path: str) -> "Table":
         """StaticTable (table.rs:344 counterpart): read-only table loaded
         straight from a metadata JSON file, no catalog. Commits raise."""
-        with open(metadata_path) as fh:
-            md = TableMetadata.from_json(fh.read())
+        from .io import file_io_for
+        md = TableMetadata.from_json(file_io_for(metadata_path).read_text(metadata_path))
         t = Table(None, f"static:{metadata_path}", md, -1)  # type: ignore[arg-type]
         return t
 
@@ -217,8 +226,8 @@ class Table:
         hits.repartitionByRange("file_path", "pos") \
             .sortWithinPartitions("file_path", "pos") \
             .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
-                 for f in fs if f.endswith(".parquet")]
+        files = [p for p in file_io_for(out).list_files(out)
+                 if p.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
         dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
                          record_count=stats[p]["num_rows"],
@@ -261,7 +270,6 @@ class Table:
             return self
         out_path = os.path.join(self.location, "data",
                                 f"dv-{uuid.uuid4().hex[:12]}.puffin")
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         blobs = []
         for r in hits:
             blobs.append((BlobMetadata(
@@ -276,7 +284,7 @@ class Table:
             file_path=out_path, file_format="puffin",
             content=CONTENT_POSITION_DELETES,
             record_count=int(m.properties["cardinality"]),
-            file_size_in_bytes=os.path.getsize(out_path),
+            file_size_in_bytes=file_io_for(out_path).size(out_path),
             referenced_data_file=m.properties["referenced-data-file"],
             content_offset=m.offset, content_size_in_bytes=m.length,
             schema_id=schema.schema_id, spec_id=self.spec.spec_id)
@@ -302,8 +310,8 @@ class Table:
         # sets to one file) instead of funnelling through a single task.
         keys_df.select(*eq_column_names).dropDuplicates() \
             .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
-                 for f in fs if f.endswith(".parquet")]
+        files = [p for p in file_io_for(out).list_files(out)
+                 if p.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
         dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
                          record_count=stats[p]["num_rows"],
@@ -381,8 +389,8 @@ class Table:
         # otherwise pass through one executor).
         source_df.select(*key_columns).dropDuplicates() \
             .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
-                 for f in fs if f.endswith(".parquet")]
+        files = [p for p in file_io_for(out).list_files(out)
+                 if p.endswith(".parquet")]
         stats = collect_parquet_stats(spark, files)
         dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
                          record_count=stats[p]["num_rows"],
@@ -508,31 +516,32 @@ class Table:
         for snap in md.snapshots:
             referenced.add(os.path.abspath(snap.manifest_list))
             try:
-                manifests = read_manifest_list(snap.manifest_list)
+                manifests = load_manifest_list(snap.manifest_list)
             except FileNotFoundError:
                 continue
             for mf in manifests:
-                referenced.add(os.path.abspath(mf.manifest_path))
+                referenced.add(_canon(mf.manifest_path))
                 for e in load_manifest(mf.manifest_path):
-                    referenced.add(os.path.abspath(e.data_file.file_path))
+                    referenced.add(_canon(e.data_file.file_path))
         removed: List[str] = []
-        meta_dir = os.path.abspath(os.path.join(self.location, "metadata"))
-        for dirpath, _dirs, names in os.walk(self.location):
-            in_meta = os.path.abspath(dirpath).startswith(meta_dir)
-            for n in names:
-                if n.startswith(".") or n.startswith("_"):
-                    continue  # Spark sidecars (_SUCCESS, .crc) are not data
-                if in_meta and not (n.startswith("manifest-") or
-                                    n.startswith("snap-")):
-                    continue  # table-metadata jsons + version hints stay
-                p = os.path.abspath(os.path.join(dirpath, n))
-                if p in referenced:
-                    continue
-                if os.path.getmtime(p) * 1000 > cutoff:
-                    continue
-                removed.append(p)
-                if not dry_run:
-                    os.remove(p)
+        fio = file_io_for(self.location)
+        meta_dir = _canon(os.path.join(self.location, "metadata"))
+        for p in fio.list_files(self.location):
+            n = os.path.basename(p)
+            if n.startswith(".") or n.startswith("_"):
+                continue  # Spark sidecars (_SUCCESS, .crc) are not data
+            in_meta = _canon(p).startswith(meta_dir)
+            if in_meta and not (n.startswith("manifest-") or
+                                n.startswith("snap-")):
+                continue  # table-metadata jsons + version hints stay
+            p = _canon(p)
+            if p in referenced:
+                continue
+            if fio.mtime_ns(p) // 1_000_000 > cutoff:
+                continue
+            removed.append(p)
+            if not dry_run:
+                fio.delete(p)
         return removed
 
     def commit_updates(self, updates: List[Dict[str, Any]],
@@ -581,6 +590,51 @@ class Table:
         return self._commit_retry(action)
 
     # -------------------------------------------------------- metadata tables
+    def export_avro_metadata(self, out_dir: Optional[str] = None,
+                             snapshot_id: Optional[int] = None) -> Dict[str, str]:
+        """Export the (current or given) snapshot's manifests + manifest list
+        in the SPEC Avro layout (avro_manifest.py) so external Iceberg
+        readers can verify our tables, plus a v2 table-metadata JSON pointing
+        at the Avro manifest list. Returns {"metadata": path,
+        "manifest_list": path, "manifests": [paths...]}. Our native Parquet
+        manifests are untouched — this is an additive interop view."""
+        import json as _json
+
+        from .avro_manifest import (write_avro_manifest,
+                                    write_avro_manifest_list)
+        snap = (self.metadata.snapshot_by_id(snapshot_id)
+                if snapshot_id is not None else self.metadata.current_snapshot())
+        if snap is None:
+            raise ValueError("table has no snapshot to export")
+        base = out_dir or os.path.join(self.location, "metadata", "avro-export")
+        fio = file_io_for(base)
+        schema = self.metadata.schema(snap.schema_id)
+        out_manifests: List[str] = []
+        mf_records: List[ManifestFile] = []
+        for i, mf in enumerate(load_manifest_list(snap.manifest_list)):
+            entries = list(load_manifest(mf.manifest_path))
+            spec = self.metadata.spec(mf.partition_spec_id)
+            mpath = os.path.join(base, f"manifest-{snap.snapshot_id}-{i}.avro")
+            length = write_avro_manifest(mpath, entries, schema, spec)
+            out_manifests.append(mpath)
+            rec = ManifestFile(**{**mf.__dict__,
+                                  "manifest_path": mpath,
+                                  "manifest_length": length})
+            mf_records.append(rec)
+        ml_path = os.path.join(base, f"snap-{snap.snapshot_id}.avro")
+        write_avro_manifest_list(ml_path, mf_records,
+                                 spec_fields=self.metadata.spec().fields,
+                                 schema=schema)
+        # v2 metadata JSON re-pointed at the avro manifest list
+        md_dict = _json.loads(self.metadata.to_json())
+        for s in md_dict.get("snapshots", []):
+            if s.get("snapshot-id") == snap.snapshot_id:
+                s["manifest-list"] = ml_path
+        md_path = os.path.join(base, "v-export.metadata.json")
+        fio.write_text(md_path, _json.dumps(md_dict))
+        return {"metadata": md_path, "manifest_list": ml_path,
+                "manifests": out_manifests}
+
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         """snapshots metadata table (inspect/snapshots.rs:82 counterpart);
         carries the summary map so counts are queryable."""
@@ -601,7 +655,7 @@ class Table:
         snap = self.metadata.current_snapshot()
         rows = []
         if snap:
-            for m in read_manifest_list(snap.manifest_list):
+            for m in load_manifest_list(snap.manifest_list):
                 rows.append((m.manifest_path, m.manifest_length, m.partition_spec_id,
                              m.content, m.sequence_number, m.added_files_count,
                              m.existing_files_count, m.deleted_files_count,
@@ -631,7 +685,7 @@ class Table:
         snap = self.metadata.current_snapshot()
         rows = []
         if snap is not None:
-            for mf in read_manifest_list(snap.manifest_list):
+            for mf in load_manifest_list(snap.manifest_list):
                 for e in load_manifest(mf.manifest_path):
                     f = e.data_file
                     rows.append((e.status, e.snapshot_id, e.sequence_number,
@@ -713,12 +767,11 @@ class Table:
                 _struct.pack("<q", ndv)))
         path = os.path.join(self.location, "metadata",
                             f"stats-{snap.snapshot_id}-{uuid.uuid4().hex}.puffin")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         written = write_puffin(path, blobs)
         stats_file = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": path,
-            "file-size-in-bytes": os.path.getsize(path),
+            "file-size-in-bytes": file_io_for(path).size(path),
             "file-footer-size-in-bytes": 0,
             "blob-metadata": [m.to_json() for m in written],
         }
@@ -754,12 +807,12 @@ class Table:
         path = os.path.join(
             self.location, "metadata",
             f"partition-stats-{snap.snapshot_id}-{uuid.uuid4().hex}.parquet")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(tbl, path)
+        from .manifest import _write_pq_via_io
+        size = _write_pq_via_io(tbl, path)
         stats_file = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": path,
-            "file-size-in-bytes": os.path.getsize(path),
+            "file-size-in-bytes": size,
         }
         return self.commit_updates(
             [{"action": "set-partition-statistics",
@@ -989,7 +1042,7 @@ class Table:
         else:
             cur = md.current_snapshot()
         if cur is not None and not remove_all:
-            for mf in read_manifest_list(cur.manifest_list):
+            for mf in load_manifest_list(cur.manifest_list):
                 if not removed_paths:
                     manifests.append(mf)
                     continue

@@ -77,22 +77,25 @@ class ViewCatalog:
     def __init__(self, catalog: FileSystemCatalog):
         self.catalog = catalog
 
+    @property
+    def _io(self):
+        return self.catalog.io
+
     def _view_path(self, identifier: str) -> str:
+        from .io import posix_join
         parts = identifier.split(".")
-        return os.path.join(self.catalog.warehouse, *parts[:-1],
-                            f"{parts[-1]}.view.json")
+        return posix_join(self.catalog.warehouse, *parts[:-1],
+                          f"{parts[-1]}.view.json")
 
     def create_view(self, identifier: str, sql: str,
                     properties: Optional[Dict[str, str]] = None) -> ViewMetadata:
         path = self._view_path(identifier)
-        if os.path.isfile(path):
+        if self._io.is_file(path):
             raise ValueError(f"view {identifier} exists")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         md = ViewMetadata(str(uuid.uuid4()), path, 1,
                           [ViewVersion(1, int(time.time() * 1000), sql)],
                           properties or {})
-        with open(path, "w") as fh:
-            fh.write(md.to_json())
+        self._io.write_text(path, md.to_json())
         return md
 
     def replace_view(self, identifier: str, sql: str) -> ViewMetadata:
@@ -100,24 +103,22 @@ class ViewCatalog:
         next_id = max(v.version_id for v in md.versions) + 1
         md.versions.append(ViewVersion(next_id, int(time.time() * 1000), sql))
         md.current_version_id = next_id
-        with open(self._view_path(identifier), "w") as fh:
-            fh.write(md.to_json())
+        self._io.write_text(self._view_path(identifier), md.to_json())
         return md
 
     def load_view(self, identifier: str) -> ViewMetadata:
         path = self._view_path(identifier)
-        if not os.path.isfile(path):
+        if not self._io.is_file(path):
             raise NoSuchTable(f"view {identifier}")
-        return ViewMetadata.from_json(open(path).read())
+        return ViewMetadata.from_json(self._io.read_text(path))
 
     def drop_view(self, identifier: str) -> None:
-        os.remove(self._view_path(identifier))
+        self._io.delete(self._view_path(identifier))
 
     def list_views(self, namespace: str) -> List[str]:
-        ns_dir = os.path.join(self.catalog.warehouse, *namespace.split("."))
-        if not os.path.isdir(ns_dir):
-            return []
-        return sorted(f[:-len(".view.json")] for f in os.listdir(ns_dir)
+        from .io import posix_join
+        ns_dir = posix_join(self.catalog.warehouse, *namespace.split("."))
+        return sorted(f[:-len(".view.json")] for f in self._io.list_dir(ns_dir)
                       if f.endswith(".view.json"))
 
     def read_view(self, spark: SparkSession, identifier: str,

@@ -202,12 +202,9 @@ def _sort_columns(metadata: TableMetadata) -> List[Any]:
 
 
 def _list_parquet_files(root: str) -> List[str]:
-    out = []
-    for dirpath, _dirs, names in os.walk(root):
-        for n in names:
-            if n.endswith(".parquet"):
-                out.append(os.path.join(dirpath, n))
-    return out
+    from .io import file_io_for
+    return [p for p in file_io_for(root).list_files(root)
+            if p.endswith(".parquet")]
 
 
 def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:
@@ -223,7 +220,7 @@ def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
         import pyarrow.parquet as _pq
         for p in paths:
             try:
-                yield p, _footer_stats(_pq, p)
+                yield p, _footer_stats(_pq, p[7:] if p.startswith("file://") else p)
             except Exception as exc:  # surface, don't swallow
                 yield p, {"error": str(exc)}
 
@@ -284,7 +281,9 @@ def _cmp_lt(a: Any, b: Any) -> bool:
 def _parse_partition_from_path(path: str, root: str,
                                pcols: List[Tuple[str, str, Transform, IcebergType]]) -> Dict[str, Any]:
     """Recover typed partition values from Spark-written hive-style dirs."""
-    rel = os.path.relpath(os.path.dirname(path), root)
+    from .io import strip_scheme
+    rel = os.path.relpath(os.path.dirname(strip_scheme(path)),
+                          strip_scheme(root))
     partition: Dict[str, Any] = {}
     if rel == ".":
         return partition

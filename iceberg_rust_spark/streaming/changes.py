@@ -25,9 +25,11 @@ from typing import Dict, List, Optional, Set
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.scan import load_manifest_list
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                                 CONTENT_POSITION_DELETES, DataFile)
 from ..sources.scan import load_manifest
+from ..sources.scan import load_manifest_list
 from ..sources.manifest import read_manifest_list
 from ..sources.table import Table
 
@@ -44,7 +46,7 @@ def _file_sets(table: Table, snapshot_id: Optional[int]):
     snap = table.metadata.snapshot_by_id(snapshot_id)
     if snap is None:
         return data, dels
-    for mf in read_manifest_list(snap.manifest_list):
+    for mf in load_manifest_list(snap.manifest_list):
         for e in load_manifest(mf.manifest_path):
             f = e.data_file
             if f.content == CONTENT_DATA:

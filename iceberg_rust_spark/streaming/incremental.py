@@ -27,16 +27,20 @@ class IncrementalReader:
         self.checkpoint_path = checkpoint_path
 
     def _load_state(self) -> Optional[int]:
-        if os.path.isfile(self.checkpoint_path):
-            with open(self.checkpoint_path) as fh:
+        from ..sources.io import file_io_for
+        fio = file_io_for(self.checkpoint_path)
+        if fio.is_file(self.checkpoint_path):
+            import io as _io
+            with _io.StringIO(fio.read_text(self.checkpoint_path)) as fh:
                 return json.load(fh).get("last_snapshot_id")
         return None
 
     def _save_state(self, snapshot_id: int) -> None:
+        from ..sources.io import file_io_for
+        fio = file_io_for(self.checkpoint_path)
         tmp = self.checkpoint_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"last_snapshot_id": snapshot_id}, fh)
-        os.replace(tmp, self.checkpoint_path)
+        fio.write_text(tmp, json.dumps({"last_snapshot_id": snapshot_id}))
+        fio.rename(tmp, self.checkpoint_path)
 
     def micro_batches(self, spark: SparkSession
                       ) -> Iterator[Tuple[int, DataFrame]]:

@@ -1,0 +1,128 @@
+"""Avro codec + spec-manifest interop (sources/avro.py, avro_manifest.py):
+decode the reference's golden manifest-list files, byte-roundtrip our own
+writer, verify spec single-value serialization, and prove end-to-end that a
+table exported in spec Avro layout scans back identically via StaticTable."""
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_rust_spark import Table, expr as E
+from iceberg_rust_spark.sources.avro import (decode_value, encode_value,
+                                             read_container, write_container)
+from iceberg_rust_spark.sources.avro_manifest import (
+    MANIFEST_LIST_SCHEMA, decode_single_value, encode_single_value,
+    manifest_entry_schema, read_avro_manifest, read_avro_manifest_list)
+from iceberg_rust_spark.sources.types import PrimitiveType, schema_from_spark
+
+GOLDEN = "/root/reference/crates/iceberg/testdata"
+
+
+# --------------------------------------------------------------- golden files
+@pytest.mark.parametrize("name,n", [("manifest-list-v2-1.avro", 1),
+                                    ("manifest-list-v2-2.avro", 1)])
+def test_decode_reference_golden_manifest_lists(name, n):
+    data = open(f"{GOLDEN}/manifests_lists/{name}", "rb").read()
+    schema, records, meta = read_container(data)
+    assert len(records) == n
+    r = records[0]
+    assert r["manifest_path"].endswith(".avro")
+    assert r["manifest_length"] > 0
+    assert r["content"] in (0, 1)
+    assert r["added_snapshot_id"] > 0
+    # our writer must re-encode the golden records losslessly
+    out = write_container(schema, records)
+    _s2, r2, _m = read_container(out)
+    assert r2 == records
+
+
+def test_read_avro_manifest_list_maps_golden_fields():
+    mfs = read_avro_manifest_list(
+        f"{GOLDEN}/manifests_lists/manifest-list-v2-1.avro")
+    assert len(mfs) == 1
+    m = mfs[0]
+    assert m.sequence_number == 1 and m.added_files_count == 1
+    assert m.added_rows_count == 1 and m.content == 0
+
+
+def test_entry_schema_matches_reference_field_names():
+    """Our v2 manifest_entry Avro schema must carry the reference's field
+    names (golden avro_schema_manifest_entry.json is v1: a subset plus the
+    v1-only block_size_in_bytes)."""
+    golden = json.load(open(f"{GOLDEN}/avro_schema_manifest_entry.json"))
+    golden_df = [f for f in golden["fields"] if f["name"] == "data_file"][0]
+    golden_names = {f["name"] for f in golden_df["type"]["fields"]}
+
+    class _F:  # minimal stand-ins for schema/spec
+        pass
+
+    from iceberg_rust_spark.sources.types import NestedField, Schema
+    sch = Schema([NestedField(1, "x", PrimitiveType("long"), True)])
+    ours = manifest_entry_schema(sch, [])
+    our_df = [f for f in ours["fields"] if f["name"] == "data_file"][0]
+    our_names = {f["name"] for f in our_df["type"]["fields"]}
+    assert golden_names - {"block_size_in_bytes"} <= our_names
+
+
+# ------------------------------------------------------------- codec details
+def test_codec_value_roundtrips():
+    import io
+    cases = [
+        ("long", -(2**62)), ("long", 2**62), ("int", -1), ("int", 0),
+        ("string", "héllo"), ("bytes", b"\x00\xff"), ("boolean", True),
+        ("double", 3.5), (["null", "long"], None), (["null", "long"], 7),
+        ({"type": "array", "items": "long"}, [1, 2, 3]),
+        ({"type": "map", "values": "string"}, {"a": "b"}),
+        ({"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"},
+                     {"name": "b", "type": ["null", "string"]}]},
+         {"a": 5, "b": None}),
+    ]
+    for schema, val in cases:
+        buf = io.BytesIO()
+        encode_value(schema, val, buf)
+        buf.seek(0)
+        assert decode_value(schema, buf) == val, schema
+
+
+def test_single_value_serialization_roundtrips():
+    cases = [
+        (PrimitiveType("int"), -5),
+        (PrimitiveType("long"), 2**40),
+        (PrimitiveType("double"), 1.25),
+        (PrimitiveType("string"), "abc"),
+        (PrimitiveType("date"), dt.date(1969, 12, 30)),  # pre-epoch
+        (PrimitiveType("timestamp"), dt.datetime(2001, 2, 3, 4, 5, 6, 789)),
+        (PrimitiveType("decimal(9,2)"), Decimal("-1234.56")),
+        (PrimitiveType("boolean"), True),
+    ]
+    for t, v in cases:
+        assert decode_single_value(t, encode_single_value(t, v)) == v, t.name
+
+
+# --------------------------------------------------- end-to-end export + scan
+def test_export_avro_metadata_and_static_scan(spark, warehouse):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"))
+    t = Table.create(warehouse, "db.exp", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    paths = t.export_avro_metadata()
+    # spec-layout manifests decode back to the same file inventory
+    entries = read_avro_manifest(paths["manifests"][0])
+    native = list(t.scan().plan_files().tasks)
+    assert {e.data_file.file_path for e in entries} == \
+        {x.data_file.file_path for x in native}
+    e = entries[0]
+    assert e.data_file.record_count > 0
+    # stats maps were re-keyed by column NAME via the embedded schema
+    assert "k" in e.data_file.value_counts
+    assert e.data_file.lower_bounds["k"] == 0
+    # a real-Iceberg-style static table over the avro metadata scans equal
+    st = Table.from_metadata_path(paths["metadata"])
+    got = st.scan(row_filter=E.col("k") < 100).to_df(spark)
+    assert got.count() == 100
+    assert st.to_df(spark).count() == 300

@@ -1,0 +1,113 @@
+"""FileIO abstraction (sources/io.py, counterpart of io/file_io.rs:63):
+memory backend proves the metadata path never touches bare os.*; the
+file:// warehouse proves URI paths flow end-to-end through write/scan/
+delete; unit tests cover the CAS + listing semantics of both backends."""
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_rust_spark import FileSystemCatalog, Table, expr as E
+from iceberg_rust_spark.sources.io import (LocalFileIO, MemoryFileIO,
+                                           file_io_for, posix_join,
+                                           strip_scheme)
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+
+# ------------------------------------------------------------- unit: backends
+def test_scheme_dispatch(tmp_path):
+    assert isinstance(file_io_for(str(tmp_path)), LocalFileIO)
+    assert isinstance(file_io_for(f"file://{tmp_path}"), LocalFileIO)
+    assert isinstance(file_io_for("memory://bkt/x"), MemoryFileIO)
+    with pytest.raises(ValueError):
+        file_io_for("nosuchscheme://x/y")
+
+
+def test_posix_join_and_strip():
+    assert posix_join("file:///a", "b", "c") == "file:///a/b/c"
+    assert posix_join("memory://w", "db/t") == "memory://w/db/t"
+    assert strip_scheme("file:///x/y") == "/x/y"
+    assert strip_scheme("/x/y") == "/x/y"
+
+
+@pytest.mark.parametrize("base", ["local", "file", "memory"])
+def test_backend_semantics(base, tmp_path):
+    if base == "memory":
+        root = f"memory://t{uuid.uuid4().hex[:8]}"
+    elif base == "file":
+        root = f"file://{tmp_path}"
+    else:
+        root = str(tmp_path)
+    fio = file_io_for(root)
+    p = posix_join(root, "a", "f.bin")
+    fio.write_bytes(p, b"hello world")
+    assert fio.is_file(p) and fio.size(p) == 11
+    assert fio.read_bytes(p) == b"hello world"
+    assert fio.read_bytes(p, 6, 5) == b"world"  # range read
+    assert fio.mtime_ns(p) > 0
+    # CAS: second exclusive create must fail
+    with pytest.raises(FileExistsError):
+        fio.create_exclusive(p, b"x")
+    fio.create_exclusive(posix_join(root, "a", "g.bin"), b"x")
+    # listing
+    assert fio.list_dir(posix_join(root, "a")) == ["f.bin", "g.bin"]
+    assert [x.rsplit("/", 1)[-1]
+            for x in fio.list_files(posix_join(root, "a"))] == ["f.bin", "g.bin"]
+    assert fio.is_dir(posix_join(root, "a"))
+    # rename + delete
+    fio.rename(posix_join(root, "a", "g.bin"), posix_join(root, "a", "h.bin"))
+    assert fio.is_file(posix_join(root, "a", "h.bin"))
+    fio.delete(posix_join(root, "a", "h.bin"))
+    assert not fio.is_file(posix_join(root, "a", "h.bin"))
+    fio.delete_prefix(posix_join(root, "a"))
+    assert not fio.is_dir(posix_join(root, "a"))
+
+
+# ----------------------------------------------- memory-backend metadata path
+def test_memory_catalog_metadata_lifecycle(spark):
+    """Catalog CRUD + commits run entirely on MemoryFileIO — no posix FS.
+    (Data appends need Spark-writable storage, so this exercises exactly the
+    metadata path the FileIO abstraction exists for.)"""
+    wh = f"memory://wh{uuid.uuid4().hex[:8]}"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(3).select(F.col("id").alias("k"))
+    schema = schema_from_spark(df.schema)
+    t = Table.create(cat, "db.t", schema)
+    assert cat.table_exists("db.t")
+    assert cat.list_tables("db") == ["t"]
+    # property commit bumps the version via the CAS path
+    t = t.update_properties({"owner": "tests"})
+    t2 = Table.load(cat, "db.t")
+    assert t2.metadata.properties["owner"] == "tests"
+    assert t2.version == 2
+    # stale-version commit loses the CAS race
+    from iceberg_rust_spark.sources.catalog import CommitConflict
+    with pytest.raises(CommitConflict):
+        cat.commit_table("db.t", 1, t2.metadata)
+    cat.rename_table("db.t", "db.t2")
+    assert cat.table_exists("db.t2") and not cat.table_exists("db.t")
+    cat.drop_table("db.t2")
+    assert not cat.table_exists("db.t2")
+
+
+# ------------------------------------------------- file:// URI end-to-end
+def test_file_uri_warehouse_end_to_end(spark, tmp_path):
+    wh = f"file://{tmp_path}/wh_uri"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    t = Table.create(cat, "db.t", schema_from_spark(df.schema))
+    assert t.location.startswith("file://")
+    t = t.append(spark, df)
+    assert t.to_df(spark).count() == 1000
+    # filtered scan with metrics pruning through the URI path
+    got = t.scan(row_filter=E.col("k") < 100).to_df(spark)
+    assert got.count() == 100
+    # MOR delete (pos-delete write + anti-join read) through the URI path
+    t = t.delete_where(spark, E.col("v") == 0, mode="mor")
+    assert t.to_df(spark).count() == 800
+    # snapshot expiry + orphan GC path math with URIs
+    t = t.expire_snapshots(older_than_ms=None, retain_last=1)
+    removed = t.remove_orphan_files(older_than_ms=2**62, dry_run=True)
+    assert isinstance(removed, list)
