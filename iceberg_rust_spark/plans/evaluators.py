@@ -131,6 +131,169 @@ def _project_leaf(p: E.Predicate, pf: PartitionFieldInfo) -> E.Predicate:
 
 
 # ---------------------------------------------------------------------------
+# 1b. StrictProjection — ROWS_MUST_MATCH in partition space
+# ---------------------------------------------------------------------------
+
+def strict_projection(pred: E.Predicate,
+                      spec_fields: Sequence["PartitionFieldInfo"]) -> E.Predicate:
+    """Project a bound row predicate to a partition predicate that GUARANTEES
+    every row in a matching partition satisfies the original predicate
+    (expr/visitors/strict_projection.rs:30 + Transform::strict_project,
+    spec/transform.rs:333). Dual of inclusive projection: anything
+    unprojectable becomes ALWAYS_FALSE (no guarantee), multiple partition
+    fields over one source OR together (any one guarantee suffices —
+    strict_projection.rs:77-84's day/hour example), and NOT must have been
+    rewritten away.
+
+    Used for metadata-only COW deletes: if the strict projection matches a
+    file's partition tuple, the whole file can be dropped without reading
+    its per-file metrics."""
+    by_source: Dict[str, List[PartitionFieldInfo]] = {}
+    for pf in spec_fields:
+        by_source.setdefault(pf.source_name, []).append(pf)
+
+    def project(p: E.Predicate) -> E.Predicate:
+        if isinstance(p, (E.AlwaysTrue, E.AlwaysFalse)):
+            return p
+        if isinstance(p, E.And):
+            return E.and_(project(p.left), project(p.right))
+        if isinstance(p, E.Or):
+            return E.or_(project(p.left), project(p.right))
+        if isinstance(p, E.Not):
+            return E.ALWAYS_FALSE  # must be pre-rewritten (rewrite_not)
+        src = p.field.name if hasattr(p, "field") else p.term
+        parts = by_source.get(src)
+        if not parts:
+            return E.ALWAYS_FALSE
+        out: E.Predicate = E.ALWAYS_FALSE
+        for pf in parts:
+            q = _strict_leaf(p, pf)
+            if not isinstance(q, E.AlwaysFalse):
+                out = q if isinstance(out, E.AlwaysFalse) else E.or_(out, q)
+        return out
+
+    return project(pred)
+
+
+def _strict_leaf(p: E.Predicate, pf: "PartitionFieldInfo") -> E.Predicate:
+    from ..functions.transforms import (BucketTransform, IdentityTransform,
+                                        TruncateTransform, VoidTransform)
+    t, pname, styp = pf.transform, pf.partition_name, pf.source_type
+
+    if isinstance(t, VoidTransform):
+        return E.ALWAYS_FALSE
+
+    # null-ness is preserved by every non-void transform
+    if isinstance(p, (E.UnaryPred, E.BoundUnaryPred)):
+        if p.op in (E.IS_NULL, E.NOT_NULL):
+            return E.UnaryPred(p.op, pname)
+        return E.ALWAYS_FALSE  # nan-ness is not visible in partition values
+
+    def apply(v):
+        return t.apply(v, styp)
+
+    if isinstance(p, E.SetPred) or isinstance(p, E.BoundSetPred):
+        if isinstance(t, IdentityTransform):
+            return E.SetPred(p.op, pname, tuple(p.literals))
+        if p.op == E.NOT_IN:
+            # t(v) ∉ {t(x)...} guarantees v ∉ {x...}  (transform.rs:617-647)
+            try:
+                return E.SetPred(E.NOT_IN, pname,
+                                 tuple(apply(v) for v in p.literals))
+            except (TypeError, ValueError):
+                return E.ALWAYS_FALSE
+        return E.ALWAYS_FALSE
+
+    if not isinstance(p, (E.BinaryPred, E.BoundBinaryPred)):
+        return E.ALWAYS_FALSE
+
+    op, lit = p.op, p.literal
+    if isinstance(t, IdentityTransform):
+        return E.BinaryPred(op, pname, lit)
+
+    if isinstance(t, BucketTransform):
+        if op == E.NOT_EQ:  # different bucket ⟹ different value
+            try:
+                return E.BinaryPred(E.NOT_EQ, pname, apply(lit))
+            except (TypeError, ValueError):
+                return E.ALWAYS_FALSE
+        return E.ALWAYS_FALSE
+
+    # truncate[W] over strings/binary (transform.rs:365-437)
+    if isinstance(t, TruncateTransform) and isinstance(lit, (str, bytes)):
+        w = t.w
+        if op == E.STARTS_WITH:
+            if len(lit) < w:
+                return E.BinaryPred(E.STARTS_WITH, pname, lit)
+            if len(lit) == w:
+                return E.BinaryPred(E.EQ, pname, lit)
+            return E.ALWAYS_FALSE
+        if op == E.NOT_STARTS_WITH:
+            if len(lit) < w:
+                return E.BinaryPred(E.NOT_STARTS_WITH, pname, lit)
+            if len(lit) == w:
+                return E.BinaryPred(E.NOT_EQ, pname, lit)
+            return E.BinaryPred(E.NOT_STARTS_WITH, pname, apply(lit))
+        # truncate_array_strict: LT/LTEQ -> part < t(X); GT/GTEQ -> part > t(X)
+        try:
+            tl = apply(lit)
+        except (TypeError, ValueError):
+            return E.ALWAYS_FALSE
+        if op in (E.LT, E.LT_EQ):
+            return E.BinaryPred(E.LT, pname, tl)
+        if op in (E.GT, E.GT_EQ):
+            return E.BinaryPred(E.GT, pname, tl)
+        if op == E.NOT_EQ:
+            return E.BinaryPred(E.NOT_EQ, pname, tl)
+        return E.ALWAYS_FALSE
+
+    # numeric truncate + temporal transforms: truncate_number_strict
+    # (transform.rs:897-952) with ±1-in-source-granularity boundary shifts
+    if not t.preserves_order():
+        return E.ALWAYS_FALSE
+    try:
+        if op == E.LT:
+            return E.BinaryPred(E.LT, pname, apply(lit))
+        if op == E.LT_EQ:
+            return E.BinaryPred(E.LT, pname, apply(_shift(lit, +1)))
+        if op == E.GT:
+            return E.BinaryPred(E.GT, pname, apply(lit))
+        if op == E.GT_EQ:
+            return E.BinaryPred(E.GT, pname, apply(_shift(lit, -1)))
+        if op == E.NOT_EQ:
+            return E.BinaryPred(E.NOT_EQ, pname, apply(lit))
+    except (TypeError, ValueError):
+        return E.ALWAYS_FALSE
+    return E.ALWAYS_FALSE  # EQ has no strict projection under widening
+
+
+def _shift(v: Any, step: int) -> Any:
+    """±1 in the source type's smallest granularity (adjust_boundary,
+    transform.rs:658+): int/long ±1, date ±1 day, timestamp ±1 µs."""
+    import datetime as dt
+    from decimal import Decimal
+    if isinstance(v, dt.datetime):
+        return v + dt.timedelta(microseconds=step)
+    if isinstance(v, dt.date):
+        return v + dt.timedelta(days=step)
+    if isinstance(v, Decimal):
+        return v + Decimal(1).scaleb(-(-v.as_tuple().exponent)) * step \
+            if v.as_tuple().exponent < 0 else v + step
+    if isinstance(v, int):
+        return v + step
+    raise TypeError(f"no unit shift for {type(v)}")
+
+
+def partition_must_match(strict_pred: E.Predicate,
+                         partition: Dict[str, Any]) -> bool:
+    """Evaluate the strict projection against a file's concrete partition
+    tuple: True ⟹ every row of the file matches the original predicate."""
+    if isinstance(strict_pred, E.AlwaysFalse):
+        return False
+    return E.evaluate_row(strict_pred, partition)
+
+
+# ---------------------------------------------------------------------------
 # 2. ManifestEvaluator — FieldSummary-level pruning
 # ---------------------------------------------------------------------------
 

@@ -154,27 +154,55 @@ class Table:
                      mode: str = "cow") -> "Table":
         """Row-level DELETE.
 
-        cow: strict-metrics whole-file drops (file_must_match) + rewrite of
-             partially-matching files with NOT(pred).
+        cow: 3-tier file disposition —
+             (1) StrictProjection in PARTITION space: whole-partition deletes
+                 drop files from the partition tuple alone, metadata-only
+                 (strict_projection.rs:30 counterpart, no per-file metrics
+                 consulted);
+             (2) strict METRICS whole-file drops (file_must_match) for files
+                 the partition guarantee can't cover;
+             (3) rewrite of partially-matching files with NOT(pred).
         mor: write a positional-delete file for matching (file,pos) rows.
         """
         if mode == "mor":
             return self._delete_mor_positional(spark, pred)
         if mode == "dv":
             return self._delete_mor_dv(spark, pred)
+        from ..plans.evaluators import (PartitionFieldInfo, partition_must_match,
+                                        strict_projection)
         md = self.metadata
         schema = md.schema()
         bound = E.bind(pred, schema)
         plan = self.scan(row_filter=pred).plan_files()
         if not plan.tasks:
             return self
+        strict_cache: Dict[int, E.Predicate] = {}
+
+        def strict_for(spec_id: int) -> E.Predicate:
+            if spec_id not in strict_cache:
+                infos = []
+                for pf in md.spec(spec_id).fields:
+                    src = schema.field_by_id(pf.source_id)
+                    if src is not None:
+                        infos.append(PartitionFieldInfo(
+                            src.name, pf.name, pf.transform, src.field_type))
+                strict_cache[spec_id] = strict_projection(bound, infos)
+            return strict_cache[spec_id]
+
         drop_paths: List[str] = []
+        strict_partition_drops = 0
         rewrite: List = []
         scan_obj = self.scan(row_filter=pred)
         for t in plan.tasks:
+            clean = not t.pos_deletes and not t.eq_deletes
+            if clean and t.data_file.partition and partition_must_match(
+                    strict_for(t.data_file.spec_id), t.data_file.partition):
+                drop_paths.append(t.data_file.file_path)
+                strict_partition_drops += 1
+                continue
             metrics = scan_obj._metrics_for_file(t.data_file, schema)
-            if file_must_match(bound, metrics, t.data_file.record_count) \
-                    and not t.pos_deletes and not t.eq_deletes:
+            if clean and file_must_match(bound, metrics,
+                                         t.data_file.record_count):
                 drop_paths.append(t.data_file.file_path)
             else:
                 rewrite.append(t)
@@ -187,7 +215,9 @@ class Table:
             drop_paths += files
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete" if not added else "overwrite",
-            added=added, removed_paths=set(drop_paths)))
+            added=added, removed_paths=set(drop_paths),
+            extra_summary={"strict-partition-deleted-files":
+                           str(strict_partition_drops)}))
 
     def _live_rows_for_files(self, spark: SparkSession,
                              paths: List[str]) -> DataFrame:
