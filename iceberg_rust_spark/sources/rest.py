@@ -1,0 +1,539 @@
+"""REST catalog protocol: client, in-process server, and MemoryCatalog.
+
+Counterpart of the reference's REST catalog client
+(/root/reference/crates/catalog/rest/src/catalog.rs:372) and memory catalog
+(/root/reference/crates/catalog/memory/src/catalog.rs). The sandbox has no
+network, so the HTTP layer is a pluggable ``transport`` callable
+``(method, path, json_body) -> (status, json_dict)``; production would bind
+it to urllib/requests, tests bind it to an in-process ``RestCatalogServer``.
+Crucially the *wire payloads* are the real Iceberg REST ones — commits travel
+as ``{"requirements": [...], "updates": [...]}`` in the kebab-case shapes of
+catalog/mod.rs:443-649, applied server-side through updates.apply_updates —
+so the protocol IR is exercised in both directions, not just serialized.
+
+Commit flow (mirrors rest/src/catalog.rs::update_table):
+  client: diff base→new metadata into TableUpdate dicts + guard requirements
+  server: check_requirement(current, r) for each; apply_updates(current);
+          CAS into the backing catalog; RequirementFailed/conflict -> 409
+  client: 409 -> CommitConflict, which Table._commit_retry refresh-reapplies.
+
+One documented deviation: v3 row-lineage ``next-row-id`` has no standard
+update action (the REST spec assigns it server-side from the v3 snapshot's
+first-row-id); we carry it as an explicit extension action
+``{"action": "set-next-row-id"}`` so diff→apply is an exact identity.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .catalog import (CommitConflict, NoSuchTable, TableAlreadyExists)
+from .io import file_io_for, posix_join
+from .metadata import TableMetadata
+from .updates import RequirementFailed, apply_updates, check_requirement
+
+Transport = Callable[[str, str, Optional[dict]], Tuple[int, dict]]
+
+
+# ---------------------------------------------------------------------------
+# MemoryCatalog (catalog/memory/src/catalog.rs): identifier -> metadata in a
+# mutex-guarded map; metadata JSON is still written through FileIO at the
+# table location so StaticTable / metadata-log reads work, but the COMMIT
+# point (the CAS) is the in-memory version counter, like the reference's
+# HashMap<TableIdent, String> behind a Mutex.
+# ---------------------------------------------------------------------------
+
+class MemoryCatalog:
+    def __init__(self, warehouse: str):
+        import os
+        self.warehouse = (warehouse if "://" in warehouse
+                          else os.path.abspath(warehouse))
+        self.io = file_io_for(self.warehouse)
+        self.io.makedirs(self.warehouse)
+        self._lock = threading.Lock()
+        # identifier -> (metadata_json, version); JSON (not the object) is
+        # stored so each load round-trips serialization like a real catalog
+        self._tables: Dict[str, Tuple[str, int]] = {}
+        self._namespaces: set = set()
+
+    # -- namespaces --------------------------------------------------------
+    def create_namespace(self, namespace: str) -> None:
+        with self._lock:
+            self._namespaces.add(namespace)
+
+    def list_namespaces(self) -> List[str]:
+        with self._lock:
+            return sorted(self._namespaces)
+
+    def list_tables(self, namespace: str) -> List[str]:
+        prefix = namespace + "."
+        with self._lock:
+            return sorted(i.split(".", 1)[1] for i in self._tables
+                          if i.startswith(prefix))
+
+    # -- tables ------------------------------------------------------------
+    def table_exists(self, identifier: str) -> bool:
+        with self._lock:
+            return identifier in self._tables
+
+    def _table_dir(self, identifier: str) -> str:
+        return posix_join(self.warehouse, *identifier.split("."))
+
+    def create_table(self, identifier: str, metadata: TableMetadata) -> TableMetadata:
+        with self._lock:
+            if identifier in self._tables:
+                raise TableAlreadyExists(identifier)
+            metadata.location = self._table_dir(identifier)
+            self.io.makedirs(posix_join(metadata.location, "data"))
+            self.io.makedirs(posix_join(metadata.location, "metadata"))
+            self._write_metadata_file(identifier, 1, metadata)
+            self._tables[identifier] = (metadata.to_json(), 1)
+            return metadata
+
+    def load_table(self, identifier: str) -> Tuple[TableMetadata, int]:
+        with self._lock:
+            if identifier not in self._tables:
+                raise NoSuchTable(identifier)
+            text, version = self._tables[identifier]
+        return TableMetadata.from_json(text), version
+
+    def drop_table(self, identifier: str, purge: bool = True) -> None:
+        with self._lock:
+            if identifier not in self._tables:
+                raise NoSuchTable(identifier)
+            del self._tables[identifier]
+        if purge:
+            self.io.delete_prefix(self._table_dir(identifier))
+
+    def rename_table(self, src: str, dst: str) -> None:
+        with self._lock:
+            if src not in self._tables:
+                raise NoSuchTable(src)
+            if dst in self._tables:
+                raise TableAlreadyExists(dst)
+            # identifier moves, location stays (Catalog::rename_table semantics)
+            self._tables[dst] = self._tables.pop(src)
+
+    def commit_table(self, identifier: str, base_version: int,
+                     metadata: TableMetadata) -> int:
+        with self._lock:
+            if identifier not in self._tables:
+                raise NoSuchTable(identifier)
+            _, current = self._tables[identifier]
+            if current != base_version:
+                raise CommitConflict(
+                    f"{identifier}: v{current} committed since v{base_version}")
+            new_version = base_version + 1
+            prev_path = posix_join(self.metadata_location(identifier, base_version))
+            metadata.metadata_log.append({
+                "timestamp-ms": metadata.last_updated_ms,
+                "metadata-file": prev_path})
+            keep = int(metadata.properties.get(
+                "write.metadata.previous-versions-max", "100"))
+            metadata.metadata_log = metadata.metadata_log[-keep:]
+            self._write_metadata_file(identifier, new_version, metadata)
+            self._tables[identifier] = (metadata.to_json(), new_version)
+            return new_version
+
+    # -- helpers -----------------------------------------------------------
+    def metadata_location(self, identifier: str, version: int) -> str:
+        return posix_join(self._table_dir(identifier), "metadata",
+                          f"v{version}.metadata.json")
+
+    def _write_metadata_file(self, identifier: str, version: int,
+                             metadata: TableMetadata) -> None:
+        self.io.write_text(self.metadata_location(identifier, version),
+                           metadata.to_json())
+
+
+# ---------------------------------------------------------------------------
+# metadata diff -> TableUpdate list (the client half of the commit protocol).
+# The reference transaction *accumulates* updates as actions run
+# (transaction/mod.rs); our Table computes the full next metadata instead, so
+# the REST client reconstructs the equivalent update list by diffing. The
+# invariant (tested): apply_updates(base, diff_metadata(base, new)) == new.
+# ---------------------------------------------------------------------------
+
+def diff_metadata(base: TableMetadata, new: TableMetadata) -> List[Dict[str, Any]]:
+    upd: List[Dict[str, Any]] = []
+    if new.table_uuid != base.table_uuid:
+        upd.append({"action": "assign-uuid", "uuid": new.table_uuid})
+    if new.format_version != base.format_version:
+        upd.append({"action": "upgrade-format-version",
+                    "format-version": new.format_version})
+    if new.location != base.location:
+        upd.append({"action": "set-location", "location": new.location})
+
+    # schemas ---------------------------------------------------------------
+    base_schema_ids = {s.schema_id for s in base.schemas}
+    new_schema_ids = {s.schema_id for s in new.schemas}
+    for s in new.schemas:
+        if s.schema_id not in base_schema_ids:
+            upd.append({"action": "add-schema", "schema": s.to_json_dict()})
+    if new.current_schema_id != base.current_schema_id:
+        upd.append({"action": "set-current-schema",
+                    "schema-id": new.current_schema_id})
+    removed_schemas = sorted(base_schema_ids - new_schema_ids)
+    if removed_schemas:
+        upd.append({"action": "remove-schemas", "schema-ids": removed_schemas})
+
+    # partition specs -------------------------------------------------------
+    base_spec_ids = {s.spec_id for s in base.partition_specs}
+    new_spec_ids = {s.spec_id for s in new.partition_specs}
+    for s in new.partition_specs:
+        if s.spec_id not in base_spec_ids:
+            upd.append({"action": "add-spec", "spec": s.to_json()})
+    if new.default_spec_id != base.default_spec_id:
+        upd.append({"action": "set-default-spec", "spec-id": new.default_spec_id})
+    removed_specs = sorted(base_spec_ids - new_spec_ids)
+    if removed_specs:
+        upd.append({"action": "remove-partition-specs", "spec-ids": removed_specs})
+
+    # sort orders -----------------------------------------------------------
+    base_order_ids = {o.order_id for o in base.sort_orders}
+    for o in new.sort_orders:
+        if o.order_id not in base_order_ids:
+            upd.append({"action": "add-sort-order", "sort-order": o.to_json()})
+    if new.default_sort_order_id != base.default_sort_order_id:
+        upd.append({"action": "set-default-sort-order",
+                    "sort-order-id": new.default_sort_order_id})
+
+    # snapshots (ordered by sequence number so the monotonicity check in
+    # _apply_one holds when several appear in one commit) ------------------
+    base_snap_ids = {s.snapshot_id for s in base.snapshots}
+    new_snap_ids = {s.snapshot_id for s in new.snapshots}
+    for s in sorted((s for s in new.snapshots
+                     if s.snapshot_id not in base_snap_ids),
+                    key=lambda s: s.sequence_number):
+        upd.append({"action": "add-snapshot", "snapshot": s.to_json()})
+    removed_snaps = sorted(base_snap_ids - new_snap_ids)
+    # refs AFTER add-snapshot (target must exist), removals after re-pointing
+    for name, ref in new.refs.items():
+        old = base.refs.get(name)
+        if old is None or old.snapshot_id != ref.snapshot_id or old.type != ref.type:
+            upd.append({"action": "set-snapshot-ref", "ref-name": name,
+                        "snapshot-id": ref.snapshot_id, "type": ref.type})
+    for name in base.refs:
+        if name not in new.refs:
+            upd.append({"action": "remove-snapshot-ref", "ref-name": name})
+    if removed_snaps:
+        upd.append({"action": "remove-snapshots", "snapshot-ids": removed_snaps})
+
+    # properties ------------------------------------------------------------
+    changed = {k: v for k, v in new.properties.items()
+               if base.properties.get(k) != v}
+    if changed:
+        upd.append({"action": "set-properties", "updates": changed})
+    removed_props = sorted(k for k in base.properties if k not in new.properties)
+    if removed_props:
+        upd.append({"action": "remove-properties", "removals": removed_props})
+
+    # statistics ------------------------------------------------------------
+    def _stats_diff(base_list, new_list, set_action, set_key, rm_action):
+        base_by = {s.get("snapshot-id"): s for s in base_list}
+        new_by = {s.get("snapshot-id"): s for s in new_list}
+        for sid, sf in new_by.items():
+            if base_by.get(sid) != sf:
+                upd.append({"action": set_action, set_key: sf})
+        for sid in base_by:
+            if sid not in new_by:
+                upd.append({"action": rm_action, "snapshot-id": sid})
+
+    _stats_diff(base.statistics, new.statistics,
+                "set-statistics", "statistics", "remove-statistics")
+    _stats_diff(base.partition_statistics, new.partition_statistics,
+                "set-partition-statistics", "partition-statistics",
+                "remove-partition-statistics")
+
+    # encryption keys -------------------------------------------------------
+    base_keys = {k.get("key-id") for k in base.encryption_keys}
+    new_keys = {k.get("key-id") for k in new.encryption_keys}
+    for k in new.encryption_keys:
+        if k.get("key-id") not in base_keys:
+            upd.append({"action": "add-encryption-key", "encryption-key": k})
+    for kid in sorted(base_keys - new_keys):
+        upd.append({"action": "remove-encryption-key", "key-id": kid})
+
+    # v3 row lineage (extension action, see module docstring) --------------
+    if new.next_row_id != base.next_row_id:
+        upd.append({"action": "set-next-row-id", "next-row-id": new.next_row_id})
+    return upd
+
+
+def guard_requirements(base: TableMetadata,
+                       updates: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Requirements protecting a diff-based commit, mirroring what the
+    reference's actions attach (catalog/mod.rs:443-501): always pin the table
+    uuid; pin the branch head when snapshots/refs move; pin schema/spec
+    pointers when they move."""
+    reqs: List[Dict[str, Any]] = [
+        {"type": "assert-table-uuid", "uuid": base.table_uuid}]
+    actions = {u["action"] for u in updates}
+    touched_refs = {u["ref-name"] for u in updates
+                    if u["action"] in ("set-snapshot-ref", "remove-snapshot-ref")}
+    if actions & {"add-snapshot", "remove-snapshots"}:
+        touched_refs.add("main")
+    for name in sorted(touched_refs):
+        ref = base.refs.get(name)
+        req: Dict[str, Any] = {"type": "assert-ref-snapshot-id", "ref": name}
+        if ref is not None:
+            req["snapshot-id"] = ref.snapshot_id
+        reqs.append(req)
+    if "add-schema" in actions:
+        reqs.append({"type": "assert-last-assigned-field-id",
+                     "last-assigned-field-id": base.last_column_id})
+    if "set-current-schema" in actions:
+        reqs.append({"type": "assert-current-schema-id",
+                     "current-schema-id": base.current_schema_id})
+    if "add-spec" in actions:
+        reqs.append({"type": "assert-last-assigned-partition-id",
+                     "last-assigned-partition-id": base.last_partition_id})
+    if "set-default-spec" in actions:
+        reqs.append({"type": "assert-default-spec-id",
+                     "default-spec-id": base.default_spec_id})
+    if "set-default-sort-order" in actions:
+        reqs.append({"type": "assert-default-sort-order-id",
+                     "default-sort-order-id": base.default_sort_order_id})
+    return reqs
+
+
+# ---------------------------------------------------------------------------
+# server: routes the REST catalog OpenAPI paths onto a backing catalog.
+# In-process (no sockets — sandbox has no network), but handler signatures
+# and payloads are the wire ones, so a real WSGI binding is a 10-line shim.
+# ---------------------------------------------------------------------------
+
+class RestCatalogServer:
+    def __init__(self, backing):
+        self.backing = backing
+
+    # transport-compatible entry point
+    def __call__(self, method: str, path: str,
+                 body: Optional[dict]) -> Tuple[int, dict]:
+        try:
+            return self._route(method, path.strip("/"), body or {})
+        except NoSuchTable as e:
+            return 404, {"error": {"message": str(e), "type": "NoSuchTableException"}}
+        except TableAlreadyExists as e:
+            return 409, {"error": {"message": str(e),
+                                   "type": "AlreadyExistsException"}}
+        except (RequirementFailed, CommitConflict) as e:
+            return 409, {"error": {"message": str(e),
+                                   "type": "CommitFailedException"}}
+        except Exception as e:  # malformed request
+            return 400, {"error": {"message": str(e), "type": type(e).__name__}}
+
+    def _route(self, method: str, path: str, body: dict) -> Tuple[int, dict]:
+        parts = path.split("/")
+        if parts[:2] == ["v1", "config"]:
+            return 200, {"defaults": {}, "overrides": {}}
+        if parts[:2] == ["v1", "namespaces"]:
+            if len(parts) == 2:
+                if method == "POST":
+                    ns = ".".join(body["namespace"])
+                    self.backing.create_namespace(ns)
+                    return 200, {"namespace": body["namespace"], "properties": {}}
+                return 200, {"namespaces": [n.split(".") for n in
+                                            self.backing.list_namespaces()]}
+            ns = parts[2]
+            if len(parts) == 4 and parts[3] == "tables":
+                if method == "POST":
+                    return self._create_table(ns, body)
+                return 200, {"identifiers": [
+                    {"namespace": ns.split("."), "name": t}
+                    for t in self.backing.list_tables(ns)]}
+            if len(parts) == 5 and parts[3] == "tables":
+                ident = f"{ns}.{parts[4]}"
+                if method == "GET":
+                    return self._load_table(ident)
+                if method == "HEAD":
+                    return (204 if self.backing.table_exists(ident) else 404), {}
+                if method == "POST":
+                    return self._commit_table(ident, body)
+                if method == "DELETE":
+                    self.backing.drop_table(ident, purge=True)
+                    return 204, {}
+        if parts[:3] == ["v1", "tables", "rename"] and method == "POST":
+            src = ".".join(body["source"]["namespace"]) + "." + body["source"]["name"]
+            dst = ".".join(body["destination"]["namespace"]) + "." + body["destination"]["name"]
+            self.backing.rename_table(src, dst)
+            return 204, {}
+        return 404, {"error": {"message": f"no route {method} /{path}",
+                               "type": "NotFound"}}
+
+    def _load_result(self, ident: str, md: TableMetadata, version: int) -> dict:
+        loc = (self.backing.metadata_location(ident, version)
+               if hasattr(self.backing, "metadata_location")
+               else posix_join(md.location, "metadata",
+                               f"v{version}.metadata.json"))
+        return {"metadata-location": loc,
+                "metadata": json.loads(md.to_json()), "config": {}}
+
+    def _load_table(self, ident: str) -> Tuple[int, dict]:
+        md, version = self.backing.load_table(ident)
+        return 200, self._load_result(ident, md, version)
+
+    def _create_table(self, ns: str, body: dict) -> Tuple[int, dict]:
+        md = TableMetadata.from_json(json.dumps(body["metadata"]))
+        ident = f"{ns}.{body['name']}"
+        md = self.backing.create_table(ident, md)
+        return 200, self._load_result(ident, md, 1)
+
+    def _commit_table(self, ident: str, body: dict) -> Tuple[int, dict]:
+        md, version = self.backing.load_table(ident)
+        for req in body.get("requirements", []):
+            check_requirement(md, req)
+        new_md = apply_updates_ext(md, body.get("updates", []))
+        new_md.last_updated_ms = max(new_md.last_updated_ms, md.last_updated_ms)
+        new_version = self.backing.commit_table(ident, version, new_md)
+        return 200, self._load_result(ident, new_md, new_version)
+
+
+def apply_updates_ext(md: TableMetadata,
+                      updates: List[Dict[str, Any]]) -> TableMetadata:
+    """apply_updates plus the set-next-row-id extension action (module
+    docstring); standard actions go through updates.apply_updates verbatim."""
+    std = [u for u in updates if u.get("action") != "set-next-row-id"]
+    out = apply_updates(md, std)
+    for u in updates:
+        if u.get("action") == "set-next-row-id":
+            if u["next-row-id"] < out.next_row_id:
+                raise RequirementFailed(
+                    f"next-row-id must not decrease: {u['next-row-id']} < "
+                    f"{out.next_row_id}")
+            out.next_row_id = u["next-row-id"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# client: the same duck-typed surface FileSystemCatalog exposes, so
+# Table/Transaction code runs over REST unchanged.
+# ---------------------------------------------------------------------------
+
+class RestCatalog:
+    def __init__(self, uri: str = "", transport: Optional[Transport] = None):
+        if transport is None:
+            transport = _urllib_transport(uri)
+        self.uri = uri
+        self._t = transport
+        # base metadata per (identifier, version) so commit can diff; entries
+        # die with the commit or the next refresh — bounded by live handles
+        self._bases: Dict[Tuple[str, int], TableMetadata] = {}
+
+    # -- namespaces --------------------------------------------------------
+    def create_namespace(self, namespace: str) -> None:
+        self._call("POST", "v1/namespaces",
+                   {"namespace": namespace.split(".")})
+
+    def list_namespaces(self) -> List[str]:
+        _, body = self._call("GET", "v1/namespaces", None)
+        return [".".join(n) for n in body["namespaces"]]
+
+    def list_tables(self, namespace: str) -> List[str]:
+        _, body = self._call("GET", f"v1/namespaces/{namespace}/tables", None)
+        return [i["name"] for i in body["identifiers"]]
+
+    # -- tables ------------------------------------------------------------
+    def table_exists(self, identifier: str) -> bool:
+        ns, name = identifier.rsplit(".", 1)
+        status, _ = self._t("HEAD", f"v1/namespaces/{ns}/tables/{name}", None)
+        return status == 204
+
+    def create_table(self, identifier: str, metadata: TableMetadata) -> TableMetadata:
+        ns, name = identifier.rsplit(".", 1)
+        _, body = self._call(
+            "POST", f"v1/namespaces/{ns}/tables",
+            {"name": name, "metadata": json.loads(metadata.to_json())})
+        md = TableMetadata.from_json(json.dumps(body["metadata"]))
+        self._bases[(identifier, 1)] = copy.deepcopy(md)
+        return md
+
+    def load_table(self, identifier: str) -> Tuple[TableMetadata, int]:
+        ns, name = identifier.rsplit(".", 1)
+        _, body = self._call("GET", f"v1/namespaces/{ns}/tables/{name}", None)
+        md = TableMetadata.from_json(json.dumps(body["metadata"]))
+        version = _version_of(body["metadata-location"])
+        self._bases[(identifier, version)] = copy.deepcopy(md)
+        return md, version
+
+    def drop_table(self, identifier: str, purge: bool = True) -> None:
+        ns, name = identifier.rsplit(".", 1)
+        self._call("DELETE", f"v1/namespaces/{ns}/tables/{name}", None)
+
+    def rename_table(self, src: str, dst: str) -> None:
+        s_ns, s_name = src.rsplit(".", 1)
+        d_ns, d_name = dst.rsplit(".", 1)
+        self._call("POST", "v1/tables/rename", {
+            "source": {"namespace": s_ns.split("."), "name": s_name},
+            "destination": {"namespace": d_ns.split("."), "name": d_name}})
+
+    def commit_table(self, identifier: str, base_version: int,
+                     metadata: TableMetadata) -> int:
+        base = self._bases.get((identifier, base_version))
+        if base is None:
+            # stale handle from before this client — treat as a lost race so
+            # _commit_retry reloads through us and caches a base
+            raise CommitConflict(f"{identifier}: no base for v{base_version}")
+        updates = diff_metadata(base, metadata)
+        requirements = guard_requirements(base, updates)
+        ns, name = identifier.rsplit(".", 1)
+        status, body = self._t(
+            "POST", f"v1/namespaces/{ns}/tables/{name}",
+            {"identifier": {"namespace": ns.split("."), "name": name},
+             "requirements": requirements, "updates": updates})
+        if status == 409:
+            raise CommitConflict(body.get("error", {}).get("message", "conflict"))
+        if status >= 300:
+            raise RuntimeError(f"commit failed {status}: {body}")
+        self._bases.pop((identifier, base_version), None)
+        new_version = _version_of(body["metadata-location"])
+        self._bases[(identifier, new_version)] = TableMetadata.from_json(
+            json.dumps(body["metadata"]))
+        return new_version
+
+    # -- plumbing ----------------------------------------------------------
+    def _call(self, method: str, path: str,
+              body: Optional[dict]) -> Tuple[int, dict]:
+        status, resp = self._t(method, path, body)
+        if status == 404:
+            raise NoSuchTable(resp.get("error", {}).get("message", path))
+        if status == 409:
+            err_type = resp.get("error", {}).get("type", "")
+            if err_type == "AlreadyExistsException":
+                raise TableAlreadyExists(resp["error"]["message"])
+            raise CommitConflict(resp.get("error", {}).get("message", path))
+        if status >= 300:
+            raise RuntimeError(f"{method} {path} -> {status}: {resp}")
+        return status, resp
+
+
+def _version_of(metadata_location: str) -> int:
+    name = metadata_location.rsplit("/", 1)[-1]
+    # vN.metadata.json
+    return int(name.split(".", 1)[0].lstrip("v"))
+
+
+def _urllib_transport(uri: str) -> Transport:
+    """Real-HTTP binding for deployments; unused in the sandbox (no network)."""
+    import urllib.error
+    import urllib.request
+
+    def transport(method: str, path: str, body: Optional[dict]) -> Tuple[int, dict]:
+        url = uri.rstrip("/") + "/" + path
+        data = None if body is None else json.dumps(body).encode()
+        req = urllib.request.Request(url, data=data, method=method, headers={
+            "Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                text = r.read().decode() or "{}"
+                return r.status, json.loads(text)
+        except urllib.error.HTTPError as e:
+            text = e.read().decode() or "{}"
+            try:
+                return e.code, json.loads(text)
+            except json.JSONDecodeError:
+                return e.code, {"error": {"message": text, "type": "HTTPError"}}
+    return transport
