@@ -59,6 +59,10 @@ TIMESTAMPTZ_NS = PrimitiveType("timestamptz_ns")
 STRING = PrimitiveType("string")
 UUID = PrimitiveType("uuid")
 BINARY = PrimitiveType("binary")
+# v3 semi-structured type (reference: spec/datatypes.rs:94). Spark 4 has a
+# native VariantType with parse_json / try_variant_get / variant_get, so the
+# mapping is direct — no shredding emulation needed.
+VARIANT = PrimitiveType("variant")
 
 
 def decimal(precision: int, scale: int) -> PrimitiveType:
@@ -252,6 +256,7 @@ _PRIM_TO_SPARK = {
     "timestamptz": T.TimestampType(), "timestamp_ns": T.TimestampNTZType(),
     "timestamptz_ns": T.TimestampType(), "string": T.StringType(),
     "uuid": T.StringType(), "binary": T.BinaryType(),
+    "variant": T.VariantType(),
 }
 
 
@@ -336,6 +341,8 @@ def _spark_prim_to_iceberg(dt: T.DataType) -> PrimitiveType:
         return STRING
     if isinstance(dt, T.BinaryType):
         return BINARY
+    if isinstance(dt, T.VariantType):
+        return VARIANT
     raise TypeError(f"unsupported spark type {dt}")
 
 

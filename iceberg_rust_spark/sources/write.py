@@ -227,8 +227,37 @@ def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
     result = dict(rdd.mapPartitions(lambda it: scan(it)).collect())
     errs = {p: s["error"] for p, s in result.items() if "error" in s}
     if errs:
-        raise RuntimeError(f"footer scan failed: {errs}")
+        # pyarrow's thrift schema can lag the writer's: e.g. Spark 4 VARIANT
+        # footers raise "Thrift LogicalType that is not recognized". Spark
+        # just wrote these files, so fall back to a Spark-side row count and
+        # leave column bounds empty — the metrics evaluator then treats the
+        # files as always-might-match (prune loss, never wrong results).
+        result.update(_spark_fallback_stats(spark, sorted(errs)))
     return result
+
+
+def _spark_fallback_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:
+    import re as _re
+    from .io import file_io_for
+
+    def bare_path(p: str) -> str:
+        # Spark's _metadata.file_path spells local files "file:/x"; inputs
+        # may be "/x" or "file:///x" — normalize all three to "/x"
+        return _re.sub(r"^file:/+", "/", p)
+
+    per_file = (spark.read.parquet(*files)
+                .groupBy(F.col("_metadata.file_path").alias("p"))
+                .count().collect())
+    counts = {bare_path(r["p"]): r["count"] for r in per_file}
+    out = {}
+    for p in files:
+        bare = bare_path(p)
+        if bare not in counts:
+            raise RuntimeError(f"footer scan fallback: no rows attributed to {p}")
+        out[p] = {"num_rows": counts[bare], "size": file_io_for(p).size(p),
+                  "column_sizes": {}, "value_counts": {}, "null_counts": {},
+                  "lower": {}, "upper": {}, "split_offsets": []}
+    return out
 
 
 def _footer_stats(_pq, path: str) -> dict:

@@ -198,3 +198,31 @@ def test_scan_to_arrow(spark, warehouse, lineitem):
     # empty scan still yields a typed (zero-row) table
     empty = t.scan(row_filter=E.col("l_quantity") > 1e9).to_arrow(spark)
     assert empty.num_rows == 0
+
+
+def test_variant_column_roundtrip(spark, warehouse):
+    """v3 variant type (reference: spec/datatypes.rs:94): declare a variant
+    table column, write through the table, read back and extract typed paths
+    with try_variant_get — the full declare/write/scan lifecycle, not just
+    expression-level parse_json."""
+    df = spark.range(20).select(
+        F.col("id"),
+        F.parse_json(F.concat(
+            F.lit('{"k": '), F.col("id").cast("string"),
+            F.lit(', "tag": "t'), (F.col("id") % 3).cast("string"),
+            F.lit('"}'))).alias("payload"))
+    assert dict(df.dtypes)["payload"] == "variant"
+    t = make_table(warehouse, spark, df, name="db.variant_t")
+    # schema declares variant (survives metadata JSON round-trip)
+    f = t.metadata.schema().field_by_name("payload")
+    assert str(f.field_type) == "variant"
+    got = t.to_df(spark)
+    assert dict(got.dtypes)["payload"] == "variant"
+    out = (got.select("id",
+                      F.try_variant_get("payload", "$.k", "long").alias("k"),
+                      F.try_variant_get("payload", "$.tag", "string").alias("tag"))
+           .where(F.col("k") != F.col("id")))
+    assert out.count() == 0
+    tags = (got.select(F.try_variant_get("payload", "$.tag", "string").alias("tag"))
+            .groupBy("tag").count().collect())
+    assert {r["tag"] for r in tags} == {"t0", "t1", "t2"}
