@@ -273,6 +273,7 @@ class TableScan:
             groups.setdefault(sig, []).append(t)
 
         parts: List[DataFrame] = []
+        del_cache = _DeleteDFCache()
         for sig, tasks in groups.items():
             schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
@@ -318,13 +319,14 @@ class TableScan:
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
-                gdf = _apply_pos_deletes(spark, gdf, list(pos_dels.values()))
+                gdf = _apply_pos_deletes(spark, gdf, list(pos_dels.values()),
+                                         del_cache)
             # project file schema -> current schema by field id
             gdf = _project_to_schema(gdf, file_schema, schema,
                                      keep_meta=self.include_metadata_columns)
             if eq_paths:
                 eq_files = [d for t in tasks for d in t.eq_deletes]
-                gdf = _apply_eq_deletes(spark, gdf, eq_files, schema)
+                gdf = _apply_eq_deletes(spark, gdf, eq_files, schema, del_cache)
             parts.append(gdf)
 
         out = parts[0]
@@ -455,34 +457,66 @@ def _maybe_broadcast(spark: SparkSession, df: DataFrame, on_disk_bytes: int):
     return df
 
 
+class _DeleteDFCache:
+    """Per-scan delete-DataFrame memo (counterpart of the reference's
+    CachingDeleteFileLoader, arrow/caching_delete_file_loader.rs:265): each
+    distinct delete file set becomes a DataFrame once per scan; when a second
+    task group references the same set, the DF is persisted so executors read
+    the (small) delete files once instead of once per union branch."""
+
+    def __init__(self):
+        self._memo: Dict[Tuple, DataFrame] = {}
+        self._cached: set = set()
+
+    def get(self, key: Tuple, build) -> DataFrame:
+        df = self._memo.get(key)
+        if df is None:
+            df = build()
+            self._memo[key] = df
+        elif key not in self._cached:
+            df.cache()   # marks the shared plan; first action materializes
+            self._cached.add(key)
+        return df
+
+
 def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
-                       pos_deletes: List["DataFile"]) -> DataFrame:
+                       pos_deletes: List["DataFile"],
+                       del_cache: _DeleteDFCache) -> DataFrame:
     """Positional deletes: anti-join on (file, pos). Parquet delete files
     carry (file_path string, pos long) rows per the spec; Puffin
     deletion-vector blobs are decoded on the driver (metadata-sized) into the
     same shape. Broadcast only when the manifests prove the set is small."""
     parquet_paths = sorted({d.file_path for d in pos_deletes
                             if d.file_format == "parquet"})
-    dv_files = [d for d in pos_deletes if d.file_format == "puffin"]
-    parts = []
-    if parquet_paths:
-        parts.append(spark.read.parquet(*parquet_paths)
-                     .select(F.col("file_path").alias("_del_file"),
-                             F.col("pos").alias("_del_pos")))
-    if dv_files:
-        from .puffin import deserialize_dv, read_blob, BlobMetadata
-        rows = []
-        for d in dv_files:
-            blob = read_blob(d.file_path, BlobMetadata(
-                type="deletion-vector-v1", fields=[], snapshot_id=0,
-                sequence_number=0, offset=d.content_offset,
-                length=d.content_size_in_bytes))
-            for p in deserialize_dv(blob):
-                rows.append((d.referenced_data_file, int(p)))
-        parts.append(spark.createDataFrame(rows, "_del_file string, _del_pos long"))
-    del_df = parts[0]
-    for p in parts[1:]:
-        del_df = del_df.unionByName(p)
+    dv_files = sorted((d for d in pos_deletes if d.file_format == "puffin"),
+                      key=lambda d: (d.file_path, d.content_offset or 0))
+
+    def build() -> DataFrame:
+        parts = []
+        if parquet_paths:
+            parts.append(spark.read.parquet(*parquet_paths)
+                         .select(F.col("file_path").alias("_del_file"),
+                                 F.col("pos").alias("_del_pos")))
+        if dv_files:
+            from .puffin import deserialize_dv, read_blob, BlobMetadata
+            rows = []
+            for d in dv_files:
+                blob = read_blob(d.file_path, BlobMetadata(
+                    type="deletion-vector-v1", fields=[], snapshot_id=0,
+                    sequence_number=0, offset=d.content_offset,
+                    length=d.content_size_in_bytes))
+                for p in deserialize_dv(blob):
+                    rows.append((d.referenced_data_file, int(p)))
+            parts.append(spark.createDataFrame(
+                rows, "_del_file string, _del_pos long"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    key = ("pos", tuple(parquet_paths),
+           tuple((d.file_path, d.content_offset) for d in dv_files))
+    del_df = del_cache.get(key, build)
     del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(pos_deletes))
     joined = gdf.join(
         del_df,
@@ -497,7 +531,8 @@ def _norm_path(c):
 
 
 def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
-                      eq_deletes: List[DataFile], schema: Schema) -> DataFrame:
+                      eq_deletes: List[DataFile], schema: Schema,
+                      del_cache: _DeleteDFCache) -> DataFrame:
     """Equality deletes as left_anti joins. Spark's null-unsafe join keys keep
     data rows whose equality column is NULL — exactly Iceberg's null-keep
     semantics (caching_delete_file_loader.rs:422-426)."""
@@ -507,8 +542,10 @@ def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
         by_cols.setdefault(cols, []).append(d)
     out = gdf
     for cols, dfiles in by_cols.items():
-        paths = sorted({d.file_path for d in dfiles})
-        del_df = spark.read.parquet(*paths).select(*cols).dropDuplicates()
+        paths = tuple(sorted({d.file_path for d in dfiles}))
+        del_df = del_cache.get(
+            ("eq", cols, paths),
+            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
         del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles))
         out = out.join(del_df, on=list(cols), how="left_anti")
     return out

@@ -138,3 +138,24 @@ def test_cow_rewrites_apply_pending_mor_deletes(spark, warehouse):
     t3 = t3.rewrite_zorder(spark, ["id", "g"], n_files=4)
     assert t3.to_df(spark).count() == 90
     assert t3.to_df(spark).where("g = 7").count() == 0
+
+
+def test_delete_df_cache_shares_and_persists(spark):
+    """_DeleteDFCache: one build per key; second group hit persists the
+    shared plan (CachingDeleteFileLoader parity, load each set once/scan)."""
+    from iceberg_rust_spark.sources.scan import _DeleteDFCache
+    cache = _DeleteDFCache()
+    builds = []
+
+    def build():
+        builds.append(1)
+        # distinct plan per build: Spark's cache manager matches by plan,
+        # so identical plans would alias each other's storage level
+        return spark.range(3 + len(builds))
+
+    a = cache.get(("pos", ("f1",), ()), build)
+    b = cache.get(("pos", ("f1",), ()), build)
+    c = cache.get(("pos", ("f2",), ()), build)
+    assert a is b and len(builds) == 2
+    assert b.storageLevel.useMemory      # persisted on first reuse
+    assert not c.storageLevel.useMemory  # single-use stays unpersisted
