@@ -121,7 +121,14 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
              iters: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 11) -> DataFrame:
     """IVF: coarse-quantize vectors into n_cells (mini k-means), probe the
-    n_probe nearest cells to the query, exact re-rank inside them."""
+    n_probe nearest cells to the query, exact re-rank inside them.
+
+    Scale design: Lloyd iterations run entirely on a bounded driver-side
+    sample in numpy — centroid quality needs a representative sample, not the
+    full table, so training costs ZERO distributed passes. The only
+    full-table work is the single assignment pass at query time (and at
+    100 TB that assignment would be precomputed once as a stored `_cell`
+    partition/cluster column, turning every later probe into a pruned scan)."""
     v = as_double_array(F.col(vec_col))
     sample = emb.select(v.alias("v")).limit(n_cells * 20).collect()
     if not sample:
@@ -130,9 +137,17 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     rng = np.random.RandomState(seed)
     centroids = arr[rng.choice(len(arr), size=min(n_cells, len(arr)), replace=False)]
 
+    for _ in range(iters):
+        # numpy Lloyd step over the sample (argmin via ||v||^2-2vC^T+||C||^2)
+        d = (centroids ** 2).sum(axis=1)[np.newaxis, :] - 2.0 * (arr @ centroids.T)
+        cell = np.argmin(d, axis=1)
+        for c in range(len(centroids)):
+            members = arr[cell == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
     def assign_expr(cents: np.ndarray):
         # vectorized nearest-centroid: one Arrow batch matmul per partition
-        # (argmin over ||v||^2 - 2 v.C^T + ||C||^2; ||v||^2 constant in argmin)
         C = cents.copy()
         c_norms = (C ** 2).sum(axis=1)
         from pyspark.sql.functions import pandas_udf
@@ -143,14 +158,6 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
             d = c_norms[np.newaxis, :] - 2.0 * (mat @ C.T)
             return pd.Series(np.argmin(d, axis=1).astype("int32"))
         return _assign(v)
-
-    for _ in range(iters):
-        assigned = emb.withColumn("_cell", assign_expr(centroids))
-        stats = (assigned.groupBy("_cell")
-                 .agg(*[F.avg(v.getItem(i)).alias(f"m{i}")
-                        for i in range(centroids.shape[1])]).collect())
-        for r in stats:
-            centroids[r["_cell"]] = [r[f"m{i}"] for i in range(centroids.shape[1])]
 
     row = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
     if not row:
