@@ -162,23 +162,30 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     import numpy as np
 
     from .similarity import _hyperplanes, srp_buckets_batch
-    first = emb.select(vec_col).first()
+    # the (id, vector) projection feeds 5 logical reads (dim probe, both
+    # sides of the bucket self-join, both re-rank sides) — persist it so the
+    # upstream plan (often a union/transform, not a bare scan) executes once;
+    # MEMORY_AND_DISK spills rather than OOMs at scale, and at 100 TB the
+    # bucket columns would be precomputed as stored cluster keys anyway
+    base = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    base = base.persist()
+    first = base.select("_v").first()
     if first is None:
+        base.unpersist()
         return embedding_cosine_pairs(emb, threshold, id_col, vec_col)
     dim = len(first[0])
-    v = as_double_array(F.col(vec_col))
     planes = np.stack([_hyperplanes(dim, n_planes, seed=7 + ti)
                        for ti in range(n_tables)])
     bucket_udf = srp_buckets_batch(planes)
-    buckets = (emb.select(F.col(id_col), bucket_udf(v).alias("bks"))
+    buckets = (base.select(F.col(id_col), bucket_udf(F.col("_v")).alias("bks"))
                .select(F.col(id_col), F.posexplode("bks").alias("t", "bucket")))
     cands = (buckets.alias("l").join(buckets.alias("r"), on=["t", "bucket"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
              .dropDuplicates())
-    va = emb.select(F.col(id_col).alias("id_a"), v.alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    va = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
     return (cands.join(va, "id_a").join(vb, "id_b")
             .withColumn("sim", cosine_rounded(F.col("_va"), F.col("_vb")))
             .where(F.col("sim") >= threshold)
