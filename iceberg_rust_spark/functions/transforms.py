@@ -54,6 +54,12 @@ class Transform:
         """True if t(a) <= t(b) whenever a <= b (enables range projection)."""
         return False
 
+    def can_transform(self, src: ice.IcebergType) -> bool:
+        """Source-type applicability per the public spec's compatibility
+        matrix (reference checks the same in spec/transform.rs result-type
+        dispatch)."""
+        return isinstance(src, ice.PrimitiveType)
+
     def to_human(self, v: Any) -> str:
         return "null" if v is None else str(v)
 
@@ -112,6 +118,14 @@ class BucketTransform(Transform):
 
     def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
         return ice.INT
+
+    _BUCKETABLE = {"int", "long", "date", "time", "timestamp", "timestamptz",
+                   "timestamp_ns", "timestamptz_ns", "string", "uuid", "binary"}
+
+    def can_transform(self, src: ice.IcebergType) -> bool:
+        return (isinstance(src, ice.PrimitiveType)
+                and (src.name in self._BUCKETABLE
+                     or src.name.startswith(("decimal", "fixed"))))
 
     def hash_value(self, v: Any, src: ice.IcebergType) -> int:
         if isinstance(v, bool):
@@ -187,6 +201,11 @@ class TruncateTransform(Transform):
     def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
         return src
 
+    def can_transform(self, src: ice.IcebergType) -> bool:
+        return (isinstance(src, ice.PrimitiveType)
+                and (src.name in ("int", "long", "string", "binary")
+                     or src.name.startswith("decimal")))
+
     def apply(self, v: Any, src: ice.IcebergType) -> Any:
         if v is None:
             return None
@@ -231,8 +250,14 @@ class TruncateTransform(Transform):
 
 
 class _TemporalTransform(Transform):
+    _SOURCES = {"date", "timestamp", "timestamptz",
+                "timestamp_ns", "timestamptz_ns"}
+
     def result_type(self, src: ice.IcebergType) -> ice.IcebergType:
         return ice.INT
+
+    def can_transform(self, src: ice.IcebergType) -> bool:
+        return isinstance(src, ice.PrimitiveType) and src.name in self._SOURCES
 
     def preserves_order(self) -> bool:
         return True
@@ -292,6 +317,7 @@ class DayTransform(_TemporalTransform):
 
 class HourTransform(_TemporalTransform):
     name = "hour"
+    _SOURCES = _TemporalTransform._SOURCES - {"date"}
 
     def apply(self, v: Any, src: ice.IcebergType) -> Any:
         if v is None:

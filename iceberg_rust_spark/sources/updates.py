@@ -111,6 +111,8 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
         if v < md.format_version:
             raise InvalidUpdate(
                 f"cannot downgrade format version {md.format_version} -> {v}")
+        if v > 3:
+            raise InvalidUpdate(f"unsupported format version {v} (max 3)")
         md.format_version = v
     elif action == "assign-uuid":
         md.table_uuid = upd["uuid"]
@@ -135,11 +137,20 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
                 else PartitionSpec.from_json(upd["spec"]))
         if any(s.spec_id == spec.spec_id for s in md.partition_specs):
             raise InvalidUpdate(f"spec id {spec.spec_id} already exists")
+        seen_names: set = set()
         for pf in spec.fields:
-            if md.schema().field_by_id(pf.source_id) is None:
+            f = md.schema().field_by_id(pf.source_id)
+            if f is None:
                 raise InvalidUpdate(
                     f"partition field {pf.name} references unknown "
                     f"source id {pf.source_id}")
+            if not pf.transform.can_transform(f.field_type):
+                raise InvalidUpdate(
+                    f"transform {pf.transform!r} cannot apply to "
+                    f"{f.name}: {f.field_type}")
+            if pf.name in seen_names:
+                raise InvalidUpdate(f"duplicate partition field name {pf.name}")
+            seen_names.add(pf.name)
         md.partition_specs.append(spec)
         if spec.fields:
             md.last_partition_id = max(md.last_partition_id,
@@ -158,6 +169,15 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
               else SortOrder.from_json(upd["sort-order"]))
         if any(s.order_id == so.order_id for s in md.sort_orders):
             raise InvalidUpdate(f"sort order id {so.order_id} already exists")
+        for sf in so.fields:
+            f = md.schema().field_by_id(sf.source_id)
+            if f is None:
+                raise InvalidUpdate(
+                    f"sort field references unknown source id {sf.source_id}")
+            if not sf.transform.can_transform(f.field_type):
+                raise InvalidUpdate(
+                    f"sort transform {sf.transform!r} cannot apply to "
+                    f"{f.name}: {f.field_type}")
         md.sort_orders.append(so)
         state["last_added_order"] = so.order_id
     elif action == "set-default-sort-order":
@@ -178,6 +198,11 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             raise InvalidUpdate(
                 f"snapshot sequence {snap.sequence_number} not after "
                 f"{md.last_sequence_number}")
+        if snap.schema_id is not None and not any(
+                s.schema_id == snap.schema_id for s in md.schemas):
+            raise InvalidUpdate(
+                f"snapshot {snap.snapshot_id} references unknown "
+                f"schema id {snap.schema_id}")
         md.snapshots.append(snap)
         md.last_sequence_number = max(md.last_sequence_number,
                                       snap.sequence_number)
@@ -205,6 +230,10 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
     elif action == "set-location":
         md.location = upd["location"]
     elif action == "set-properties":
+        reserved = {"format-version", "uuid"} & set(upd["updates"])
+        if reserved:
+            raise InvalidUpdate(
+                f"reserved properties cannot be set: {sorted(reserved)}")
         md.properties.update(upd["updates"])
     elif action == "remove-properties":
         for k in upd["removals"]:

@@ -146,3 +146,51 @@ def test_commit_updates_through_catalog(spark, warehouse):
             requirements=[{"type": "assert-current-schema-id",
                            "current-schema-id": 99}])
     assert "x" not in t.refresh().metadata.properties
+
+
+def test_builder_validation_rules():
+    """Metadata-builder validation parity (table_metadata_builder.rs rules):
+    transform/source-type compatibility, duplicate partition names, reserved
+    properties, format-version cap, snapshot schema-id cross-ref."""
+    md = _md()
+    # incompatible transform: year() on a string column
+    with pytest.raises(InvalidUpdate, match="cannot apply"):
+        apply_updates(md, [{"action": "add-spec", "spec": {
+            "spec-id": 1, "fields": [
+                {"source-id": 2, "field-id": 1000, "name": "y",
+                 "transform": "year"}]}}])
+    # bucket on string IS allowed
+    out = apply_updates(md, [{"action": "add-spec", "spec": {
+        "spec-id": 1, "fields": [
+            {"source-id": 2, "field-id": 1000, "name": "b",
+             "transform": "bucket[4]"}]}}])
+    assert len(out.partition_specs) == 2
+    # duplicate partition field names
+    with pytest.raises(InvalidUpdate, match="duplicate partition field"):
+        apply_updates(md, [{"action": "add-spec", "spec": {
+            "spec-id": 1, "fields": [
+                {"source-id": 1, "field-id": 1000, "name": "x",
+                 "transform": "identity"},
+                {"source-id": 2, "field-id": 1001, "name": "x",
+                 "transform": "identity"}]}}])
+    # sort order: truncate on long OK, hour on string rejected
+    with pytest.raises(InvalidUpdate, match="sort transform"):
+        apply_updates(md, [{"action": "add-sort-order", "sort-order": {
+            "order-id": 1, "fields": [
+                {"source-id": 2, "transform": "hour",
+                 "direction": "asc", "null-order": "nulls-last"}]}}])
+    # reserved properties
+    with pytest.raises(InvalidUpdate, match="reserved"):
+        apply_updates(md, [{"action": "set-properties",
+                            "updates": {"format-version": "3"}}])
+    # format-version cap
+    with pytest.raises(InvalidUpdate, match="unsupported format version"):
+        apply_updates(md, [{"action": "upgrade-format-version",
+                            "format-version": 4}])
+    # snapshot referencing an unknown schema id
+    snap = Snapshot(snapshot_id=10, sequence_number=1, timestamp_ms=1,
+                    manifest_list="/tmp/ml.avro", schema_id=42,
+                    summary={"operation": "append"})
+    with pytest.raises(InvalidUpdate, match="unknown schema id"):
+        apply_updates(md, [{"action": "add-snapshot",
+                            "snapshot": snap.to_json()}])
