@@ -16,7 +16,16 @@ pipeline, including Structured Streaming with offset tracking/recovery.
   merge/overwrite inserts surface their added files; historical deletes are
   not replayed — use streaming/changes.py for full CDC).
 
-Executor-side reads go through pyarrow in Arrow-batch form (never
+- Batch/stream WRITE (`df.write/writeStream.format("iceberg_rust")`): each
+  executor task writes its Arrow batches as a parquet file + DataFile stats
+  (the reference's IcebergWriteExec emitting serialized DataFiles,
+  physical_plan/write.rs:61), the driver commits one snapshot per save /
+  micro-batch (IcebergCommitExec, physical_plan/commit.rs:43). Streaming
+  commits stamp the batch id in the snapshot summary and skip replays —
+  exactly-once. Unpartitioned tables (partitioned fan-out goes through
+  Table.append's DataFrame shuffle).
+
+Executor-side reads and writes go through pyarrow in Arrow-batch form (never
 row-at-a-time Python tuples).
 
 Register once per session::
@@ -30,10 +39,14 @@ Register once per session::
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Sequence
+import uuid
+from typing import Iterator, List, Optional, Sequence
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 
@@ -126,6 +139,111 @@ class _IcebergStreamReader(DataSourceStreamReader):
         pass
 
 
+class _FilesMessage(WriterCommitMessage):
+    """Per-task commit message: the DataFile descriptors this task wrote —
+    the same executor->driver handoff as the reference's IcebergWriteExec
+    emitting serialized DataFile rows (physical_plan/write.rs:61)."""
+
+    def __init__(self, files):
+        self.files = files
+
+
+class _IcebergWriter(DataSourceArrowWriter):
+    """Executor side of `df.write.format("iceberg_rust")`: each task writes
+    its Arrow batches as one parquet file under the table's data dir and
+    returns DataFile stats; the driver commits ONE snapshot from all tasks
+    (IcebergWriteExec + IcebergCommitExec shape, physical_plan/{write,
+    commit}.rs). Unpartitioned tables only — partitioned writes need the
+    fan-out shuffle that Table.append drives through the DataFrame API."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        t = _load_table(options)
+        if t.metadata.spec().fields:
+            raise ValueError(
+                "iceberg_rust DataSource write supports unpartitioned tables;"
+                " use Table.append for partitioned fan-out writes")
+        table_names = [f.name for f in t.metadata.schema().fields]
+        if sorted(schema.fieldNames()) != sorted(table_names):
+            raise ValueError(
+                f"input columns {sorted(schema.fieldNames())} != table "
+                f"columns {sorted(table_names)}")
+        self.options = dict(options)
+        self.overwrite = overwrite
+        self._names = table_names
+        self._write_dir = os.path.join(t.location, "data",
+                                       f"ds-{uuid.uuid4().hex[:12]}")
+        self._schema_id = t.metadata.schema().schema_id
+        self._spec_id = t.metadata.spec().spec_id
+        self._compression = t.metadata.properties.get(
+            "write.parquet.compression-codec", "zstd")
+
+    def write(self, iterator: Iterator["RecordBatch"]) -> _FilesMessage:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from ..sources.manifest import CONTENT_DATA, DataFile
+        from ..sources.write import _footer_stats
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FilesMessage([])
+        tbl = pa.Table.from_batches(batches).select(self._names)
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc else 0
+        os.makedirs(self._write_dir, exist_ok=True)
+        path = os.path.join(self._write_dir,
+                            f"part-{part:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(tbl, path, compression=self._compression)
+        st = _footer_stats(pq, path)
+        return _FilesMessage([DataFile(
+            file_path=path, file_format="parquet", content=CONTENT_DATA,
+            partition={}, record_count=st["num_rows"],
+            file_size_in_bytes=st["size"], column_sizes=st["column_sizes"],
+            value_counts=st["value_counts"], null_value_counts=st["null_counts"],
+            nan_value_counts={}, lower_bounds=st["lower"],
+            upper_bounds=st["upper"], split_offsets=st["split_offsets"],
+            schema_id=self._schema_id, spec_id=self._spec_id)])
+
+    def _collect(self, messages) -> list:
+        return [f for m in messages if m is not None for f in m.files]
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        files = self._collect(messages)
+        t = _load_table(self.options)
+        op = "overwrite" if self.overwrite else "append"
+        t._commit_retry(lambda md: t._snapshot_update(
+            md, op, added=files, remove_all=self.overwrite))
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        for f in self._collect(messages):
+            try:
+                os.remove(f.file_path)
+            except OSError:
+                pass
+
+
+class _IcebergStreamWriter(_IcebergWriter, DataSourceStreamArrowWriter):
+    """`writeStream.format("iceberg_rust")`: one snapshot per micro-batch,
+    stamped with the batch id in the snapshot summary; a replayed batch id is
+    detected and skipped before any commit — the same exactly-once contract
+    as streaming/sink.py, driven by Spark's own checkpoint."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        files = self._collect(messages)
+        t = _load_table(self.options)
+        stamp = str(batchId)
+        for snap in t.metadata.snapshots:
+            if snap.summary.get("spark.datasource.batch-id") == stamp:
+                return  # replayed micro-batch: already committed
+        t._commit_retry(lambda md: t._snapshot_update(
+            md, "append", added=files,
+            extra_summary={"spark.datasource.batch-id": stamp}))
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _IcebergWriter.abort(self, messages)
+
+
 class IcebergDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -139,6 +257,12 @@ class IcebergDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _IcebergStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _IcebergWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _IcebergStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

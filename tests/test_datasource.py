@@ -61,3 +61,68 @@ def test_stream_datasource_incremental(spark, warehouse, tmp_path):
     # no new snapshots -> nothing appended
     run_pass()
     assert sink().count() == 50
+
+
+def test_batch_datasource_write(spark, warehouse):
+    t, df = _mk(spark, warehouse, "db.ds_write", 20)
+    register(spark)
+    more = spark.range(100, 130).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    (more.write.format("iceberg_rust")
+     .option("warehouse", warehouse.warehouse)
+     .option("table", "db.ds_write").mode("append").save())
+    t = t.refresh()
+    assert t.to_df(spark).count() == 50
+    # per-file metrics made it into the manifests (pruning stays usable)
+    scan = t.scan(row_filter=E.col("id") >= 100)
+    plan = scan.plan_files()
+    assert plan.skipped_by_metrics >= 1
+    assert scan.to_df(spark).count() == 30
+    # overwrite mode replaces contents in one snapshot
+    (more.write.format("iceberg_rust")
+     .option("warehouse", warehouse.warehouse)
+     .option("table", "db.ds_write").mode("overwrite").save())
+    assert t.refresh().to_df(spark).count() == 30
+
+
+def test_stream_datasource_write_exactly_once(spark, warehouse, tmp_path):
+    t, df = _mk(spark, warehouse, "db.ds_sink", 0)
+    register(spark)
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 25).select(F.col("id"), (F.col("id") % 5).alias("g")) \
+        .write.parquet(src_dir)
+
+    def run_pass():
+        q = (spark.readStream.schema("id long, g long").parquet(src_dir)
+             .writeStream.format("iceberg_rust")
+             .option("warehouse", warehouse.warehouse)
+             .option("table", "db.ds_sink")
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_pass()
+    t = t.refresh()
+    assert t.to_df(spark).count() == 25
+    n_snaps = len(t.metadata.snapshots)
+    # re-running with the same checkpoint commits nothing new
+    run_pass()
+    t = t.refresh()
+    assert t.to_df(spark).count() == 25
+    assert len(t.metadata.snapshots) == n_snaps
+
+
+def test_datasource_write_rejects_partitioned(spark, warehouse):
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    import pytest
+    df = spark.range(5).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    s = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        s.field_by_name("g").field_id, 1000, "g", parse_transform("identity"))])
+    Table.create(warehouse, "db.ds_part", s, spec)
+    register(spark)
+    with pytest.raises(Exception, match="unpartitioned"):
+        (df.write.format("iceberg_rust")
+         .option("warehouse", warehouse.warehouse)
+         .option("table", "db.ds_part").mode("append").save())
