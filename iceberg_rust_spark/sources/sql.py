@@ -41,6 +41,11 @@ _META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$",
+                          re.IGNORECASE)
 _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
@@ -114,6 +119,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     """
     scan_filters = scan_filters or {}
 
+    m = _INSERT_OVERWRITE_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, select_sql = m.group(1), m.group(2)
+        t = _Table.load(catalog, target)
+        df = run_sql(spark, catalog, select_sql, scan_filters)
+        t.overwrite_all(spark, df)  # one atomic replace snapshot
+        return df
     m = _INSERT_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -123,6 +137,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         df = run_sql(spark, catalog, select_sql, scan_filters)
         t.append(spark, df)
         return df
+    m = _TRUNCATE_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        t = _Table.load(catalog, m.group(1))
+        n = t.to_df(spark).count()
+        t._commit_retry(lambda md: t._snapshot_update(
+            md, "delete", remove_all=True))
+        return spark.createDataFrame([(n,)], "deleted_rows long")
     m = _CTAS_RE.match(query)
     if m:
         from .table import Table as _Table

@@ -235,3 +235,21 @@ def test_run_sql_merge_into(spark, warehouse):
     got = {r["id"]: r["name"] for r in t.to_df(spark).collect()}
     assert len(got) == 20
     assert got[1] == "MERGED" and got[10] == "v10"
+
+
+def test_insert_overwrite_and_truncate(spark, warehouse):
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.sql_ow", schema_from_spark(df.schema))
+    t.append(spark, df)
+    run_sql(spark, warehouse,
+            "INSERT OVERWRITE db.sql_ow SELECT id + 100 AS id, g FROM db.sql_ow")
+    t = t.refresh()
+    got = t.to_df(spark)
+    assert got.count() == 10
+    assert got.agg(F.min("id")).collect()[0][0] == 100
+    # previous contents still time-travelable (overwrite = one new snapshot)
+    first = t.metadata.snapshots[0].snapshot_id
+    assert t.to_df(spark, snapshot_id=first).agg(F.min("id")).collect()[0][0] == 0
+    out = run_sql(spark, warehouse, "TRUNCATE TABLE db.sql_ow")
+    assert out.collect()[0][0] == 10
+    assert t.refresh().to_df(spark).count() == 0
