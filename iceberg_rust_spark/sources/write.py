@@ -113,6 +113,8 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
         writer = writer_df.write
     writer.option("compression", metadata.properties.get(
         "write.parquet.compression-codec", "zstd"))
+    for k, v in _parquet_writer_options(metadata.properties).items():
+        writer.option(k, v)
     max_records = metadata.properties.get("write.max-records-per-file")
     if max_records:
         writer.option("maxRecordsPerFile", int(max_records))
@@ -142,6 +144,28 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             split_offsets=st["split_offsets"],
             schema_id=schema.schema_id, spec_id=spec.spec_id))
     return data_files
+
+
+def _parquet_writer_options(properties: Dict[str, str]) -> Dict[str, str]:
+    """Iceberg parquet table properties -> Spark/parquet-hadoop writer
+    options (spec/table_properties.rs:420-438 counterparts). Unknown values
+    pass through verbatim; parquet-hadoop validates."""
+    mapping = {
+        "write.parquet.row-group-size-bytes": "parquet.block.size",
+        "write.parquet.page-size-bytes": "parquet.page.size",
+        "write.parquet.page-row-limit": "parquet.page.row.count.limit",
+        "write.parquet.dict-size-bytes": "parquet.dictionary.page.size",
+    }
+    out = {}
+    for prop, opt in mapping.items():
+        if prop in properties:
+            out[opt] = properties[prop]
+    for prop, v in properties.items():
+        # write.parquet.bloom-filter-enabled.column.<name> = true|false
+        prefix = "write.parquet.bloom-filter-enabled.column."
+        if prop.startswith(prefix):
+            out[f"parquet.bloom.filter.enabled#{prop[len(prefix):]}"] = v
+    return out
 
 
 def _derive_max_records(metadata: TableMetadata, schema: Schema,
