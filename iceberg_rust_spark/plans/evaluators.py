@@ -408,6 +408,28 @@ def _eval_bounds(pred: E.Predicate, lookup) -> bool:
                 return not all_nan
             return ROWS_MIGHT_MATCH
 
+        # not_starts_with first: under Iceberg semantics NOT(startsWith)
+        # includes nulls, so null presence forces might-match — this must
+        # run BEFORE the all-null cutoff (inclusive_metrics_evaluator.rs
+        # not_starts_with: may_contain_null => ROWS_MIGHT_MATCH)
+        if isinstance(p, (E.BinaryPred, E.BoundBinaryPred)) \
+                and p.op == E.NOT_STARTS_WITH:
+            if s.contains_null or s.contains_null is None:
+                return ROWS_MIGHT_MATCH
+            prefix = to_comparable(p.literal)
+            lower, upper = s.lower, s.upper
+            if not isinstance(lower, str) or not isinstance(prefix, str):
+                return ROWS_MIGHT_MATCH
+            if lower < prefix:
+                return ROWS_MIGHT_MATCH
+            if lower[:len(prefix)] == prefix:
+                if not isinstance(upper, str) or len(upper) < len(prefix):
+                    return ROWS_MIGHT_MATCH
+                if upper[:len(prefix)] == prefix:
+                    # every row starts with the prefix -> none satisfies NOT
+                    return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+
         # ordered / set comparisons need non-null values present
         if all_null:
             return ROWS_CANNOT_MATCH

@@ -198,3 +198,68 @@ def test_partition_might_match_exact():
     b = BucketTransform(16).apply(34, LONG)
     assert partition_might_match(pred, {"x_bucket": b})
     assert not partition_might_match(pred, {"x_bucket": (b + 1) % 16})
+
+
+# ---------------- reference truth tables: string prefix bounds -------------
+# Fixtures mirror inclusive_metrics_evaluator.rs get_test_file_{2,3,4}
+# (string column with 2 nulls of 20 values and the given bounds).
+
+def _sm(lower, upper, nulls=2, values=20):
+    return {"s": ColumnMetrics(value_count=values, null_count=nulls,
+                               lower=lower, upper=upper)}
+
+
+F2 = _sm("aa", "dC")
+F3 = _sm("1str1", "3str3")
+F4 = _sm("abc", "イロハニホヘト")  # イロハニホヘト
+
+
+def test_starts_with_reference_cases():
+    sw = lambda pre: bound(E.col("s").starts_with(pre))
+    # reads (inclusive_metrics_evaluator.rs test_string_starts_with)
+    for mets, pre in [(F2, "a"), (F2, "aa"), (F2, "aaa"), (F3, "1s"),
+                      (F3, "1str1x"), (F4, "ff")]:
+        assert file_might_match(sw(pre), mets, 50), pre
+    # skips
+    for mets, pre in [(F2, "aB"), (F2, "dWX"), (F3, "5"), (F3, "3str3x")]:
+        assert not file_might_match(sw(pre), mets, 50), pre
+    # all-null column never matches startsWith
+    all_null = {"s": ColumnMetrics(value_count=20, null_count=20)}
+    assert not file_might_match(sw(""), all_null, 50)
+    # truncated-upper-bound subtlety: upper イロハニホヘト cut to 5 chars then
+    # next code point at position 5 -> prefix sorts ABOVE every actual value
+    assert not file_might_match(sw("イロハニボ"), F4, 50)
+
+
+def test_not_starts_with_reference_cases():
+    nsw = lambda pre: bound(~E.col("s").starts_with(pre))
+    # nulls present (reference fixtures) => always read
+    for mets, pre in [(F2, "a"), (F2, "aa"), (F2, "aaa"), (F3, "1s"),
+                      (F3, "1str1x"), (F4, "ff"), (F2, "aB"), (F2, "dWX"),
+                      (F3, "5"), (F3, "3str3x"),
+                      (F4, "イロハニホヘト")]:
+        assert file_might_match(nsw(pre), mets, 50), pre
+    # no nulls + both bounds start with the prefix => every row starts with
+    # it => NOT cannot match (the pruning branch)
+    both = _sm("abcde", "abcfg", nulls=0)
+    assert not file_might_match(nsw("abc"), both, 50)
+    # no nulls, upper does not share the prefix => might match
+    mixed = _sm("abcde", "abx", nulls=0)
+    assert file_might_match(nsw("abc"), mixed, 50)
+    # lower below the prefix => might match
+    low = _sm("aa", "abcfg", nulls=0)
+    assert file_might_match(nsw("abc"), low, 50)
+
+
+def test_in_bounds_reference_cases():
+    # inclusive_metrics_evaluator.rs test_integer_in, bounds [30, 79]
+    mets = {"x": ColumnMetrics(value_count=50, null_count=0,
+                               lower=30, upper=79)}
+    assert file_might_match(bound(E.col("x").isin([25, 30])), mets, 50)
+    assert not file_might_match(bound(E.col("x").isin([25, 26])), mets, 50)
+    assert file_might_match(bound(E.col("x").isin([79, 80])), mets, 50)
+    assert not file_might_match(bound(E.col("x").isin([80, 81])), mets, 50)
+    all_null = {"x": ColumnMetrics(value_count=50, null_count=50)}
+    assert not file_might_match(bound(E.col("x").isin([30])), all_null, 50)
+    # NOT IN can never prune from bounds
+    assert file_might_match(bound(~E.col("x").isin([30])), mets, 50)
