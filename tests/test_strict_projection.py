@@ -146,3 +146,31 @@ def test_cow_delete_whole_month_is_metadata_only(spark, warehouse):
     got = t.to_df(spark)
     assert got.count() == 2 * 19
     assert got.where(F.month("ts") == 2).count() == 0
+
+
+def test_negative_month_boundaries_match_reference():
+    """strict_projection.rs test_strict_projection_negative_month_*: pre-1970
+    dates use floor-division months (1969-01-01 -> month -12); boundary ops
+    shift exactly as the reference asserts."""
+    import datetime as dt
+    from iceberg_rust_spark.functions.transforms import MonthTransform
+    from iceberg_rust_spark.sources.types import DATE, NestedField, Schema
+    S2 = Schema([NestedField(1, "d", DATE)])
+    infos = [PartitionFieldInfo("d", "pd", MonthTransform(), DATE)]
+    jan1_69 = dt.date(1969, 1, 1)
+
+    def proj(p):
+        return strict_projection(E.bind(p, S2), infos)
+
+    p = proj(E.col("d") < jan1_69)
+    assert (p.term, p.op, p.literal) == ("pd", E.LT, -12)
+    p = proj(E.col("d") <= jan1_69)
+    assert (p.term, p.op, p.literal) == ("pd", E.LT, -12)
+    p = proj(E.col("d") > jan1_69)
+    assert (p.term, p.op, p.literal) == ("pd", E.GT, -12)
+    p = proj(E.col("d") >= jan1_69)
+    assert (p.term, p.op, p.literal) == ("pd", E.GT, -13)
+    p = proj(E.col("d") != jan1_69)
+    assert (p.term, p.op, p.literal) == ("pd", E.NOT_EQ, -12)
+    p = proj(E.col("d").not_in([jan1_69, dt.date(1969, 12, 31)]))
+    assert (p.term, p.op, sorted(p.literals)) == ("pd", E.NOT_IN, [-12, -1])
