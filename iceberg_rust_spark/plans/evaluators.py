@@ -117,6 +117,18 @@ def _project_leaf(p: E.Predicate, pf: PartitionFieldInfo) -> E.Predicate:
                 return E.BinaryPred(E.STARTS_WITH, pname, lit)
             return E.ALWAYS_TRUE
         if op in (E.LT, E.LT_EQ, E.GT, E.GT_EQ) and t.preserves_order():
+            # boundary tightening for discrete types (Java ProjectionUtil /
+            # the reference's Transform::project): v < X ≡ v <= pred(X), so
+            # project the predecessor — one partition tighter at exact
+            # boundaries (date < 2024-01-01 -> month <= 647, not 648)
+            if op == E.LT:
+                prev = _prev_discrete(lit)
+                if prev is not None:
+                    lit, op = prev, E.LT_EQ
+            elif op == E.GT:
+                nxt = _next_discrete(lit)
+                if nxt is not None:
+                    lit, op = nxt, E.GT_EQ
             try:
                 tl = t.apply(lit, styp)
             except TypeError:
@@ -126,6 +138,40 @@ def _project_leaf(p: E.Predicate, pf: PartitionFieldInfo) -> E.Predicate:
                        E.GT: E.GT_EQ, E.GT_EQ: E.GT_EQ}[op]
             return E.BinaryPred(relaxed, pname, tl)
         return E.ALWAYS_TRUE
+
+
+def _prev_discrete(v: Any) -> Optional[Any]:
+    """Predecessor of a discrete-ordered literal, None for continuous types
+    (float/string) where the relaxed projection stays as-is."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v - 1
+    if isinstance(v, _dt.datetime):
+        return v - _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return v - _dt.timedelta(days=1)
+    if isinstance(v, _Dec):
+        return v - _Dec(1).scaleb(v.as_tuple().exponent)
+    return None
+
+
+def _next_discrete(v: Any) -> Optional[Any]:
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v + 1
+    if isinstance(v, _dt.datetime):
+        return v + _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return v + _dt.timedelta(days=1)
+    if isinstance(v, _Dec):
+        return v + _Dec(1).scaleb(v.as_tuple().exponent)
+    return None
 
     return E.ALWAYS_TRUE
 

@@ -155,10 +155,39 @@ def _infos():
 
 
 def test_projection_day_relaxes():
+    # boundary-tightened like the reference (inclusive_projection.rs
+    # test_inclusive_projection_date_*): d < X projects to day <= day(X-1)
     p = inclusive_projection(bound(E.col("d") < dt.date(2020, 1, 10)), _infos())
     assert isinstance(p, E.BinaryPred)
     assert p.op == E.LT_EQ and p.term == "d_day"
-    assert p.literal == (dt.date(2020, 1, 10) - dt.date(1970, 1, 1)).days
+    assert p.literal == (dt.date(2020, 1, 9) - dt.date(1970, 1, 1)).days
+
+
+def test_projection_boundary_tightening_reference_cases():
+    """inclusive_projection.rs date-transform expectations, exact literals."""
+    from iceberg_rust_spark.functions.transforms import (MonthTransform,
+                                                         YearTransform)
+    d = dt.date(2024, 1, 1)
+    year_i = [PartitionFieldInfo("d", "year", YearTransform(), DATE)]
+    month_i = [PartitionFieldInfo("d", "month", MonthTransform(), DATE)]
+    day_i = [PartitionFieldInfo("d", "day", DayTransform(), DATE)]
+    p = inclusive_projection(bound(E.col("d") < d), year_i)
+    assert (p.op, p.literal) == (E.LT_EQ, 53)
+    p = inclusive_projection(bound(E.col("d") < d), month_i)
+    assert (p.op, p.literal) == (E.LT_EQ, 647)
+    p = inclusive_projection(bound(E.col("d") < d), day_i)
+    assert (p.op, p.literal) == (E.LT_EQ,
+                                 (dt.date(2023, 12, 31) - dt.date(1970, 1, 1)).days)
+    # GT tightens through the successor
+    p = inclusive_projection(bound(E.col("d") > d), month_i)
+    assert (p.op, p.literal) == (E.GT_EQ, 648)
+    # short prefix through truncate keeps STARTS_WITH (EQ would over-prune)
+    from iceberg_rust_spark.functions.transforms import TruncateTransform
+    tr = [PartitionFieldInfo("s", "st", TruncateTransform(4), STRING)]
+    p = inclusive_projection(bound(E.col("s").starts_with("Te")), tr)
+    assert (p.op, p.literal) == (E.STARTS_WITH, "Te")
+    p = inclusive_projection(bound(E.col("s").starts_with("Testy McTest")), tr)
+    assert (p.op, p.literal) == (E.EQ, "Test")
 
 
 def test_projection_bucket_eq_only():
