@@ -1116,6 +1116,7 @@ class Table:
                      "removed-data-files": str(len(removed_paths)),
                      "total-records": str(total_records),
                      "total-data-files": str(total_files),
+                     **_partition_summaries(md, added),
                      **(extra_summary or {})},
             parent_snapshot_id=(cur.snapshot_id if cur else None),
             schema_id=md.current_schema_id)
@@ -1129,6 +1130,33 @@ class Table:
             md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
                                     "snapshot-id": snap_id})
         return md
+
+
+def _partition_summaries(md: TableMetadata,
+                         added: List[DataFile]) -> Dict[str, str]:
+    """Per-partition change summaries (snapshot_summary.rs:100-168):
+    changed-partition-count always; `partitions.<path>` detail entries only
+    when the count is within `write.summary.partition-limit` (default 0 =
+    details off, like the reference)."""
+    parts: Dict[str, Dict[str, int]] = {}
+    for f in added:
+        if not f.partition:
+            continue
+        path = "/".join(f"{k}={v}" for k, v in sorted(f.partition.items()))
+        m = parts.setdefault(path, {"added-data-files": 0, "added-records": 0,
+                                    "added-files-size": 0})
+        m["added-data-files"] += 1
+        m["added-records"] += f.record_count
+        m["added-files-size"] += f.file_size_in_bytes or 0
+    if not parts:
+        return {}
+    out = {"changed-partition-count": str(len(parts))}
+    limit = int(md.properties.get("write.summary.partition-limit", "0"))
+    if len(parts) <= limit:
+        for path, m in sorted(parts.items()):
+            out[f"partitions.{path}"] = ",".join(
+                f"{k}={v}" for k, v in sorted(m.items()))
+    return out
 
 
 def _field_summaries(files: List[DataFile]) -> Dict[str, FieldSummaryRec]:

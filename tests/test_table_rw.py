@@ -251,3 +251,25 @@ def test_parquet_writer_properties_take_effect(spark, warehouse, lineitem):
     without = sum(tk.data_file.file_size_in_bytes
                   for tk in t2.scan().plan_files().tasks)
     assert with_bloom > without
+
+
+def test_partition_summaries_in_snapshot(spark, warehouse, lineitem):
+    """snapshot_summary.rs partition summaries: changed-partition-count is
+    always present for partitioned adds; partitions.<path> details appear
+    only within write.summary.partition-limit."""
+    t = make_table(warehouse, spark, lineitem.limit(2000),
+                   part=("l_shipdate", "ship_month", "month"),
+                   props={"write.summary.partition-limit": "200"})
+    summ = t.refresh().metadata.current_snapshot().summary
+    n = int(summ["changed-partition-count"])
+    assert n > 1
+    details = {k: v for k, v in summ.items() if k.startswith("partitions.")}
+    assert len(details) == n
+    sample = next(iter(details.values()))
+    assert "added-data-files=" in sample and "added-records=" in sample
+    # limit 0 (default): count only, no detail spam
+    t2 = make_table(warehouse, spark, lineitem.limit(2000), name="db.ps2",
+                    part=("l_shipdate", "ship_month", "month"))
+    summ2 = t2.refresh().metadata.current_snapshot().summary
+    assert "changed-partition-count" in summ2
+    assert not any(k.startswith("partitions.") for k in summ2)
