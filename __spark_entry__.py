@@ -942,6 +942,15 @@ def q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators/chunking.py): the
+    training-data op that turns documents into model-sized pieces. Pure
+    builtin split/sequence/posexplode/slice — codegen'd, shuffle-free."""
+    from iceberg_rust_spark.operators.chunking import chunk_documents
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, window=32, overlap=8)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(spark, emb, query_vec_id=7, k=10)
@@ -1024,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_terms": q_text_top_terms,
         "text_tfidf": q_text_tfidf,
         "text_fingerprint": q_text_fingerprint,
+        "doc_chunks": q_doc_chunks,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1061,6 +1071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _sql_sample_pred(key_sql: str, rate: float) -> str:
     from iceberg_rust_spark.operators.sampling import sql_sample_predicate
     return sql_sample_predicate(key_sql, rate)
+
+
+def _sql_doc_chunks() -> str:
+    from iceberg_rust_spark.operators.chunking import sql_chunk_documents
+    return sql_chunk_documents(window=32, overlap=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1519,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3""",
         "text_fingerprint": f"""
             SELECT doc_id, {TX.sql_fingerprint(t)} AS fp FROM documents""",
+        "doc_chunks": _sql_doc_chunks(),
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id = 7)

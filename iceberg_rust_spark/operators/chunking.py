@@ -1,0 +1,69 @@
+"""Document chunking for training-data pipelines: split each document into
+overlapping token-window chunks.
+
+Beyond-reference surface (the reference has no text pipeline), same class as
+operators/dedup.py. Everything is builtin Spark expressions — split +
+sequence + posexplode + slice — so the whole operator stays in whole-stage
+codegen, shuffles nothing, and scales linearly with the corpus: each document
+expands to its own chunks inside its partition (one narrow 1->N map, the same
+execution shape Spark gives explode).
+
+Chunk math (tokens = whitespace split, consistent with functions/text.py
+token_count): with window W and overlap V, stride S = W - V; chunk i covers
+tokens [i*S, i*S + W); chunks = 1 + max(0, ceil((n_tokens - W) / S)).
+The last chunk may be shorter, never empty; documents shorter than W yield
+exactly one chunk. Deterministic — a DuckDB oracle reproduces it in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk_documents(docs: DataFrame, window: int = 64, overlap: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_no, chunk_text, n_tokens) — one row per chunk."""
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap({overlap}) < window({window})")
+    stride = window - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(window)) / F.lit(stride)))).cast("int")
+    d = (docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                     n_chunks.alias("_nc"))
+         .where(F.col("_n") > 0)
+         .select(F.col(id_col), "_toks", "_n",
+                 F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                 .alias("chunk_no", "_i")))
+    start = F.col("chunk_no") * stride  # 0-based token offset
+    chunk_toks = F.slice(F.col("_toks"), start + 1, window)
+    return (d.select(
+        F.col(id_col), F.col("chunk_no"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+        F.least(F.lit(window), F.col("_n") - start).cast("int")
+        .alias("n_tokens")))
+
+
+def sql_chunk_documents(table: str = "documents", window: int = 64,
+                        overlap: int = 16, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB oracle twin of chunk_documents (same math in list functions)."""
+    stride = window - overlap
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               regexp_split_to_array(trim({text_col}), '\\s+') AS t,
+               len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+        FROM {table}
+    ), nc AS (
+        SELECT *, CAST(1 + greatest(0, ceil((n - {window}) / {stride}.0)) AS INT) AS n_chunks
+        FROM toks WHERE n > 0
+    )
+    SELECT {id_col},
+           CAST(i AS INT) AS chunk_no,
+           array_to_string(t[i*{stride} + 1 : i*{stride} + {window}], ' ') AS chunk_text,
+           CAST(least({window}, n - i*{stride}) AS INT) AS n_tokens
+    FROM nc, UNNEST(range(n_chunks)) AS u(i)
+    """

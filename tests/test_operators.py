@@ -270,3 +270,30 @@ def test_deterministic_sample_and_quota(spark):
     # keeps the FIRST `quota` by order_col
     kept0 = sorted(r["id"] for r in q.where(F.col("g") == 0).collect())
     assert kept0 == [i * 13 for i in range(10)]
+
+
+def test_chunk_documents_semantics(spark):
+    from iceberg_rust_spark.operators.chunking import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 1 chunk @ w=16
+         (2, " ".join(f"t{i}" for i in range(16))),   # exactly w: 1 chunk
+         (3, " ".join(f"t{i}" for i in range(17))),   # w+1: 2 chunks
+         (4, " ".join(f"t{i}" for i in range(40)))],  # stride 12: 3 chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, window=16, overlap=4)
+    rows = {(r["doc_id"], r["chunk_no"]): r for r in out.collect()}
+    counts = {}
+    for (d, _), r in rows.items():
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 3}
+    # chunk 0 of doc 3 = tokens 0..15; chunk 1 starts at stride 12 => overlap 4
+    c0 = rows[(3, 0)]["chunk_text"].split()
+    c1 = rows[(3, 1)]["chunk_text"].split()
+    assert c0 == [f"t{i}" for i in range(16)]
+    assert c1 == [f"t{i}" for i in range(12, 17)]
+    assert rows[(3, 1)]["n_tokens"] == 5
+    assert c0[12:] == c1[:4]  # the overlap region repeats
+    # invalid params rejected
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=8)
