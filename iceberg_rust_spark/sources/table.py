@@ -390,7 +390,8 @@ class Table:
             m, "overwrite", added=added, removed_paths=set(files)))
 
     def merge(self, spark: SparkSession, source_df: DataFrame,
-              key_columns: List[str]) -> "Table":
+              key_columns: List[str],
+              extra_summary: Optional[Dict[str, str]] = None) -> "Table":
         """Upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT) in ONE
         snapshot: write the source rows as data files AND the source keys as
         an equality-delete file, commit both atomically. Both carry the same
@@ -429,7 +430,8 @@ class Table:
                          schema_id=schema.schema_id, spec_id=self.spec.spec_id)
                 for p in files]
         return self._commit_retry(lambda m: self._snapshot_update(
-            m, "overwrite", added=data_files, added_deletes=dels))
+            m, "overwrite", added=data_files, added_deletes=dels,
+            extra_summary=extra_summary))
 
     # ------------------------------------------------------------ maintenance
     def compact(self, spark: SparkSession,

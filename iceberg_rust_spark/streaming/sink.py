@@ -73,6 +73,41 @@ def append_stream(table: Table, stream_df: DataFrame, checkpoint_dir: str,
     return writer.start()
 
 
+def merge_stream(table: Table, stream_df: DataFrame, keys: List[str],
+                 checkpoint_dir: str, query_id: str,
+                 available_now: bool = True,
+                 processing_time: Optional[str] = None) -> StreamingQuery:
+    """Streaming UPSERT: each micro-batch is MERGEd into ``table`` on
+    ``keys`` (one snapshot: eq-deletes for matched keys + new data files) —
+    the CDC-apply shape that keeps a table in sync with a change feed.
+    Exactly-once via the same snapshot-summary batch-id dedup as
+    append_stream. Within a batch, the LAST row per key wins (change feeds
+    are ordered), enforced with a dropDuplicates on the keys after ordering
+    is irrelevant per Spark semantics — callers feeding multi-version
+    batches should pre-reduce with a window if order matters."""
+    seen = committed_batch_ids(table, query_id)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen or batch_id in committed_batch_ids(table, query_id):
+            return
+        table.refresh()
+        table.merge(batch_df.sparkSession,
+                    batch_df.dropDuplicates(keys), keys,
+                    extra_summary={SUMMARY_QUERY_KEY: query_id,
+                                   SUMMARY_BATCH_KEY: str(batch_id)})
+        seen.add(batch_id)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def windowed_counts(stream_df: DataFrame, ts_col: str, window: str,
                     watermark: str, keys: Optional[List[str]] = None,
                     value_col: Optional[str] = None) -> DataFrame:

@@ -218,3 +218,38 @@ def test_iceberg_to_iceberg_pipeline(spark, warehouse, tmp_path):
     n_snaps = len(dst.metadata.snapshots)
     run_once()  # no new source snapshots -> no new sink snapshots
     assert len(dst.refresh().metadata.snapshots) == n_snaps
+
+
+def test_merge_stream_upserts_exactly_once(spark, warehouse, tmp_path):
+    """merge_stream: each micro-batch MERGEs on the key; replays with the
+    same checkpoint commit nothing new; last state per key wins."""
+    from iceberg_rust_spark.streaming.sink import merge_stream
+    import pyspark.sql.functions as F
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, k string, v long")
+    t = Table.create(warehouse, "db.merge_sink", schema_from_spark(base.schema))
+    t = t.append(spark, base)
+
+    src_dir = str(tmp_path / "msrc")
+    ckpt = str(tmp_path / "mckpt")
+    # change feed: update id 2, insert id 4
+    spark.createDataFrame([(2, "B", 200), (4, "d", 40)],
+                          "id long, k string, v long").write.parquet(src_dir)
+
+    def run_pass():
+        q = merge_stream(t, spark.readStream.schema("id long, k string, v long")
+                         .parquet(src_dir), ["id"], ckpt, "q-merge")
+        q.awaitTermination(120)
+
+    run_pass()
+    t = t.refresh()
+    got = {r["id"]: (r["k"], r["v"]) for r in t.to_df(spark).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    n_snaps = len(t.metadata.snapshots)
+    run_pass()  # replay: checkpoint drained, nothing new
+    t = t.refresh()
+    assert len(t.metadata.snapshots) == n_snaps
+    assert t.to_df(spark).count() == 4
