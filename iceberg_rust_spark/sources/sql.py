@@ -46,6 +46,65 @@ _INSERT_OVERWRITE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$",
                           re.IGNORECASE)
+_PART_BY_RE = re.compile(r"\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
+                         re.IGNORECASE | re.DOTALL)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+                      re.IGNORECASE)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
+                      re.IGNORECASE)
+# FOR VERSION AS OF <snapshot-id> / FOR TIMESTAMP AS OF '<ts>' time travel
+_TRAVEL_RE = re.compile(
+    r"([\w.]+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.IGNORECASE)
+
+
+def _parse_partition_clause(clause: str, schema) -> "PartitionSpec":
+    """'month(ts), bucket(8, id), cat' -> PartitionSpec (Spark SQL's
+    PARTITIONED BY transform syntax)."""
+    from ..functions.transforms import parse_transform
+    from .metadata import PartitionField, PartitionSpec
+
+    # paren-aware top-level comma split: "month(ts), bucket(4, id)" has a
+    # comma inside bucket() that must not separate fields
+    items, cur, depth = [], [], 0
+    for ch in clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+
+    fields, fid = [], 1000
+    for part in items:
+        part = part.strip()
+        m = re.match(r"(\w+)\s*\(\s*(.*?)\s*\)$", part)
+        if m:
+            fn, args = m.group(1).lower(), [a.strip() for a in
+                                            m.group(2).split(",")]
+            if fn in ("bucket", "truncate"):
+                n, col = (args[0], args[1]) if args[0].isdigit() else (args[1], args[0])
+                transform, src, pname = (parse_transform(f"{fn}[{n}]"),
+                                         col, f"{col}_{fn}")
+            else:
+                transform, src, pname = (parse_transform(fn), args[0],
+                                         f"{args[0]}_{fn}")
+        else:
+            transform, src, pname = parse_transform("identity"), part, part
+        f = schema.field_by_name(src)
+        if f is None:
+            raise ValueError(f"PARTITIONED BY references unknown column {src}")
+        fields.append(PartitionField(f.field_id, fid, pname, transform))
+        fid += 1
+    return PartitionSpec(0, fields)
 _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
@@ -146,6 +205,50 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t._commit_retry(lambda md: t._snapshot_update(
             md, "delete", remove_all=True))
         return spark.createDataFrame([(n,)], "deleted_rows long")
+    part_clause = None
+    create_q = query
+    if not _CTAS_RE.match(query):
+        pm = _PART_BY_RE.search(query)
+        if pm and _CREATE_RE.match(query[:pm.start()] or " "):
+            part_clause = pm.group(1)
+            create_q = query[:pm.start()]
+    m = None if _CTAS_RE.match(query) else _CREATE_RE.match(create_q)
+    if m:
+        from pyspark.sql.types import _parse_datatype_string
+        from .table import Table as _Table
+        from .types import schema_from_spark
+
+        target, cols = m.group(1), m.group(2)
+        if catalog.table_exists(target):
+            if re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE):
+                return spark.createDataFrame([(target, False)],
+                                             "table string, created boolean")
+            raise ValueError(f"table {target} already exists")
+        schema = schema_from_spark(_parse_datatype_string(cols))
+        spec = (_parse_partition_clause(part_clause, schema)
+                if part_clause else None)
+        _Table.create(catalog, target, schema, spec)
+        return spark.createDataFrame([(target, True)],
+                                     "table string, created boolean")
+    m = _DROP_RE.match(query)
+    if m:
+        if_exists, target = bool(m.group(1)), m.group(2)
+        if not catalog.table_exists(target):
+            if if_exists:
+                return spark.createDataFrame([(target, False)],
+                                             "table string, dropped boolean")
+            raise NoSuchTable(target)
+        catalog.drop_table(target)
+        return spark.createDataFrame([(target, True)],
+                                     "table string, dropped boolean")
+    m = _SHOW_RE.match(query)
+    if m:
+        ns_filter = m.group(1)
+        rows = [(ns, t) for ns in catalog.list_namespaces()
+                if ns_filter is None or ns == ns_filter
+                for t in catalog.list_tables(ns)]
+        return spark.createDataFrame(rows or [],
+                                     "namespace string, tableName string")
     m = _CTAS_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -202,6 +305,29 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         scan_filters = {**scan_filters, auto[0]: auto[1]}
     vc = ViewCatalog(catalog)
     rewritten = query
+
+    # time travel: `t FOR VERSION AS OF <id>` / `FOR TIMESTAMP AS OF '<ts>'`
+    # registers a snapshot-pinned scan under a synthetic view name
+    def _travel(m: "re.Match") -> str:
+        ident, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+        try:
+            t = Table.load(catalog, ident)
+        except NoSuchTable:
+            return m.group(0)
+        if kind == "VERSION":
+            scan = t.scan(snapshot_id=int(lit))
+            tag = lit
+        else:
+            import datetime as _dt
+            ts = _dt.datetime.fromisoformat(lit.strip("'"))
+            ms = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            scan = t.scan(as_of_timestamp_ms=ms)
+            tag = str(ms)
+        view = f"__ice_travel_{ident.replace('.', '_')}_{tag}"
+        scan.to_df(spark).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TRAVEL_RE.sub(_travel, rewritten)
     for ns in catalog.list_namespaces():
         for tname in catalog.list_tables(ns):
             full = f"{ns}.{tname}"

@@ -253,3 +253,53 @@ def test_insert_overwrite_and_truncate(spark, warehouse):
     out = run_sql(spark, warehouse, "TRUNCATE TABLE db.sql_ow")
     assert out.collect()[0][0] == 10
     assert t.refresh().to_df(spark).count() == 0
+
+
+def test_create_drop_show_tables_sql(spark, warehouse):
+    out = run_sql(spark, warehouse, """
+        CREATE TABLE db.ddl_t (id BIGINT, cat STRING, ts TIMESTAMP_NTZ)
+        PARTITIONED BY (month(ts), bucket(4, id))""")
+    assert out.collect()[0]["created"]
+    t = Table.load(warehouse, "db.ddl_t")
+    spec = t.metadata.spec()
+    assert [repr(f.transform) for f in spec.fields] == ["month", "bucket[4]"]
+    # IF NOT EXISTS is a no-op on an existing table
+    out = run_sql(spark, warehouse,
+                  "CREATE TABLE IF NOT EXISTS db.ddl_t (id BIGINT)")
+    assert not out.collect()[0]["created"]
+    # write through SQL, list it, drop it
+    run_sql(spark, warehouse, "INSERT INTO db.ddl_t SELECT CAST(7 AS BIGINT)"
+            " AS id, 'a' AS cat, TIMESTAMP_NTZ '2024-03-05 00:00:00' AS ts")
+    shown = {(r["namespace"], r["tableName"])
+             for r in run_sql(spark, warehouse, "SHOW TABLES IN db").collect()}
+    assert ("db", "ddl_t") in shown
+    out = run_sql(spark, warehouse, "DROP TABLE db.ddl_t")
+    assert out.collect()[0]["dropped"]
+    assert not run_sql(spark, warehouse,
+                       "DROP TABLE IF EXISTS db.ddl_t").collect()[0]["dropped"]
+    import pytest
+    from iceberg_rust_spark.sources.catalog import NoSuchTable
+    with pytest.raises(NoSuchTable):
+        run_sql(spark, warehouse, "DROP TABLE db.ddl_t")
+
+
+def test_sql_time_travel(spark, warehouse):
+    df = spark.range(5).select(F.col("id"))
+    t = Table.create(warehouse, "db.tt_sql", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    v1 = t.metadata.current_snapshot_id
+    t = t.append(spark, spark.range(100, 103).select(F.col("id")))
+    n_now = run_sql(spark, warehouse,
+                    "SELECT COUNT(*) AS n FROM db.tt_sql").collect()[0]["n"]
+    n_v1 = run_sql(spark, warehouse,
+                   f"SELECT COUNT(*) AS n FROM db.tt_sql FOR VERSION AS OF {v1}"
+                   ).collect()[0]["n"]
+    assert (n_now, n_v1) == (8, 5)
+    ts = t.metadata.snapshot_by_id(v1).timestamp_ms
+    import datetime as dt
+    iso = dt.datetime.fromtimestamp(ts / 1000, dt.timezone.utc) \
+        .strftime("%Y-%m-%d %H:%M:%S.%f")
+    n_ts = run_sql(spark, warehouse,
+                   f"SELECT COUNT(*) AS n FROM db.tt_sql FOR TIMESTAMP AS OF '{iso}'"
+                   ).collect()[0]["n"]
+    assert n_ts == 5

@@ -1,0 +1,212 @@
+"""Scaling probe: run the LLM-pipeline operators across three data decades
+and record how wall time and output size grow.
+
+The contract tables top out at sf0.1 (5k documents / 2k embeddings), far too
+small to expose super-linear behavior, so this probe synthesizes x10 / x100
+replicas in /tmp — each replica's tokens are salted (`tok -> tok + 'r<k>'`)
+so replicas don't collide as near-duplicates and dedup OUTPUT stays linear;
+embedding replicas are circularly rolled so cross-replica cosine stays low.
+This synthetic data is probe-internal only; contract queries still run on
+the driver-provided testdata.
+
+Writes SCALE.md: per-operator wall times per decade and the per-decade
+scaling exponent  e = log(t_hi / t_lo) / log(10)  (e <= ~1 is linear; small
+times are overhead-dominated, so the x10 -> x100 decade is the signal).
+
+Usage: python tools/scale_probe.py [--quick]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import math
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from iceberg_rust_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_data"
+
+
+def build_replicas(spark, mult: int) -> str:
+    """documents/embeddings at mult x sf0.1, cached as parquet in /tmp."""
+    d = os.path.join(OUT, f"x{mult}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.isfile(marker):
+        return d
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    doc_parts, emb_parts = [], []
+    dim = len(emb.select("embedding").first()[0])
+    for k in range(mult):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        salt = f"r{k}"
+        doc_parts.append(docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(F.split(F.col("text"), r"\s+"),
+                            lambda x: F.concat(x, F.lit(salt))),
+                " ").alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")]))
+        roll = k % dim or 1
+        emb_parts.append(emb.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            F.concat(F.slice("embedding", roll + 1, dim - roll),
+                     F.slice("embedding", 1, roll)).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")]))
+    dd, ee = doc_parts[0], emb_parts[0]
+    for p in doc_parts[1:]:
+        dd = dd.unionByName(p)
+    for p in emb_parts[1:]:
+        ee = ee.unionByName(p)
+    dd.repartition(32).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    ee.repartition(32).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    open(marker, "w").close()
+    return d
+
+
+def probe(spark, sf_dir: str, ops) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for name in ops:
+        t0 = time.time()
+        n = OPS[name](spark, docs, emb)
+        out[name] = (round(time.time() - t0, 2), n)
+    return out
+
+
+def _exact(spark, docs, emb):
+    from iceberg_rust_spark.operators.dedup import exact_dedup
+    return exact_dedup(docs).count()
+
+
+def _minhash(spark, docs, emb):
+    from iceberg_rust_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(docs, threshold=0.7).count()
+
+
+def _simhash(spark, docs, emb):
+    from iceberg_rust_spark.operators.dedup import simhash_signatures
+    return simhash_signatures(docs).count()
+
+
+def _chunks(spark, docs, emb):
+    from iceberg_rust_spark.operators.chunking import chunk_documents
+    return chunk_documents(docs, window=32, overlap=8).count()
+
+
+def _quality(spark, docs, emb):
+    from iceberg_rust_spark.functions.text import quality_score, token_count
+    return (docs.select(token_count(F.col("text")).alias("tc"),
+                        quality_score(F.col("text")).alias("q"))
+            .agg(F.sum("tc"), F.avg("q")).collect() and docs.count())
+
+
+def _ann_brute(spark, docs, emb):
+    from iceberg_rust_spark.operators.similarity import brute_force_topk
+    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    return brute_force_topk(spark, emb, qid, k=10).count()
+
+
+def _ann_lsh(spark, docs, emb):
+    from iceberg_rust_spark.operators.similarity import lsh_topk
+    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    return lsh_topk(spark, emb, qid, k=10).count()
+
+
+def _emb_lsh_pairs(spark, docs, emb):
+    from iceberg_rust_spark.operators.dedup import embedding_lsh_pairs
+    return embedding_lsh_pairs(emb, threshold=0.95).count()
+
+
+OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
+       "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
+       "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
+       "embedding_lsh_pairs": _emb_lsh_pairs}
+
+# embedding pair generation is O(sum bucket^2): at x100 (200k vectors) the
+# candidate set is ~half a billion pairs — a real cluster job, not a 32-core
+# probe; cap it at x10 and say so rather than quietly skip
+X100_SKIP = {"embedding_lsh_pairs"}
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("scale_probe")
+    decades = [("x1", BASE, 1), ("x10", None, 10)]
+    if not quick:
+        decades.append(("x100", None, 100))
+    results = {}
+    for label, path, mult in decades:
+        d = path or build_replicas(spark, mult)
+        ops = [o for o in OPS if not (label == "x100" and o in X100_SKIP)]
+        # warm page cache + JIT so decades are comparable
+        spark.read.parquet(f"{d}/documents.parquet").count()
+        spark.read.parquet(f"{d}/embeddings.parquet").count()
+        results[label] = probe(spark, d, ops)
+        print(f"== {label}: " + ", ".join(
+            f"{k}={v[0]}s/{v[1]}r" for k, v in results[label].items()),
+            file=sys.stderr)
+
+    lines = [
+        "# SCALE — operator scaling probe (x1 = sf0.1, x10/x100 = salted replicas)",
+        "",
+        "Generated by `python tools/scale_probe.py` on local[32]. Replica text",
+        "tokens are salted so dedup output stays linear (replicas are not",
+        "near-duplicates of each other); embedding replicas are rolled so",
+        "cross-replica cosine stays low. Exponent e = log(t_hi/t_lo)/log(10)",
+        "per decade; e<=~1 is at-most-linear. Small absolute times are fixed-",
+        "overhead dominated (scheduling ~0.1-0.5s), which DEFLATES e at the",
+        "low end and makes the x10->x100 column the honest signal.",
+        "",
+        "| operator | x1 wall | x10 wall | x100 wall | rows x1/x10/x100 | e(1->10) | e(10->100) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for op in OPS:
+        cells, rows, exps = [], [], []
+        prev = None
+        for label in ("x1", "x10", "x100"):
+            if label in results and op in results[label]:
+                t, n = results[label][op]
+                cells.append(f"{t}s")
+                rows.append(str(n))
+                if prev and prev > 0.05:
+                    exps.append(f"{math.log(max(t, 1e-3) / prev) / math.log(10):+.2f}")
+                elif prev is not None:
+                    exps.append("n/a")
+                prev = t
+            else:
+                cells.append("capped" if op in X100_SKIP else "—")
+                prev = None
+        while len(exps) < 2:
+            exps.append("—")
+        lines.append(f"| {op} | " + " | ".join(cells) + " | "
+                     + "/".join(rows) + " | " + " | ".join(exps) + " |")
+    lines += [
+        "",
+        "Interpretation: every shuffle-first operator (exact/minhash/simhash/",
+        "chunks/quality) should hold e<=~1 — one hash shuffle whose cost is",
+        "linear in rows at fixed cluster width. ann_brute is a single pass",
+        "(linear); ann_lsh adds a bucket filter before the same pass.",
+        "embedding_lsh_pairs is O(sum bucket^2) by design — the probe caps it",
+        "at x10; at larger scale the bucket column becomes a stored cluster",
+        "key and each bucket is an independent partition-local join.",
+    ]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
