@@ -122,13 +122,24 @@ class TableScan:
             return snap
         return md.current_snapshot()
 
+    def _scan_schema(self, md: TableMetadata, snap) -> "Schema":
+        """Current-state scans read with the table's CURRENT schema, so a
+        metadata-only evolution (e.g. ALTER TABLE with no new snapshot) is
+        visible immediately; only explicit time travel pins the snapshot's
+        schema-id (snapshot.rs schema resolution: spec 'Scan Planning')."""
+        traveling = (self.snapshot_id is not None
+                     or self.as_of_timestamp_ms is not None)
+        if traveling and snap is not None and snap.schema_id is not None:
+            return md.schema(snap.schema_id)
+        return md.schema()
+
     # -- planning ----------------------------------------------------------
     def plan_files(self) -> ScanPlan:
         md = self.metadata
         snap = self._resolve_snapshot()
         if snap is None:
             return ScanPlan(tasks=[], snapshot=None)
-        schema = md.schema(snap.schema_id)
+        schema = self._scan_schema(md, snap)
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
 
         manifest_list_path = snap.manifest_list
@@ -251,7 +262,7 @@ class TableScan:
         md = self.metadata
         plan = self.plan_files()
         snap = plan.snapshot
-        schema = md.schema(snap.schema_id) if snap else md.schema()
+        schema = self._scan_schema(md, snap) if snap else md.schema()
         spark_schema = schema.to_spark()
 
         if not plan.tasks:

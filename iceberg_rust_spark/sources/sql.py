@@ -53,6 +53,45 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
                       re.IGNORECASE)
+# ALTER TABLE schema evolution -> SchemaUpdate builder
+# (transaction/update_schema.rs:42-147 counterpart on the SQL surface)
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()., ]+?)"
+    r"(?:\s+DEFAULT\s+('[^']*'|[-\w.]+))?\s*$", re.IGNORECASE)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*$", re.IGNORECASE)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE)
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+    r"([\w()., ]+)\s*$", re.IGNORECASE)
+# SQL type synonyms -> Iceberg primitive names (spec/datatypes.rs naming)
+_SQL_TO_ICE_TYPE = {
+    "bigint": "long", "integer": "int", "smallint": "int", "tinyint": "int",
+    "varchar": "string", "text": "string", "bool": "boolean",
+    "real": "float", "timestamp_ntz": "timestamp",
+}
+
+
+def _ice_type_name(sql_type: str) -> str:
+    s = sql_type.strip().lower()
+    s = re.sub(r"\s+", "", s) if s.startswith("decimal") else s
+    return _SQL_TO_ICE_TYPE.get(s, s)
+
+
+def _parse_default(tok: Optional[str]):
+    if tok is None:
+        return None
+    if tok.startswith("'"):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
                       re.IGNORECASE)
 # FOR VERSION AS OF <snapshot-id> / FOR TIMESTAMP AS OF '<ts>' time travel
@@ -230,6 +269,44 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         _Table.create(catalog, target, schema, spec)
         return spark.createDataFrame([(target, True)],
                                      "table string, created boolean")
+    m = _ALTER_ADD_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, col, typ, default = m.groups()
+        t = _Table.load(catalog, target)
+        t.update_schema().add_column(
+            col, _ice_type_name(typ),
+            initial_default=_parse_default(default)).commit()
+        return spark.createDataFrame([(target, col, _ice_type_name(typ))],
+                                     "table string, added string, type string")
+    m = _ALTER_DROP_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, col = m.groups()
+        t = _Table.load(catalog, target)
+        t.update_schema().drop_column(col).commit()
+        return spark.createDataFrame([(target, col)],
+                                     "table string, dropped string")
+    m = _ALTER_RENAME_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, old, new = m.groups()
+        t = _Table.load(catalog, target)
+        t.update_schema().rename_column(old, new).commit()
+        return spark.createDataFrame([(target, old, new)],
+                                     "table string, renamed string, to string")
+    m = _ALTER_TYPE_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, col, typ = m.groups()
+        t = _Table.load(catalog, target)
+        t.update_schema().promote_column(col, _ice_type_name(typ)).commit()
+        return spark.createDataFrame([(target, col, _ice_type_name(typ))],
+                                     "table string, promoted string, type string")
     m = _DROP_RE.match(query)
     if m:
         if_exists, target = bool(m.group(1)), m.group(2)

@@ -303,3 +303,33 @@ def test_sql_time_travel(spark, warehouse):
                    f"SELECT COUNT(*) AS n FROM db.tt_sql FOR TIMESTAMP AS OF '{iso}'"
                    ).collect()[0]["n"]
     assert n_ts == 5
+
+
+def test_alter_table_schema_evolution_sql(spark, warehouse):
+    """ALTER TABLE ADD/RENAME/ALTER/DROP COLUMN drive SchemaUpdate; data
+    written before the evolution reads back under the new schema."""
+    df = spark.createDataFrame([(1, "a", 5), (2, "b", 7)],
+                               "id long, name string, qty int")
+    Table.create(warehouse, "db.alt", schema_from_spark(df.schema)) \
+        .append(spark, df)
+
+    run_sql(spark, warehouse,
+            "ALTER TABLE db.alt ADD COLUMN region varchar DEFAULT 'emea'")
+    run_sql(spark, warehouse, "ALTER TABLE db.alt RENAME COLUMN name TO label")
+    run_sql(spark, warehouse, "ALTER TABLE db.alt ALTER COLUMN qty TYPE bigint")
+    got = run_sql(spark, warehouse,
+                  "SELECT id, label, qty, region FROM db.alt ORDER BY id")
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert [tuple(r) for r in got.collect()] == [
+        (1, "a", 5, "emea"), (2, "b", 7, "emea")]
+
+    # new writes carry the evolved schema; old column name is gone
+    run_sql(spark, warehouse,
+            "INSERT INTO db.alt SELECT 3 AS id, 'c' AS label, "
+            "CAST(9 AS BIGINT) AS qty, 'apac' AS region")
+    run_sql(spark, warehouse, "ALTER TABLE db.alt DROP COLUMN label")
+    t = Table.load(warehouse, "db.alt")
+    cols = [f.name for f in t.metadata.schema().fields]
+    assert cols == ["id", "qty", "region"]
+    rows = sorted(tuple(r) for r in t.to_df(spark).collect())
+    assert rows == [(1, 5, "emea"), (2, 7, "emea"), (3, 9, "apac")]
