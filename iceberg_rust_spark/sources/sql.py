@@ -66,6 +66,17 @@ _ALTER_RENAME_RE = re.compile(
 _ALTER_TYPE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
     r"([\w()., ]+)\s*$", re.IGNORECASE)
+# partition-spec evolution + table properties on the SQL surface
+# (transaction update-spec / set-properties actions)
+_ALTER_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$",
+    re.IGNORECASE)
+_ALTER_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*$",
+    re.IGNORECASE)
+_ALTER_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
 # SQL type synonyms -> Iceberg primitive names (spec/datatypes.rs naming)
 _SQL_TO_ICE_TYPE = {
     "bigint": "long", "integer": "int", "smallint": "int", "tinyint": "int",
@@ -307,6 +318,54 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.update_schema().promote_column(col, _ice_type_name(typ)).commit()
         return spark.createDataFrame([(target, col, _ice_type_name(typ))],
                                      "table string, promoted string, type string")
+    m = _ALTER_ADD_PART_RE.match(query)
+    if m:
+        from .metadata import PartitionField, PartitionSpec
+        from .table import Table as _Table
+
+        target, expr = m.groups()
+        t = _Table.load(catalog, target)
+        schema = t.metadata.schema()
+        pf = _parse_partition_clause(expr, schema).fields[0]
+        # partition field ids are never reused across spec versions
+        next_fid = max((f.field_id for s in t.metadata.partition_specs
+                        for f in s.fields), default=999) + 1
+        cur = t.metadata.spec()
+        next_sid = max(s.spec_id for s in t.metadata.partition_specs) + 1
+        new_spec = PartitionSpec(next_sid, list(cur.fields) + [
+            PartitionField(pf.source_id, next_fid, pf.name, pf.transform)])
+        t.commit_updates(updates=[{"action": "add-spec", "spec": new_spec},
+                                  {"action": "set-default-spec", "spec-id": -1}])
+        return spark.createDataFrame([(target, pf.name)],
+                                     "table string, added_partition_field string")
+    m = _ALTER_DROP_PART_RE.match(query)
+    if m:
+        from .metadata import PartitionSpec
+        from .table import Table as _Table
+
+        target, pname = m.groups()
+        t = _Table.load(catalog, target)
+        cur = t.metadata.spec()
+        kept = [f for f in cur.fields if f.name != pname]
+        if len(kept) == len(cur.fields):
+            raise ValueError(f"no partition field {pname} in current spec")
+        next_sid = max(s.spec_id for s in t.metadata.partition_specs) + 1
+        t.commit_updates(updates=[{"action": "add-spec",
+                                   "spec": PartitionSpec(next_sid, kept)},
+                                  {"action": "set-default-spec", "spec-id": -1}])
+        return spark.createDataFrame([(target, pname)],
+                                     "table string, dropped_partition_field string")
+    m = _ALTER_PROPS_RE.match(query)
+    if m:
+        from .table import Table as _Table
+
+        target, body = m.groups()
+        props = dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'", body))
+        if not props:
+            raise ValueError("SET TBLPROPERTIES needs 'key'='value' pairs")
+        _Table.load(catalog, target).update_properties(props)
+        return spark.createDataFrame(sorted(props.items()),
+                                     "property string, value string")
     m = _DROP_RE.match(query)
     if m:
         if_exists, target = bool(m.group(1)), m.group(2)

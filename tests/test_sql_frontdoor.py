@@ -333,3 +333,35 @@ def test_alter_table_schema_evolution_sql(spark, warehouse):
     assert cols == ["id", "qty", "region"]
     rows = sorted(tuple(r) for r in t.to_df(spark).collect())
     assert rows == [(1, 5, "emea"), (2, 7, "emea"), (3, 9, "apac")]
+
+
+def test_alter_table_partition_and_properties_sql(spark, warehouse):
+    """ADD/DROP PARTITION FIELD evolve the default spec through SQL;
+    SET TBLPROPERTIES lands in table metadata."""
+    rows = [(i, dt.datetime(2024, 1 + (i % 3), 5), f"c{i % 2}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, cat string")
+    t = Table.create(warehouse, "db.pevo", schema_from_spark(df.schema))
+    t.append(spark, df.where(F.col("id") < 20))
+
+    run_sql(spark, warehouse, "ALTER TABLE db.pevo ADD PARTITION FIELD month(ts)")
+    t = Table.load(warehouse, "db.pevo")
+    assert [f.name for f in t.metadata.spec().fields] == ["ts_month"]
+    assert t.metadata.default_spec_id == 1
+    t.append(spark, df.where(F.col("id") >= 20))
+
+    # reads span both specs; month predicate prunes the partitioned files
+    assert t.to_df(spark).count() == 40
+    plan = t.scan(row_filter=E.col("ts") >= dt.datetime(2024, 3, 1)).plan_files()
+    assert plan.skipped_by_partition > 0
+
+    run_sql(spark, warehouse, "ALTER TABLE db.pevo DROP PARTITION FIELD ts_month")
+    t = Table.load(warehouse, "db.pevo")
+    assert t.metadata.spec().is_unpartitioned
+
+    run_sql(spark, warehouse,
+            "ALTER TABLE db.pevo SET TBLPROPERTIES ("
+            "'write.target-file-size-bytes'='1048576', 'owner'='pipeline')")
+    t = Table.load(warehouse, "db.pevo")
+    assert t.metadata.properties["owner"] == "pipeline"
+    assert t.metadata.properties["write.target-file-size-bytes"] == "1048576"
