@@ -1439,7 +1439,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n, {_sql_sum_dec('value', 'sum_value')}
             FROM events GROUP BY 1, 2""",
         "events_sessions": """
-            SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM (SELECT user_id,
                          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
                                    lag(epoch_us(CAST(ts AS TIMESTAMP)))
@@ -1455,7 +1456,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "events_variant": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
                    MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
             FROM events GROUP BY event_type""",

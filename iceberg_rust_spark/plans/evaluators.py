@@ -117,18 +117,21 @@ def _project_leaf(p: E.Predicate, pf: PartitionFieldInfo) -> E.Predicate:
                 return E.BinaryPred(E.STARTS_WITH, pname, lit)
             return E.ALWAYS_TRUE
         if op in (E.LT, E.LT_EQ, E.GT, E.GT_EQ) and t.preserves_order():
-            # boundary tightening for discrete types (Java ProjectionUtil /
-            # the reference's Transform::project): v < X ≡ v <= pred(X), so
-            # project the predecessor — one partition tighter at exact
-            # boundaries (date < 2024-01-01 -> month <= 647, not 648)
-            if op == E.LT:
-                prev = _prev_discrete(lit)
-                if prev is not None:
-                    lit, op = prev, E.LT_EQ
-            elif op == E.GT:
-                nxt = _next_discrete(lit)
-                if nxt is not None:
-                    lit, op = nxt, E.GT_EQ
+            # boundary tightening for discrete SOURCE types (Java
+            # ProjectionUtil / the reference's Transform::project): v < X ≡
+            # v <= pred(X), so project the predecessor — one partition tighter
+            # at exact boundaries (date < 2024-01-01 -> month <= 647, not
+            # 648). The shift is keyed on the Iceberg source type matching
+            # the literal's granularity, NOT the Python literal type: an int
+            # literal against a float/double column (SQL 'f < 5') must NOT
+            # become LT_EQ 4 — value 4.5 would be wrongly pruned.
+            if op in (E.LT, E.GT):
+                step = _discrete_step(lit, styp)
+                if step is not None:
+                    if op == E.LT:
+                        lit, op = step(-1), E.LT_EQ
+                    else:
+                        lit, op = step(+1), E.GT_EQ
             try:
                 tl = t.apply(lit, styp)
             except TypeError:
@@ -139,41 +142,41 @@ def _project_leaf(p: E.Predicate, pf: PartitionFieldInfo) -> E.Predicate:
             return E.BinaryPred(relaxed, pname, tl)
         return E.ALWAYS_TRUE
 
-
-def _prev_discrete(v: Any) -> Optional[Any]:
-    """Predecessor of a discrete-ordered literal, None for continuous types
-    (float/string) where the relaxed projection stays as-is."""
-    import datetime as _dt
-    from decimal import Decimal as _Dec
-    if isinstance(v, bool):
-        return None
-    if isinstance(v, int):
-        return v - 1
-    if isinstance(v, _dt.datetime):
-        return v - _dt.timedelta(microseconds=1)
-    if isinstance(v, _dt.date):
-        return v - _dt.timedelta(days=1)
-    if isinstance(v, _Dec):
-        return v - _Dec(1).scaleb(v.as_tuple().exponent)
-    return None
-
-
-def _next_discrete(v: Any) -> Optional[Any]:
-    import datetime as _dt
-    from decimal import Decimal as _Dec
-    if isinstance(v, bool):
-        return None
-    if isinstance(v, int):
-        return v + 1
-    if isinstance(v, _dt.datetime):
-        return v + _dt.timedelta(microseconds=1)
-    if isinstance(v, _dt.date):
-        return v + _dt.timedelta(days=1)
-    if isinstance(v, _Dec):
-        return v + _Dec(1).scaleb(v.as_tuple().exponent)
-    return None
-
     return E.ALWAYS_TRUE
+
+
+def _discrete_step(lit: Any, styp: Any):
+    """Return ``step(n) -> shifted literal`` iff the (literal, Iceberg source
+    type) pair is discrete at the literal's granularity, else None.
+
+    Dispatching on the SOURCE type mirrors Java ProjectionUtil (which switches
+    on the bound term's type): a Python int literal bound against a
+    float/double column is continuous, and a µs shift against a nanosecond
+    timestamp column would skip 999 representable values — both must fall back
+    to the plain relaxed projection (still correct, just one partition wider).
+    """
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+    name = getattr(styp, "name", None) or (str(styp) if styp is not None else "")
+    if isinstance(lit, bool):
+        return None
+    if isinstance(lit, int) and name in ("int", "long"):
+        return lambda n: lit + n
+    if isinstance(lit, _dt.datetime) and name in ("timestamp", "timestamptz"):
+        return lambda n: lit + _dt.timedelta(microseconds=n)
+    if isinstance(lit, _dt.date) and not isinstance(lit, _dt.datetime) \
+            and name == "date":
+        return lambda n: lit + _dt.timedelta(days=n)
+    if isinstance(lit, _Dec) and name.startswith("decimal"):
+        try:
+            scale = int(name[:-1].split(",")[1])
+        except (IndexError, ValueError):
+            return None
+        if -lit.as_tuple().exponent == scale:
+            unit = _Dec(1).scaleb(-scale)
+            return lambda n: lit + unit * n
+        return None
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -301,33 +304,20 @@ def _strict_leaf(p: E.Predicate, pf: "PartitionFieldInfo") -> E.Predicate:
         if op == E.LT:
             return E.BinaryPred(E.LT, pname, apply(lit))
         if op == E.LT_EQ:
-            return E.BinaryPred(E.LT, pname, apply(_shift(lit, +1)))
+            # v <= X -> part < t(X+1) when the source type is discrete at the
+            # literal's granularity; else the weaker (still sound) part < t(X)
+            step = _discrete_step(lit, styp)
+            return E.BinaryPred(E.LT, pname, apply(step(+1) if step else lit))
         if op == E.GT:
             return E.BinaryPred(E.GT, pname, apply(lit))
         if op == E.GT_EQ:
-            return E.BinaryPred(E.GT, pname, apply(_shift(lit, -1)))
+            step = _discrete_step(lit, styp)
+            return E.BinaryPred(E.GT, pname, apply(step(-1) if step else lit))
         if op == E.NOT_EQ:
             return E.BinaryPred(E.NOT_EQ, pname, apply(lit))
     except (TypeError, ValueError):
         return E.ALWAYS_FALSE
     return E.ALWAYS_FALSE  # EQ has no strict projection under widening
-
-
-def _shift(v: Any, step: int) -> Any:
-    """±1 in the source type's smallest granularity (adjust_boundary,
-    transform.rs:658+): int/long ±1, date ±1 day, timestamp ±1 µs."""
-    import datetime as dt
-    from decimal import Decimal
-    if isinstance(v, dt.datetime):
-        return v + dt.timedelta(microseconds=step)
-    if isinstance(v, dt.date):
-        return v + dt.timedelta(days=step)
-    if isinstance(v, Decimal):
-        return v + Decimal(1).scaleb(-(-v.as_tuple().exponent)) * step \
-            if v.as_tuple().exponent < 0 else v + step
-    if isinstance(v, int):
-        return v + step
-    raise TypeError(f"no unit shift for {type(v)}")
 
 
 def partition_must_match(strict_pred: E.Predicate,

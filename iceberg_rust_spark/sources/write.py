@@ -275,10 +275,10 @@ def _spark_fallback_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
     counts = {bare_path(r["p"]): r["count"] for r in per_file}
     out = {}
     for p in files:
-        bare = bare_path(p)
-        if bare not in counts:
-            raise RuntimeError(f"footer scan fallback: no rows attributed to {p}")
-        out[p] = {"num_rows": counts[bare], "size": file_io_for(p).size(p),
+        # a file with zero rows yields no groupBy row at all — that's a
+        # legitimate empty file, not a failed attribution
+        out[p] = {"num_rows": counts.get(bare_path(p), 0),
+                  "size": file_io_for(p).size(p),
                   "column_sizes": {}, "value_counts": {}, "null_counts": {},
                   "lower": {}, "upper": {}, "split_offsets": []}
     return out

@@ -225,20 +225,41 @@ class _IcebergWriter(DataSourceArrowWriter):
 
 class _IcebergStreamWriter(_IcebergWriter, DataSourceStreamArrowWriter):
     """`writeStream.format("iceberg_rust")`: one snapshot per micro-batch,
-    stamped with the batch id in the snapshot summary; a replayed batch id is
-    detected and skipped before any commit — the same exactly-once contract
-    as streaming/sink.py, driven by Spark's own checkpoint."""
+    stamped with a (query-key, batch-id) pair in the snapshot summary; a
+    replayed batch id FOR THE SAME QUERY is detected and skipped before any
+    commit — the same exactly-once contract as streaming/sink.py, driven by
+    Spark's own checkpoint.
+
+    The query key scopes the dedup: batch ids restart at 0 per streaming
+    query, so a bare batch-id check would silently drop micro-batches of a
+    second query writing to the same table. Stable keys come from the
+    ``checkpointLocation`` (unique per query, survives restarts) or an
+    explicit ``queryId`` option; absent both, a per-writer-instance key
+    still isolates concurrent queries (restart replay-dedup then needs one
+    of the stable options)."""
+
+    QUERY_KEY = "spark.datasource.query-id"
+    BATCH_KEY = "spark.datasource.batch-id"
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        opts = {k.lower(): v for k, v in dict(options).items()}
+        self._query_key = (opts.get("queryid")
+                           or opts.get("checkpointlocation")
+                           or f"writer-{uuid.uuid4().hex}")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         files = self._collect(messages)
         t = _load_table(self.options)
         stamp = str(batchId)
         for snap in t.metadata.snapshots:
-            if snap.summary.get("spark.datasource.batch-id") == stamp:
-                return  # replayed micro-batch: already committed
+            if (snap.summary.get(self.BATCH_KEY) == stamp
+                    and snap.summary.get(self.QUERY_KEY) == self._query_key):
+                return  # replayed micro-batch of THIS query: already committed
         t._commit_retry(lambda md: t._snapshot_update(
             md, "append", added=files,
-            extra_summary={"spark.datasource.batch-id": stamp}))
+            extra_summary={self.BATCH_KEY: stamp,
+                           self.QUERY_KEY: self._query_key}))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         _IcebergWriter.abort(self, messages)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.table import Table
@@ -76,23 +76,34 @@ def append_stream(table: Table, stream_df: DataFrame, checkpoint_dir: str,
 def merge_stream(table: Table, stream_df: DataFrame, keys: List[str],
                  checkpoint_dir: str, query_id: str,
                  available_now: bool = True,
-                 processing_time: Optional[str] = None) -> StreamingQuery:
+                 processing_time: Optional[str] = None,
+                 sequence_col: Optional[str] = None) -> StreamingQuery:
     """Streaming UPSERT: each micro-batch is MERGEd into ``table`` on
     ``keys`` (one snapshot: eq-deletes for matched keys + new data files) —
     the CDC-apply shape that keeps a table in sync with a change feed.
     Exactly-once via the same snapshot-summary batch-id dedup as
-    append_stream. Within a batch, the LAST row per key wins (change feeds
-    are ordered), enforced with a dropDuplicates on the keys after ordering
-    is irrelevant per Spark semantics — callers feeding multi-version
-    batches should pre-reduce with a window if order matters."""
+    append_stream.
+
+    When a micro-batch carries several versions of one key, pass
+    ``sequence_col`` (an event-sequence / version column): the row with the
+    HIGHEST sequence wins deterministically. Without it, dropDuplicates keeps
+    an ARBITRARY row per key — fine for at-most-one-version-per-batch feeds,
+    not for multi-version CDC batches."""
     seen = committed_batch_ids(table, query_id)
+
+    def reduce_per_key(batch_df: DataFrame) -> DataFrame:
+        if sequence_col is None:
+            return batch_df.dropDuplicates(keys)
+        w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+        return (batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in seen or batch_id in committed_batch_ids(table, query_id):
             return
         table.refresh()
         table.merge(batch_df.sparkSession,
-                    batch_df.dropDuplicates(keys), keys,
+                    reduce_per_key(batch_df), keys,
                     extra_summary={SUMMARY_QUERY_KEY: query_id,
                                    SUMMARY_BATCH_KEY: str(batch_id)})
         seen.add(batch_id)

@@ -205,6 +205,21 @@ def test_projection_truncate_starts_with():
     assert p2.op == E.STARTS_WITH and p2.literal == "ic"
 
 
+def test_projection_no_tightening_for_continuous_source():
+    """Regression: an int literal bound against a DOUBLE source must NOT be
+    boundary-shifted (f < 5 is not f <= 4 — value 4.5 would be pruned). The
+    shift dispatches on the Iceberg source type, like Java ProjectionUtil."""
+    fi = [PartitionFieldInfo("f", "f_id", IdentityTransform(), DOUBLE)]
+    p = inclusive_projection(bound(E.col("f") < 5), fi)
+    assert partition_might_match(p, {"f_id": 4.5})
+    p2 = inclusive_projection(bound(E.col("f") > 4), fi)
+    assert partition_might_match(p2, {"f_id": 4.5})
+    # discrete source types still tighten
+    li = [PartitionFieldInfo("x", "x_id", IdentityTransform(), LONG)]
+    p3 = inclusive_projection(bound(E.col("x") < 5), li)
+    assert (p3.op, p3.literal) == (E.LT_EQ, 4)
+
+
 def test_projection_unpartitioned_col_is_true():
     p = inclusive_projection(bound(E.col("f") > 0.5), _infos())
     assert isinstance(p, E.AlwaysTrue)
