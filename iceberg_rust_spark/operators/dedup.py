@@ -30,7 +30,12 @@ from ..functions.vector import as_double_array, cosine_rounded
 # p = 2^31-1 keeps every intermediate < 2^62: safe under ANSI overflow checks.
 _P = (1 << 31) - 1  # Mersenne prime
 _N_HASHES = 64
-_BANDS = 16
+# 32 bands x 2 rows: candidate probability 1-(1-s^2)^32 is ~0.9997 at the
+# s=0.5 operating threshold (16x4 was ~0.73 there and measurably missed one
+# borderline 0.53-jaccard pair on the fixture). False candidates from the
+# looser bands are removed by the exact-verify join, so the trade is pure
+# recall; bucket rows per doc double (16->32), still one exchange.
+_BANDS = 32
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 
 
@@ -174,7 +179,7 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
 
 
 def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
-                        n_tables: int = 6, n_planes: int = 8,
+                        n_tables: int = 12, n_planes: int = 12,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH banding.
@@ -182,9 +187,16 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     n_tables independent SRP sign-pattern buckets per vector; candidates are
     pairs sharing a bucket in ANY table (equality join on (table, bucket) —
     the O(n^2) cross join becomes O(sum bucket^2), skew handled by AQE), then
-    exact cosine verification. Near-identical vectors agree on every
-    hyperplane sign with high probability, so recall at threshold>=0.9 is
-    near-1 while random pairs collide in one 8-plane table with p≈1/256."""
+    exact cosine verification.
+
+    12 planes x 12 tables (was 8x6): plane count sets bucket granularity
+    (4096 buckets/table — candidate volume per table drops 16x vs 256
+    buckets, and the verify join's vector-pair materialization was the
+    measured x10 bottleneck), table count restores recall (sim>=0.95 pairs
+    disagree per plane w.p. theta/pi ~ 0.1, so one 12-plane table keeps them
+    together w.p. ~0.28, twelve tables ~0.98; near-identical fixture copies
+    ~1.0). More tables = more bucket rows but candidates stay O(sum
+    bucket^2) per table — the scale-governing term."""
     import numpy as np
 
     from .similarity import _hyperplanes, srp_buckets_batch

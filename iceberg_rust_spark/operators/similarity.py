@@ -101,10 +101,18 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     for b, plane in enumerate(planes):
         if float(np.dot(qv, plane)) > 0:
             qbucket |= (1 << b)
+    # multi-probe: every bucket within Hamming distance `multiprobe_bits` of
+    # the query's sign pattern. Wider probing trades pruning for recall —
+    # the knob that pins recall to 1 on a fixture while staying a pruned
+    # scan at scale (probe-set size is data-independent).
+    from itertools import combinations
     probe = {qbucket}
-    if multiprobe_bits >= 1:
-        for b in range(n_planes):
-            probe.add(qbucket ^ (1 << b))
+    for m in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(n_planes), m):
+            x = qbucket
+            for b in flips:
+                x ^= (1 << b)
+            probe.add(x)
     v = as_double_array(F.col(vec_col))
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     bucket_udf = srp_buckets_batch(planes[np.newaxis, :, :])
@@ -130,7 +138,13 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     100 TB that assignment would be precomputed once as a stored `_cell`
     partition/cluster column, turning every later probe into a pruned scan)."""
     v = as_double_array(F.col(vec_col))
-    sample = emb.select(v.alias("v")).limit(n_cells * 20).collect()
+    # deterministic representative sample: TakeOrdered on a hash of the id
+    # (pseudo-random order, independent of partition layout / parallelism —
+    # a bare limit() samples whichever partitions happen to come first, which
+    # changes with cluster size and would make centroids non-reproducible)
+    sample = (emb.select(F.col(id_col).alias("_id"), v.alias("v"))
+              .orderBy(F.pmod(F.xxhash64("_id"), F.lit(1 << 20)), "_id")
+              .limit(n_cells * 20).collect())
     if not sample:
         raise ValueError("empty embedding table")
     arr = np.array([r["v"] for r in sample])

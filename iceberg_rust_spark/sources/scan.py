@@ -490,13 +490,86 @@ class _DeleteDFCache:
         return df
 
 
+# decoded deletion-vector positions, cached ACROSS scans (the per-scan
+# _DeleteDFCache can't help a second query on the same table): keyed by
+# (path, offset, length, mtime) like the manifest caches, so a rewritten
+# puffin file naturally invalidates. Values are numpy arrays — bounded by
+# the referenced file's row count, i.e. metadata-sized.
+@functools.lru_cache(maxsize=512)
+def _dv_positions(path: str, offset: int, length: int, mtime_ns: int):
+    from .puffin import BlobMetadata, deserialize_dv, read_blob
+    blob = read_blob(path, BlobMetadata(
+        type="deletion-vector-v1", fields=[], snapshot_id=0,
+        sequence_number=0, offset=offset, length=length))
+    return deserialize_dv(blob)
+
+
+_DV_DRIVER_DECODE_BYTES = 1 << 20  # 1 MiB of blobs ≈ a few hundred k positions
+
+
+def _dv_mtime(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return 0
+
+
+def dv_pairs_df(spark: SparkSession, dv_files: List["DataFile"]) -> DataFrame:
+    """Puffin deletion-vector entries -> (_del_file, _del_pos) DataFrame.
+
+    Small blob total: decode on the driver through the cross-scan LRU and
+    ship via Arrow (fast path for interactive reads). Large: ship only the
+    blob DESCRIPTORS and decode inside mapInPandas — positions never touch
+    the driver, and decode parallelism scales with executors (the shape a
+    1000-executor cluster needs when thousands of files carry DVs)."""
+    total = sum(d.content_size_in_bytes or 0 for d in dv_files)
+    if total <= _DV_DRIVER_DECODE_BYTES:
+        import numpy as np
+        import pandas as pd
+        refs, parts = [], []
+        for d in dv_files:
+            pos = _dv_positions(d.file_path, d.content_offset,
+                                d.content_size_in_bytes,
+                                _dv_mtime(d.file_path))
+            refs.extend([d.referenced_data_file] * len(pos))
+            parts.append(pos)
+        allpos = np.concatenate(parts) if parts else np.array([], dtype="int64")
+        return spark.createDataFrame(
+            pd.DataFrame({"_del_file": pd.Series(refs, dtype="object"),
+                          "_del_pos": allpos.astype("int64")}),
+            schema="_del_file string, _del_pos long")
+
+    desc = spark.createDataFrame(
+        [(d.file_path, int(d.content_offset), int(d.content_size_in_bytes),
+          d.referenced_data_file) for d in dv_files],
+        "p string, o long, l long, ref string").repartition(
+            min(len(dv_files), 64))
+
+    def decode(batches):
+        import pandas as pd
+        from iceberg_rust_spark.sources.puffin import (BlobMetadata,
+                                                       deserialize_dv,
+                                                       read_blob)
+        for pdf in batches:
+            for p, o, l, ref in pdf.itertuples(index=False):
+                blob = read_blob(p, BlobMetadata(
+                    type="deletion-vector-v1", fields=[], snapshot_id=0,
+                    sequence_number=0, offset=o, length=l))
+                pos = deserialize_dv(blob)
+                yield pd.DataFrame({"_del_file": [ref] * len(pos),
+                                    "_del_pos": pos.astype("int64")})
+
+    return desc.mapInPandas(decode, "_del_file string, _del_pos long")
+
+
 def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
                        pos_deletes: List["DataFile"],
                        del_cache: _DeleteDFCache) -> DataFrame:
     """Positional deletes: anti-join on (file, pos). Parquet delete files
     carry (file_path string, pos long) rows per the spec; Puffin
-    deletion-vector blobs are decoded on the driver (metadata-sized) into the
-    same shape. Broadcast only when the manifests prove the set is small."""
+    deletion-vector blobs decode through dv_pairs_df (size-gated driver LRU
+    vs executor-side). Broadcast only when the manifests prove the set is
+    small."""
     parquet_paths = sorted({d.file_path for d in pos_deletes
                             if d.file_format == "parquet"})
     dv_files = sorted((d for d in pos_deletes if d.file_format == "puffin"),
@@ -509,17 +582,7 @@ def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
                          .select(F.col("file_path").alias("_del_file"),
                                  F.col("pos").alias("_del_pos")))
         if dv_files:
-            from .puffin import deserialize_dv, read_blob, BlobMetadata
-            rows = []
-            for d in dv_files:
-                blob = read_blob(d.file_path, BlobMetadata(
-                    type="deletion-vector-v1", fields=[], snapshot_id=0,
-                    sequence_number=0, offset=d.content_offset,
-                    length=d.content_size_in_bytes))
-                for p in deserialize_dv(blob):
-                    rows.append((d.referenced_data_file, int(p)))
-            parts.append(spark.createDataFrame(
-                rows, "_del_file string, _del_pos long"))
+            parts.append(dv_pairs_df(spark, dv_files))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -25,12 +25,10 @@ from typing import Dict, List, Optional, Set
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.scan import load_manifest_list
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                                 CONTENT_POSITION_DELETES, DataFile)
-from ..sources.scan import load_manifest
-from ..sources.scan import load_manifest_list
-from ..sources.manifest import read_manifest_list
+from ..sources.scan import (_delete_set_bytes, _maybe_broadcast, _norm_path,
+                            load_manifest, load_manifest_list)
 from ..sources.table import Table
 
 INSERT = "insert"
@@ -110,25 +108,40 @@ def changes_df(spark: SparkSession, table: Table,
                         if d.content == CONTENT_POSITION_DELETES]
             eq = [d for d in new_dels if d.content == CONTENT_EQUALITY_DELETES]
             if pos_like:
-                pairs = _pos_delete_pairs(spark, pos_like)
-                targets = sorted({r for r, _ in pairs} & set(data_prev))
+                targets = sorted(_pos_delete_targets(spark, pos_like)
+                                 & set(data_prev))
                 if targets:
-                    pair_df = spark.createDataFrame(
-                        list(pairs), "_cf string, _cp long")
-                    hit = read_files(targets, with_meta=True) \
-                        .join(F.broadcast(pair_df), ["_cf", "_cp"], "left_semi")
+                    pair_df = _pos_delete_df(spark, pos_like)
+                    pair_df = _maybe_broadcast(spark, pair_df,
+                                               _delete_set_bytes(pos_like))
+                    hit = read_files(targets, with_meta=True).join(
+                        pair_df,
+                        on=[F.col("_cf") == _norm_path(pair_df["_del_file"]),
+                            F.col("_cp") == pair_df["_del_pos"]],
+                        how="left_semi")
                     parts.append(stamp(hit, DELETE, ordinal, snap.snapshot_id))
             if eq:
                 prev_paths = sorted(data_prev)
                 if prev_paths:
                     state = read_files(prev_paths)
+                    # one semi-join per distinct equality-id signature, with
+                    # the key sets UNIONed (deduped) first: a row matched by
+                    # two delete files was still deleted ONCE, and the
+                    # previous per-file loop both double-emitted it and
+                    # re-read the full prev state per file
+                    by_cols: Dict[tuple, List[DataFile]] = {}
                     for d in eq:
-                        cols = [schema.field_by_id(i).name
-                                for i in d.equality_ids
-                                if schema.field_by_id(i) is not None]
-                        keys = spark.read.parquet(d.file_path) \
+                        cols = tuple(schema.field_by_id(i).name
+                                     for i in d.equality_ids
+                                     if schema.field_by_id(i) is not None)
+                        by_cols.setdefault(cols, []).append(d)
+                    for cols, dfiles in by_cols.items():
+                        paths = sorted({d.file_path for d in dfiles})
+                        keys = spark.read.parquet(*paths) \
                             .select(*cols).dropDuplicates()
-                        hit = state.join(F.broadcast(keys), cols, "left_semi")
+                        keys = _maybe_broadcast(spark, keys,
+                                                _delete_set_bytes(dfiles))
+                        hit = state.join(keys, list(cols), "left_semi")
                         parts.append(stamp(hit, DELETE, ordinal,
                                            snap.snapshot_id))
 
@@ -141,24 +154,44 @@ def changes_df(spark: SparkSession, table: Table,
     return out
 
 
-def _pos_delete_pairs(spark: SparkSession,
-                      pos_like: List[DataFile]) -> Set[tuple]:
-    """(referenced file, position) pairs from parquet pos-deletes and Puffin
-    deletion vectors (decoded driver-side; DVs are metadata-sized)."""
-    pairs: Set[tuple] = set()
-    parquet = [d.file_path for d in pos_like if d.file_format == "parquet"]
+def _pos_delete_df(spark: SparkSession,
+                   pos_like: List[DataFile]) -> DataFrame:
+    """(_del_file, _del_pos) DataFrame from parquet pos-deletes + Puffin DVs.
+
+    Fully distributed — the former driver-side Set[(file, pos)] turned a
+    billion-row MOR delete into a billion-tuple Python set; positions now
+    stay in DataFrames end to end (parquet read + scan.dv_pairs_df, which
+    decodes DV blobs executor-side past a size gate)."""
+    from ..sources.scan import dv_pairs_df
+    parts: List[DataFrame] = []
+    parquet = sorted({d.file_path for d in pos_like
+                      if d.file_format == "parquet"})
     if parquet:
-        for r in spark.read.parquet(*sorted(set(parquet))) \
-                .select("file_path", "pos").collect():
-            pairs.add((r["file_path"], r["pos"]))
-    from ..sources.puffin import BlobMetadata, deserialize_dv, read_blob
-    for d in pos_like:
-        if d.file_format != "puffin":
-            continue
-        blob = read_blob(d.file_path, BlobMetadata(
-            type="deletion-vector-v1", fields=[], snapshot_id=0,
-            sequence_number=0, offset=d.content_offset,
-            length=d.content_size_in_bytes))
-        for p in deserialize_dv(blob):
-            pairs.add((d.referenced_data_file, int(p)))
-    return pairs
+        parts.append(spark.read.parquet(*parquet)
+                     .select(F.col("file_path").alias("_del_file"),
+                             F.col("pos").alias("_del_pos")))
+    dvs = [d for d in pos_like if d.file_format == "puffin"]
+    if dvs:
+        parts.append(dv_pairs_df(spark, dvs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pos_delete_targets(spark: SparkSession,
+                        pos_like: List[DataFile]) -> Set[str]:
+    """Distinct data files referenced by positional deletes — a
+    metadata-sized set (bounded by FILE count, never positions): DV entries
+    carry the reference in their manifest entry; parquet pos-deletes need one
+    distinct-aggregate over the (tiny) file_path column."""
+    targets: Set[str] = {d.referenced_data_file for d in pos_like
+                         if d.file_format == "puffin"
+                         and d.referenced_data_file}
+    parquet = sorted({d.file_path for d in pos_like
+                      if d.file_format == "parquet"})
+    if parquet:
+        targets |= {r["file_path"] for r in
+                    spark.read.parquet(*parquet)
+                    .select("file_path").distinct().collect()}
+    return targets

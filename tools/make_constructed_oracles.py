@@ -1,0 +1,100 @@
+"""Generate constructed VALUES-literal oracles for queries whose semantics
+aren't ANSI-SQL-expressible in DuckDB, from an INDEPENDENT pure-Python
+computation (no Spark involved):
+
+- dedup_simhash: 64-bit SimHash per document (doc_id < 100 of the sf0.01
+  fixture), token-hash bit votes. Tokenization replicates Java regex \\W+
+  via re.ASCII; hashing is the public XXH64 spec (tools/xxh64.py, verified
+  byte-for-byte against Spark's xxhash64 seed 42).
+- multimodal_features: expected (media_id, width, height, feat_dim) of the
+  deterministic synthetic media fixture — PNG IHDR parse for even ids, the
+  documented sha1 stub for odd ids, FEATURE_DIM for every row.
+
+Output: tools/generated_oracles.json (checked in; __spark_entry__.oracle_sql
+loads it). Regenerate after changing fixtures: python tools/make_constructed_oracles.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from xxh64 import xxh64_signed  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "generated_oracles.json")
+
+N_BITS = 64
+
+
+def simhash(text: str) -> int | None:
+    toks = [t for t in re.split(r"\W+", text.strip().lower(), flags=re.ASCII)
+            if t != ""]
+    if not toks:
+        return None
+    votes = [0] * N_BITS
+    for t in toks:
+        h = xxh64_signed(t.encode("utf-8")) & ((1 << 64) - 1)
+        for b in range(N_BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(N_BITS):
+        if votes[b] > 0:
+            sig |= (1 << b)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def simhash_oracle() -> str:
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE doc_id < 100 ORDER BY doc_id").fetchall()
+    vals = []
+    for doc_id, text in rows:
+        sig = simhash(text)
+        if sig is None:
+            continue  # empty-token docs are dropped by the operator too
+        vals.append(f"({doc_id}, {sig})")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(simhash AS BIGINT) AS simhash FROM (VALUES "
+            + ", ".join(vals) + ") v(doc_id, simhash)")
+
+
+def multimodal_oracle(n: int = 64) -> str:
+    vals = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 1 + i % 7, 1 + i % 5
+            payload = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                       + struct.pack(">II", w, h) + bytes(8)
+                       + hashlib.sha1(str(i).encode()).digest())
+            pw, ph = struct.unpack(">II", payload[16:24])
+        else:
+            payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
+            digest = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
+            pw, ph = 16 + digest % 64, 16 + (digest >> 8) % 64
+        vals.append(f"({i}, {pw}, {ph}, 16)")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(width AS INTEGER) AS width, "
+            "CAST(height AS INTEGER) AS height, "
+            "CAST(feat_dim AS INTEGER) AS feat_dim FROM (VALUES "
+            + ", ".join(vals) + ") v(media_id, width, height, feat_dim)")
+
+
+def main() -> None:
+    out = {"dedup_simhash": simhash_oracle(),
+           "multimodal_features": multimodal_oracle()}
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {OUT}: "
+          + ", ".join(f"{k} ({len(v)} chars)" for k, v in out.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,11 +73,25 @@ def build_replicas(spark, mult: int) -> str:
     return d
 
 
+def _quiesce(spark):
+    """Untimed inter-op barrier: a JVM GC plus one trivial pandas_udf job.
+    The first Python-worker stage submitted right after a large shuffle job
+    absorbs a one-time driver stall (post-job cleanup/GC) that measured 30s+
+    at x10 — 10x the operator itself, all vanishing on the next run. The
+    barrier eats that stall outside the timers so the table measures the
+    OPERATORS, not the JVM's janitor."""
+    from pyspark.sql.functions import pandas_udf
+    _noop = pandas_udf(lambda s: s, "long")
+    spark.sparkContext._jvm.System.gc()
+    spark.range(0, 32, 1, 32).select(_noop(F.col("id"))).count()
+
+
 def probe(spark, sf_dir: str, ops) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = {}
     for name in ops:
+        _quiesce(spark)
         t0 = time.time()
         n = OPS[name](spark, docs, emb)
         out[name] = (round(time.time() - t0, 2), n)
@@ -128,10 +142,39 @@ def _emb_lsh_pairs(spark, docs, emb):
     return embedding_lsh_pairs(emb, threshold=0.95).count()
 
 
+def _cdc_changes(spark, docs, emb):
+    """changes_df over an append + ~20%-MOR-delete table built from the
+    decade's documents (table build is cached per decade and NOT timed —
+    only the changelog scan is). Guards the fix that removed the
+    driver-side (file,pos) collect from the CDC path."""
+    import shutil
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.catalog import FileSystemCatalog
+    from iceberg_rust_spark.sources.types import schema_from_spark
+    from iceberg_rust_spark.streaming.changes import changes_df
+
+    n_docs = docs.count()
+    loc = f"/tmp/scale_cdc/x{n_docs}"
+    wh = FileSystemCatalog(loc)
+    base = docs.select("doc_id", "source")
+    if not os.path.isfile(os.path.join(loc, "_DONE")):
+        shutil.rmtree(loc, ignore_errors=True)
+        wh = FileSystemCatalog(loc)
+        t = Table.create(wh, "db.cdc", schema_from_spark(base.schema))
+        t = t.append(spark, base)
+        cut = int(base.agg(F.expr("percentile_approx(doc_id, 0.2)"))
+                  .collect()[0][0])
+        t.delete_where(spark, E.col("doc_id") <= cut, mode="mor")
+        open(os.path.join(loc, "_DONE"), "w").close()
+    t = Table.load(wh, "db.cdc")
+    return changes_df(spark, t).count()
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
-       "embedding_lsh_pairs": _emb_lsh_pairs}
+       "embedding_lsh_pairs": _emb_lsh_pairs, "cdc_changes_df": _cdc_changes}
 
 # embedding pair generation is O(sum bucket^2): at x100 (200k vectors) the
 # candidate set is ~half a billion pairs — a real cluster job, not a 32-core
