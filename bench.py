@@ -60,21 +60,35 @@ def main() -> None:
     qs["ann_lsh_topk"](spark, sf_dir).count()         # pandas-UDF worker fork
     warmup_sec = round(time.time() - t0, 3)
 
+    # repetitions separate engine regressions from environment drift: the
+    # r1->r2 comparison was muddied by +40-55% swings on queries touching
+    # zero engine code. Per query: `reps` timed runs, report the MEDIAN
+    # (headline) and the MIN (floor — pure engine cost with a warm cache).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings = {}
+    minimums = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        runs.sort()
+        med = round(runs[len(runs) // 2], 3)
+        timings[name] = med
+        minimums[name] = round(runs[0], 3)
+        total += med
+        print(f"# {name}: median {med}s min {minimums[name]}s ({n} rows)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3), "unit": "sec",
-        "queries": timings, "sf": sf, "setup_sec": setup_sec,
+        "queries": timings, "queries_min": minimums, "reps": reps,
+        "sf": sf, "setup_sec": setup_sec,
         "warmup_sec": warmup_sec,
     }))
     spark.stop()
