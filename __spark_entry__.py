@@ -889,6 +889,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                                   threshold=0.95)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> cluster assignments: the
+    keep-one-per-cluster step after LSH dedup. Pairs come from the verified
+    minhash_lsh path (candidate recall 1 on this fixture)."""
+    from iceberg_rust_spark.operators.components import dedup_clusters
+    pairs = DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
+                                 threshold=0.5)
+    return dedup_clusters(pairs)
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic md5-keyed corpus sample (curation op): same rows in
     every engine/run; pure filter, no shuffle."""
@@ -1055,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "doc_sample": q_doc_sample,
         "doc_quota": q_doc_quota,
         "text_tokens": q_text_tokens,
@@ -1513,6 +1524,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.grams, b.grams)) /
                         greatest(len(a.grams) + len(b.grams)
                                  - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5""",
+        # clusters over the SAME pair set (minhash candidate recall is 1 on
+        # this fixture, so the exact-ngram pairs are the edge list): min
+        # reachable label per node via a recursive CTE
+        "dedup_clusters": f"""
+            WITH RECURSIVE src AS ({_sql_docs_near(150)}),
+            g AS (SELECT doc_id,
+                         {TX.sql_word_ngrams_over('t')} AS grams
+                  FROM (SELECT doc_id, {TX.sql_tokens('text')} AS t FROM src)),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE round(len(list_intersect(a.grams, b.grams)) /
+                              greatest(len(a.grams) + len(b.grams)
+                                       - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(v, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.label FROM edges e JOIN reach r ON r.v = e.b),
+            lab AS (SELECT v AS doc_id, MIN(label) AS cluster_id
+                    FROM reach GROUP BY v)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM lab""",
         "dedup_ngram": f"""
             WITH src AS ({_sql_docs_near(150)}),
             g AS (SELECT doc_id,

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q18_large_orders", "q19_discounted_revenue",
     "window_topn", "rollup_orders", "events_hourly",
     "events_sessions", "dedup_exact", "dedup_minhash", "dedup_embedding_lsh",
+    "dedup_clusters",
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "doc_sample", "doc_quota",
     "ann_cosine_topk", "ann_lsh_topk",

@@ -1,0 +1,73 @@
+"""Connected components over near-duplicate pair edges — the clustering step
+that turns pairwise dedup output (minhash/simhash/embedding LSH) into
+keep-one-per-cluster decisions in a training-data pipeline.
+
+Beyond-reference surface (like operators/dedup.py). Algorithm: iterative
+min-label propagation — every node repeatedly adopts the smallest label seen
+among itself and its neighbors; converges in rounds ~= the cluster diameter.
+Near-duplicate graphs are dense low-diameter blobs (a cluster of N copies is
+close to a clique), so 2-4 rounds settle real corpora; `max_iter` bounds the
+pathological chain case. Each round is one shuffle (edge-label join +
+min-aggregate); labels persist round-over-round and the previous round is
+unpersisted, so lineage stays O(1) and memory O(nodes).
+
+At 100 TB: rounds are sequential but each is a plain shuffled join on the
+label partitioning — the alternating large-star/small-star formulation
+(Kiveris et al., "Connected Components in MapReduce and Beyond") drops round
+count to O(log d) if diameters ever matter; the per-round plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the component
+    id is the smallest node id in the component (deterministic canonical
+    representative)."""
+    e = edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))).distinct().persist()
+    # localCheckpoint per round, NOT just persist: an iterative self-join
+    # grows the LOGICAL plan exponentially even when the data is cached —
+    # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the
+    # lineage so every round plans against a flat scan. (On a production
+    # cluster with executor loss concerns, swap for reliable checkpoint.)
+    labels = (und.select("a").distinct()
+              .withColumn("label", F.col("a")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (und.join(labels.select(F.col("a").alias("b"),
+                                      F.col("label")), "b")
+               .select("a", "label"))
+        new_labels = (labels.select("a", "label").unionByName(nbr)
+                      .groupBy("a").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        # convergence: any node whose label shrank this round?
+        changed = (new_labels.join(
+            labels.withColumnRenamed("label", "old"), "a")
+            .where(F.col("label") < F.col("old")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("a").alias("node"),
+                         F.col("label").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster_id, cluster_size), cluster_id =
+    min doc id in the cluster. Rows = every doc that had at least one
+    near-duplicate; docs absent from ``pairs`` are singletons by definition
+    and are left out (at scale that's the overwhelming majority — emitting
+    them would turn a cluster summary into a full-corpus pass)."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                    "cluster_size"))

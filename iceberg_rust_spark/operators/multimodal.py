@@ -49,16 +49,63 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(parse, schema=out_schema)
 
 
+# JPEG frame-header (SOFn) markers that carry dimensions — every baseline/
+# progressive/lossless variant except the arithmetic-coding definitions
+# DHP(C5..) siblings DAC/DHT/etc. (ITU-T T.81 Table B.1)
+_JPEG_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF])
+
+
+def _jpeg_dimensions(b: bytes):
+    """Pure-Python JPEG SOF scan (public ITU-T T.81 marker layout): walk the
+    marker segments after SOI; the first SOFn segment carries
+    (precision u8, height u16be, width u16be). Returns (w, h) or None."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:  # SOI
+        return None
+    i = 2
+    n = len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:          # not at a marker: corrupt/filler — resync
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:        # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2                # standalone markers, no length
+            continue
+        if marker == 0xD9:        # EOI
+            return None
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[i + 5:i + 9])
+            return int(w), int(h)
+        if marker == 0xDA:        # SOS: entropy data follows, SOF must precede
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def decode_image_meta(payload: bytes, mime: str) -> dict:
-    """Header-only decode: PNG IHDR is real; other formats fall back to a
-    deterministic stub (marked)."""
+    """Header-only decode: PNG IHDR and JPEG SOFn are REAL parsers (the two
+    dominant formats need no codec libs for dimensions); anything else falls
+    back to a deterministic stub (marked)."""
     if payload is None:
         return {"width": None, "height": None, "n_bytes": 0}
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
         return {"width": int(w), "height": int(h), "n_bytes": len(b)}
-    # STUB: non-PNG decode requires codec libs not present in this container.
+    jpeg = _jpeg_dimensions(b)
+    if jpeg is not None:
+        return {"width": jpeg[0], "height": jpeg[1], "n_bytes": len(b)}
+    # STUB: other formats require codec libs not present in this container.
     # Deterministic fake so plumbing stays testable.
     digest = int.from_bytes(hashlib.sha1(b).digest()[:4], "big")
     return {"width": 16 + digest % 64, "height": 16 + (digest >> 8) % 64,
@@ -153,8 +200,19 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(resize, schema=schema)
 
 
+def synthetic_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Minimal valid-marker-structure JPEG: SOI + APP0(JFIF) + SOF0 carrying
+    the dimensions + EOI. Enough for any SOF-walking header parser."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + extra + b"\xff\xd9"
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/demos (tiny PNGs + blobs)."""
+    """Deterministic fake media table for tests/demos (tiny PNGs, minimal
+    JPEGs, opaque blobs)."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -163,6 +221,10 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                        + struct.pack(">II", w, h) + bytes(8)
                        + hashlib.sha1(str(i).encode()).digest())
             mime = "image/png"
+        elif i % 4 == 1:
+            payload = synthetic_jpeg(8 + i % 9, 8 + i % 11,
+                                     hashlib.sha1(str(i).encode()).digest())
+            mime = "image/jpeg"
         else:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             mime = "application/octet-stream"

@@ -537,3 +537,54 @@ def _urllib_transport(uri: str) -> Transport:
             except json.JSONDecodeError:
                 return e.code, {"error": {"message": text, "type": "HTTPError"}}
     return transport
+
+
+def serve_http(server: RestCatalogServer, host: str = "127.0.0.1",
+               port: int = 0):
+    """Bind a RestCatalogServer to a real HTTP socket (stdlib
+    ThreadingHTTPServer in a daemon thread) so ``RestCatalog(uri=...)``
+    exercises the full wire path — the deployment shape of the reference's
+    HTTP client (crates/catalog/rest/src/catalog.rs:372). Returns
+    ``(uri, shutdown)``; call ``shutdown()`` when done."""
+    import http.server
+    import threading
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        def _handle(self, method: str) -> None:
+            length = int(self.headers.get("Content-Length") or 0)
+            body = (json.loads(self.rfile.read(length) or b"{}")
+                    if length else None)
+            status, resp = server(method, self.path, body)
+            data = json.dumps(resp).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if method != "HEAD":
+                self.wfile.write(data)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+        def do_HEAD(self):
+            self._handle("HEAD")
+
+        def log_message(self, *args):  # keep test output clean
+            pass
+
+    httpd = http.server.ThreadingHTTPServer((host, port), _Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    uri = f"http://{host}:{httpd.server_address[1]}"
+
+    def shutdown() -> None:
+        httpd.shutdown()
+        httpd.server_close()
+
+    return uri, shutdown

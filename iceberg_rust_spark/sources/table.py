@@ -1041,12 +1041,31 @@ class Table:
         snap_id = new_snapshot_id()
         md_dir = os.path.join(md.location, "metadata")
         manifests: List[ManifestFile] = []
+        # `write.metadata.manifest-format=avro` writes spec-layout Avro
+        # manifests NATIVELY (manifest_list/mod.rs:54 parity) so an external
+        # Iceberg reader can open the live table with no export step; the
+        # default stays Parquet (read path dispatches on extension).
+        manifest_fmt = md.properties.get("write.metadata.manifest-format",
+                                         "parquet")
+        if manifest_fmt not in ("parquet", "avro"):
+            raise ValueError(
+                f"unsupported write.metadata.manifest-format: {manifest_fmt}")
+
+        def _write_entries(path: str, entries: List[ManifestEntry],
+                           spec_id: int) -> int:
+            if manifest_fmt == "avro":
+                from .avro_manifest import write_avro_manifest
+                return write_avro_manifest(path, entries, md.schema(),
+                                           md.spec(spec_id),
+                                           md.format_version)
+            return write_manifest(path, entries)
 
         def new_manifest(files: List[DataFile], content: int) -> ManifestFile:
-            path = os.path.join(md_dir, f"manifest-{uuid.uuid4().hex[:16]}.parquet")
+            path = os.path.join(
+                md_dir, f"manifest-{uuid.uuid4().hex[:16]}.{manifest_fmt}")
             entries = [ManifestEntry(STATUS_ADDED, snap_id, seq, seq, f)
                        for f in files]
-            length = write_manifest(path, entries)
+            length = _write_entries(path, entries, md.default_spec_id)
             return ManifestFile(
                 manifest_path=path, manifest_length=length,
                 partition_spec_id=md.default_spec_id, content=min(content, 1),
@@ -1083,11 +1102,14 @@ class Table:
                 if len(kept) == len(entries):
                     manifests.append(mf)
                 elif kept:
-                    path = os.path.join(md_dir, f"manifest-{uuid.uuid4().hex[:16]}.parquet")
+                    path = os.path.join(
+                        md_dir,
+                        f"manifest-{uuid.uuid4().hex[:16]}.{manifest_fmt}")
                     rewritten = [ManifestEntry(STATUS_EXISTING, e.snapshot_id,
                                                e.sequence_number, e.file_sequence_number,
                                                e.data_file) for e in kept]
-                    length = write_manifest(path, rewritten)
+                    length = _write_entries(path, rewritten,
+                                            mf.partition_spec_id)
                     manifests.append(ManifestFile(
                         manifest_path=path, manifest_length=length,
                         partition_spec_id=mf.partition_spec_id, content=mf.content,
@@ -1099,8 +1121,15 @@ class Table:
                         partitions=_field_summaries([e.data_file for e in kept])))
                 # fully-removed manifest: dropped
 
-        ml_path = os.path.join(md_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.parquet")
-        write_manifest_list(ml_path, manifests)
+        ml_path = os.path.join(
+            md_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.{manifest_fmt}")
+        if manifest_fmt == "avro":
+            from .avro_manifest import write_avro_manifest_list
+            write_avro_manifest_list(ml_path, manifests,
+                                     spec_fields=md.spec().fields,
+                                     schema=md.schema())
+        else:
+            write_manifest_list(ml_path, manifests)
 
         total_records = sum(m.added_rows_count + m.existing_rows_count
                            for m in manifests if m.content == 0)

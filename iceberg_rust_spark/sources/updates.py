@@ -121,6 +121,21 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
                   else Schema.from_json_dict(upd["schema"]))
         if any(s.schema_id == schema.schema_id for s in md.schemas):
             raise InvalidUpdate(f"schema id {schema.schema_id} already exists")
+        # schema evolution cannot introduce field names that match existing
+        # partition field names, unless the name already exists in some
+        # historical schema (i.e. an identity partition named after its
+        # source) — table_metadata_builder.rs
+        # test_schema_evolution_now_correctly_validates_partition_field_name
+        # _conflicts / _allows_existing_partition_field_if_exists_in
+        # _historical_schema
+        part_names = {pf.name for sp in md.partition_specs for pf in sp.fields}
+        historical = {f.name for s in md.schemas for f in s.fields}
+        for f in schema.fields:
+            if f.name in part_names and f.name not in historical:
+                raise InvalidUpdate(
+                    f"cannot add schema field '{f.name}': conflicts with an "
+                    f"existing partition field name (schema evolution cannot "
+                    f"introduce field names matching partition field names)")
         md.schemas.append(schema)
         md.last_column_id = max(md.last_column_id, schema.highest_field_id)
         state["last_added_schema"] = schema.schema_id
@@ -130,7 +145,24 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             if state["last_added_schema"] is None:
                 raise InvalidUpdate("set-current-schema -1 without add-schema")
             sid = state["last_added_schema"]
-        md.schema(sid)  # raises KeyError if absent
+        target = md.schema(sid)  # raises KeyError if absent
+        # cross-validate against the live spec and sort order: every source
+        # field they reference must exist in the new current schema
+        # (test_add_incompatible_current_schema_fails; the builder's
+        # sort-order/schema cross-checks on evolution)
+        for pf in md.spec().fields:
+            if target.field_by_id(pf.source_id) is None:
+                raise InvalidUpdate(
+                    f"cannot find partition source field id {pf.source_id} "
+                    f"(partition field '{pf.name}') in schema {sid}")
+        default_order = next((o for o in md.sort_orders
+                              if o.order_id == md.default_sort_order_id), None)
+        if default_order is not None:
+            for sf in default_order.fields:
+                if target.field_by_id(sf.source_id) is None:
+                    raise InvalidUpdate(
+                        f"cannot find sort source field id {sf.source_id} "
+                        f"in schema {sid}")
         md.current_schema_id = sid
     elif action == "add-spec":
         spec = (upd["spec"] if isinstance(upd["spec"], PartitionSpec)
@@ -151,6 +183,26 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             if pf.name in seen_names:
                 raise InvalidUpdate(f"duplicate partition field name {pf.name}")
             seen_names.add(pf.name)
+            # a partition field may share a schema field's name only when it
+            # is the identity transform OF that field
+            # (test_partition_spec_evolution_validates_schema_field_name
+            # _conflicts / _allows_non_conflicting_names)
+            clash = md.schema().field_by_name(pf.name)
+            if clash is not None and not (
+                    repr(pf.transform) == "identity"
+                    and clash.field_id == pf.source_id):
+                raise InvalidUpdate(
+                    f"cannot create partition field '{pf.name}': conflicts "
+                    f"with schema field of the same name and is not an "
+                    f"identity transform of it")
+        # v1 requires partition field ids to be the sequential block starting
+        # at 1000 (test_add_partition_spec_for_v1_requires_sequential_ids)
+        if md.format_version == 1 and spec.fields:
+            ids = [f.field_id for f in spec.fields]
+            if ids != list(range(1000, 1000 + len(ids))):
+                raise InvalidUpdate(
+                    f"cannot add partition spec with non-sequential field "
+                    f"ids {ids} to a format version 1 table")
         md.partition_specs.append(spec)
         if spec.fields:
             md.last_partition_id = max(md.last_partition_id,

@@ -126,3 +126,44 @@ def test_export_avro_metadata_and_static_scan(spark, warehouse):
     got = st.scan(row_filter=E.col("k") < 100).to_df(spark)
     assert got.count() == 100
     assert st.to_df(spark).count() == 300
+
+
+# ----------------------------------------------- native avro-manifest writes
+def test_native_avro_manifest_table_property(spark, warehouse):
+    """write.metadata.manifest-format=avro: the LIVE table's manifests and
+    manifest lists are spec-layout Avro — readable with no export step
+    (manifest_list/mod.rs:54 native-format parity), through appends, MOR
+    deletes, and survivor-manifest rewrites."""
+    from iceberg_rust_spark.sources.avro_manifest import read_avro_manifest_list
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    t = Table.create(warehouse, "db.native_avro", schema_from_spark(df.schema),
+                     properties={"write.metadata.manifest-format": "avro"})
+    t = t.append(spark, df.where(F.col("k") < 120))
+    t = t.append(spark, df.where(F.col("k") >= 120))
+
+    snap = t.metadata.current_snapshot()
+    assert snap.manifest_list.endswith(".avro")
+    mfs = read_avro_manifest_list(snap.manifest_list)
+    assert mfs and all(m.manifest_path.endswith(".avro") for m in mfs)
+    for m in mfs:
+        assert read_avro_manifest(m.manifest_path)
+
+    # full read path over avro metadata: filters, values
+    assert t.to_df(spark).count() == 200
+    assert t.scan(row_filter=E.col("k") < 50).to_df(spark).count() == 50
+
+    # COW delete rewrites survivor manifests — still avro, still correct
+    t = t.delete_where(spark, E.col("g") == 1, mode="cow")
+    snap = t.metadata.current_snapshot()
+    assert snap.manifest_list.endswith(".avro")
+    assert t.to_df(spark).where(F.col("g") == 1).count() == 0
+    assert t.to_df(spark).count() == 150
+    # time travel across the avro snapshots
+    first = t.metadata.snapshots[0].snapshot_id
+    assert t.to_df(spark, snapshot_id=first).count() == 120
+    # MOR delete: the delete-file manifest (content=1) is avro too
+    t = t.delete_where(spark, E.col("g") == 2, mode="mor")
+    assert t.metadata.current_snapshot().manifest_list.endswith(".avro")
+    assert t.to_df(spark).count() == 100

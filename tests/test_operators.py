@@ -297,3 +297,22 @@ def test_chunk_documents_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(docs, window=8, overlap=8)
+
+
+def test_connected_components_shapes(spark):
+    from iceberg_rust_spark.operators.components import (connected_components,
+                                                         dedup_clusters)
+    # two clusters {1,2,3,4} (chain) and {10,11}, singleton edges absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    cl = dedup_clusters(edges).collect()
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in cl}
+    assert sizes == {1: 4, 10: 2}
+    # a long chain still converges (diameter-bound rounds, max_iter cap)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                  "id_a long, id_b long")
+    comp2 = connected_components(chain).collect()
+    assert {r["component"] for r in comp2} == {0}

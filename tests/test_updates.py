@@ -194,3 +194,126 @@ def test_builder_validation_rules():
     with pytest.raises(InvalidUpdate, match="unknown schema id"):
         apply_updates(md, [{"action": "add-snapshot",
                             "snapshot": snap.to_json()}])
+
+
+# ---------------------------------------------------------------------------
+# builder-rejection truth tables ported from the reference
+# (spec/table_metadata_builder.rs tests, r3: the evolution cross-checks)
+# ---------------------------------------------------------------------------
+
+def _bucket_md(format_version: int = 2) -> TableMetadata:
+    from iceberg_rust_spark.functions.transforms import BucketTransform
+    from iceberg_rust_spark.sources.metadata import PartitionField
+    schema = Schema([NestedField(1, "data", STRING, True),
+                     NestedField(2, "existing_field", LONG, True)], schema_id=0)
+    spec = PartitionSpec(0, [PartitionField(1, 1000, "bucket_data",
+                                            BucketTransform(16))])
+    return TableMetadata(location="/tmp/t", schemas=[schema],
+                         current_schema_id=0, partition_specs=[spec],
+                         default_spec_id=0, last_column_id=2,
+                         last_partition_id=1000,
+                         format_version=format_version)
+
+
+def test_schema_evolution_validates_partition_field_name_conflicts():
+    """test_schema_evolution_now_correctly_validates_partition_field_name
+    _conflicts: a new schema field named like an existing partition field
+    (and absent from every historical schema) is rejected."""
+    md = _bucket_md()
+    bad = Schema([NestedField(1, "data", STRING, True),
+                  NestedField(2, "existing_field", LONG, True),
+                  NestedField(3, "bucket_data", LONG, True)], schema_id=1)
+    with pytest.raises(InvalidUpdate, match="bucket_data"):
+        apply_updates(md, [{"action": "add-schema", "schema": bad}])
+    # non-conflicting evolution still succeeds
+    # (test_schema_evolution_should_validate_on_schema_add_not_metadata_build)
+    ok = Schema([NestedField(1, "data", STRING, True),
+                 NestedField(2, "existing_field", LONG, True),
+                 NestedField(3, "new_field", LONG, True)], schema_id=1)
+    out = apply_updates(md, [{"action": "add-schema", "schema": ok},
+                             {"action": "set-current-schema", "schema-id": -1}])
+    assert out.current_schema_id == 1
+
+
+def test_schema_evolution_allows_partition_name_in_historical_schema():
+    """test_schema_evolution_allows_existing_partition_field_if_exists_in
+    _historical_schema: re-adding a name that some historical schema already
+    carries is fine (identity partitions named after their source)."""
+    from iceberg_rust_spark.functions.transforms import IdentityTransform
+    from iceberg_rust_spark.sources.metadata import PartitionField
+    schema = Schema([NestedField(1, "partition_data", STRING, True),
+                     NestedField(2, "v", LONG, True)], schema_id=0)
+    spec = PartitionSpec(0, [PartitionField(1, 1000, "partition_data",
+                                            IdentityTransform())])
+    md = TableMetadata(location="/tmp/t", schemas=[schema],
+                       current_schema_id=0, partition_specs=[spec],
+                       default_spec_id=0, last_column_id=2,
+                       last_partition_id=1000)
+    evolved = Schema([NestedField(1, "partition_data", STRING, True),
+                      NestedField(2, "v", LONG, True),
+                      NestedField(3, "extra", LONG, True)], schema_id=1)
+    out = apply_updates(md, [{"action": "add-schema", "schema": evolved},
+                             {"action": "set-current-schema", "schema-id": -1}])
+    assert out.current_schema_id == 1
+
+
+def test_set_incompatible_current_schema_fails():
+    """test_add_incompatible_current_schema_fails: a current schema missing
+    the default spec's partition source field is rejected."""
+    md = _bucket_md()
+    # drops field id 1, the bucket source
+    narrow = Schema([NestedField(2, "existing_field", LONG, True)], schema_id=1)
+    with pytest.raises(InvalidUpdate, match="partition source field"):
+        apply_updates(md, [{"action": "add-schema", "schema": narrow},
+                           {"action": "set-current-schema", "schema-id": -1}])
+
+
+def test_set_current_schema_validates_default_sort_order():
+    """Builder sort-order/schema cross-validation: the default sort order's
+    source fields must survive schema evolution."""
+    from iceberg_rust_spark.functions.transforms import IdentityTransform
+    from iceberg_rust_spark.sources.metadata import SortField, SortOrder
+    md = _bucket_md()
+    md.sort_orders = [SortOrder(1, [SortField(2, IdentityTransform())])]
+    md.default_sort_order_id = 1
+    # keeps the partition source (id 1) but drops the sort source (id 2)
+    no_sort_src = Schema([NestedField(1, "data", STRING, True)], schema_id=1)
+    with pytest.raises(InvalidUpdate, match="sort source field"):
+        apply_updates(md, [{"action": "add-schema", "schema": no_sort_src},
+                           {"action": "set-current-schema", "schema-id": -1}])
+
+
+def test_partition_spec_evolution_validates_schema_name_conflicts():
+    """test_partition_spec_evolution_validates_schema_field_name_conflicts:
+    a partition field named like a schema field is rejected unless it is the
+    identity transform OF that field."""
+    from iceberg_rust_spark.functions.transforms import (BucketTransform,
+                                                         IdentityTransform)
+    from iceberg_rust_spark.sources.metadata import PartitionField
+    md = _bucket_md()
+    clash = PartitionSpec(1, [PartitionField(1, 1000, "existing_field",
+                                             BucketTransform(8))])
+    with pytest.raises(InvalidUpdate, match="identity"):
+        apply_updates(md, [{"action": "add-spec", "spec": clash}])
+    # identity of the SAME field may reuse the name
+    # (test_partition_spec_evolution_allows_non_conflicting_names)
+    ok = PartitionSpec(1, [PartitionField(2, 1000, "existing_field",
+                                          IdentityTransform())])
+    out = apply_updates(md, [{"action": "add-spec", "spec": ok}])
+    assert len(out.partition_specs) == 2
+
+
+def test_add_partition_spec_v1_requires_sequential_ids():
+    """test_add_partition_spec_for_v1_requires_sequential_ids."""
+    from iceberg_rust_spark.functions.transforms import IdentityTransform
+    from iceberg_rust_spark.sources.metadata import PartitionField
+    md = _bucket_md(format_version=1)
+    gap = PartitionSpec(1, [
+        PartitionField(1, 1000, "p1", IdentityTransform()),
+        PartitionField(2, 1002, "p2", IdentityTransform())])
+    with pytest.raises(InvalidUpdate, match="non-sequential"):
+        apply_updates(md, [{"action": "add-spec", "spec": gap}])
+    # the same spec is legal on a v2 table
+    md2 = _bucket_md(format_version=2)
+    out = apply_updates(md2, [{"action": "add-spec", "spec": gap}])
+    assert len(out.partition_specs) == 2

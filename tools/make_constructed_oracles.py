@@ -70,11 +70,15 @@ def multimodal_oracle(n: int = 64) -> str:
     vals = []
     for i in range(n):
         if i % 2 == 0:
+            # PNG: dimensions live in the IHDR chunk at bytes 16..24
             w, h = 1 + i % 7, 1 + i % 5
             payload = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
                        + struct.pack(">II", w, h) + bytes(8)
                        + hashlib.sha1(str(i).encode()).digest())
             pw, ph = struct.unpack(">II", payload[16:24])
+        elif i % 4 == 1:
+            # JPEG: fixture stores (8+i%9) x (8+i%11) in the SOF0 marker
+            pw, ph = 8 + i % 9, 8 + i % 11
         else:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             digest = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
