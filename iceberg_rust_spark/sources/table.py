@@ -1037,6 +1037,13 @@ class Table:
         added = added or []
         added_deletes = added_deletes or []
         removed_paths = removed_paths or set()
+        # parity with the reference's commit guard (transaction/mod.rs:183):
+        # encrypted WRITES are not supported — reading/exporting encrypted
+        # metadata lives in sources/encryption.py
+        if md.properties.get("encryption.key-id"):
+            raise NotImplementedError(
+                "cannot commit to an encrypted table: encrypted writes are "
+                "not supported (encryption.key-id is set)")
         seq = md.last_sequence_number + 1
         snap_id = new_snapshot_id()
         md_dir = os.path.join(md.location, "metadata")
