@@ -21,6 +21,12 @@ from .catalog import FileSystemCatalog, NoSuchTable
 from .table import Table
 
 
+# view builder property knobs (spec/view_metadata.rs:45-51)
+PROP_DROP_DIALECT_ALLOWED = "replace.drop-dialect.allowed"
+PROP_VERSION_HISTORY_SIZE = "version.history.num-entries"
+VERSION_HISTORY_SIZE_DEFAULT = 10
+
+
 @dataclass
 class ViewVersion:
     version_id: int
@@ -29,19 +35,42 @@ class ViewVersion:
     dialect: str = "spark"
     default_namespace: str = "db"
     summary: Dict[str, str] = dc_field(default_factory=dict)
+    # full multi-dialect representation list; when None, derived from
+    # (sql, dialect). A version may carry the same SQL in several dialects
+    # (view_metadata.rs:456-458) but only one representation PER dialect
+    # (view_metadata_builder.rs:303 require_unique_dialects).
+    representations: Optional[List[Dict[str, str]]] = None
+
+    def reps(self) -> List[Dict[str, str]]:
+        return self.representations or [{"type": "sql", "sql": self.sql,
+                                         "dialect": self.dialect}]
+
+    def dialects(self) -> set:
+        return {r.get("dialect", "spark").lower() for r in self.reps()}
+
+    def sql_for(self, dialect: str = "spark") -> str:
+        for r in self.reps():
+            if r.get("dialect", "spark").lower() == dialect.lower():
+                return r["sql"]
+        return self.reps()[0]["sql"]
+
+    def same_content(self, other: "ViewVersion") -> bool:
+        return (self.reps() == other.reps()
+                and self.default_namespace == other.default_namespace)
 
     def to_json(self) -> dict:
         return {"version-id": self.version_id, "timestamp-ms": self.timestamp_ms,
                 "summary": self.summary, "default-namespace": self.default_namespace,
-                "representations": [{"type": "sql", "sql": self.sql,
-                                     "dialect": self.dialect}]}
+                "representations": self.reps()}
 
     @staticmethod
     def from_json(d: dict) -> "ViewVersion":
-        rep = next(r for r in d["representations"] if r["type"] == "sql")
+        reps = [r for r in d["representations"] if r["type"] == "sql"]
+        rep = reps[0]
         return ViewVersion(d["version-id"], d["timestamp-ms"], rep["sql"],
                            rep.get("dialect", "spark"),
-                           d.get("default-namespace", "db"), d.get("summary", {}))
+                           d.get("default-namespace", "db"), d.get("summary", {}),
+                           representations=reps)
 
 
 @dataclass
@@ -98,11 +127,55 @@ class ViewCatalog:
         self._io.write_text(path, md.to_json())
         return md
 
-    def replace_view(self, identifier: str, sql: str) -> ViewMetadata:
+    def replace_view(self, identifier: str, sql: str,
+                     dialect: str = "spark",
+                     representations: Optional[List[Dict[str, str]]] = None
+                     ) -> ViewMetadata:
+        """CREATE OR REPLACE semantics with the reference builder's rules
+        (view_metadata_builder.rs):
+
+        - dialect-drop guard (:482-485): the replacement must keep every SQL
+          dialect the current version has, unless the view property
+          `replace.drop-dialect.allowed=true` — a dropped dialect silently
+          breaks OTHER engines reading this view.
+        - version dedup (:261 add_version_internal): replacing with content
+          identical to an existing version re-points to it, no new version.
+        - history expiration (:499-552): keep the newest
+          `version.history.num-entries` (default 10, must be positive)
+          versions plus the current one.
+        """
         md = self.load_view(identifier)
-        next_id = max(v.version_id for v in md.versions) + 1
-        md.versions.append(ViewVersion(next_id, int(time.time() * 1000), sql))
-        md.current_version_id = next_id
+        new = ViewVersion(0, int(time.time() * 1000), sql, dialect,
+                          representations=representations)
+        dup = {r.get("dialect", "spark").lower() for r in new.reps()}
+        if len(dup) != len(new.reps()):
+            raise ValueError("multiple representations for one dialect")
+        prev = md.current_version()
+        allowed = md.properties.get(PROP_DROP_DIALECT_ALLOWED,
+                                    "false").lower() == "true"
+        if not allowed and not new.dialects() >= prev.dialects():
+            raise ValueError(
+                f"cannot replace view: dialects {sorted(prev.dialects())} "
+                f"would be reduced to {sorted(new.dialects())}; set "
+                f"{PROP_DROP_DIALECT_ALLOWED}=true to allow dropping")
+        # dedup against existing versions
+        same = next((v for v in md.versions if v.same_content(new)), None)
+        if same is not None:
+            md.current_version_id = same.version_id
+        else:
+            new.version_id = max(v.version_id for v in md.versions) + 1
+            md.versions.append(new)
+            md.current_version_id = new.version_id
+        # expire history beyond the retention size (keep current always)
+        raw = md.properties.get(PROP_VERSION_HISTORY_SIZE)
+        keep = int(raw) if raw is not None else VERSION_HISTORY_SIZE_DEFAULT
+        if keep <= 0:
+            raise ValueError(f"{PROP_VERSION_HISTORY_SIZE} must be positive,"
+                             f" got {keep}")
+        if len(md.versions) > keep:
+            newest = sorted(md.versions, key=lambda v: v.version_id)[-keep:]
+            ids = {v.version_id for v in newest} | {md.current_version_id}
+            md.versions = [v for v in md.versions if v.version_id in ids]
         self._io.write_text(self._view_path(identifier), md.to_json())
         return md
 
@@ -136,4 +209,4 @@ class ViewCatalog:
             except NoSuchTable:
                 continue
             t.to_df(spark).createOrReplaceTempView(tname)
-        return spark.sql(version.sql)
+        return spark.sql(version.sql_for("spark"))

@@ -140,3 +140,49 @@ def test_rename_table_keeps_location_and_data(spark, warehouse):
     from iceberg_rust_spark.sources.catalog import NoSuchTable
     with _pytest.raises(NoSuchTable):
         warehouse.rename_table("db.old_name", "db.third")
+
+
+def test_view_builder_rules(spark, warehouse):
+    """view_metadata_builder.rs behaviors: dialect-drop guard, version
+    dedup, history expiration."""
+    import pytest as _pytest
+
+    from iceberg_rust_spark.sources.views import (PROP_DROP_DIALECT_ALLOWED,
+                                                  PROP_VERSION_HISTORY_SIZE,
+                                                  ViewCatalog)
+    vc = ViewCatalog(warehouse)
+    vc.create_view("db.rules", "SELECT 1 AS x")
+    # multi-dialect replacement keeps both dialects
+    md = vc.replace_view("db.rules", "SELECT 2 AS x", representations=[
+        {"type": "sql", "sql": "SELECT 2 AS x", "dialect": "spark"},
+        {"type": "sql", "sql": "SELECT 2 AS x", "dialect": "trino"}])
+    assert md.current_version().dialects() == {"spark", "trino"}
+    # dropping trino now fails by default (test_dropping_dialect_fails_by_default)
+    with _pytest.raises(ValueError, match="dialect"):
+        vc.replace_view("db.rules", "SELECT 3 AS x")
+    # ...unless the property allows it (test_dropping_dialects_does_not_fail_when_allowed)
+    md.properties[PROP_DROP_DIALECT_ALLOWED] = "true"
+    vc._io.write_text(vc._view_path("db.rules"), md.to_json())
+    md = vc.replace_view("db.rules", "SELECT 3 AS x")
+    assert md.current_version().dialects() == {"spark"}
+    # duplicate dialect in one version rejected (require_unique_dialects)
+    with _pytest.raises(ValueError, match="dialect"):
+        vc.replace_view("db.rules", "SELECT 4 AS x", representations=[
+            {"type": "sql", "sql": "a", "dialect": "spark"},
+            {"type": "sql", "sql": "b", "dialect": "SPARK"}])
+    # identical content re-points, adds no version (test_view_version_deduplication)
+    n_before = len(md.versions)
+    md = vc.replace_view("db.rules", "SELECT 3 AS x")
+    assert len(md.versions) == n_before
+    # history expiration: cap at 2 entries (test_version_expiration)
+    md.properties[PROP_VERSION_HISTORY_SIZE] = "2"
+    vc._io.write_text(vc._view_path("db.rules"), md.to_json())
+    for i in range(5):
+        md = vc.replace_view("db.rules", f"SELECT {10 + i} AS x")
+    assert len(md.versions) == 2
+    assert md.current_version().sql == "SELECT 14 AS x"
+    # non-positive retention rejected (test_error_when_setting_negative_...)
+    md.properties[PROP_VERSION_HISTORY_SIZE] = "0"
+    vc._io.write_text(vc._view_path("db.rules"), md.to_json())
+    with _pytest.raises(ValueError, match="positive"):
+        vc.replace_view("db.rules", "SELECT 99 AS x")
