@@ -105,6 +105,9 @@ def _parse_default(tok: Optional[str]):
         return float(tok)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
                       re.IGNORECASE)
+# stored-procedure surface, Spark-Iceberg shape: CALL system.proc(args...)
+_CALL_RE = re.compile(r"^\s*CALL\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*$",
+                      re.IGNORECASE | re.DOTALL)
 # FOR VERSION AS OF <snapshot-id> / FOR TIMESTAMP AS OF '<ts>' time travel
 _TRAVEL_RE = re.compile(
     r"([\w.]+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
@@ -228,6 +231,9 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     """
     scan_filters = scan_filters or {}
 
+    m = _CALL_RE.match(query)
+    if m:
+        return _run_procedure(spark, catalog, m.group(1).lower(), m.group(2))
     m = _INSERT_OVERWRITE_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -499,3 +505,72 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             vc.read_view(spark, full).createOrReplaceTempView(view_name)
             rewritten = pat.sub(view_name, rewritten)
     return spark.sql(rewritten)
+
+
+def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
+                   proc: str, raw_args: str) -> DataFrame:
+    """Maintenance stored procedures, Spark-Iceberg's `CALL system.*` shape
+    (the reference exposes these as transaction actions; a SQL user expects
+    the procedure spelling). Positional args only: strings quoted, ints
+    bare. Each returns a one-row summary DataFrame like Spark's procedures.
+    """
+    from .table import Table as _Table
+
+    args = []
+    for a in re.findall(r"'[^']*'|[^,\s][^,]*", raw_args):
+        a = a.strip()
+        if not a:
+            continue
+        if a.startswith("'") and a.endswith("'"):
+            args.append(a[1:-1])
+        else:
+            args.append(int(a))
+    if not args:
+        raise ValueError(f"CALL system.{proc}: table identifier required")
+    t = _Table.load(catalog, str(args[0]))
+
+    if proc == "rewrite_data_files":
+        strategy = str(args[1]) if len(args) > 1 else "binpack"
+        zm = re.match(r"zorder\(([\w,\s]+)\)", strategy)
+        before = len(list(t.scan().plan_files().tasks))
+        if zm:
+            t = t.rewrite_zorder(spark,
+                                 [c.strip() for c in zm.group(1).split(",")])
+        elif strategy == "binpack":
+            t = t.compact(spark)
+        else:
+            raise ValueError(f"unknown rewrite strategy: {strategy}")
+        after = len(list(t.scan().plan_files().tasks))
+        return spark.createDataFrame(
+            [(before, after)],
+            "rewritten_data_files_count int, added_data_files_count int")
+    if proc == "expire_snapshots":
+        older = int(args[1]) if len(args) > 1 else None
+        retain = int(args[2]) if len(args) > 2 else 1
+        n_before = len(t.metadata.snapshots)
+        t = t.expire_snapshots(older_than_ms=older, retain_last=retain)
+        return spark.createDataFrame(
+            [(n_before - len(t.metadata.snapshots),)],
+            "deleted_snapshots_count int")
+    if proc == "remove_orphan_files":
+        older = int(args[1]) if len(args) > 1 else None
+        removed = t.remove_orphan_files(older_than_ms=older)
+        return spark.createDataFrame(
+            [(len(removed),)], "orphan_file_count int")
+    if proc == "rollback_to_snapshot":
+        if len(args) < 2:
+            raise ValueError("rollback_to_snapshot(table, snapshot_id)")
+        prev = t.metadata.current_snapshot_id
+        t = t.rollback_to(int(args[1]))
+        return spark.createDataFrame(
+            [(prev, int(args[1]))],
+            "previous_snapshot_id long, current_snapshot_id long")
+    if proc == "set_current_snapshot":
+        if len(args) < 2:
+            raise ValueError("set_current_snapshot(table, snapshot_id)")
+        prev = t.metadata.current_snapshot_id
+        t = t.rollback_to(int(args[1]))
+        return spark.createDataFrame(
+            [(prev, int(args[1]))],
+            "previous_snapshot_id long, current_snapshot_id long")
+    raise ValueError(f"unknown procedure: system.{proc}")

@@ -365,3 +365,50 @@ def test_alter_table_partition_and_properties_sql(spark, warehouse):
     t = Table.load(warehouse, "db.pevo")
     assert t.metadata.properties["owner"] == "pipeline"
     assert t.metadata.properties["write.target-file-size-bytes"] == "1048576"
+
+
+def test_call_system_procedures(spark, warehouse):
+    """CALL system.* maintenance procedures (Spark-Iceberg procedure
+    surface over our Table maintenance actions)."""
+    df = spark.createDataFrame([(i, i % 5) for i in range(200)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.maint", schema_from_spark(df.schema))
+    # several small appends -> compactable
+    for lo in range(0, 200, 50):
+        t = t.append(spark, df.where((F.col("id") >= lo)
+                                     & (F.col("id") < lo + 50)))
+    first_snap = t.metadata.snapshots[0].snapshot_id
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.rewrite_data_files('db.maint')").collect()[0]
+    assert out["rewritten_data_files_count"] >= out["added_data_files_count"]
+    t = Table.load(warehouse, "db.maint")
+    assert t.to_df(spark).count() == 200
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.rewrite_data_files('db.maint', 'zorder(id,g)')"
+                  ).collect()[0]
+    assert out["added_data_files_count"] >= 1
+
+    # rollback via procedure, then roll forward again
+    cur = Table.load(warehouse, "db.maint").metadata.current_snapshot_id
+    out = run_sql(spark, warehouse,
+                  f"CALL system.rollback_to_snapshot('db.maint', {first_snap})"
+                  ).collect()[0]
+    assert out["current_snapshot_id"] == first_snap
+    assert Table.load(warehouse, "db.maint").to_df(spark).count() == 50
+    run_sql(spark, warehouse,
+            f"CALL system.set_current_snapshot('db.maint', {cur})")
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.expire_snapshots('db.maint')").collect()[0]
+    assert out["deleted_snapshots_count"] >= 0
+    out = run_sql(spark, warehouse,
+                  "CALL system.remove_orphan_files('db.maint')").collect()[0]
+    assert out["orphan_file_count"] >= 0
+    t = Table.load(warehouse, "db.maint")
+    assert t.to_df(spark).count() == 200
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown procedure"):
+        run_sql(spark, warehouse, "CALL system.nope('db.maint')")
