@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
@@ -195,3 +195,56 @@ def _pos_delete_targets(spark: SparkSession,
                     spark.read.parquet(*parquet)
                     .select("file_path").distinct().collect()}
     return targets
+
+
+def net_changes(changes: DataFrame, keys: List[str]) -> DataFrame:
+    """Collapse a changelog to the NET effect per key across the window
+    (Spark-Iceberg's create_changelog_view(net_changes=true) semantics):
+
+    - key ends as an insert it did not start with      -> one ``insert``
+    - key starts as a delete and never comes back      -> one ``delete``
+    - delete then re-insert with DIFFERENT values      -> delete + insert
+      (changelog-form update)
+    - delete then re-insert of identical values        -> no rows (no-op)
+
+    One shuffle on the key columns (two windows over the same partitioning
+    reuse the exchange + one co-partitioned self-join); value comparison is
+    a struct equality, so schema additions participate automatically.
+    """
+    val_cols = [c for c in changes.columns
+                if c not in ("_change_type", "_change_ordinal",
+                             "_commit_snapshot_id")]
+    # within one ordinal a delete precedes an insert (a commit's delete acts
+    # on the PREVIOUS state): 'delete' < 'insert' lexically, so type asc
+    # puts the delete first and type desc puts the insert last-first
+    w_first = Window.partitionBy(*keys).orderBy(
+        F.col("_change_ordinal").asc(), F.col("_change_type").asc())
+    w_last = Window.partitionBy(*keys).orderBy(
+        F.col("_change_ordinal").desc(), F.col("_change_type").desc())
+    ranked = (changes
+              .withColumn("_rn_first", F.row_number().over(w_first))
+              .withColumn("_rn_last", F.row_number().over(w_last)))
+    # the key's pre-image: present iff its FIRST change is a delete (rows
+    # inserted within the window have no pre-image); post-image likewise
+    fd = (ranked.where((F.col("_rn_first") == 1)
+                       & (F.col("_change_type") == DELETE))
+          .select(F.lit(1).alias("_has_d"),
+                  *[F.col(c).alias(f"_d_{c}") for c in val_cols],
+                  *[F.col(k).alias(f"_k_{k}") for k in keys]))
+    li = (ranked.where((F.col("_rn_last") == 1)
+                       & (F.col("_change_type") == INSERT))
+          .select(F.lit(1).alias("_has_i"),
+                  *[F.col(c).alias(f"_i_{c}") for c in val_cols],
+                  *[F.col(k).alias(f"_k_{k}") for k in keys]))
+    joined = fd.join(li, on=[f"_k_{k}" for k in keys], how="full_outer")
+    d_struct = F.struct(*[F.col(f"_d_{c}") for c in val_cols])
+    i_struct = F.struct(*[F.col(f"_i_{c}") for c in val_cols])
+    changed = F.col("_has_i").isNull() | F.col("_has_d").isNull() \
+        | ~(d_struct.eqNullSafe(i_struct))
+    del_rows = (joined.where(F.col("_has_d").isNotNull() & changed)
+                .select(*[F.col(f"_d_{c}").alias(c) for c in val_cols],
+                        F.lit(DELETE).alias("_change_type")))
+    ins_rows = (joined.where(F.col("_has_i").isNotNull() & changed)
+                .select(*[F.col(f"_i_{c}").alias(c) for c in val_cols],
+                        F.lit(INSERT).alias("_change_type")))
+    return del_rows.unionByName(ins_rows)

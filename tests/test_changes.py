@@ -87,3 +87,33 @@ def test_changes_merge_emits_delete_and_insert(spark, warehouse):
     # (id 99 matched nothing, so the eq delete deletes no existing row)
     assert by_type["insert"] == {(5, "UPD5"), (99, "NEW99")}
     assert by_type["delete"] == {(5, "v5")}
+
+
+def test_net_changes_collapses_to_net_effect(spark, warehouse):
+    """net_changes: per-key net across the window — deletes+reinserts of
+    identical values vanish, changed values emit delete+insert, pure
+    inserts/deletes pass through once."""
+    from iceberg_rust_spark.streaming.changes import net_changes
+
+    df = spark.range(0, 40).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    t = Table.create(warehouse, "db.netc", schema_from_spark(df.schema))
+    t = t.append(spark, df)                                     # ord 0: insert 40
+    t = t.delete_where(spark, E.col("g") == 1, mode="cow")      # ord 1: COW
+    # COW rewrites survivors too: file-granularity delete+reinsert of the
+    # SAME rows for g!=1 — net_changes must cancel those
+    ch = changes_df(spark, t)
+    raw_deletes = ch.where(F.col("_change_type") == "delete").count()
+    assert raw_deletes >= 10  # file-granularity: at least the g==1 rows
+
+    net = net_changes(ch, ["id"])
+    rows = {(r["id"], r["_change_type"]) for r in net.collect()}
+    # every surviving row nets to a single insert; g==1 rows net to NOTHING
+    # (inserted and deleted inside the window)
+    assert {(i, "insert") for i in range(40) if i % 4 != 1} == rows
+
+    # a window starting AFTER the initial insert nets g==1 rows to deletes
+    first = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)[0]
+    ch2 = changes_df(spark, t, from_snapshot_id=first.snapshot_id)
+    net2 = net_changes(ch2, ["id"])
+    rows2 = {(r["id"], r["_change_type"]) for r in net2.collect()}
+    assert rows2 == {(i, "delete") for i in range(40) if i % 4 == 1}
