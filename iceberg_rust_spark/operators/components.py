@@ -29,23 +29,36 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     representative)."""
     e = edges.select(F.col(src).cast("long").alias("a"),
                      F.col(dst).cast("long").alias("b"))
+    # EAGER checkpoint, not persist: the edge list is referenced by every
+    # round, and a mere .persist() left the (possibly expensive) upstream
+    # pair-generation pipeline in the lineage — measured re-running under
+    # the lazily-checkpointed label joins. Truncating here makes each round
+    # plan against a materialized scan of the (small) edge set.
     und = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))).distinct().persist()
+                                 F.col("a").alias("b"))).distinct() \
+        .localCheckpoint()
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the
     # lineage so every round plans against a flat scan. (On a production
     # cluster with executor loss concerns, swap for reliable checkpoint.)
-    labels = (und.select("a").distinct()
-              .withColumn("label", F.col("a")).localCheckpoint())
+    # seed labels with round 1 fused in: label = min(self, neighbors) —
+    # same shuffle as a plain distinct would cost, one fewer loop round
+    # (dense near-dup clusters are cliques and converge immediately)
+    labels = (und.groupBy("a").agg(F.min("b").alias("_mb"))
+              .select("a", F.least("a", "_mb").alias("label"))
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         nbr = (und.join(labels.select(F.col("a").alias("b"),
                                       F.col("label")), "b")
                .select("a", "label"))
+        # lazy checkpoint: the convergence count below is the ONE action per
+        # round — it materializes the checkpoint as a side effect (an eager
+        # checkpoint plus a separate count doubled the per-round job count,
+        # and job launch overhead dominates when the graph is small)
         new_labels = (labels.select("a", "label").unionByName(nbr)
                       .groupBy("a").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        # convergence: any node whose label shrank this round?
+                      .localCheckpoint(eager=False))
         changed = (new_labels.join(
             labels.withColumnRenamed("label", "old"), "a")
             .where(F.col("label") < F.col("old")).limit(1).count())
