@@ -634,17 +634,62 @@ def _eq_cols(d: DataFile, schema: Schema) -> List[str]:
     return names
 
 
+def _project_nested(expr, old_type, new_type, path: str):
+    """Recursive field-id projection INSIDE nested types
+    (record_batch_transformer.rs handles nesting the same way): struct
+    children are matched by field id — renamed/promoted/added/dropped nested
+    fields resolve correctly where a bare Spark struct cast would match by
+    POSITION. Lists/maps recurse through transform()/map lambdas (codegen'd,
+    no Python)."""
+    from .types import ListType, MapType, StructType as IceStruct
+    if isinstance(new_type, IceStruct):
+        old_by_id = ({f.field_id: f for f in old_type.fields}
+                     if isinstance(old_type, IceStruct) else {})
+        children = []
+        for nf in new_type.fields:
+            of = old_by_id.get(nf.field_id)
+            tgt = type_to_spark(nf.field_type)
+            if of is not None:
+                children.append(_project_nested(
+                    expr.getField(of.name), of.field_type, nf.field_type,
+                    f"{path}.{nf.name}").alias(nf.name))
+            elif nf.initial_default is not None:
+                children.append(F.lit(nf.initial_default).cast(tgt)
+                                .alias(nf.name))
+            elif nf.required:
+                raise ValueError(
+                    f"required nested field {path}.{nf.name} absent from "
+                    f"file schema and has no default")
+            else:
+                children.append(F.lit(None).cast(tgt).alias(nf.name))
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(expr.isNull(), F.lit(None).cast(type_to_spark(new_type))) \
+            .otherwise(F.struct(*children))
+    if isinstance(new_type, ListType) and isinstance(old_type, ListType):
+        return F.transform(expr, lambda x: _project_nested(
+            x, old_type.element_type, new_type.element_type, f"{path}[]"))
+    if isinstance(new_type, MapType) and isinstance(old_type, MapType):
+        return F.map_from_arrays(
+            F.transform(F.map_keys(expr), lambda k: _project_nested(
+                k, old_type.key_type, new_type.key_type, f"{path}{{k}}")),
+            F.transform(F.map_values(expr), lambda v: _project_nested(
+                v, old_type.value_type, new_type.value_type, f"{path}{{v}}")))
+    return expr.cast(type_to_spark(new_type))
+
+
 def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
                        keep_meta: bool = False) -> DataFrame:
     """4-rule field-id projection: same id present -> use (rename+promote);
     promotable -> cast; initial_default -> constant; else NULL (error if
-    required). Mirrors record_batch_transformer.rs:697-749 behavior."""
+    required). Recurses into structs/lists/maps by field id. Mirrors
+    record_batch_transformer.rs:697-749 behavior."""
     cols = []
     for f in current.fields:
         old = file_schema.field_by_id(f.field_id)
         tgt = type_to_spark(f.field_type)
         if old is not None and old.name in gdf.columns:
-            cols.append(F.col(old.name).cast(tgt).alias(f.name))
+            cols.append(_project_nested(F.col(old.name), old.field_type,
+                                        f.field_type, f.name).alias(f.name))
         elif f.initial_default is not None:
             cols.append(F.lit(f.initial_default).cast(tgt).alias(f.name))
         elif f.required:

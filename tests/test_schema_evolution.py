@@ -72,3 +72,88 @@ def test_invalid_promotion_rejected(spark, warehouse):
     t = Table.create(warehouse, "db.evo3", s)
     with pytest.raises(ValueError, match="promote"):
         t.update_schema().promote_column("name", "long").commit()
+
+
+def test_nested_struct_evolution_by_field_id(spark, warehouse):
+    """Nested projection recurses BY FIELD ID: renaming a struct child,
+    promoting its type, adding an optional child, and REORDERING children
+    must resolve correctly (a positional struct cast would silently pair
+    wrong fields)."""
+    from iceberg_rust_spark.sources.types import (DOUBLE, INT,
+                                                  StructType as IceStruct)
+
+    s1 = Schema([
+        NestedField(1, "id", LONG, required=True),
+        NestedField(2, "info", IceStruct((
+            NestedField(3, "a", INT),
+            NestedField(4, "b", STRING),
+        ))),
+    ])
+    t = Table.create(warehouse, "db.nested_evo", s1)
+    v1 = spark.createDataFrame([(1, (10, "x")), (2, (20, "y")), (3, None)],
+                               "id long, info struct<a int, b string>")
+    t = t.append(spark, v1)
+
+    # evolve the nested struct: reorder children, rename a->alpha with an
+    # int->long promotion, add optional c; ids preserved
+    s2 = Schema([
+        NestedField(1, "id", LONG, required=True),
+        NestedField(2, "info", IceStruct((
+            NestedField(4, "b", STRING),
+            NestedField(3, "alpha", LONG),
+            NestedField(5, "c", DOUBLE),
+        ))),
+    ], schema_id=1)
+    t.commit_updates(
+        [{"action": "add-schema", "schema": s2},
+         {"action": "set-current-schema", "schema-id": -1}], [])
+    t.refresh()
+
+    rows = {r["id"]: r["info"] for r in t.to_df(spark).collect()}
+    assert rows[1]["alpha"] == 10 and rows[1]["b"] == "x" and rows[1]["c"] is None
+    assert rows[2]["alpha"] == 20 and rows[2]["b"] == "y"
+    assert rows[3] is None  # NULL struct stays NULL, not struct-of-nulls
+    # new writes under v2 read back alongside v1 files
+    v2 = spark.createDataFrame(
+        [(4, ("z", 40, 4.5))],
+        "id long, info struct<b string, alpha long, c double>")
+    t = t.append(spark, v2)
+    rows = {r["id"]: r["info"] for r in t.to_df(spark).collect()}
+    assert len(rows) == 4 and rows[4]["alpha"] == 40 and rows[4]["c"] == 4.5
+
+
+def test_nested_list_and_map_evolution(spark, warehouse):
+    """Field-id projection through list elements and map values."""
+    from iceberg_rust_spark.sources.types import (DOUBLE, INT, ListType,
+                                                  MapType,
+                                                  StructType as IceStruct)
+    s1 = Schema([
+        NestedField(1, "id", LONG, required=True),
+        NestedField(2, "tags", ListType(3, IceStruct((
+            NestedField(4, "k", STRING),
+            NestedField(5, "n", INT),
+        )))),
+        NestedField(6, "m", MapType(7, STRING, 8, INT)),
+    ])
+    t = Table.create(warehouse, "db.nested_lm", s1)
+    v1 = spark.createDataFrame(
+        [(1, [("t1", 5), ("t2", 6)], {"a": 1})],
+        "id long, tags array<struct<k string, n int>>, m map<string, int>")
+    t = t.append(spark, v1)
+
+    s2 = Schema([
+        NestedField(1, "id", LONG, required=True),
+        NestedField(2, "tags", ListType(3, IceStruct((
+            NestedField(5, "count", LONG),   # renamed + promoted + reordered
+            NestedField(4, "k", STRING),
+        )))),
+        NestedField(6, "m", MapType(7, STRING, 8, DOUBLE)),  # value promoted
+    ], schema_id=1)
+    t.commit_updates(
+        [{"action": "add-schema", "schema": s2},
+         {"action": "set-current-schema", "schema-id": -1}], [])
+    t.refresh()
+    row = t.to_df(spark).collect()[0]
+    assert [e["count"] for e in row["tags"]] == [5, 6]
+    assert [e["k"] for e in row["tags"]] == ["t1", "t2"]
+    assert row["m"] == {"a": 1.0}
