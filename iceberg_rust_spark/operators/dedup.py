@@ -201,12 +201,16 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
 
     from .similarity import _hyperplanes, srp_buckets_batch
     # the (id, vector) projection feeds 5 logical reads (dim probe, both
-    # sides of the bucket self-join, both re-rank sides) — persist it so the
-    # upstream plan (often a union/transform, not a bare scan) executes once;
-    # MEMORY_AND_DISK spills rather than OOMs at scale, and at 100 TB the
-    # bucket columns would be precomputed as stored cluster keys anyway
+    # sides of the bucket self-join, both re-rank sides) — eagerly
+    # localCheckpoint it so the upstream plan (often a union/transform, not
+    # a bare scan) executes exactly once: a bare persist() left the upstream
+    # pipeline in the lineage and was measured re-running under the
+    # self-join (same pathology fixed in operators/components.py). Blocks
+    # spill like MEMORY_AND_DISK; at 100 TB the bucket columns would be
+    # precomputed as stored cluster keys anyway (and executor-loss recovery
+    # would argue for reliable checkpoint/persist instead).
     base = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-    base = base.persist()
+    base = base.localCheckpoint()
     first = base.select("_v").first()
     if first is None:
         base.unpersist()

@@ -1247,34 +1247,67 @@ class SchemaUpdate:
         return self
 
     def commit(self) -> Table:
-        from .types import PrimitiveType, type_from_json
+        """All mutators accept DOTTED PATHS into structs
+        (``rename_column("info.a", "alpha")``, ``add_column("info.c",
+        "double")``) — the reference's UpdateSchema likewise addresses
+        nested fields by full path (update_schema.rs parent-id lookup)."""
+        from .types import StructType as IceStruct, type_from_json
 
         def action(md: TableMetadata) -> TableMetadata:
             cur = md.schema()
-            fields: List[NestedField] = []
-            for f in cur.fields:
-                if f.name in self._drops:
-                    continue
-                name = self._renames.get(f.name, f.name)
-                ftype = f.field_type
-                if f.name in self._promotes:
-                    new_t = type_from_json(self._promotes[f.name])
-                    if not is_promotable(ftype, new_t):
-                        raise ValueError(f"cannot promote {ftype} -> {new_t}")
-                    ftype = new_t
-                fields.append(NestedField(f.field_id, name, ftype, f.required,
-                                          f.doc, f.initial_default, f.write_default))
-            next_id = md.last_column_id
+            counter = [md.last_column_id]
+            adds_by_parent: Dict[str, list] = {}
             for name, tname, required, default in self._adds:
-                if any(x.name == name for x in fields):
-                    raise ValueError(f"column {name} already exists")
-                next_id += 1
-                fields.append(NestedField(next_id, name, type_from_json(tname),
-                                          required, None, default, default))
+                parent, _, leaf = name.rpartition(".")
+                adds_by_parent.setdefault(parent, []).append(
+                    (leaf, tname, required, default))
+
+            def new_children(parent_path: str) -> List[NestedField]:
+                out = []
+                for leaf, tname, required, default in \
+                        adds_by_parent.pop(parent_path, []):
+                    counter[0] += 1
+                    out.append(NestedField(counter[0], leaf,
+                                           type_from_json(tname), required,
+                                           None, default, default))
+                return out
+
+            def rebuild(fields_in, prefix: str) -> List[NestedField]:
+                out: List[NestedField] = []
+                for f in fields_in:
+                    path = prefix + f.name
+                    if path in self._drops:
+                        continue
+                    name = self._renames.get(path, f.name)
+                    ftype = f.field_type
+                    if path in self._promotes:
+                        new_t = type_from_json(self._promotes[path])
+                        if not is_promotable(ftype, new_t):
+                            raise ValueError(
+                                f"cannot promote {ftype} -> {new_t}")
+                        ftype = new_t
+                    if isinstance(ftype, IceStruct):
+                        kids = rebuild(ftype.fields, path + ".")
+                        kids += new_children(path)
+                        ftype = IceStruct(tuple(kids))
+                    out.append(NestedField(f.field_id, name, ftype,
+                                           f.required, f.doc,
+                                           f.initial_default, f.write_default))
+                return out
+
+            fields = rebuild(cur.fields, "")
+            for nf in new_children(""):
+                if any(x.name == nf.name for x in fields):
+                    raise ValueError(f"column {nf.name} already exists")
+                fields.append(nf)
+            if adds_by_parent:
+                raise ValueError(
+                    f"add_column parents not found: "
+                    f"{sorted(adds_by_parent)}")
             new_schema = Schema(fields, schema_id=cur.schema_id + 1)
             md.schemas.append(new_schema)
             md.current_schema_id = new_schema.schema_id
-            md.last_column_id = max(next_id, md.last_column_id)
+            md.last_column_id = max(counter[0], md.last_column_id)
             return md
 
         return self.table._commit_retry(action)

@@ -157,3 +157,42 @@ def test_nested_list_and_map_evolution(spark, warehouse):
     assert [e["count"] for e in row["tags"]] == [5, 6]
     assert [e["k"] for e in row["tags"]] == ["t1", "t2"]
     assert row["m"] == {"a": 1.0}
+
+
+def test_update_schema_builder_nested_paths(spark, warehouse):
+    """SchemaUpdate dotted paths: rename/promote/add/drop INSIDE a struct
+    through the builder (update_schema.rs nested addressing), end to end
+    through the projection read."""
+    from iceberg_rust_spark.sources.types import INT, StructType as IceStruct
+
+    s1 = Schema([
+        NestedField(1, "id", LONG, required=True),
+        NestedField(2, "info", IceStruct((
+            NestedField(3, "a", INT),
+            NestedField(4, "b", STRING),
+        ))),
+    ])
+    t = Table.create(warehouse, "db.nested_builder", s1)
+    t = t.append(spark, spark.createDataFrame(
+        [(1, (7, "x"))], "id long, info struct<a int, b string>"))
+    t.update_schema() \
+        .rename_column("info.a", "alpha") \
+        .promote_column("info.a", "long") \
+        .drop_column("info.b") \
+        .add_column("info.c", "double") \
+        .add_column("top", "string") \
+        .commit()
+    t.refresh()
+    sch = t.schema
+    info_t = sch.field_by_name("info").field_type
+    names = [f.name for f in info_t.fields]
+    assert names == ["alpha", "c"]
+    # fresh nested ids never collide with existing ids
+    ids = [f.field_id for f in info_t.fields]
+    assert ids[0] == 3 and ids[1] > 4
+    row = t.to_df(spark).collect()[0]
+    assert row["info"]["alpha"] == 7 and row["info"]["c"] is None
+    assert row["top"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        t.update_schema().add_column("nope.x", "int").commit()
