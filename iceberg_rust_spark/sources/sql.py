@@ -36,7 +36,10 @@ from .views import ViewCatalog
 _META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
                 "manifests": "manifests_df", "files": "files_df",
                 "entries": "entries_df", "refs": "refs_df",
-                "partitions": "partitions_df"}
+                "partitions": "partitions_df",
+                "all_manifests": "all_manifests_df",
+                "all_files": "all_files_df",
+                "all_entries": "all_entries_df"}
 
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",

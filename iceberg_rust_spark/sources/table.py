@@ -731,6 +731,60 @@ class Table:
                   "record_count long, file_size_in_bytes long, spec_id int, "
                   "referenced_data_file string")
 
+    def all_manifests_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `all_manifests`: manifests of EVERY snapshot (the
+        cross-snapshot inspect family), one row per (snapshot, manifest)."""
+        rows = []
+        for snap in self.metadata.snapshots:
+            for mf in load_manifest_list(snap.manifest_list):
+                rows.append((snap.snapshot_id, mf.manifest_path,
+                             mf.manifest_length, mf.partition_spec_id,
+                             mf.content, mf.sequence_number,
+                             mf.added_files_count, mf.existing_files_count,
+                             mf.deleted_files_count))
+        return spark.createDataFrame(
+            rows, "snapshot_id long, path string, length long, "
+                  "partition_spec_id int, content int, sequence_number long, "
+                  "added_data_files_count int, existing_data_files_count int, "
+                  "deleted_data_files_count int")
+
+    def all_files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `all_files`: every data/delete file referenced by
+        ANY snapshot, deduped by path (an expired-but-unGCed file shows up
+        here until remove_orphan_files)."""
+        seen = {}
+        for snap in self.metadata.snapshots:
+            for mf in load_manifest_list(snap.manifest_list):
+                for e in load_manifest(mf.manifest_path):
+                    f = e.data_file
+                    key = (f.file_path, f.referenced_data_file or "")
+                    if key not in seen:
+                        seen[key] = (f.file_path, f.content, f.file_format,
+                                     f.record_count, f.file_size_in_bytes,
+                                     f.spec_id, snap.snapshot_id)
+        return spark.createDataFrame(
+            sorted(seen.values()),
+            "file_path string, content int, file_format string, "
+            "record_count long, file_size_in_bytes long, spec_id int, "
+            "first_seen_snapshot_id long")
+
+    def all_entries_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `all_entries`: manifest entries of every snapshot
+        (one row per (snapshot, entry) — NOT deduped, mirroring the shape of
+        the per-snapshot `entries` table across history)."""
+        rows = []
+        for snap in self.metadata.snapshots:
+            for mf in load_manifest_list(snap.manifest_list):
+                for e in load_manifest(mf.manifest_path):
+                    f = e.data_file
+                    rows.append((snap.snapshot_id, e.status, e.snapshot_id,
+                                 e.sequence_number, f.content, f.file_path,
+                                 f.record_count))
+        return spark.createDataFrame(
+            rows, "as_of_snapshot_id long, status int, snapshot_id long, "
+                  "sequence_number long, content int, file_path string, "
+                  "record_count long")
+
     def refs_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table `refs`: one row per branch/tag (spec
         table_metadata.rs refs map)."""

@@ -133,6 +133,15 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     data_files: List[DataFile] = []
     for path in sorted(files):
         st = stats[path]
+        if st["num_rows"] == 0:
+            # a task with an empty input partition still emits a parquet
+            # file; Iceberg writers never commit zero-row files — drop the
+            # file instead of polluting manifests (and all_files) with it
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            continue
         partition = _parse_partition_from_path(path, out_dir, pcols)
         data_files.append(DataFile(
             file_path=path, file_format="parquet", content=CONTENT_DATA,

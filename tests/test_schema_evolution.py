@@ -196,3 +196,42 @@ def test_update_schema_builder_nested_paths(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not found"):
         t.update_schema().add_column("nope.x", "int").commit()
+
+
+def test_filtered_scan_with_dropped_partition_source_column(spark, warehouse):
+    """scan/mod.rs test_filtered_scan_with_dropped_partition_source_column:
+    historical manifests reference a spec whose SOURCE column was dropped
+    from the current schema — planning must neither fail nor wrongly prune,
+    and results must equal the pre-evolution scan."""
+    from iceberg_rust_spark import PartitionField, PartitionSpec, expr as E
+    from iceberg_rust_spark.functions.transforms import IdentityTransform
+    from iceberg_rust_spark.sources.metadata import (PartitionSpec as PSpec)
+
+    s1 = Schema([NestedField(1, "x", LONG, required=True),
+                 NestedField(2, "y", LONG)])
+    spec = PSpec(0, [PartitionField(1, 1000, "x", IdentityTransform())])
+    t = Table.create(warehouse, "db.dropsrc", s1, spec)
+    df = spark.createDataFrame([(i % 3, i) for i in range(12)],
+                               "x long, y long")
+    t = t.append(spark, df)
+
+    baseline = sorted(r["y"] for r in
+                      t.scan(row_filter=E.col("y") >= 5).to_df(spark)
+                      .select("y").collect())
+    assert baseline == list(range(5, 12))
+
+    # make an unpartitioned spec the default, then drop the source column
+    t.commit_updates(
+        [{"action": "add-spec", "spec": PSpec(1, [])},
+         {"action": "set-default-spec", "spec-id": -1}], [])
+    t.refresh()
+    t.update_schema().drop_column("x").commit()
+    t.refresh()
+
+    got = sorted(r["y"] for r in
+                 t.scan(row_filter=E.col("y") >= 5).to_df(spark)
+                 .select("y").collect())
+    assert got == baseline
+    # and filtering on a surviving partitioned read still prunes correctly
+    got2 = t.scan(row_filter=E.col("y") < 3).to_df(spark).count()
+    assert got2 == 3

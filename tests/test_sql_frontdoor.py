@@ -412,3 +412,33 @@ def test_call_system_procedures(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown procedure"):
         run_sql(spark, warehouse, "CALL system.nope('db.maint')")
+
+
+def test_all_metadata_tables(spark, warehouse):
+    """all_manifests / all_files / all_entries inspect tables: cross-
+    snapshot metadata addressable from SQL."""
+    df = spark.range(0, 30).select(F.col("id"))
+    t = Table.create(warehouse, "db.allmeta", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("id") < 15))
+    t = t.append(spark, df.where(F.col("id") >= 15))
+
+    am = run_sql(spark, warehouse,
+                 "SELECT * FROM db.allmeta.all_manifests").collect()
+    assert {r["snapshot_id"] for r in am} == \
+        {s.snapshot_id for s in t.metadata.snapshots}
+    n_live = t.files_df(spark).count()
+    af = run_sql(spark, warehouse,
+                 "SELECT count(*) AS n FROM db.allmeta.all_files"
+                 ).collect()[0]["n"]
+    # nothing was removed: cross-snapshot dedup >= the live scan set (the
+    # scan may additionally skip zero-row files the metadata still lists)
+    distinct_paths = run_sql(
+        spark, warehouse,
+        "SELECT count(DISTINCT file_path) AS n FROM db.allmeta.all_entries"
+        ).collect()[0]["n"]
+    assert af == distinct_paths >= n_live
+    ae = run_sql(spark, warehouse,
+                 "SELECT as_of_snapshot_id, count(*) AS n "
+                 "FROM db.allmeta.all_entries GROUP BY 1 ORDER BY 1").collect()
+    # snapshot 2 carries snapshot 1's files forward plus its own
+    assert len(ae) == 2 and ae[1]["n"] > ae[0]["n"]

@@ -243,6 +243,12 @@ def main() -> None:
         "embedding_lsh_pairs is O(sum bucket^2) by design — the probe caps it",
         "at x10; at larger scale the bucket column becomes a stored cluster",
         "key and each bucket is an independent partition-local join.",
+        "",
+        "Variance caveat: single-run walls on this shared VM swing up to ~4x",
+        "run-to-run (the same op sequence re-measured minutes apart gave",
+        "embedding_lsh_pairs x10 = 8.6s vs an 80s outlier, minhash x1 15-28s).",
+        "Treat exponents as the signal and absolute walls as one sample;",
+        "bench.py (median of 3) is the timing source of record.",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE.md")
