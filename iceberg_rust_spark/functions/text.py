@@ -113,10 +113,19 @@ def alpha_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda t: t != "")
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (1-based element_at to
-    mirror DuckDB list indexing in the oracle)."""
-    toks = F.split(F.lower(F.trim(text)), r"\W+")
+def ngram_tokens(text: Column) -> Column:
+    """The token array word_ngrams shingles over. MATERIALIZE this in its
+    own projection before calling word_ngrams_from_tokens: higher-order
+    transform() lambdas run interpreted (no codegen, no common-subexpression
+    elimination), so a split() referenced inline from the lambda re-runs the
+    regex once per element_at — measured 16x slower (11.3s vs 0.7s for the
+    sf0.1 corpus shingle count)."""
+    return F.split(F.lower(F.trim(text)), r"\W+")
+
+
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an already-computed token array column
+    (1-based element_at to mirror DuckDB list indexing in the oracle)."""
     # guard: sequence(1, 0) would generate a DESCENDING sequence in Spark
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
@@ -124,6 +133,13 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, (i + F.lit(k)).cast("int")) for k in range(n)]))
     return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>. Prefer the two-step
+    ngram_tokens -> word_ngrams_from_tokens split across projections in hot
+    paths (see ngram_tokens); this one-shot form is for small inputs."""
+    return word_ngrams_from_tokens(ngram_tokens(text), n)
 
 
 # ---- ANSI-SQL twins (DuckDB dialect) — keep in lockstep with the above ----

