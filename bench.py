@@ -72,10 +72,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         runs = []
-        n = 0
+        # row count once, untimed; the TIMED action is a noop-sink write so
+        # Catalyst cannot column-prune away the query's actual work (a bare
+        # count() on a projection query times only the scan)
+        n = fn(spark, sf_dir).count()
         for _ in range(reps):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         runs.sort()
         med = round(runs[len(runs) // 2], 3)

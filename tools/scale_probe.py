@@ -110,12 +110,21 @@ def _minhash(spark, docs, emb):
 
 def _simhash(spark, docs, emb):
     from iceberg_rust_spark.operators.dedup import simhash_signatures
-    return simhash_signatures(docs).count()
+    s = simhash_signatures(docs)
+    # force the signature column: a bare count() lets Spark elide the whole
+    # bit-vote aggregation (column pruning), timing only tokenization
+    forced = s.agg(F.count(F.when(F.col("simhash") % 2 == 0, 1))
+                   .alias("n_even")).collect()[0][0]
+    return forced and s.count()
 
 
 def _chunks(spark, docs, emb):
     from iceberg_rust_spark.operators.chunking import chunk_documents
-    return chunk_documents(docs, window=32, overlap=8).count()
+    ch = chunk_documents(docs, window=32, overlap=8)
+    # force the chunk text column, not just the row multiplicity
+    text_col = [c for c in ch.columns if "text" in c or "chunk" in c][0]
+    ch.agg(F.sum(F.length(text_col))).collect()
+    return ch.count()
 
 
 def _quality(spark, docs, emb):
