@@ -74,6 +74,37 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols {spark_cols} vs {duck_cols}")
+        # ARROW-TYPE parity: the driver hashes typed values, so DuckDB
+        # promoting an aggregate (integer SUM -> HUGEINT -> decimal128)
+        # hash-fails even when the values match as strings — exactly the r2
+        # events_sessions/events_variant incident. Compare type KINDS per
+        # column and fail on numeric-kind mismatches.
+        try:
+            duck_schema = con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()
+            duck_types = {r[0]: r[1].upper() for r in duck_schema}
+            spark_types = dict(df.dtypes)
+
+            def kind(t: str) -> str:
+                t = t.lower()
+                if "decimal" in t or "hugeint" in t:
+                    return "decimal"
+                if t in ("bigint", "int", "integer", "smallint", "tinyint",
+                         "long", "short", "byte", "ubigint", "uinteger"):
+                    return "int"
+                if t in ("double", "float", "real"):
+                    return "float"
+                return "other"
+            for c in spark_cols:
+                if c in duck_types:
+                    ks, kd = kind(spark_types[c]), kind(duck_types[c])
+                    if ks != kd and "other" not in (ks, kd):
+                        problems.append(
+                            f"type-kind mismatch on {c}: spark "
+                            f"{spark_types[c]} vs duckdb {duck_types[c]} "
+                            f"(driver hashes typed values — add casts)")
+        except Exception:
+            pass  # DESCRIBE unsupported for some statements; values decide
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if not problems:
