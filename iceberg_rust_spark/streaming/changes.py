@@ -248,3 +248,53 @@ def net_changes(changes: DataFrame, keys: List[str]) -> DataFrame:
                 .select(*[F.col(f"_i_{c}").alias(c) for c in val_cols],
                         F.lit(INSERT).alias("_change_type")))
     return del_rows.unionByName(ins_rows)
+
+
+class ChangesReader:
+    """Checkpointed CDC micro-batch reader: the changelog twin of
+    incremental.IncrementalReader. Each yielded batch is changes_df over one
+    unseen snapshot — inserts AND reconstructed deletes, stamped with
+    _change_type/_change_ordinal/_commit_snapshot_id — with a file
+    checkpoint committed after each yield (at-least-once; pair with the
+    exactly-once sink's batch-id dedup for end-to-end exactly-once)."""
+
+    def __init__(self, table: Table, checkpoint_path: str):
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+
+    def _load_state(self):
+        import json as _json
+
+        from ..sources.io import file_io_for
+        fio = file_io_for(self.checkpoint_path)
+        if fio.is_file(self.checkpoint_path):
+            return _json.loads(fio.read_text(self.checkpoint_path)) \
+                .get("last_snapshot_id")
+        return None
+
+    def _save_state(self, snapshot_id: int) -> None:
+        import json as _json
+
+        from ..sources.io import file_io_for
+        fio = file_io_for(self.checkpoint_path)
+        tmp = self.checkpoint_path + ".tmp"
+        fio.write_text(tmp, _json.dumps({"last_snapshot_id": snapshot_id}))
+        fio.rename(tmp, self.checkpoint_path)
+
+    def micro_batches(self, spark: SparkSession):
+        """Yield (snapshot_id, changelog DataFrame) per unseen snapshot."""
+        self.table.refresh()
+        md = self.table.metadata
+        last = self._load_state()
+        snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
+        for snap in snaps:
+            if last is not None:
+                last_snap = md.snapshot_by_id(last)
+                if last_snap is not None and \
+                        snap.sequence_number <= last_snap.sequence_number:
+                    continue
+            df = changes_df(spark, self.table,
+                            from_snapshot_id=snap.parent_snapshot_id,
+                            to_snapshot_id=snap.snapshot_id)
+            yield snap.snapshot_id, df
+            self._save_state(snap.snapshot_id)

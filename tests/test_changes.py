@@ -117,3 +117,29 @@ def test_net_changes_collapses_to_net_effect(spark, warehouse):
     net2 = net_changes(ch2, ["id"])
     rows2 = {(r["id"], r["_change_type"]) for r in net2.collect()}
     assert rows2 == {(i, "delete") for i in range(40) if i % 4 == 1}
+
+
+def test_changes_reader_micro_batches(spark, warehouse, tmp_path):
+    """ChangesReader: checkpointed CDC micro-batches — one changelog batch
+    per unseen snapshot, resume skips consumed ones."""
+    from iceberg_rust_spark.streaming.changes import ChangesReader
+
+    df = spark.range(0, 20).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    t = Table.create(warehouse, "db.cdcstream", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+
+    cp = str(tmp_path / "cdc_ckpt.json")
+    r = ChangesReader(t, cp)
+    batches = [(sid, {(row["_change_type"],): 1 for row in b.collect()},
+                b.count()) for sid, b in r.micro_batches(spark)]
+    assert len(batches) == 2
+    assert batches[0][2] == 20          # initial insert batch
+    assert batches[1][2] == 10          # MOR delete batch
+    # resume: nothing new
+    assert list(ChangesReader(t, cp).micro_batches(spark)) == []
+    # a new snapshot yields exactly one new batch
+    t = t.append(spark, df.where(F.col("id") < 3).select(
+        F.col("id") + 100, F.col("g")).toDF("id", "g"))
+    more = list(ChangesReader(t, cp).micro_batches(spark))
+    assert len(more) == 1 and more[0][1].count() == 3
