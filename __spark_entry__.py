@@ -340,6 +340,17 @@ def q_iceberg_delete_cow(spark, sf_dir):
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
+def q_iceberg_cdc_net(spark, sf_dir):
+    """Net CDC over the MOR table's full history: rows deleted within the
+    window vanish, survivors net to single inserts — oracle-expressible as
+    the surviving rows with an 'insert' literal."""
+    from iceberg_rust_spark.streaming.changes import changes_df, net_changes
+    t = _ice(spark, sf_dir, "orders_delmor")
+    net = net_changes(changes_df(spark, t), ["o_orderkey"])
+    return net.groupBy("_change_type", "o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
 def q_iceberg_delete_mor(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_delmor")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -1044,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_delete_cow": q_iceberg_delete_cow,
         "iceberg_delete_mor": q_iceberg_delete_mor,
+        "iceberg_cdc_net": q_iceberg_cdc_net,
         "iceberg_delete_dv": q_iceberg_delete_dv,
         "iceberg_delete_eq": q_iceberg_delete_eq,
         "iceberg_merge": q_iceberg_merge,
@@ -1175,6 +1187,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority""",
         "iceberg_delete_mor": f"""
             SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
+            GROUP BY o_orderstatus""",
+        "iceberg_cdc_net": f"""
+            SELECT 'insert' AS _change_type, o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
             GROUP BY o_orderstatus""",
