@@ -460,8 +460,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         except NoSuchTable:
             return m.group(0)
         if kind == "VERSION":
-            scan = t.scan(snapshot_id=int(lit))
-            tag = lit
+            if lit.startswith("'"):
+                # branch/tag name (Spark-Iceberg allows VERSION AS OF to
+                # name a ref): resolve through the table's refs map
+                ref = lit.strip("'")
+                scan = t.scan(ref=ref)
+                tag = re.sub(r"\W", "_", ref)
+            else:
+                scan = t.scan(snapshot_id=int(lit))
+                tag = lit
         else:
             import datetime as _dt
             ts = _dt.datetime.fromisoformat(lit.strip("'"))

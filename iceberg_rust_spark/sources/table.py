@@ -699,15 +699,31 @@ class Table:
                   "added_rows_count long")
 
     def files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `files`: one row per live data file with the
+        per-column stat maps the spec records (column_sizes, value_counts,
+        null_value_counts, bounds rendered as strings — the same columns
+        Iceberg's files inspect table exposes)."""
         rows = []
         for t in self.scan().plan_files().tasks:
             f = t.data_file
             rows.append((f.file_path, f.file_format, f.record_count,
                          f.file_size_in_bytes, str(f.partition), f.spec_id,
-                         f.schema_id))
+                         f.schema_id,
+                         {k: int(v) for k, v in (f.column_sizes or {}).items()},
+                         {k: int(v) for k, v in (f.value_counts or {}).items()},
+                         {k: int(v) for k, v in
+                          (f.null_value_counts or {}).items()},
+                         {k: str(v) for k, v in (f.lower_bounds or {}).items()},
+                         {k: str(v) for k, v in (f.upper_bounds or {}).items()},
+                         list(f.split_offsets or [])))
         return spark.createDataFrame(
             rows, "file_path string, file_format string, record_count long, "
-                  "file_size_in_bytes long, partition string, spec_id int, schema_id int")
+                  "file_size_in_bytes long, partition string, spec_id int, "
+                  "schema_id int, column_sizes map<string,long>, "
+                  "value_counts map<string,long>, "
+                  "null_value_counts map<string,long>, "
+                  "lower_bounds map<string,string>, "
+                  "upper_bounds map<string,string>, split_offsets array<long>")
 
     # ------------------------------------------------------ incremental read
     def entries_df(self, spark: SparkSession) -> DataFrame:

@@ -316,3 +316,44 @@ def test_connected_components_shapes(spark):
                                   "id_a long, id_b long")
     comp2 = connected_components(chain).collect()
     assert {r["component"] for r in comp2} == {0}
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property check vs an independent union-find: on random edge lists the
+    distributed min-label propagation must produce exactly the union-find
+    components with min-id representatives. (Spark jobs are slow per
+    example, so a handful of seeded random graphs rather than hypothesis's
+    example volume.)"""
+    import random
+
+    from iceberg_rust_spark.operators.components import connected_components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n_nodes = rng.choice([10, 40, 80])
+        n_edges = rng.randint(5, 3 * n_nodes)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expected = uf_components(edges)
+        got = {r["node"]: r["component"] for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"

@@ -442,3 +442,41 @@ def test_all_metadata_tables(spark, warehouse):
                  "FROM db.allmeta.all_entries GROUP BY 1 ORDER BY 1").collect()
     # snapshot 2 carries snapshot 1's files forward plus its own
     assert len(ae) == 2 and ae[1]["n"] > ae[0]["n"]
+
+
+def test_version_as_of_branch_name(spark, warehouse):
+    """FOR VERSION AS OF '<ref>' resolves branch/tag names (Spark-Iceberg
+    semantics), alongside numeric snapshot ids."""
+    df = spark.range(0, 10).select(F.col("id"))
+    t = Table.create(warehouse, "db.reft", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.append(spark, df.select((F.col("id") + 100).alias("id")),
+                 branch="audit")
+    t.refresh()
+
+    main_n = run_sql(spark, warehouse,
+                     "SELECT count(*) AS n FROM db.reft").collect()[0]["n"]
+    br_n = run_sql(spark, warehouse,
+                   "SELECT count(*) AS n FROM db.reft "
+                   "FOR VERSION AS OF 'audit'").collect()[0]["n"]
+    assert main_n == 10 and br_n == 20
+    first = t.metadata.snapshots[0].snapshot_id
+    n0 = run_sql(spark, warehouse,
+                 f"SELECT count(*) AS n FROM db.reft "
+                 f"FOR VERSION AS OF {first}").collect()[0]["n"]
+    assert n0 == 10
+
+
+def test_files_table_carries_column_stats(spark, warehouse):
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    t = Table.create(warehouse, "db.fstats", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    rows = run_sql(spark, warehouse,
+                   "SELECT file_path, value_counts, lower_bounds, "
+                   "upper_bounds FROM db.fstats.files").collect()
+    assert rows
+    total = sum(r["value_counts"]["id"] for r in rows)
+    assert total == 50
+    los = [int(r["lower_bounds"]["id"]) for r in rows]
+    his = [int(r["upper_bounds"]["id"]) for r in rows]
+    assert min(los) == 0 and max(his) == 49
