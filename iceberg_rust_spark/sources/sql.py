@@ -111,6 +111,11 @@ _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
 # stored-procedure surface, Spark-Iceberg shape: CALL system.proc(args...)
 _CALL_RE = re.compile(r"^\s*CALL\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*$",
                       re.IGNORECASE | re.DOTALL)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+                           re.IGNORECASE)
 # FOR VERSION AS OF <snapshot-id> / FOR TIMESTAMP AS OF '<ts>' time travel
 _TRAVEL_RE = re.compile(
     r"([\w.]+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
@@ -237,6 +242,32 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     m = _CALL_RE.match(query)
     if m:
         return _run_procedure(spark, catalog, m.group(1).lower(), m.group(2))
+    m = _CREATE_VIEW_RE.match(query)
+    if m:
+        replace, ident, view_sql = bool(m.group(1)), m.group(2), m.group(3)
+        vc = ViewCatalog(catalog)
+        try:
+            exists = True
+            vc.load_view(ident)
+        except NoSuchTable:
+            exists = False
+        if exists:
+            if not replace:
+                raise ValueError(f"view {ident} already exists "
+                                 f"(use CREATE OR REPLACE VIEW)")
+            vc.replace_view(ident, view_sql.strip())
+        else:
+            vc.create_view(ident, view_sql.strip())
+        return spark.createDataFrame([(ident,)], "view string")
+    m = _DROP_VIEW_RE.match(query)
+    if m:
+        vc = ViewCatalog(catalog)
+        try:
+            vc.drop_view(m.group(2))
+        except Exception:
+            if not m.group(1):
+                raise
+        return spark.createDataFrame([(m.group(2),)], "view string")
     m = _INSERT_OVERWRITE_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -575,6 +606,18 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         return spark.createDataFrame(
             [(prev, int(args[1]))],
             "previous_snapshot_id long, current_snapshot_id long")
+    if proc == "add_files":
+        if len(args) < 2:
+            raise ValueError("add_files(table, path_glob)")
+        import glob as _glob
+        paths = sorted(_glob.glob(str(args[1])))
+        if not paths:
+            raise ValueError(f"no files match {args[1]}")
+        before = len(list(t.scan().plan_files().tasks))
+        t = t.add_files(spark, paths)
+        after = len(list(t.scan().plan_files().tasks))
+        return spark.createDataFrame(
+            [(after - before,)], "added_files_count int")
     if proc == "set_current_snapshot":
         if len(args) < 2:
             raise ValueError("set_current_snapshot(table, snapshot_id)")

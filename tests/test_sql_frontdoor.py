@@ -480,3 +480,39 @@ def test_files_table_carries_column_stats(spark, warehouse):
     los = [int(r["lower_bounds"]["id"]) for r in rows]
     his = [int(r["upper_bounds"]["id"]) for r in rows]
     assert min(los) == 0 and max(his) == 49
+
+
+def test_sql_view_ddl_and_add_files(spark, warehouse, tmp_path):
+    """CREATE [OR REPLACE] VIEW / DROP VIEW through run_sql, plus the
+    CALL system.add_files import procedure."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(20)],
+                               "id long, v long")
+    t = Table.create(warehouse, "db.vsrc", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+
+    run_sql(spark, warehouse,
+            "CREATE VIEW db.big_v AS SELECT id, v FROM vsrc WHERE v >= 20")
+    out = run_sql(spark, warehouse, "SELECT count(*) AS n FROM db.big_v")
+    assert out.collect()[0]["n"] == 10
+    with _pytest.raises(ValueError, match="exists"):
+        run_sql(spark, warehouse, "CREATE VIEW db.big_v AS SELECT 1 AS x")
+    run_sql(spark, warehouse,
+            "CREATE OR REPLACE VIEW db.big_v AS "
+            "SELECT id FROM vsrc WHERE v >= 30")
+    assert run_sql(spark, warehouse,
+                   "SELECT count(*) AS n FROM db.big_v").collect()[0]["n"] == 5
+    run_sql(spark, warehouse, "DROP VIEW db.big_v")
+    run_sql(spark, warehouse, "DROP VIEW IF EXISTS db.big_v")
+
+    # add_files: import loose parquet by glob, no rewrite
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([(100 + i, i) for i in range(7)],
+                          "id long, v long").coalesce(1) \
+        .write.parquet(ext)
+    out = run_sql(spark, warehouse,
+                  f"CALL system.add_files('db.vsrc', '{ext}/*.parquet')"
+                  ).collect()[0]
+    assert out["added_files_count"] >= 1
+    assert Table.load(warehouse, "db.vsrc").to_df(spark).count() == 27
