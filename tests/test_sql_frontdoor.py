@@ -439,9 +439,12 @@ def test_all_metadata_tables(spark, warehouse):
     assert af == distinct_paths >= n_live
     ae = run_sql(spark, warehouse,
                  "SELECT as_of_snapshot_id, count(*) AS n "
-                 "FROM db.allmeta.all_entries GROUP BY 1 ORDER BY 1").collect()
-    # snapshot 2 carries snapshot 1's files forward plus its own
-    assert len(ae) == 2 and ae[1]["n"] > ae[0]["n"]
+                 "FROM db.allmeta.all_entries GROUP BY 1").collect()
+    # snapshot 2 carries snapshot 1's files forward plus its own; snapshot
+    # ids are random so compare the count MULTISET, not id order
+    counts = sorted(r["n"] for r in ae)
+    assert len(counts) == 2 and counts[1] == n_live
+    assert counts[0] < counts[1]
 
 
 def test_version_as_of_branch_name(spark, warehouse):
