@@ -150,18 +150,27 @@ class _FilesMessage(WriterCommitMessage):
 
 class _IcebergWriter(DataSourceArrowWriter):
     """Executor side of `df.write.format("iceberg_rust")`: each task writes
-    its Arrow batches as one parquet file under the table's data dir and
-    returns DataFile stats; the driver commits ONE snapshot from all tasks
+    its Arrow batches as parquet under the table's data dir and returns
+    DataFile stats; the driver commits ONE snapshot from all tasks
     (IcebergWriteExec + IcebergCommitExec shape, physical_plan/{write,
-    commit}.rs). Unpartitioned tables only — partitioned writes need the
-    fan-out shuffle that Table.append drives through the DataFrame API."""
+    commit}.rs). Partitioned tables use TASK-LOCAL FANOUT (the reference's
+    fanout writer / distribution-mode `none`): each task groups its batch by
+    the spec's transformed partition tuple and writes one file per tuple —
+    no extra shuffle; pre-repartitioning by partition columns on the Spark
+    side minimizes file counts exactly like distribution-mode `hash`."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         t = _load_table(options)
-        if t.metadata.spec().fields:
-            raise ValueError(
-                "iceberg_rust DataSource write supports unpartitioned tables;"
-                " use Table.append for partitioned fan-out writes")
+        md_schema = t.metadata.schema()
+        self._spec_fields = []
+        for pf in t.metadata.spec().fields:
+            src = md_schema.field_by_id(pf.source_id)
+            if src is None:
+                raise ValueError(
+                    f"partition field {pf.name} has no source in the "
+                    f"current schema")
+            self._spec_fields.append(
+                (src.name, pf.name, pf.transform, src.field_type))
         table_names = [f.name for f in t.metadata.schema().fields]
         if sorted(schema.fieldNames()) != sorted(table_names):
             raise ValueError(
@@ -176,6 +185,51 @@ class _IcebergWriter(DataSourceArrowWriter):
         self._spec_id = t.metadata.spec().spec_id
         self._compression = t.metadata.properties.get(
             "write.parquet.compression-codec", "zstd")
+
+    def _partition_frame(self, tbl):
+        """Per-row partition tuple values for the current spec. Bucket over
+        int-like sources uses the numpy-vectorized murmur3 kernel; identity
+        and void are O(1); the remaining transforms run the TESTED scalar
+        kernels over the (already Python-side) Arrow batch — correctness
+        parity with the Table.append column expressions is what matters
+        here, and fanout grouping is per-task."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.murmur3 import murmur3_32_long_vec
+        from ..functions.transforms import (BucketTransform, IdentityTransform,
+                                            VoidTransform)
+
+        cols = {}
+        for src, pname, t, styp in self._spec_fields:
+            arr = tbl.column(src)
+            if isinstance(t, VoidTransform):
+                cols[pname] = pd.Series([None] * tbl.num_rows, dtype="object")
+            elif isinstance(t, IdentityTransform):
+                cols[pname] = pd.Series(arr.to_pylist(), dtype="object")
+            elif isinstance(t, BucketTransform) and (
+                    pa.types.is_integer(arr.type)
+                    or pa.types.is_date(arr.type)
+                    or pa.types.is_timestamp(arr.type)):
+                if pa.types.is_timestamp(arr.type):
+                    ints = arr.cast(pa.timestamp("us")).cast(pa.int64())
+                else:
+                    ints = arr.cast(pa.int64())
+                mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+                filled = pc.fill_null(ints, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                b = (murmur3_32_long_vec(filled).astype(np.int64)
+                     & 0x7FFFFFFF) % t.n
+                s = pd.Series(b, dtype="object")
+                s[mask] = None
+                cols[pname] = s
+            else:
+                cols[pname] = pd.Series(
+                    [None if v is None else t.apply(v, styp)
+                     for v in arr.to_pylist()], dtype="object")
+        return pd.DataFrame(cols)
 
     def write(self, iterator: Iterator["RecordBatch"]) -> _FilesMessage:  # noqa: F821
         import pyarrow as pa
@@ -192,18 +246,51 @@ class _IcebergWriter(DataSourceArrowWriter):
         tc = TaskContext.get()
         part = tc.partitionId() if tc else 0
         os.makedirs(self._write_dir, exist_ok=True)
-        path = os.path.join(self._write_dir,
-                            f"part-{part:05d}-{uuid.uuid4().hex[:8]}.parquet")
-        pq.write_table(tbl, path, compression=self._compression)
-        st = _footer_stats(pq, path)
-        return _FilesMessage([DataFile(
-            file_path=path, file_format="parquet", content=CONTENT_DATA,
-            partition={}, record_count=st["num_rows"],
-            file_size_in_bytes=st["size"], column_sizes=st["column_sizes"],
-            value_counts=st["value_counts"], null_value_counts=st["null_counts"],
-            nan_value_counts={}, lower_bounds=st["lower"],
-            upper_bounds=st["upper"], split_offsets=st["split_offsets"],
-            schema_id=self._schema_id, spec_id=self._spec_id)])
+
+        def emit(sub_tbl, partition, seq: int) -> DataFile:
+            path = os.path.join(
+                self._write_dir,
+                f"part-{part:05d}-{uuid.uuid4().hex[:8]}-{seq}.parquet")
+            pq.write_table(sub_tbl, path, compression=self._compression)
+            st = _footer_stats(pq, path)
+            return DataFile(
+                file_path=path, file_format="parquet", content=CONTENT_DATA,
+                partition=partition, record_count=st["num_rows"],
+                file_size_in_bytes=st["size"],
+                column_sizes=st["column_sizes"],
+                value_counts=st["value_counts"],
+                null_value_counts=st["null_counts"],
+                nan_value_counts={}, lower_bounds=st["lower"],
+                upper_bounds=st["upper"],
+                split_offsets=st["split_offsets"],
+                schema_id=self._schema_id, spec_id=self._spec_id)
+
+        if not self._spec_fields:
+            return _FilesMessage([emit(tbl, {}, 0)])
+
+        import pandas as pd
+        keys = self._partition_frame(tbl)
+        pnames = list(keys.columns)
+        groups = keys.groupby(pnames, dropna=False, sort=False).indices
+        files = []
+        import numpy as np
+
+        def native(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            if isinstance(v, np.integer):
+                return int(v)
+            if isinstance(v, np.floating):
+                return float(v)
+            return v
+
+        for kv, idx in groups.items():
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            partition = {n: native(v) for n, v in zip(pnames, kv)}
+            sub = tbl.take(pa.array(sorted(int(i) for i in idx)))
+            files.append(emit(sub, partition, len(files)))
+        return _FilesMessage(files)
 
     def _collect(self, messages) -> list:
         return [f for m in messages if m is not None for f in m.files]

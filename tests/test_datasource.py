@@ -112,17 +112,71 @@ def test_stream_datasource_write_exactly_once(spark, warehouse, tmp_path):
     assert len(t.metadata.snapshots) == n_snaps
 
 
-def test_datasource_write_rejects_partitioned(spark, warehouse):
+def test_datasource_write_identity_partitioned(spark, warehouse):
+    """identity-partitioned DataSource write (r3: fanout replaced the old
+    unpartitioned-only rejection)."""
     from iceberg_rust_spark import PartitionField, PartitionSpec
     from iceberg_rust_spark.functions.transforms import parse_transform
-    import pytest
     df = spark.range(5).select(F.col("id"), (F.col("id") % 2).alias("g"))
     s = schema_from_spark(df.schema)
     spec = PartitionSpec(0, [PartitionField(
         s.field_by_name("g").field_id, 1000, "g", parse_transform("identity"))])
-    Table.create(warehouse, "db.ds_part", s, spec)
+    t = Table.create(warehouse, "db.ds_idpart", s, spec)
     register(spark)
-    with pytest.raises(Exception, match="unpartitioned"):
-        (df.write.format("iceberg_rust")
-         .option("warehouse", warehouse.warehouse)
-         .option("table", "db.ds_part").mode("append").save())
+    (df.write.format("iceberg_rust")
+     .option("warehouse", warehouse.warehouse)
+     .option("table", "db.ds_idpart").mode("append").save())
+    t = Table.load(warehouse, "db.ds_idpart")
+    assert t.to_df(spark).count() == 5
+    assert {x.data_file.partition["g"]
+            for x in t.scan().plan_files().tasks} == {0, 1}
+
+
+def test_datasource_partitioned_write_fanout(spark, warehouse):
+    """df.write.format('iceberg_rust') on a PARTITIONED table: task-local
+    fanout groups each task's batch by transformed partition tuple; the
+    resulting files carry real partition values and partition pruning
+    works on the readback."""
+    import datetime as dt
+
+    from iceberg_rust_spark import (PartitionField, PartitionSpec, Table,
+                                    expr as E)
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", dt.datetime(2024, 1 + i % 4, 3 + i % 20))
+         for i in range(200)],
+        "id long, cat string, ts timestamp")
+    s = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [
+        PartitionField(s.field_by_name("ts").field_id, 1000, "ts_month",
+                       parse_transform("month")),
+        PartitionField(s.field_by_name("id").field_id, 1001, "id_bucket",
+                       parse_transform("bucket[4]")),
+    ])
+    t = Table.create(warehouse, "db.ds_part", s, spec)
+    register(spark)
+    (df.repartition(3)
+       .write.format("iceberg_rust")
+       .option("warehouse", warehouse.warehouse)
+       .option("table", "db.ds_part").mode("append").save())
+
+    t = Table.load(warehouse, "db.ds_part")
+    assert t.to_df(spark).count() == 200
+    # partition tuples recorded: every file carries month + bucket values
+    tasks = list(t.scan().plan_files().tasks)
+    assert all(set(x.data_file.partition) == {"ts_month", "id_bucket"}
+               for x in tasks)
+    months = {x.data_file.partition["ts_month"] for x in tasks}
+    assert months == {648, 649, 650, 651}  # Jan..Apr 2024
+    # partition pruning on the readback matches direct filtering
+    plan = t.scan(row_filter=E.col("ts") >= dt.datetime(2024, 4, 1)) \
+        .plan_files()
+    assert plan.skipped_by_partition > 0
+    got = t.scan(row_filter=E.col("ts") >= dt.datetime(2024, 4, 1)) \
+        .to_df(spark).count()
+    assert got == df.where(F.col("ts") >= "2024-04-01").count()
+    # bucket values agree with the column-expression write path
+    t.delete_where(spark, E.col("id") == 7, mode="cow")
+    assert Table.load(warehouse, "db.ds_part").to_df(spark).count() == 199
