@@ -185,6 +185,8 @@ class _IcebergWriter(DataSourceArrowWriter):
         self._spec_id = t.metadata.spec().spec_id
         self._compression = t.metadata.properties.get(
             "write.parquet.compression-codec", "zstd")
+        self._target_bytes = int(t.metadata.properties.get(
+            "write.target-file-size-bytes", 512 * 1024 * 1024))
 
     def _partition_frame(self, tbl):
         """Per-row partition tuple values for the current spec. Bucket over
@@ -265,8 +267,24 @@ class _IcebergWriter(DataSourceArrowWriter):
                 split_offsets=st["split_offsets"],
                 schema_id=self._schema_id, spec_id=self._spec_id)
 
+        # rolling (rolling_writer.rs counterpart): split any write unit
+        # whose IN-MEMORY arrow size exceeds the target file size — one
+        # task/tuple never produces an unboundedly large file
+        def emit_rolling(sub_tbl, partition, files: list) -> None:
+            nbytes = sub_tbl.nbytes or 1
+            if nbytes <= self._target_bytes or sub_tbl.num_rows <= 1:
+                files.append(emit(sub_tbl, partition, len(files)))
+                return
+            rows_per = max(1, int(sub_tbl.num_rows
+                                  * self._target_bytes / nbytes))
+            for lo in range(0, sub_tbl.num_rows, rows_per):
+                files.append(emit(sub_tbl.slice(lo, rows_per), partition,
+                                  len(files)))
+
         if not self._spec_fields:
-            return _FilesMessage([emit(tbl, {}, 0)])
+            files: list = []
+            emit_rolling(tbl, {}, files)
+            return _FilesMessage(files)
 
         import pandas as pd
         keys = self._partition_frame(tbl)
@@ -289,7 +307,7 @@ class _IcebergWriter(DataSourceArrowWriter):
                 kv = (kv,)
             partition = {n: native(v) for n, v in zip(pnames, kv)}
             sub = tbl.take(pa.array(sorted(int(i) for i in idx)))
-            files.append(emit(sub, partition, len(files)))
+            emit_rolling(sub, partition, files)
         return _FilesMessage(files)
 
     def _collect(self, messages) -> list:

@@ -180,3 +180,19 @@ def test_datasource_partitioned_write_fanout(spark, warehouse):
     # bucket values agree with the column-expression write path
     t.delete_where(spark, E.col("id") == 7, mode="cow")
     assert Table.load(warehouse, "db.ds_part").to_df(spark).count() == 199
+
+
+def test_datasource_write_rolls_files_at_target_size(spark, warehouse):
+    """write.target-file-size-bytes splits oversized task outputs."""
+    df = spark.range(0, 10000).select(
+        F.col("id"), F.concat(F.lit("x" * 200), F.col("id")).alias("pad"))
+    t = Table.create(warehouse, "db.ds_roll", schema_from_spark(df.schema),
+                     properties={"write.target-file-size-bytes": "65536"})
+    register(spark)
+    (df.coalesce(1).write.format("iceberg_rust")
+     .option("warehouse", warehouse.warehouse)
+     .option("table", "db.ds_roll").mode("append").save())
+    t = Table.load(warehouse, "db.ds_roll")
+    tasks = list(t.scan().plan_files().tasks)
+    assert len(tasks) > 1  # one coalesced task still rolled multiple files
+    assert t.to_df(spark).count() == 10000
