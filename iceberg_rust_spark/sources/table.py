@@ -391,7 +391,8 @@ class Table:
 
     def merge(self, spark: SparkSession, source_df: DataFrame,
               key_columns: List[str],
-              extra_summary: Optional[Dict[str, str]] = None) -> "Table":
+              extra_summary: Optional[Dict[str, str]] = None,
+              delete_keys_df: Optional[DataFrame] = None) -> "Table":
         """Upsert (MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT) in ONE
         snapshot: write the source rows as data files AND the source keys as
         an equality-delete file, commit both atomically. Both carry the same
@@ -417,8 +418,12 @@ class Table:
                            f"eq-del-{uuid.uuid4().hex[:12]}")
         # distributed key write: dropDuplicates' own hash shuffle is the
         # partitioning; no single-task funnel (a billion-key MERGE would
-        # otherwise pass through one executor).
-        source_df.select(*key_columns).dropDuplicates() \
+        # otherwise pass through one executor). ``delete_keys_df`` widens
+        # the delete set beyond the source rows (CDC apply: keys deleted at
+        # the source have no replacement row but must still be deleted).
+        keys_src = (delete_keys_df if delete_keys_df is not None
+                    else source_df)
+        keys_src.select(*key_columns).dropDuplicates() \
             .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
         files = [p for p in file_io_for(out).list_files(out)
                  if p.endswith(".parquet")]

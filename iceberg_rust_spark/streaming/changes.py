@@ -298,3 +298,34 @@ class ChangesReader:
                             to_snapshot_id=snap.snapshot_id)
             yield snap.snapshot_id, df
             self._save_state(snap.snapshot_id)
+
+
+def apply_changes(spark: SparkSession, table: Table, changes: DataFrame,
+                  keys: List[str]) -> Table:
+    """Apply a changelog batch to ``table`` in ONE snapshot: equality
+    deletes for every touched key + data files for the batch's net insert
+    rows — the CDC-apply primitive behind table mirroring. The batch is
+    first collapsed with net_changes so intra-batch churn (delete+reinsert
+    of identical rows) costs nothing."""
+    data_cols = [c for c in changes.columns
+                 if c not in ("_change_type", "_change_ordinal",
+                              "_commit_snapshot_id")]
+    net = net_changes(changes, keys)
+    ins = net.where(F.col("_change_type") == INSERT).select(*data_cols)
+    touched = net.select(*keys).dropDuplicates()
+    return table.merge(spark, ins, keys, delete_keys_df=touched)
+
+
+def mirror_table(spark: SparkSession, src: Table, dst: Table,
+                 keys: List[str], checkpoint_path: str) -> int:
+    """Incrementally replicate ``src`` into ``dst`` through the CDC feed:
+    one apply_changes commit per unseen source snapshot, checkpointed (the
+    replication idiom — run repeatedly, each run ships only new history).
+    Returns the number of snapshots applied."""
+    n = 0
+    for _sid, batch in ChangesReader(src, checkpoint_path) \
+            .micro_batches(spark):
+        dst = dst.refresh()
+        dst = apply_changes(spark, dst, batch, keys)
+        n += 1
+    return n
