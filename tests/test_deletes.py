@@ -159,3 +159,28 @@ def test_delete_df_cache_shares_and_persists(spark):
     assert a is b and len(builds) == 2
     assert b.storageLevel.useMemory      # persisted on first reuse
     assert not c.storageLevel.useMemory  # single-use stays unpersisted
+
+
+def test_dv_decode_executor_path(spark, warehouse, monkeypatch):
+    """The size-gated executor-side DV decode (mapInPandas over blob
+    descriptors) must produce the same read results as the driver-LRU fast
+    path — forced by zeroing the gate."""
+    from iceberg_rust_spark.sources import scan as scan_mod
+
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    t = Table.create(warehouse, "db.dvexec", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="dv")
+
+    expected = sorted(r["id"] for r in df.where(F.col("g") != 1).collect())
+    got_fast = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert got_fast == expected
+
+    monkeypatch.setattr(scan_mod, "_DV_DRIVER_DECODE_BYTES", 0)
+    got_exec = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert got_exec == expected
+    # and the CDC path rides the same helper
+    from iceberg_rust_spark.streaming.changes import changes_df
+    deletes = changes_df(spark, t).where(F.col("_change_type") == "delete")
+    assert sorted(r["id"] for r in deletes.collect()) == \
+        sorted(r["id"] for r in df.where(F.col("g") == 1).collect())
