@@ -929,6 +929,20 @@ def q_doc_quota(spark, sf_dir):
                                    F.max("doc_id").alias("max_kept_id")))
 
 
+def q_doc_token_budget(spark, sf_dir):
+    """Token-budget stratified sampling: keep docs per source until 20k
+    tokens — the training-mix primitive (row quotas skew the mix because
+    document lengths vary)."""
+    from iceberg_rust_spark.operators.sampling import token_budget_per_group
+    d = read_table(spark, sf_dir, "documents") \
+        .withColumn("tc", TX.token_count(F.col("text")))
+    kept = token_budget_per_group(d, ["source"], 20000, "tc", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tc").cast("long").alias("total_tokens"),
+        F.max("doc_id").alias("max_kept_id"))
+
+
 def q_text_tokens(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1080,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_sample": q_doc_sample,
         "doc_quota": q_doc_quota,
+        "doc_token_budget": q_doc_token_budget,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1615,6 +1630,18 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 50 GROUP BY source""",
+        "doc_token_budget": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(tc) AS BIGINT) AS total_tokens,
+                   MAX(doc_id) AS max_kept_id
+            FROM (SELECT source, doc_id, {TX.sql_token_count(t)} AS tc,
+                         COALESCE(SUM({TX.sql_token_count(t)}) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS tok_before
+                  FROM documents)
+            WHERE tok_before < 20000
+            GROUP BY source""",
         "text_tokens": f"""
             SELECT doc_id, {TX.sql_token_count(t)} AS n_ws_tokens,
                    {TX.sql_bpe_token_count(t)} AS n_bpe_tokens,

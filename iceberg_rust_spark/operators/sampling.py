@@ -62,3 +62,23 @@ def quota_per_group(df: DataFrame, group_cols: List[str], quota: int,
     w = Window.partitionBy(*group_cols).orderBy(order)
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= quota).drop("_rn"))
+
+
+def token_budget_per_group(df: DataFrame, group_cols: List[str],
+                           token_budget: int, tokens_col: str,
+                           order_col: str) -> DataFrame:
+    """Keep documents per group until a TOKEN budget is exhausted (the
+    training-mix primitive: "N tokens per source", not "N documents" —
+    document lengths vary by orders of magnitude, so row quotas skew the
+    mix). Deterministic by ``order_col``; a document that would cross the
+    budget is excluded (strict cap) unless it is the group's first.
+
+    Same scale shape as quota_per_group: one hash shuffle on the group key,
+    one streaming window pass computing the running token sum — skewed
+    groups cost a sort, never memory."""
+    w = (Window.partitionBy(*group_cols).orderBy(F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (df.withColumn("_tok_before", before)
+            .where(F.col("_tok_before") < token_budget)
+            .drop("_tok_before"))

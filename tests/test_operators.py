@@ -357,3 +357,15 @@ def test_connected_components_property_random_graphs(spark):
         got = {r["node"]: r["component"] for r in connected_components(
             spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_token_budget_per_group(spark):
+    from iceberg_rust_spark.operators.sampling import token_budget_per_group
+    rows = [("a", 1, 40), ("a", 2, 40), ("a", 3, 40),   # budget 100: keep 1,2,3? 0<100,40<100,80<100 -> all; 4th at 120 out
+            ("a", 4, 40), ("b", 1, 500), ("b", 2, 10)]
+    df = spark.createDataFrame(rows, "src string, id long, tc long")
+    kept = token_budget_per_group(df, ["src"], 100, "tc", "id").collect()
+    got = {(r["src"], r["id"]) for r in kept}
+    # 'a': preceding sums 0,40,80,120 -> ids 1..3 kept; 'b': the first doc
+    # always survives even when it alone blows the budget, second is out
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("b", 1)}
