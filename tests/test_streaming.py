@@ -253,3 +253,32 @@ def test_merge_stream_upserts_exactly_once(spark, warehouse, tmp_path):
     t = t.refresh()
     assert len(t.metadata.snapshots) == n_snaps
     assert t.to_df(spark).count() == 4
+
+
+def test_merge_stream_sequence_col_picks_highest_version(spark, warehouse,
+                                                         tmp_path):
+    """Multi-version CDC batch: sequence_col makes the HIGHEST-sequence row
+    win deterministically (without it, dropDuplicates keeps an arbitrary
+    one)."""
+    from iceberg_rust_spark.streaming.sink import merge_stream
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    base = spark.createDataFrame([(1, 0, 100)], "id long, seq long, v long")
+    t = Table.create(warehouse, "db.merge_seq", schema_from_spark(base.schema))
+    t = t.append(spark, base)
+
+    src_dir = str(tmp_path / "seqsrc")
+    ckpt = str(tmp_path / "seqckpt")
+    # one batch, THREE versions of key 1 (out of order) + a new key
+    spark.createDataFrame([(1, 3, 303), (1, 5, 505), (1, 4, 404),
+                           (2, 1, 21)],
+                          "id long, seq long, v long").coalesce(1) \
+        .write.parquet(src_dir)
+    q = merge_stream(t, spark.readStream.schema("id long, seq long, v long")
+                     .parquet(src_dir), ["id"], ckpt, "q-seq",
+                     sequence_col="seq")
+    q.awaitTermination(120)
+    t = t.refresh()
+    got = {r["id"]: (r["seq"], r["v"]) for r in t.to_df(spark).collect()}
+    assert got == {1: (5, 505), 2: (1, 21)}
