@@ -111,6 +111,13 @@ _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
 # stored-procedure surface, Spark-Iceberg shape: CALL system.proc(args...)
 _CALL_RE = re.compile(r"^\s*CALL\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*$",
                       re.IGNORECASE | re.DOTALL)
+_DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$",
+                          re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$",
+                             re.IGNORECASE)
+_BRANCH_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$", re.IGNORECASE)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
@@ -242,6 +249,58 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     m = _CALL_RE.match(query)
     if m:
         return _run_procedure(spark, catalog, m.group(1).lower(), m.group(2))
+    m = _DESCRIBE_RE.match(query)
+    if m:
+        t = Table.load(catalog, m.group(1))
+        schema = t.metadata.schema()
+        part_by = {pf.source_id: repr(pf.transform)
+                   for pf in t.metadata.spec().fields}
+        rows = [(f.name, str(f.field_type), not f.required,
+                 part_by.get(f.field_id))
+                for f in schema.fields]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable boolean, "
+                  "partition_transform string")
+    m = _SHOW_CREATE_RE.match(query)
+    if m:
+        t = Table.load(catalog, m.group(1))
+        schema = t.metadata.schema()
+        cols = ",\n  ".join(
+            f"{f.name} {f.field_type}" + ("" if not f.required else " NOT NULL")
+            for f in schema.fields)
+        spec = t.metadata.spec()
+        src_name = {f.field_id: f.name for f in schema.fields}
+        parts = ", ".join(
+            (src_name[pf.source_id] if repr(pf.transform) == "identity"
+             else f"{repr(pf.transform).split('[')[0]}"
+                  f"({src_name[pf.source_id]})")
+            for pf in spec.fields)
+        ddl = f"CREATE TABLE {m.group(1)} (\n  {cols}\n)"
+        if parts:
+            ddl += f"\nPARTITIONED BY ({parts})"
+        props = ",\n  ".join(f"'{k}' = '{v}'"
+                             for k, v in sorted(t.metadata.properties.items()))
+        if props:
+            ddl += f"\nTBLPROPERTIES (\n  {props}\n)"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+    m = _BRANCH_TAG_RE.match(query)
+    if m:
+        ident, action, kind, name, ver = (m.group(1), m.group(2).upper(),
+                                          m.group(3).lower(), m.group(4),
+                                          m.group(5))
+        t = Table.load(catalog, ident)
+        if action == "CREATE":
+            snap_id = (int(ver) if ver
+                       else t.metadata.current_snapshot_id)
+            if snap_id is None:
+                raise ValueError(f"{ident} has no snapshot to {kind}")
+            t.set_ref(name, snap_id, ref_type=kind)
+        else:
+            if name not in t.metadata.refs:
+                raise ValueError(f"no {kind} named {name}")
+            t.commit_updates([{"action": "remove-snapshot-ref",
+                               "ref-name": name}], [])
+        return spark.createDataFrame([(name, kind)], "ref string, type string")
     m = _CREATE_VIEW_RE.match(query)
     if m:
         replace, ident, view_sql = bool(m.group(1)), m.group(2), m.group(3)

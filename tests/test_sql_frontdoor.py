@@ -519,3 +519,51 @@ def test_sql_view_ddl_and_add_files(spark, warehouse, tmp_path):
                   ).collect()[0]
     assert out["added_files_count"] >= 1
     assert Table.load(warehouse, "db.vsrc").to_df(spark).count() == 27
+
+
+def test_describe_show_create_and_branch_ddl(spark, warehouse):
+    """DESCRIBE / SHOW CREATE TABLE / ALTER TABLE CREATE|DROP BRANCH/TAG."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+
+    df = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 1))], "id long, s string, ts timestamp")
+    sch = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        sch.field_by_name("ts").field_id, 1000, "ts_month",
+        parse_transform("month"))])
+    t = Table.create(warehouse, "db.ddlinfo", sch, spec,
+                     properties={"write.target-file-size-bytes": "1048576"})
+    t = t.append(spark, df)
+
+    desc = {r["col_name"]: r for r in
+            run_sql(spark, warehouse, "DESCRIBE db.ddlinfo").collect()}
+    assert desc["id"]["data_type"] == "long"
+    assert desc["ts"]["partition_transform"] == "month"
+    assert desc["s"]["partition_transform"] is None
+
+    ddl = run_sql(spark, warehouse, "SHOW CREATE TABLE db.ddlinfo") \
+        .collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (month(ts))" in ddl
+    assert "'write.target-file-size-bytes' = '1048576'" in ddl
+
+    run_sql(spark, warehouse, "ALTER TABLE db.ddlinfo CREATE BRANCH audit")
+    snap = t.refresh().metadata.current_snapshot_id
+    run_sql(spark, warehouse,
+            f"ALTER TABLE db.ddlinfo CREATE TAG v1 AS OF VERSION {snap}")
+    t = Table.load(warehouse, "db.ddlinfo")
+    assert t.metadata.refs["audit"].type == "branch"
+    assert t.metadata.refs["v1"].type == "tag"
+    # branch readable through the ref-name time travel
+    n = run_sql(spark, warehouse,
+                "SELECT count(*) AS n FROM db.ddlinfo "
+                "FOR VERSION AS OF 'audit'").collect()[0]["n"]
+    assert n == 1
+    run_sql(spark, warehouse, "ALTER TABLE db.ddlinfo DROP TAG v1")
+    assert "v1" not in Table.load(warehouse, "db.ddlinfo").metadata.refs
+    with _pytest.raises(ValueError, match="no tag"):
+        run_sql(spark, warehouse, "ALTER TABLE db.ddlinfo DROP TAG nope")
