@@ -180,6 +180,17 @@ _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.*?)\s+ON\s+([\w,\s]+)$",
     re.IGNORECASE | re.DOTALL)
+# full-clause MERGE (Spark-Iceberg grammar subset): WHEN MATCHED [AND c]
+# THEN UPDATE SET ... | DELETE, WHEN NOT MATCHED THEN INSERT *
+_MERGE_WHEN_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+    r"\s+USING\s+(.*?)\s+ON\s+(.*?)"
+    r"((?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*)+)$",
+    re.IGNORECASE | re.DOTALL)
+_WHEN_CLAUSE_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+    re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
@@ -508,6 +519,9 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.delete_where(spark, pred)
         return spark.createDataFrame([(n,)], "deleted_rows long")
 
+    m = _MERGE_WHEN_RE.match(query)
+    if m:
+        return _run_merge_when(spark, catalog, scan_filters, m)
     m = _MERGE_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -686,3 +700,115 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             [(prev, int(args[1]))],
             "previous_snapshot_id long, current_snapshot_id long")
     raise ValueError(f"unknown procedure: system.{proc}")
+
+
+def _run_merge_when(spark: SparkSession, catalog: FileSystemCatalog,
+                    scan_filters, m: "re.Match") -> DataFrame:
+    """Full-clause MERGE (Spark-Iceberg grammar subset):
+
+        MERGE INTO tgt [AS t] USING (<select>|table) [AS s]
+        ON t.k = s.k [AND ...]          -- or a bare same-name key list
+        [WHEN MATCHED [AND <cond>] THEN DELETE]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+        [WHEN NOT MATCHED THEN INSERT *]
+
+    Clauses apply IN ORDER, first match wins per row (standard MERGE
+    semantics). Commit is ONE snapshot: equality deletes for every matched
+    key a clause touched + data files for updated rows and inserts (the
+    same atomic shape as Table.merge)."""
+    import pyspark.sql.functions as F
+
+    from .table import Table as _Table
+
+    target, t_alias, source_part, on_str, clauses_str = (
+        m.group(1), m.group(2) or "t", m.group(3), m.group(4), m.group(5))
+
+    # source: "(select ...)" or "(select ...) [AS] s" or "ns.tbl [AS] s"
+    s_alias = "s"
+    sp = source_part.strip()
+    am = re.match(r"^(.*\))\s+(?:AS\s+)?(\w+)$", sp, re.DOTALL)
+    if am:
+        sp, s_alias = am.group(1), am.group(2)
+    else:
+        am = re.match(r"^([\w.]+)\s+(?:AS\s+)?(\w+)$", sp)
+        if am:
+            sp, s_alias = am.group(1), am.group(2)
+    if sp.startswith("(") and sp.endswith(")"):
+        sp = sp[1:-1]
+    src = run_sql(spark, catalog, sp, scan_filters)
+
+    # ON: "a.k = b.k AND ..." or bare "k1, k2"
+    pairs = []
+    if "=" in on_str:
+        for part in re.split(r"\s+AND\s+", on_str.strip(), flags=re.IGNORECASE):
+            em = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part)
+            if not em:
+                raise ValueError(f"unsupported MERGE ON term: {part!r}")
+            la, lk, ra, rk = em.groups()
+            if la == t_alias:
+                pairs.append((lk, rk))
+            elif ra == t_alias:
+                pairs.append((rk, lk))
+            else:
+                raise ValueError(f"MERGE ON term references unknown alias: "
+                                 f"{part!r}")
+    else:
+        pairs = [(k.strip(), k.strip()) for k in on_str.split(",")
+                 if k.strip()]
+
+    t = _Table.load(catalog, target)
+    tcols = [f.name for f in t.metadata.schema().fields]
+    tgt_df = t.to_df(spark).alias(t_alias)
+    src_df = src.alias(s_alias)
+    join_cond = F.expr(" AND ".join(
+        f"{t_alias}.{tk} = {s_alias}.{sk}" for tk, sk in pairs))
+    matched = tgt_df.join(src_df, join_cond, "inner")
+
+    remaining = F.lit(True)
+    touched = F.lit(False)
+    data_parts = []
+    saw_insert = False
+    for wm in _WHEN_CLAUSE_RE.finditer(clauses_str):
+        negated, cond_sql, action = wm.group(1), wm.group(2), wm.group(3)
+        action_u = action.strip().upper()
+        if negated:
+            if not action_u.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports INSERT *")
+            saw_insert = True
+            continue
+        cond = F.expr(cond_sql) if cond_sql else F.lit(True)
+        eff = remaining & cond
+        if action_u == "DELETE":
+            touched = touched | eff
+        elif action_u.startswith("UPDATE"):
+            set_sql = re.sub(r"^UPDATE\s+SET\s+", "", action.strip(),
+                             flags=re.IGNORECASE)
+            assigns = _split_assignments(set_sql)
+            rows = matched.where(eff).select(
+                *[F.expr(assigns.get(c, f"{t_alias}.{c}")).alias(c)
+                  for c in tcols])
+            data_parts.append(rows)
+            touched = touched | eff
+        else:
+            raise ValueError(f"unsupported MERGE action: {action!r}")
+        remaining = remaining & ~cond
+
+    key_cols = [tk for tk, _ in pairs]
+    touched_keys = (matched.where(touched)
+                    .select(*[F.col(f"{t_alias}.{tk}").alias(tk)
+                              for tk in key_cols]).dropDuplicates())
+    if saw_insert:
+        ins = (src_df.join(tgt_df, join_cond, "left_anti")
+               .select(*[F.col(f"{s_alias}.{c}").alias(c) for c in tcols]))
+        data_parts.append(ins)
+    if data_parts:
+        data = data_parts[0]
+        for p in data_parts[1:]:
+            data = data.unionByName(p)
+    else:
+        data = spark.createDataFrame([], t.metadata.schema().to_spark())
+    t.merge(spark, data, key_cols, delete_keys_df=touched_keys)
+    n_del = touched_keys.count()
+    n_data = data.count()
+    return spark.createDataFrame(
+        [(n_del, n_data)], "touched_keys long, written_rows long")

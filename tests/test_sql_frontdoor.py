@@ -567,3 +567,35 @@ def test_describe_show_create_and_branch_ddl(spark, warehouse):
     assert "v1" not in Table.load(warehouse, "db.ddlinfo").metadata.refs
     with _pytest.raises(ValueError, match="no tag"):
         run_sql(spark, warehouse, "ALTER TABLE db.ddlinfo DROP TAG nope")
+
+
+def test_merge_with_when_clauses(spark, warehouse):
+    """Full-clause MERGE: conditional DELETE, conditional UPDATE with
+    source-referencing assignments, NOT MATCHED INSERT * — first match
+    wins, one snapshot."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, k string, v long")
+    t = Table.create(warehouse, "db.mw", schema_from_spark(base.schema))
+    t = t.append(spark, base)
+    # source: id1 flagged for delete (v<0), id2 update, id9 new, id3 update
+    src = spark.createDataFrame(
+        [(1, "x", -1), (2, "B", 200), (3, "C", 300), (9, "n", 90)],
+        "id long, k string, v long")
+    src.createOrReplaceTempView("mw_src")
+
+    out = run_sql(spark, warehouse, """
+        MERGE INTO db.mw AS t USING (SELECT * FROM mw_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v + t.v
+        WHEN NOT MATCHED THEN INSERT *""").collect()[0]
+    assert out["touched_keys"] == 3   # ids 1 (delete), 2, 3 (update)
+
+    got = {r["id"]: (r["k"], r["v"]) for r in
+           Table.load(warehouse, "db.mw").to_df(spark).collect()}
+    assert got == {2: ("B", 220), 3: ("C", 330),
+                   4: ("d", 40), 9: ("n", 90)}   # 1 deleted, 4 untouched
+
+    # snapshot count: exactly one commit for the whole MERGE
+    assert len(Table.load(warehouse, "db.mw").metadata.snapshots) == 2
