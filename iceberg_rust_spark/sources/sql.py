@@ -188,7 +188,7 @@ _MERGE_WHEN_RE = re.compile(
     r"((?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*)+)$",
     re.IGNORECASE | re.DOTALL)
 _WHEN_CLAUSE_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.*?))?\s+THEN\s+"
     r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
@@ -768,9 +768,34 @@ def _run_merge_when(spark: SparkSession, catalog: FileSystemCatalog,
     touched = F.lit(False)
     data_parts = []
     saw_insert = False
+    # WHEN NOT MATCHED BY SOURCE acts on TARGET rows with no source match
+    unmatched_tgt = tgt_df.join(src_df, join_cond, "left_anti")
+    by_source_remaining = F.lit(True)
+    by_source_touched = F.lit(False)
+    by_source_updates = []
     for wm in _WHEN_CLAUSE_RE.finditer(clauses_str):
-        negated, cond_sql, action = wm.group(1), wm.group(2), wm.group(3)
+        negated, by_source, cond_sql, action = (wm.group(1), wm.group(2),
+                                                wm.group(3), wm.group(4))
         action_u = action.strip().upper()
+        if negated and by_source:
+            cond = F.expr(cond_sql) if cond_sql else F.lit(True)
+            eff = by_source_remaining & cond
+            if action_u == "DELETE":
+                by_source_touched = by_source_touched | eff
+            elif action_u.startswith("UPDATE"):
+                set_sql = re.sub(r"^UPDATE\s+SET\s+", "", action.strip(),
+                                 flags=re.IGNORECASE)
+                assigns = _split_assignments(set_sql)
+                rows = unmatched_tgt.where(eff).select(
+                    *[F.expr(assigns.get(c, f"{t_alias}.{c}")).alias(c)
+                      for c in tcols])
+                by_source_updates.append(rows)
+                by_source_touched = by_source_touched | eff
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE/UPDATE")
+            by_source_remaining = by_source_remaining & ~cond
+            continue
         if negated:
             if not action_u.startswith("INSERT"):
                 raise ValueError("WHEN NOT MATCHED supports INSERT *")
@@ -797,6 +822,11 @@ def _run_merge_when(spark: SparkSession, catalog: FileSystemCatalog,
     touched_keys = (matched.where(touched)
                     .select(*[F.col(f"{t_alias}.{tk}").alias(tk)
                               for tk in key_cols]).dropDuplicates())
+    bs_keys = (unmatched_tgt.where(by_source_touched)
+               .select(*[F.col(f"{t_alias}.{tk}").alias(tk)
+                         for tk in key_cols]).dropDuplicates())
+    touched_keys = touched_keys.unionByName(bs_keys).dropDuplicates()
+    data_parts.extend(by_source_updates)
     if saw_insert:
         ins = (src_df.join(tgt_df, join_cond, "left_anti")
                .select(*[F.col(f"{s_alias}.{c}").alias(c) for c in tcols]))

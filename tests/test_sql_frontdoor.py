@@ -599,3 +599,24 @@ def test_merge_with_when_clauses(spark, warehouse):
 
     # snapshot count: exactly one commit for the whole MERGE
     assert len(Table.load(warehouse, "db.mw").metadata.snapshots) == 2
+
+
+def test_merge_not_matched_by_source(spark, warehouse):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: full-sync MERGE removes
+    target rows absent from the source."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long")
+    t = Table.create(warehouse, "db.msync", schema_from_spark(base.schema))
+    t = t.append(spark, base)
+    spark.createDataFrame([(2, 200), (4, 40)], "id long, v long") \
+        .createOrReplaceTempView("msync_src")
+
+    run_sql(spark, warehouse, """
+        MERGE INTO db.msync AS t USING (SELECT * FROM msync_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    got = {r["id"]: r["v"] for r in
+           Table.load(warehouse, "db.msync").to_df(spark).collect()}
+    assert got == {2: 200, 4: 40}  # 1 and 3 deleted, 2 updated, 4 inserted
