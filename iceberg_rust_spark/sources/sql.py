@@ -177,6 +177,8 @@ _CTAS_RE = re.compile(r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.*)$",
                       re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$",
                         re.IGNORECASE | re.DOTALL)
+_DELETE_ALL_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*$",
+                            re.IGNORECASE)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.*?)\s+ON\s+([\w,\s]+)$",
     re.IGNORECASE | re.DOTALL)
@@ -192,7 +194,7 @@ _WHEN_CLAUSE_RE = re.compile(
     r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -505,6 +507,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t = _Table.create(catalog, target, schema_from_spark(df.schema))
         t.append(spark, df)
         return df
+    m = _DELETE_ALL_RE.match(query)
+    if m:
+        # DELETE without WHERE = truncate semantics (one replace snapshot)
+        from .table import Table as _Table
+        t = _Table.load(catalog, m.group(1))
+        n = t.to_df(spark).count()
+        t._commit_retry(lambda md: t._snapshot_update(
+            md, "delete", remove_all=True))
+        return spark.createDataFrame([(n,)], "deleted_rows long")
     m = _DELETE_RE.match(query)
     if m:
         from ..plans.sql_pred import sql_to_predicate
@@ -541,7 +552,9 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         from .table import Table as _Table
 
         target, set_clause, where_sql = m.group(1), m.group(2), m.group(3)
-        pred = sql_to_predicate(where_sql)
+        # UPDATE without WHERE touches every row
+        pred = (sql_to_predicate(where_sql) if where_sql
+                else E.ALWAYS_TRUE)
         assignments = _split_assignments(set_clause)
         t = _Table.load(catalog, target)
         n = t.scan(row_filter=pred).to_df(spark) \

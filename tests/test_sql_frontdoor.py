@@ -620,3 +620,19 @@ def test_merge_not_matched_by_source(spark, warehouse):
     got = {r["id"]: r["v"] for r in
            Table.load(warehouse, "db.msync").to_df(spark).collect()}
     assert got == {2: 200, 4: 40}  # 1 and 3 deleted, 2 updated, 4 inserted
+
+
+def test_delete_and_update_without_where(spark, warehouse):
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                               "id long, v long")
+    t = Table.create(warehouse, "db.nowhere", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    out = run_sql(spark, warehouse,
+                  "UPDATE db.nowhere SET v = v + 1").collect()[0]
+    assert out["updated_rows"] == 10
+    got = {r["id"]: r["v"] for r in
+           Table.load(warehouse, "db.nowhere").to_df(spark).collect()}
+    assert got == {i: i * 2 + 1 for i in range(10)}
+    out = run_sql(spark, warehouse, "DELETE FROM db.nowhere").collect()[0]
+    assert out["deleted_rows"] == 10
+    assert Table.load(warehouse, "db.nowhere").to_df(spark).count() == 0
