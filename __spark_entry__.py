@@ -58,7 +58,7 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
-_WH_VERSION = 3  # bump when the fixture set changes to invalidate the cache
+_WH_VERSION = 4  # bump when the fixture set changes to invalidate the cache
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
@@ -117,6 +117,13 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
     t = Table.create(cat, "db.orders_tt", s)
     t.append(spark, orders.where(F.col("o_orderkey") % 2 == 0))
     t.append(spark, orders.where(F.col("o_orderkey") % 2 == 1))
+
+    # 5b. branch (WAP) fixture: main holds even keys; branch 'audit' stages
+    # the odd keys on top — main must stay untouched
+    t = Table.create(cat, "db.orders_branch", schema_from_spark(orders.schema))
+    t = t.append(spark, orders.where(F.col("o_orderkey") % 2 == 0))
+    t.append(spark, orders.where(F.col("o_orderkey") % 2 == 1),
+             branch="audit")
 
     # 6. copy-on-write delete of o_orderstatus = 'F'
     t = Table.create(cat, "db.orders_delcow", schema_from_spark(orders.schema))
@@ -332,6 +339,17 @@ def q_iceberg_incremental(spark, sf_dir):
     df = t.incremental_scan(first.snapshot_id).to_df(spark)
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_branch_read(spark, sf_dir):
+    """WAP: scan(ref='audit') sees staged+carried rows (ALL orders), while
+    main still holds only the even keys — both checked in one result."""
+    t = _ice(spark, sf_dir, "orders_branch")
+    branch = t.scan(ref="audit").to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))         .withColumn("side", F.lit("audit"))
+    main = t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))         .withColumn("side", F.lit("main"))
+    return branch.unionByName(main)
 
 
 def q_iceberg_delete_cow(spark, sf_dir):
@@ -1067,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_branch_read": q_iceberg_branch_read,
         "iceberg_delete_cow": q_iceberg_delete_cow,
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_cdc_net": q_iceberg_cdc_net,
@@ -1196,6 +1215,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus""",
+        "iceberg_branch_read": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')},
+                   'audit' AS side
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')},
+                   'main' AS side
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""",
         "iceberg_delete_cow": f"""
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
