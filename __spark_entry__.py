@@ -58,7 +58,7 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
-_WH_VERSION = 4  # bump when the fixture set changes to invalidate the cache
+_WH_VERSION = 5  # bump when the fixture set changes to invalidate the cache
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
@@ -124,6 +124,42 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
     t = t.append(spark, orders.where(F.col("o_orderkey") % 2 == 0))
     t.append(spark, orders.where(F.col("o_orderkey") % 2 == 1),
              branch="audit")
+
+    # 5c. NESTED schema-evolution fixture: v1 = struct<st, amt> on even
+    # keys; evolve info by field id (reorder + rename amt->amount + add
+    # disc); v2 files written under the new shape on odd keys
+    from iceberg_rust_spark.sources.types import (DOUBLE, NestedField as _NF,
+                                                  Schema as _ISchema,
+                                                  StructType as _IStruct)
+    v1df = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("st"),
+                 F.col("o_totalprice").alias("amt")).alias("info"))
+    s1 = schema_from_spark(v1df.schema)
+    t = Table.create(cat, "db.orders_nested", s1)
+    t = t.append(spark, v1df)
+    info_t = s1.field_by_name("info").field_type
+    nids = {f.name: f.field_id for f in info_t.fields}
+    styp = {f.name: f.field_type for f in info_t.fields}
+    s2 = _ISchema([
+        _NF(s1.field_by_name("o_orderkey").field_id, "o_orderkey",
+            s1.field_by_name("o_orderkey").field_type,
+            s1.field_by_name("o_orderkey").required),
+        _NF(s1.field_by_name("info").field_id, "info", _IStruct((
+            _NF(nids["amt"], "amount", styp["amt"]),
+            _NF(nids["st"], "st", styp["st"]),
+            _NF(s1.highest_field_id + 1, "disc", DOUBLE),
+        ))),
+    ], schema_id=1)
+    t.commit_updates([{"action": "add-schema", "schema": s2},
+                      {"action": "set-current-schema", "schema-id": -1}], [])
+    t.refresh()
+    v2df = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.struct(F.col("o_totalprice").alias("amount"),
+                 F.col("o_orderstatus").alias("st"),
+                 (F.col("o_totalprice") * 0.1).alias("disc")).alias("info"))
+    t.append(spark, v2df)
 
     # 6. copy-on-write delete of o_orderstatus = 'F'
     t = Table.create(cat, "db.orders_delcow", schema_from_spark(orders.schema))
@@ -350,6 +386,18 @@ def q_iceberg_branch_read(spark, sf_dir):
     main = t.to_df(spark).groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))         .withColumn("side", F.lit("main"))
     return branch.unionByName(main)
+
+
+def q_iceberg_nested_evolution(spark, sf_dir):
+    """Nested field-id projection across schema versions: v1 files carry
+    struct<st, amt>; the current schema reordered + renamed amt->amount and
+    added disc — reads must pair nested fields BY ID, not position."""
+    t = _ice(spark, sf_dir, "orders_nested")
+    d = t.to_df(spark)
+    return d.groupBy(F.col("info.st").alias("st")).agg(
+        F.count("*").alias("n"),
+        _sum_dec("info.amount", "sum_amount"),
+        F.count("info.disc").alias("n_disc"))
 
 
 def q_iceberg_delete_cow(spark, sf_dir):
@@ -1086,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "iceberg_branch_read": q_iceberg_branch_read,
+        "iceberg_nested_evolution": q_iceberg_nested_evolution,
         "iceberg_delete_cow": q_iceberg_delete_cow,
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_cdc_net": q_iceberg_cdc_net,
@@ -1215,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus""",
+        "iceberg_nested_evolution": f"""
+            SELECT o_orderstatus AS st, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_amount')},
+                   CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_disc
+            FROM orders GROUP BY o_orderstatus""",
         "iceberg_branch_read": f"""
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')},
