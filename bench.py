@@ -22,7 +22,8 @@ from iceberg_rust_spark.session import get_spark
 BENCH_QUERIES = [
     "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
-    "iceberg_merge", "iceberg_compaction",
+    "iceberg_merge", "iceberg_compaction", "iceberg_branch_read",
+    "iceberg_nested_evolution", "iceberg_cdc_net",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q7_nation_volume", "q8_market_share", "q9_nation_profit",
     "q10_returned_items", "q14_promo_revenue",
