@@ -773,6 +773,15 @@ def _run_merge_when(spark: SparkSession, catalog: FileSystemCatalog,
     tcols = [f.name for f in t.metadata.schema().fields]
     tgt_df = t.to_df(spark).alias(t_alias)
     src_df = src.alias(s_alias)
+    # cardinality guard (standard MERGE semantics, same error Spark raises):
+    # several source rows matching one target row would silently write
+    # duplicates — refuse instead
+    dup = (src_df.groupBy(*[F.col(f"{s_alias}.{sk}") for _, sk in pairs])
+           .count().where(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "MERGE cardinality violation: multiple source rows share a join "
+            "key; aggregate the source first")
     join_cond = F.expr(" AND ".join(
         f"{t_alias}.{tk} = {s_alias}.{sk}" for tk, sk in pairs))
     matched = tgt_df.join(src_df, join_cond, "inner")

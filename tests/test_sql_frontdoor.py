@@ -636,3 +636,17 @@ def test_delete_and_update_without_where(spark, warehouse):
     out = run_sql(spark, warehouse, "DELETE FROM db.nowhere").collect()[0]
     assert out["deleted_rows"] == 10
     assert Table.load(warehouse, "db.nowhere").to_df(spark).count() == 0
+
+
+def test_merge_cardinality_violation(spark, warehouse):
+    import pytest as _pytest
+    base = spark.createDataFrame([(1, 10)], "id long, v long")
+    t = Table.create(warehouse, "db.mcard", schema_from_spark(base.schema))
+    t.append(spark, base)
+    spark.createDataFrame([(1, 1), (1, 2)], "id long, v long") \
+        .createOrReplaceTempView("mcard_src")
+    with _pytest.raises(ValueError, match="cardinality"):
+        run_sql(spark, warehouse, """
+            MERGE INTO db.mcard AS t USING (SELECT * FROM mcard_src) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET v = s.v""")
