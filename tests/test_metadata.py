@@ -126,3 +126,23 @@ def test_manifest_list_roundtrip(tmp_path):
     assert m2.manifest_path == mf.manifest_path
     assert m2.partitions["day_day"].upper == 18100
     assert m2.partitions["day_day"].contains_null is False
+
+
+def test_schema_invariants():
+    """Schema construction rules (spec/schema builder parity): duplicate
+    field ids anywhere in the tree raise; name index covers nested paths."""
+    import pytest
+
+    from iceberg_rust_spark.sources.types import (INT, LONG, STRING,
+                                                  NestedField, Schema,
+                                                  StructType)
+    with pytest.raises(ValueError, match="duplicate"):
+        Schema([NestedField(1, "a", LONG), NestedField(1, "b", STRING)])
+    # nested id collision with a top-level id
+    with pytest.raises(ValueError, match="duplicate"):
+        Schema([NestedField(1, "a", LONG),
+                NestedField(2, "s", StructType((NestedField(1, "x", INT),)))])
+    s = Schema([NestedField(1, "a", LONG),
+                NestedField(2, "s", StructType((NestedField(3, "x", INT),)))])
+    assert s.field_by_id(3).name == "x"
+    assert s.highest_field_id >= 3
