@@ -184,3 +184,23 @@ def test_dv_decode_executor_path(spark, warehouse, monkeypatch):
     deletes = changes_df(spark, t).where(F.col("_change_type") == "delete")
     assert sorted(r["id"] for r in deletes.collect()) == \
         sorted(r["id"] for r in df.where(F.col("g") == 1).collect())
+
+
+def test_dv_positions_lru_reused_across_scans(spark, warehouse):
+    """The cross-scan DV decode LRU must serve repeat queries without
+    re-decoding (the r2 bench regression root cause)."""
+    from iceberg_rust_spark.sources import scan as scan_mod
+
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    t = Table.create(warehouse, "db.dvlru", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 3, mode="dv")
+
+    scan_mod._dv_positions.cache_clear()
+    assert t.to_df(spark).count() == 150
+    info1 = scan_mod._dv_positions.cache_info()
+    assert info1.misses >= 1
+    assert t.to_df(spark).count() == 150   # second scan: all hits
+    info2 = scan_mod._dv_positions.cache_info()
+    assert info2.misses == info1.misses
+    assert info2.hits > info1.hits
