@@ -516,11 +516,22 @@ class Table:
             m, "replace", added=added, removed_paths=set(paths)))
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
-                         retain_last: int = 1) -> "Table":
+                         retain_last: Optional[int] = None) -> "Table":
         """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86
-        semantics): age + retain-last, never expiring ref heads."""
+        semantics): age + retain-last, never expiring ref heads. When the
+        arguments are omitted, the standard retention table properties apply:
+        ``history.expire.max-snapshot-age-ms`` (cutoff = now - age) and
+        ``history.expire.min-snapshots-to-keep``."""
         def action(md: TableMetadata) -> TableMetadata:
-            cutoff = older_than_ms if older_than_ms is not None else now_ms()
+            nonlocal older_than_ms, retain_last
+            if older_than_ms is None:
+                age = md.properties.get("history.expire.max-snapshot-age-ms")
+                older_than_ms = (now_ms() - int(age)) if age else now_ms()
+            if retain_last is None:
+                keep = md.properties.get(
+                    "history.expire.min-snapshots-to-keep")
+                retain_last = int(keep) if keep else 1
+            cutoff = older_than_ms
             keep_ids = {r.snapshot_id for r in md.refs.values()}
             if md.current_snapshot_id is not None:
                 keep_ids.add(md.current_snapshot_id)

@@ -134,3 +134,24 @@ def test_zorder_rewrite_partitioned_table(spark, warehouse):
     got = t.scan(row_filter=pa_).to_df(spark) \
         .where("a >= 1000 and a < 1500").count()
     assert got == 500
+
+
+def test_expire_snapshots_property_defaults(spark, warehouse):
+    """history.expire.{max-snapshot-age-ms,min-snapshots-to-keep} drive
+    no-arg expire_snapshots (standard Iceberg retention properties)."""
+    df = spark.range(0, 10).select(F.col("id"))
+    t = Table.create(warehouse, "db.expprops", schema_from_spark(df.schema),
+                     properties={
+                         "history.expire.max-snapshot-age-ms": "86400000",
+                         "history.expire.min-snapshots-to-keep": "3"})
+    for lo in range(0, 10, 2):
+        t = t.append(spark, df.where((F.col("id") >= lo)
+                                     & (F.col("id") < lo + 2)))
+    assert len(t.metadata.snapshots) == 5
+    # every snapshot is younger than 1 day -> age keeps all of them
+    t = t.expire_snapshots()
+    assert len(t.metadata.snapshots) == 5
+    # explicit now-cutoff overrides the age property; min-keep property holds 3
+    from iceberg_rust_spark.sources.metadata import now_ms
+    t = t.expire_snapshots(older_than_ms=now_ms() + 1000)
+    assert len(t.metadata.snapshots) == 3
