@@ -673,7 +673,7 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             "rewritten_data_files_count int, added_data_files_count int")
     if proc == "expire_snapshots":
         older = int(args[1]) if len(args) > 1 else None
-        retain = int(args[2]) if len(args) > 2 else 1
+        retain = int(args[2]) if len(args) > 2 else None
         n_before = len(t.metadata.snapshots)
         t = t.expire_snapshots(older_than_ms=older, retain_last=retain)
         return spark.createDataFrame(
