@@ -258,16 +258,22 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
         md.snapshots.append(snap)
         md.last_sequence_number = max(md.last_sequence_number,
                                       snap.sequence_number)
-        md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
-                                "snapshot-id": snap.snapshot_id})
     elif action == "set-snapshot-ref":
         name = upd["ref-name"]
         snap_id = upd["snapshot-id"]
-        if md.snapshot_by_id(snap_id) is None:
+        snap = md.snapshot_by_id(snap_id)
+        if snap is None:
             raise InvalidUpdate(f"ref {name} -> unknown snapshot {snap_id}")
         md.refs[name] = SnapshotRef(snap_id, upd.get("type", "branch"))
         if name == "main":
+            # the snapshot LOG is the MAIN branch's current-snapshot history
+            # (table_metadata_builder.rs test_set_branch_snapshot_* family):
+            # adding a snapshot to a side branch must not log; re-pointing
+            # main does — stamped with the snapshot's own timestamp so
+            # diff->apply round-trips byte-identically with the write path
             md.current_snapshot_id = snap_id
+            md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                                    "snapshot-id": snap_id})
     elif action == "remove-snapshots":
         ids = set(upd["snapshot-ids"])
         still_ref = {r.snapshot_id for r in md.refs.values()}

@@ -317,3 +317,30 @@ def test_add_partition_spec_v1_requires_sequential_ids():
     md2 = _bucket_md(format_version=2)
     out = apply_updates(md2, [{"action": "add-spec", "spec": gap}])
     assert len(out.partition_specs) == 2
+
+
+def test_snapshot_log_tracks_main_only():
+    """Branch-targeted commits must NOT enter the snapshot log; main
+    re-points do (builder set_branch_snapshot semantics)."""
+    md = _md()
+    s1 = Snapshot(snapshot_id=11, sequence_number=1, timestamp_ms=1000,
+                  manifest_list="ml1", summary={"operation": "append"})
+    s2 = Snapshot(snapshot_id=22, sequence_number=2, timestamp_ms=2000,
+                  manifest_list="ml2", summary={"operation": "append"},
+                  parent_snapshot_id=11)
+    out = apply_updates(md, [
+        {"action": "add-snapshot", "snapshot": s1},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "snapshot-id": 11},
+        {"action": "add-snapshot", "snapshot": s2},
+        {"action": "set-snapshot-ref", "ref-name": "audit",
+         "snapshot-id": 22, "type": "branch"},
+    ])
+    assert [e["snapshot-id"] for e in out.snapshot_log] == [11]
+    assert out.current_snapshot_id == 11
+    assert out.refs["audit"].snapshot_id == 22
+    # fast-forwarding main to the branch head logs it
+    out2 = apply_updates(out, [{"action": "set-snapshot-ref",
+                                "ref-name": "main", "snapshot-id": 22}])
+    assert [e["snapshot-id"] for e in out2.snapshot_log] == [11, 22]
+    assert out2.snapshot_log[-1]["timestamp-ms"] == 2000
