@@ -70,8 +70,11 @@ def token_budget_per_group(df: DataFrame, group_cols: List[str],
     """Keep documents per group until a TOKEN budget is exhausted (the
     training-mix primitive: "N tokens per source", not "N documents" —
     document lengths vary by orders of magnitude, so row quotas skew the
-    mix). Deterministic by ``order_col``; a document that would cross the
-    budget is excluded (strict cap) unless it is the group's first.
+    mix). Deterministic by ``order_col``; SOFT cap: a document is kept while
+    the running sum of the documents BEFORE it is under budget, so the first
+    budget-crossing document is included and a group may exceed
+    ``token_budget`` by at most one document's tokens (guarantees every
+    group with data contributes at least one document).
 
     Same scale shape as quota_per_group: one hash shuffle on the group key,
     one streaming window pass computing the running token sum — skewed

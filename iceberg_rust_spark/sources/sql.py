@@ -264,38 +264,50 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         return _run_procedure(spark, catalog, m.group(1).lower(), m.group(2))
     m = _DESCRIBE_RE.match(query)
     if m:
-        t = Table.load(catalog, m.group(1))
-        schema = t.metadata.schema()
-        part_by = {pf.source_id: repr(pf.transform)
-                   for pf in t.metadata.spec().fields}
-        rows = [(f.name, str(f.field_type), not f.required,
-                 part_by.get(f.field_id))
-                for f in schema.fields]
-        return spark.createDataFrame(
-            rows, "col_name string, data_type string, nullable boolean, "
-                  "partition_transform string")
+        # a view / temp view / non-Iceberg relation is not in the catalog:
+        # fall through to spark.sql like other unmatched statements
+        try:
+            t = Table.load(catalog, m.group(1))
+        except NoSuchTable:
+            t = None
+        if t is not None:
+            schema = t.metadata.schema()
+            part_by = {pf.source_id: repr(pf.transform)
+                       for pf in t.metadata.spec().fields}
+            rows = [(f.name, str(f.field_type), not f.required,
+                     part_by.get(f.field_id))
+                    for f in schema.fields]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, nullable boolean, "
+                      "partition_transform string")
     m = _SHOW_CREATE_RE.match(query)
     if m:
-        t = Table.load(catalog, m.group(1))
-        schema = t.metadata.schema()
-        cols = ",\n  ".join(
-            f"{f.name} {f.field_type}" + ("" if not f.required else " NOT NULL")
-            for f in schema.fields)
-        spec = t.metadata.spec()
-        src_name = {f.field_id: f.name for f in schema.fields}
-        parts = ", ".join(
-            (src_name[pf.source_id] if repr(pf.transform) == "identity"
-             else f"{repr(pf.transform).split('[')[0]}"
-                  f"({src_name[pf.source_id]})")
-            for pf in spec.fields)
-        ddl = f"CREATE TABLE {m.group(1)} (\n  {cols}\n)"
-        if parts:
-            ddl += f"\nPARTITIONED BY ({parts})"
-        props = ",\n  ".join(f"'{k}' = '{v}'"
-                             for k, v in sorted(t.metadata.properties.items()))
-        if props:
-            ddl += f"\nTBLPROPERTIES (\n  {props}\n)"
-        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+        try:
+            t = Table.load(catalog, m.group(1))
+        except NoSuchTable:
+            t = None  # view / non-Iceberg relation: defer to spark.sql
+        if t is not None:
+            schema = t.metadata.schema()
+            cols = ",\n  ".join(
+                f"{f.name} {f.field_type}"
+                + ("" if not f.required else " NOT NULL")
+                for f in schema.fields)
+            spec = t.metadata.spec()
+            src_name = {f.field_id: f.name for f in schema.fields}
+            parts = ", ".join(
+                (src_name[pf.source_id] if repr(pf.transform) == "identity"
+                 else f"{repr(pf.transform).split('[')[0]}"
+                      f"({src_name[pf.source_id]})")
+                for pf in spec.fields)
+            ddl = f"CREATE TABLE {m.group(1)} (\n  {cols}\n)"
+            if parts:
+                ddl += f"\nPARTITIONED BY ({parts})"
+            props = ",\n  ".join(
+                f"'{k}' = '{v}'"
+                for k, v in sorted(t.metadata.properties.items()))
+            if props:
+                ddl += f"\nTBLPROPERTIES (\n  {props}\n)"
+            return spark.createDataFrame([(ddl,)], "createtab_stmt string")
     m = _BRANCH_TAG_RE.match(query)
     if m:
         ident, action, kind, name, ver = (m.group(1), m.group(2).upper(),
@@ -774,14 +786,26 @@ def _run_merge_when(spark: SparkSession, catalog: FileSystemCatalog,
     tgt_df = t.to_df(spark).alias(t_alias)
     src_df = src.alias(s_alias)
     # cardinality guard (standard MERGE semantics, same error Spark raises):
-    # several source rows matching one target row would silently write
-    # duplicates — refuse instead
-    dup = (src_df.groupBy(*[F.col(f"{s_alias}.{sk}") for _, sk in pairs])
-           .count().where(F.col("count") > 1).limit(1).count())
-    if dup:
-        raise ValueError(
-            "MERGE cardinality violation: multiple source rows share a join "
-            "key; aggregate the source first")
+    # several source rows matching one TARGET row would silently write
+    # duplicates — refuse. Only duplicates that actually match a target row
+    # violate (the ON join is a pure equi-join, so "a target row matches >1
+    # source rows" == "a duplicated source key exists in the target"), and
+    # an insert-only MERGE never updates matched rows, so it never violates.
+    has_matched_clause = any(not wm.group(1)
+                             for wm in _WHEN_CLAUSE_RE.finditer(clauses_str))
+    if has_matched_clause and pairs:
+        key_ids = [f"_mk{i}" for i in range(len(pairs))]
+        dup_keys = (src_df
+                    .groupBy(*[F.col(f"{s_alias}.{sk}").alias(k)
+                               for k, (_, sk) in zip(key_ids, pairs)])
+                    .count().where(F.col("count") > 1).drop("count"))
+        tgt_keys = tgt_df.select(*[F.col(f"{t_alias}.{tk}").alias(k)
+                                   for k, (tk, _) in zip(key_ids, pairs)])
+        dup = dup_keys.join(tgt_keys, key_ids, "left_semi").limit(1).count()
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: multiple source rows match one "
+                "target row; aggregate the source first")
     join_cond = F.expr(" AND ".join(
         f"{t_alias}.{tk} = {s_alias}.{sk}" for tk, sk in pairs))
     matched = tgt_df.join(src_df, join_cond, "inner")

@@ -35,8 +35,17 @@ INSERT = "insert"
 DELETE = "delete"
 
 
-def _file_sets(table: Table, snapshot_id: Optional[int]):
-    """(data files by path, delete files by path) at a snapshot."""
+def _file_sets(table: Table, snapshot_id: Optional[int],
+               exclude_added_in: Optional[int] = None):
+    """(data files by path, delete files by path) at a snapshot.
+
+    ``exclude_added_in`` reconstructs a snapshot's PRE-image from its own
+    manifests by dropping entries originally added in that snapshot (entry
+    snapshot ids survive carry-forward manifest rewrites) — used when the
+    parent snapshot was removed by expire_snapshots. Files the snapshot
+    REMOVED are unrecoverable then (their entries are gone and the physical
+    files may be GC'd), so an expired-parent COW rewrite emits only its
+    inserts; appends and MOR/DV/eq deletes reconstruct exactly."""
     data: Dict[str, DataFile] = {}
     dels: Dict[str, DataFile] = {}
     if snapshot_id is None:
@@ -46,6 +55,9 @@ def _file_sets(table: Table, snapshot_id: Optional[int]):
         return data, dels
     for mf in load_manifest_list(snap.manifest_list):
         for e in load_manifest(mf.manifest_path):
+            if exclude_added_in is not None and \
+                    e.snapshot_id == exclude_added_in:
+                continue
             f = e.data_file
             if f.content == CONTENT_DATA:
                 data[f.file_path] = f
@@ -53,6 +65,21 @@ def _file_sets(table: Table, snapshot_id: Optional[int]):
                 # DVs share one puffin path across blobs: key by (path, ref)
                 dels[f"{f.file_path}#{f.referenced_data_file or ''}"] = f
     return data, dels
+
+
+def _ancestor_chain(md, head: Optional[int]) -> List:
+    """Snapshots on ``head``'s parent-chain ancestry, oldest first. The walk
+    stops at the oldest RETAINED ancestor — a parent removed by
+    expire_snapshots simply ends the chain instead of crashing."""
+    chain = []
+    while head is not None:
+        snap = md.snapshot_by_id(head)
+        if snap is None:
+            break
+        chain.append(snap)
+        head = snap.parent_snapshot_id
+    chain.reverse()
+    return chain
 
 
 def changes_df(spark: SparkSession, table: Table,
@@ -65,13 +92,30 @@ def changes_df(spark: SparkSession, table: Table,
     spark_schema = schema.to_spark()
     names = [f.name for f in schema.fields]
 
-    snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
+    # restrict to the ancestor chain of the effective head: a side-branch
+    # (WAP) snapshot can hold a sequence number inside (from, to] without
+    # ever being part of main's history — staged-but-unpublished commits
+    # must not surface in the changelog
+    head = to_snapshot_id
+    if head is None:
+        ref = md.refs.get("main")
+        head = ref.snapshot_id if ref is not None else md.current_snapshot_id
+    snaps = _ancestor_chain(md, head)
     if from_snapshot_id is not None:
-        from_seq = md.snapshot_by_id(from_snapshot_id).sequence_number
-        snaps = [s for s in snaps if s.sequence_number > from_seq]
+        from_snap = md.snapshot_by_id(from_snapshot_id)
+        # an expired 'from' (e.g. a parent removed by expire_snapshots) means
+        # everything retained is newer than it: same as from=None, which only
+        # emits the snapshots still in metadata
+        if from_snap is not None:
+            from_seq = from_snap.sequence_number
+            snaps = [s for s in snaps if s.sequence_number > from_seq]
     if to_snapshot_id is not None:
-        to_seq = md.snapshot_by_id(to_snapshot_id).sequence_number
-        snaps = [s for s in snaps if s.sequence_number <= to_seq]
+        to_snap = md.snapshot_by_id(to_snapshot_id)
+        if to_snap is None:
+            raise ValueError(
+                f"to_snapshot_id {to_snapshot_id} does not resolve (expired "
+                "or never existed); the requested history is gone")
+        snaps = [s for s in snaps if s.sequence_number <= to_snap.sequence_number]
 
     def read_files(paths: List[str], with_meta: bool = False) -> DataFrame:
         df = spark.read.schema(spark_schema).parquet(*paths)
@@ -91,7 +135,14 @@ def changes_df(spark: SparkSession, table: Table,
     for ordinal, snap in enumerate(snaps):
         parent = snap.parent_snapshot_id
         data_now, dels_now = _file_sets(table, snap.snapshot_id)
-        data_prev, dels_prev = _file_sets(table, parent)
+        if parent is not None and md.snapshot_by_id(parent) is None:
+            # parent expired: rebuild its file sets from THIS snapshot's
+            # entries (everything not originally added here) so the batch
+            # stays a delta instead of replaying the snapshot's full state
+            data_prev, dels_prev = _file_sets(
+                table, snap.snapshot_id, exclude_added_in=snap.snapshot_id)
+        else:
+            data_prev, dels_prev = _file_sets(table, parent)
 
         added = [p for p in data_now if p not in data_prev]
         removed = [p for p in data_prev if p not in data_now]
@@ -268,36 +319,51 @@ class ChangesReader:
         from ..sources.io import file_io_for
         fio = file_io_for(self.checkpoint_path)
         if fio.is_file(self.checkpoint_path):
-            return _json.loads(fio.read_text(self.checkpoint_path)) \
-                .get("last_snapshot_id")
-        return None
+            d = _json.loads(fio.read_text(self.checkpoint_path))
+            return d.get("last_snapshot_id"), d.get("last_sequence_number")
+        return None, None
 
-    def _save_state(self, snapshot_id: int) -> None:
+    def _save_state(self, snapshot_id: int, sequence_number: int) -> None:
         import json as _json
 
         from ..sources.io import file_io_for
         fio = file_io_for(self.checkpoint_path)
         tmp = self.checkpoint_path + ".tmp"
-        fio.write_text(tmp, _json.dumps({"last_snapshot_id": snapshot_id}))
+        # the sequence number rides along so an expire_snapshots that removes
+        # the checkpointed snapshot cannot force a full-history replay: the
+        # seq comparison below still works after the id stops resolving
+        fio.write_text(tmp, _json.dumps({
+            "last_snapshot_id": snapshot_id,
+            "last_sequence_number": sequence_number}))
         fio.rename(tmp, self.checkpoint_path)
+
+    @staticmethod
+    def _main_chain(md) -> List:
+        """Snapshots on the main branch's ancestry (oldest first): walking
+        the parent chain from refs['main'] keeps side-branch (WAP) snapshots
+        out of the CDC feed — staged-but-unpublished commits must not be
+        replicated."""
+        ref = md.refs.get("main")
+        head = ref.snapshot_id if ref is not None else md.current_snapshot_id
+        return _ancestor_chain(md, head)
 
     def micro_batches(self, spark: SparkSession):
         """Yield (snapshot_id, changelog DataFrame) per unseen snapshot."""
         self.table.refresh()
         md = self.table.metadata
-        last = self._load_state()
-        snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
-        for snap in snaps:
-            if last is not None:
-                last_snap = md.snapshot_by_id(last)
-                if last_snap is not None and \
-                        snap.sequence_number <= last_snap.sequence_number:
-                    continue
+        last_id, last_seq = self._load_state()
+        if last_id is not None and last_seq is None:
+            # legacy checkpoint (id only): recover the seq while it resolves
+            last_snap = md.snapshot_by_id(last_id)
+            last_seq = last_snap.sequence_number if last_snap else None
+        for snap in self._main_chain(md):
+            if last_seq is not None and snap.sequence_number <= last_seq:
+                continue
             df = changes_df(spark, self.table,
                             from_snapshot_id=snap.parent_snapshot_id,
                             to_snapshot_id=snap.snapshot_id)
             yield snap.snapshot_id, df
-            self._save_state(snap.snapshot_id)
+            self._save_state(snap.snapshot_id, snap.sequence_number)
 
 
 def apply_changes(spark: SparkSession, table: Table, changes: DataFrame,

@@ -177,3 +177,63 @@ def test_mirror_table_replicates_history(spark, warehouse, tmp_path):
     # idempotent: nothing new
     assert mirror_table(spark, src, Table.load(warehouse, "db.mir_dst"),
                         ["id"], cp) == 0
+
+
+def test_changes_skip_wap_branch_snapshots(spark, warehouse):
+    """Side-branch (WAP) snapshots never surface in the changelog: the scan
+    walks main's ancestry, not every snapshot in metadata."""
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    t = Table.create(warehouse, "db.cdcwap", schema_from_spark(df.schema))
+    t = t.append(spark, df)                                  # main, 10 rows
+    staged = df.select(F.col("id") + 500, F.col("g")).toDF("id", "g")
+    t = t.append(spark, staged, branch="audit")              # WAP: staged only
+    t = t.append(spark, df.select(F.col("id") + 100, F.col("g"))
+                 .toDF("id", "g"))                           # main, 10 rows
+
+    ch = changes_df(spark, t)
+    counts = _counts(ch)
+    assert counts == {("insert", 0): 10, ("insert", 1): 10}
+    assert ch.where(F.col("id") >= 500).count() == 0  # staged rows absent
+
+    from iceberg_rust_spark.streaming.changes import ChangesReader
+    sids = [sid for sid, _ in
+            ChangesReader(t, "memory://wapckpt.json").micro_batches(spark)]
+    branch_head = t.metadata.refs["audit"].snapshot_id
+    assert branch_head not in sids and len(sids) == 2
+
+
+def test_changes_survive_expire_snapshots(spark, warehouse, tmp_path):
+    """expire_snapshots removing a parent or the checkpointed snapshot must
+    not crash changes_df or force a full-history CDC replay."""
+    from iceberg_rust_spark.sources.metadata import now_ms
+    from iceberg_rust_spark.streaming.changes import ChangesReader
+
+    df = spark.range(0, 12).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.cdcexp", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("g") == 0))   # snap A: 4 rows
+    t = t.append(spark, df.where(F.col("g") == 1))   # snap B: 4 rows
+
+    cp = str(tmp_path / "exp_ckpt.json")
+    consumed = [(sid, b.count()) for sid, b in
+                ChangesReader(t, cp).micro_batches(spark)]
+    assert [n for _, n in consumed] == [4, 4]
+
+    t = t.append(spark, df.where(F.col("g") == 2))   # snap C: 4 rows
+    # expire A and B: only the head C is retained; the checkpointed id (B)
+    # and C's parent (B) no longer resolve
+    t = t.expire_snapshots(older_than_ms=now_ms() + 10**9, retain_last=1)
+    assert len(t.metadata.snapshots) == 1
+
+    # changes_df with an expired 'from' behaves as from=None over retained
+    ch = changes_df(spark, t)
+    assert ch.count() == 4
+
+    more = [(sid, b.count()) for sid, b in
+            ChangesReader(t, cp).micro_batches(spark)]
+    assert [n for _, n in more] == [4]      # only C — no replay of A/B
+
+    # an expired 'to' is an explicit error, not a silent empty result
+    import pytest as _pytest
+    expired_id = consumed[0][0]
+    with _pytest.raises(ValueError, match="does not resolve"):
+        changes_df(spark, t, to_snapshot_id=expired_id).count()

@@ -650,3 +650,46 @@ def test_merge_cardinality_violation(spark, warehouse):
             MERGE INTO db.mcard AS t USING (SELECT * FROM mcard_src) AS s
             ON t.id = s.id
             WHEN MATCHED THEN UPDATE SET v = s.v""")
+
+
+def test_merge_duplicate_source_keys_ok_when_unmatched_or_insert_only(
+        spark, warehouse):
+    """Cardinality guard only fires when duplicated source keys actually
+    match a target row AND a WHEN MATCHED clause exists (Spark semantics) —
+    not on any duplicate in the raw source."""
+    base = spark.createDataFrame([(1, 10)], "id long, v long")
+    t = Table.create(warehouse, "db.mcard2", schema_from_spark(base.schema))
+    t.append(spark, base)
+    # duplicates on id=2 match NO target row: valid, both insert
+    spark.createDataFrame([(2, 1), (2, 2)], "id long, v long") \
+        .createOrReplaceTempView("mcard2_src")
+    run_sql(spark, warehouse, """
+        MERGE INTO db.mcard2 AS t USING (SELECT * FROM mcard2_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert Table.load(warehouse, "db.mcard2").to_df(spark).count() == 3
+
+    # insert-only MERGE: duplicates that DO match a target row are still
+    # valid (nothing is updated) and are not inserted
+    spark.createDataFrame([(1, 7), (1, 8)], "id long, v long") \
+        .createOrReplaceTempView("mcard3_src")
+    run_sql(spark, warehouse, """
+        MERGE INTO db.mcard2 AS t USING (SELECT * FROM mcard3_src) AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *""")
+    got = Table.load(warehouse, "db.mcard2").to_df(spark)
+    assert got.count() == 3
+    assert got.where("id = 1").collect()[0]["v"] == 10  # untouched
+
+
+def test_describe_falls_through_to_spark_for_views(spark, warehouse):
+    """DESCRIBE on a temp view (not an Iceberg table) defers to spark.sql
+    instead of raising NoSuchTable."""
+    spark.createDataFrame([(1, "a")], "x long, s string") \
+        .createOrReplaceTempView("dsc_tmp")
+    out = run_sql(spark, warehouse, "DESCRIBE dsc_tmp")
+    names = {r["col_name"] for r in out.collect()}
+    assert {"x", "s"} <= names
+    out2 = run_sql(spark, warehouse, "SHOW CREATE TABLE dsc_tmp")
+    assert "dsc_tmp" in out2.collect()[0][0]
