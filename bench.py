@@ -89,13 +89,20 @@ def main() -> None:
         print(f"# {name}: median {med}s min {minimums[name]}s ({n} rows)",
               file=sys.stderr)
 
-    print(json.dumps({
+    # stdout line stays COMPACT (medians only): r3's line carried the min
+    # dict too and the driver's bounded tail window truncated it mid-JSON
+    # (BENCH_r03.json parsed: null). Full detail goes to BENCH_DETAIL.json.
+    summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3), "unit": "sec",
-        "queries": timings, "queries_min": minimums, "reps": reps,
-        "sf": sf, "setup_sec": setup_sec,
-        "warmup_sec": warmup_sec,
-    }))
+        "queries": timings, "sf": sf,
+    }
+    detail = dict(summary, queries_min=minimums, reps=reps,
+                  setup_sec=setup_sec, warmup_sec=warmup_sec)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 
