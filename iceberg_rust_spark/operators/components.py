@@ -23,31 +23,49 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 25,
+                         reliable: bool = False,
+                         checkpoint_dir: str = None) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the component
     id is the smallest node id in the component (deterministic canonical
-    representative)."""
+    representative).
+
+    ``reliable=True`` swaps the per-round localCheckpoint for a RELIABLE
+    checkpoint (written to ``checkpoint_dir`` / the session's configured
+    checkpoint dir): localCheckpoint blocks live on executors, so losing one
+    executor mid-iteration kills the whole job on a real cluster — reliable
+    checkpoints survive executor loss at the cost of a filesystem write per
+    round. Use it for long iterative runs on preemptible/spot fleets; the
+    default stays local (faster) for short-lived local jobs."""
     e = edges.select(F.col(src).cast("long").alias("a"),
                      F.col(dst).cast("long").alias("b"))
+    spark = edges.sparkSession
+    if reliable and checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    if reliable:
+        def _ckpt(df, eager=True):
+            return df.checkpoint(eager=eager)
+    else:
+        def _ckpt(df, eager=True):
+            return df.localCheckpoint(eager=eager)
     # EAGER checkpoint, not persist: the edge list is referenced by every
     # round, and a mere .persist() left the (possibly expensive) upstream
     # pair-generation pipeline in the lineage — measured re-running under
     # the lazily-checkpointed label joins. Truncating here makes each round
     # plan against a materialized scan of the (small) edge set.
-    und = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))).distinct() \
-        .localCheckpoint()
+    und = _ckpt(e.unionByName(e.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))).distinct())
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the
-    # lineage so every round plans against a flat scan. (On a production
-    # cluster with executor loss concerns, swap for reliable checkpoint.)
+    # lineage so every round plans against a flat scan (reliable=True for
+    # executor-loss-safe runs).
     # seed labels with round 1 fused in: label = min(self, neighbors) —
     # same shuffle as a plain distinct would cost, one fewer loop round
     # (dense near-dup clusters are cliques and converge immediately)
-    labels = (und.groupBy("a").agg(F.min("b").alias("_mb"))
-              .select("a", F.least("a", "_mb").alias("label"))
-              .localCheckpoint(eager=False))
+    labels = _ckpt(und.groupBy("a").agg(F.min("b").alias("_mb"))
+                   .select("a", F.least("a", "_mb").alias("label")),
+                   eager=False)
     for _ in range(max_iter):
         nbr = (und.join(labels.select(F.col("a").alias("b"),
                                       F.col("label")), "b")
@@ -56,9 +74,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # round — it materializes the checkpoint as a side effect (an eager
         # checkpoint plus a separate count doubled the per-round job count,
         # and job launch overhead dominates when the graph is small)
-        new_labels = (labels.select("a", "label").unionByName(nbr)
-                      .groupBy("a").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=False))
+        new_labels = _ckpt(labels.select("a", "label").unionByName(nbr)
+                           .groupBy("a").agg(F.min("label").alias("label")),
+                           eager=False)
         changed = (new_labels.join(
             labels.withColumnRenamed("label", "old"), "a")
             .where(F.col("label") < F.col("old")).limit(1).count())

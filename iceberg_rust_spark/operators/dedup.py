@@ -215,36 +215,56 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
 
 
 def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
-                        n_tables: int = 12, n_planes: int = 12,
+                        n_tables: int = 12, n_planes: Optional[int] = None,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH banding.
+                        vec_col: str = "embedding",
+                        target_bucket: int = 128,
+                        bucket_cap: int = 2048) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH with
+    PARTITION-LOCAL candidate generation.
 
-    n_tables independent SRP sign-pattern buckets per vector; candidates are
-    pairs sharing a bucket in ANY table (equality join on (table, bucket) —
-    the O(n^2) cross join becomes O(sum bucket^2), skew handled by AQE), then
-    exact cosine verification.
+    n_tables independent SRP sign-pattern bucketings per vector; candidates
+    are pairs sharing a bucket in ANY table. The quadratic per-bucket work
+    runs INSIDE one applyInPandas group per (table, bucket): a single
+    shuffle co-locates each bucket's (id, vector) rows, a numpy matmul
+    scores every in-bucket pair, and only pairs at >= threshold (minus a
+    float-order margin) leave the task. Nothing quadratic is ever
+    shuffled — the old plan materialized the full candidate set through an
+    equi-join + two vector-attach joins + a distinct (three shuffles over
+    O(sum bucket^2) rows); this plan shuffles O(n_tables * n) rows once and
+    emits near-final pairs.
 
-    12 planes x 12 tables (was 8x6): plane count sets bucket granularity
-    (4096 buckets/table — candidate volume per table drops 16x vs 256
-    buckets, and the verify join's vector-pair materialization was the
-    measured x10 bottleneck), table count restores recall (sim>=0.95 pairs
-    disagree per plane w.p. theta/pi ~ 0.1, so one 12-plane table keeps them
-    together w.p. ~0.28, twelve tables ~0.98; near-identical fixture copies
-    ~1.0). More tables = more bucket rows but candidates stay O(sum
-    bucket^2) per table — the scale-governing term."""
+    Scale controls (the 100 TB story):
+    - ADAPTIVE PLANES: n_planes defaults to log2(n / target_bucket),
+      clamped to [8, 24], so expected bucket size stays ~target_bucket as n
+      grows and total candidate work stays ~n * target_bucket = LINEAR.
+      (Recall per table drops with plane count — the standard LSH trade;
+      n_tables restores it: a sim>=0.95 pair disagrees per plane w.p.
+      theta/pi ~ 0.1, so 12 tables at 11 planes keep it together w.p.
+      ~0.99; exact-duplicate vectors always collide at any plane count.)
+    - SALTED BLOCK SPLIT for skewed buckets: a bucket larger than
+      bucket_cap (e.g. a mass of identical vectors no hyperplane can
+      separate) is hash-salted into s = ceil(size/cap) cells and each row
+      fans out to its s grid cells (ci==salt or cj==salt), so every pair
+      still meets in exactly one task and no task ever loads more than
+      ~2*bucket_cap vectors. Total work for such a bucket remains
+      quadratic — that is its OUTPUT size — but it is memory-bounded and
+      spread across the cluster instead of sitting in one straggler task.
+
+    Exactness: the numpy kernel is a candidate filter at threshold-1e-4;
+    survivors are re-scored with the builtin left-to-right double fold
+    (cosine_rounded) so emitted sims match the DuckDB oracle bit-for-bit.
+    """
     import numpy as np
+    from pyspark.sql.types import (LongType, StructField, StructType)
 
     from .similarity import _hyperplanes, srp_buckets_batch
-    # the (id, vector) projection feeds 5 logical reads (dim probe, both
-    # sides of the bucket self-join, both re-rank sides) — eagerly
-    # localCheckpoint it so the upstream plan (often a union/transform, not
-    # a bare scan) executes exactly once: a bare persist() left the upstream
-    # pipeline in the lineage and was measured re-running under the
-    # self-join (same pathology fixed in operators/components.py). Blocks
-    # spill like MEMORY_AND_DISK; at 100 TB the bucket columns would be
-    # precomputed as stored cluster keys anyway (and executor-loss recovery
-    # would argue for reliable checkpoint/persist instead).
+    # the (id, vector) projection feeds several logical reads (count/dim
+    # probe, bucket fan-out, both re-rank sides) — eagerly localCheckpoint
+    # it so the upstream plan (often a union/transform, not a bare scan)
+    # executes exactly once. Blocks spill like MEMORY_AND_DISK; at 100 TB
+    # the bucket columns would be precomputed as stored cluster keys (and
+    # executor-loss recovery would argue for reliable checkpoint instead).
     base = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
     base = base.localCheckpoint()
     first = base.select("_v").first()
@@ -252,15 +272,82 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
         base.unpersist()
         return embedding_cosine_pairs(emb, threshold, id_col, vec_col)
     dim = len(first[0])
+    if n_planes is None:
+        import math
+        n = base.count()
+        n_planes = min(24, max(8, math.ceil(math.log2(max(n, 2) / max(target_bucket, 1)))))
     planes = np.stack([_hyperplanes(dim, n_planes, seed=7 + ti)
                        for ti in range(n_tables)])
     bucket_udf = srp_buckets_batch(planes)
-    buckets = (base.select(F.col(id_col), bucket_udf(F.col("_v")).alias("bks"))
-               .select(F.col(id_col), F.posexplode("bks").alias("t", "bucket")))
-    cands = (buckets.alias("l").join(buckets.alias("r"), on=["t", "bucket"])
-             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"))
+    bucketed = base.select(
+        F.col(id_col), F.col("_v"),
+        F.posexplode(bucket_udf(F.col("_v"))).alias("_t", "_bucket")) \
+        .select(id_col, "_v", "_t", "_bucket")
+    # oversized-bucket census: ids-only partial agg (map-side combine), then
+    # broadcast back — the vector-carrying rows are never shuffled for this
+    big = (bucketed.groupBy("_t", "_bucket")
+           .agg(F.count("*").alias("_bsz")).where(F.col("_bsz") > bucket_cap))
+    bucketed = bucketed.join(F.broadcast(big), ["_t", "_bucket"], "left")
+    s_cells = F.coalesce(
+        F.ceil(F.col("_bsz") / F.lit(bucket_cap)).cast("int"), F.lit(1))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), s_cells).cast("int")
+    # grid fan-out: row with salt c joins the s cells {(min(k,c), max(k,c))
+    # : k in 0..s-1}, so a pair (salt u, salt v) meets in exactly cell
+    # (min, max); unsplit buckets (s=1) collapse to the single cell (0,0)
+    cells = F.transform(
+        F.sequence(F.lit(0), s_cells - 1),
+        lambda k: F.struct(F.least(k, salt).alias("ci"),
+                           F.greatest(k, salt).alias("cj")))
+    fanned = (bucketed
+              .withColumn("_salt", salt)
+              .withColumn("_cell", F.explode(cells))
+              .select(id_col, "_v", "_t", "_bucket", "_salt",
+                      F.col("_cell.ci").alias("_ci"),
+                      F.col("_cell.cj").alias("_cj")))
+
+    margin = 1e-4
+
+    def _pairs_in_bucket(pdf):
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ci, cj = int(pdf["_ci"].iloc[0]), int(pdf["_cj"].iloc[0])
+        mat = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b = [], []
+        if ci == cj:
+            # in-cell pairs: chunk rows so the sims block stays ~16 MB
+            step = max(1, (1 << 21) // max(len(unit), 1))
+            for lo in range(0, len(unit), step):
+                sims = unit[lo:lo + step] @ unit.T
+                r, c = np.nonzero(sims >= threshold - margin)
+                keep = (lo + r) < c  # upper triangle only
+                out_a.append(np.minimum(ids[lo + r[keep]], ids[c[keep]]))
+                out_b.append(np.maximum(ids[lo + r[keep]], ids[c[keep]]))
+        else:
+            lmask = (pdf["_salt"] == ci).to_numpy()
+            left, right = unit[lmask], unit[~lmask]
+            lids, rids = ids[lmask], ids[~lmask]
+            if len(left) and len(right):
+                step = max(1, (1 << 21) // max(len(right), 1))
+                for lo in range(0, len(left), step):
+                    sims = left[lo:lo + step] @ right.T
+                    r, c = np.nonzero(sims >= threshold - margin)
+                    out_a.append(np.minimum(lids[lo + r], rids[c]))
+                    out_b.append(np.maximum(lids[lo + r], rids[c]))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype("int64"),
+            "id_b": np.concatenate(out_b).astype("int64")})
+
+    out_schema = StructType([StructField("id_a", LongType()),
+                             StructField("id_b", LongType())])
+    cands = (fanned.groupBy("_t", "_bucket", "_ci", "_cj")
+             .applyInPandas(_pairs_in_bucket, out_schema)
              .dropDuplicates())
     va = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))

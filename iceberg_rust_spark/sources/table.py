@@ -269,56 +269,133 @@ class Table:
 
     def _delete_mor_dv(self, spark: SparkSession, pred: E.Predicate) -> "Table":
         """Merge-on-read delete as Puffin deletion vectors (v3): one
-        deletion-vector-v1 roaring blob per affected data file, all in a
-        single Puffin file; each gets its own manifest entry carrying
-        referenced_data_file + content_offset/size (data_file.rs:171-179).
-        The roaring bitmaps are SERIALIZED EXECUTOR-SIDE (applyInPandas per
-        data file); the driver only collects (path, cardinality, blob bytes)
-        — bitmap-sized, not position-sized — then concatenates them into the
-        Puffin file. A billion matched positions never cross to the driver."""
+        deletion-vector-v1 roaring blob per affected data file; each gets
+        its own manifest entry carrying referenced_data_file +
+        content_offset/size (data_file.rs:171-179).
+
+        Fully distributed write: positions are range-partitioned by data
+        file, each task serializes its files' roaring blobs AND writes them
+        as rolled Puffin files through FileIO (write.target-file-size-bytes
+        per file, mirroring the rolling data writers), and only the
+        metadata-sized DataFile descriptors return to the driver for the
+        commit. A wide DELETE touching millions of files never serializes
+        bitmap bytes through the driver. Task retries can leave orphaned
+        puffin files (like any uncommitted data write); remove_orphan_files
+        collects them. In-process stores (memory://) keep the driver-side
+        assembly since executor writes there aren't visible to the driver."""
         from .puffin import (DELETION_VECTOR_V1, BlobMetadata, serialize_dv,
                              write_puffin)
         schema = self.metadata.schema()
         bound = E.bind(pred, schema)
         import pandas as pd
 
-        def _to_blob(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            return pd.DataFrame({
-                "fp": [pdf["fp"].iloc[0]],
-                "cardinality": [len(pdf["pos"])],
-                "blob": [serialize_dv(pdf["pos"].to_numpy())]})
-
         hits = self.scan(include_metadata_columns=True).to_df(spark) \
             .filter(E.to_spark_column(bound)) \
             .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("fp"),
-                    F.col("_pos").alias("pos")) \
-            .groupBy("fp") \
-            .applyInPandas(_to_blob,
-                           "fp string, cardinality long, blob binary") \
-            .collect()
-        if not hits:
-            return self
-        out_path = os.path.join(self.location, "data",
-                                f"dv-{uuid.uuid4().hex[:12]}.puffin")
-        blobs = []
-        for r in hits:
-            blobs.append((BlobMetadata(
+                    F.col("_pos").alias("pos"))
+        loc = self.location
+        seq = self.metadata.last_sequence_number + 1
+        target = int(self.metadata.properties.get(
+            "write.target-file-size-bytes", 32 * 1024 * 1024))
+
+        from urllib.parse import urlparse
+        if urlparse(loc).scheme in ("memory",):
+            rows = hits.groupBy("fp").applyInPandas(
+                lambda pdf: pd.DataFrame({
+                    "fp": [pdf["fp"].iloc[0]],
+                    "cardinality": [len(pdf["pos"])],
+                    "blob": [serialize_dv(pdf["pos"].to_numpy())]}),
+                "fp string, cardinality long, blob binary").collect()
+            if not rows:
+                return self
+            out_path = os.path.join(loc, "data",
+                                    f"dv-{uuid.uuid4().hex[:12]}.puffin")
+            blobs = [(BlobMetadata(
                 type=DELETION_VECTOR_V1, fields=[], snapshot_id=0,
-                sequence_number=self.metadata.last_sequence_number + 1,
-                offset=0, length=0,
+                sequence_number=seq, offset=0, length=0,
                 properties={"referenced-data-file": r["fp"],
                             "cardinality": str(r["cardinality"])}),
-                bytes(r["blob"])))
-        metas = write_puffin(out_path, blobs)
+                bytes(r["blob"])) for r in rows]
+            metas = write_puffin(out_path, blobs)
+            fsize = file_io_for(out_path).size(out_path)
+            desc = [(m.properties["referenced-data-file"], out_path,
+                     int(m.properties["cardinality"]), m.offset, m.length,
+                     fsize) for m in metas]
+        else:
+            def _write_dv_files(iter_pdf):
+                import uuid as _uuid
+
+                import numpy as np
+                done = []           # (fp, blob bytes, cardinality)
+                cur_fp, cur_pos = None, []
+
+                def _close():
+                    if cur_fp is not None and cur_pos:
+                        arr = np.concatenate(cur_pos)
+                        done.append((cur_fp, serialize_dv(arr), len(arr)))
+
+                for pdf in iter_pdf:
+                    # partition is sorted by (fp, pos): fp runs are
+                    # contiguous within and across Arrow batches
+                    for fp, grp in pdf.groupby("fp", sort=False):
+                        if fp != cur_fp:
+                            _close()
+                            cur_fp, cur_pos = fp, []
+                        cur_pos.append(grp["pos"].to_numpy())
+                _close()
+                out = {"fp": [], "path": [], "cardinality": [],
+                       "offset": [], "length": [], "file_size": []}
+                i = 0
+                while i < len(done):          # roll by accumulated bytes
+                    batch, size = [], 0
+                    while i < len(done) and (not batch or size < target):
+                        fp, blob, card = done[i]
+                        batch.append((BlobMetadata(
+                            type=DELETION_VECTOR_V1, fields=[],
+                            snapshot_id=0, sequence_number=seq,
+                            offset=0, length=0,
+                            properties={"referenced-data-file": fp,
+                                        "cardinality": str(card)}), blob))
+                        size += len(blob)
+                        i += 1
+                    path = os.path.join(
+                        loc, "data", f"dv-{_uuid.uuid4().hex[:12]}.puffin")
+                    metas = write_puffin(path, batch)
+                    fsize = file_io_for(path).size(path)
+                    for m in metas:
+                        out["fp"].append(m.properties["referenced-data-file"])
+                        out["path"].append(path)
+                        out["cardinality"].append(
+                            int(m.properties["cardinality"]))
+                        out["offset"].append(m.offset)
+                        out["length"].append(m.length)
+                        out["file_size"].append(fsize)
+                yield pd.DataFrame({
+                    "fp": pd.Series(out["fp"], dtype="object"),
+                    "path": pd.Series(out["path"], dtype="object"),
+                    "cardinality": pd.Series(out["cardinality"], dtype="int64"),
+                    "offset": pd.Series(out["offset"], dtype="int64"),
+                    "length": pd.Series(out["length"], dtype="int64"),
+                    "file_size": pd.Series(out["file_size"], dtype="int64")})
+
+            desc = [(r["fp"], r["path"], r["cardinality"], r["offset"],
+                     r["length"], r["file_size"]) for r in
+                    hits.repartitionByRange("fp")
+                    .sortWithinPartitions("fp", "pos")
+                    .mapInPandas(_write_dv_files,
+                                 "fp string, path string, cardinality long, "
+                                 "offset long, length long, file_size long")
+                    .collect()]
+            if not desc:
+                return self
         dels = [DataFile(
-            file_path=out_path, file_format="puffin",
+            file_path=path, file_format="puffin",
             content=CONTENT_POSITION_DELETES,
-            record_count=int(m.properties["cardinality"]),
-            file_size_in_bytes=file_io_for(out_path).size(out_path),
-            referenced_data_file=m.properties["referenced-data-file"],
-            content_offset=m.offset, content_size_in_bytes=m.length,
+            record_count=card, file_size_in_bytes=fsize,
+            referenced_data_file=fp,
+            content_offset=offset, content_size_in_bytes=length,
             schema_id=schema.schema_id, spec_id=self.spec.spec_id)
-            for m in metas]
+            for fp, path, card, offset, length, fsize in desc]
         return self._commit_retry(lambda md: self._snapshot_update(
             md, "delete", added_deletes=dels))
 

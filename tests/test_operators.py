@@ -369,3 +369,52 @@ def test_token_budget_per_group(spark):
     # 'a': preceding sums 0,40,80,120 -> ids 1..3 kept; 'b': the first doc
     # always survives even when it alone blows the budget, second is out
     assert got == {("a", 1), ("a", 2), ("a", 3), ("b", 1)}
+
+
+def test_embedding_lsh_salted_split_keeps_all_pairs(spark):
+    """A bucket no hyperplane can split (identical vectors) larger than
+    bucket_cap is salt-split into grid cells; every pair must still be
+    emitted exactly once and the quadratic work stays memory-bounded."""
+    import numpy as _np
+    rng = _np.random.RandomState(3)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)] + \
+           [(100 + i, [float(x) for x in rng.standard_normal(4)])
+            for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = DD.embedding_lsh_pairs(e, threshold=0.999, n_planes=8,
+                                 bucket_cap=12).collect()
+    ident = {(r["id_a"], r["id_b"]) for r in got
+             if r["id_a"] < 50 and r["id_b"] < 50}
+    assert len(ident) == 50 * 49 // 2          # every identical pair found
+    assert len({(r["id_a"], r["id_b"]) for r in got}) == len(got)  # no dups
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+
+
+def test_embedding_lsh_exactness_vs_brute(spark, emb):
+    """Partition-local numpy candidates + builtin re-rank: emitted (pair,
+    sim) values must match the brute-force operator bit-for-bit on pairs
+    LSH recalls (and never include anything brute force excludes)."""
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           DD.embedding_lsh_pairs(emb, threshold=0.9).collect()}
+    brute = {(r["id_a"], r["id_b"]): r["sim"] for r in
+             DD.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert set(got) <= set(brute)
+    for k, sim in got.items():
+        assert sim == brute[k]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True swaps localCheckpoint for reliable checkpoints (files
+    under checkpoint_dir) and produces identical components."""
+    import os as _os
+
+    from iceberg_rust_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    ckdir = str(tmp_path / "ck")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges, reliable=True,
+                                          checkpoint_dir=ckdir).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert any(_os.scandir(ckdir))  # checkpoint files actually written

@@ -91,6 +91,8 @@ def probe(spark, sf_dir: str, ops) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = {}
     for name in ops:
+        if name in PREP:
+            PREP[name](spark, docs, emb)
         _quiesce(spark)
         t0 = time.time()
         n = OPS[name](spark, docs, emb)
@@ -180,15 +182,41 @@ def _cdc_changes(spark, docs, emb):
     return changes_df(spark, t).count()
 
 
+def _clusters_pairs_path(docs) -> str:
+    n_docs = docs.count()
+    return f"/tmp/scale_clusters/x{n_docs}/pairs.parquet"
+
+
+def _clusters_prep(spark, docs, emb):
+    """Cache the minhash pair edges per decade UNTIMED: pair generation is
+    probed separately as minhash_lsh_pairs, so the dedup_clusters row times
+    the components iteration itself."""
+    from iceberg_rust_spark.operators.dedup import minhash_lsh_pairs
+    path = _clusters_pairs_path(docs)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        minhash_lsh_pairs(docs, threshold=0.7).write \
+            .mode("overwrite").parquet(path)
+
+
+def _clusters(spark, docs, emb):
+    from iceberg_rust_spark.operators.components import dedup_clusters
+    pairs = spark.read.parquet(_clusters_pairs_path(docs))
+    return dedup_clusters(pairs).count()
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
-       "embedding_lsh_pairs": _emb_lsh_pairs, "cdc_changes_df": _cdc_changes}
+       "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
+       "cdc_changes_df": _cdc_changes}
 
-# embedding pair generation is O(sum bucket^2): at x100 (200k vectors) the
-# candidate set is ~half a billion pairs — a real cluster job, not a 32-core
-# probe; cap it at x10 and say so rather than quietly skip
-X100_SKIP = {"embedding_lsh_pairs"}
+# untimed per-decade setup (fixture caches) run before the timed op
+PREP = {"dedup_clusters": _clusters_prep}
+
+# embedding_lsh_pairs ran capped here until the partition-local rewrite
+# (adaptive plane count + salted bucket split) made x100 a bounded job;
+# nothing is capped now
+X100_SKIP: set = set()
 
 
 def main() -> None:
@@ -249,9 +277,15 @@ def main() -> None:
         "chunks/quality) should hold e<=~1 — one hash shuffle whose cost is",
         "linear in rows at fixed cluster width. ann_brute is a single pass",
         "(linear); ann_lsh adds a bucket filter before the same pass.",
-        "embedding_lsh_pairs is O(sum bucket^2) by design — the probe caps it",
-        "at x10; at larger scale the bucket column becomes a stored cluster",
-        "key and each bucket is an independent partition-local join.",
+        "embedding_lsh_pairs generates candidates PARTITION-LOCALLY (one",
+        "shuffle to co-locate each (table,bucket), numpy matmul inside the",
+        "task, only >=threshold pairs leave); its plane count adapts to n so",
+        "expected bucket size — and with it total candidate work per row —",
+        "stays constant across decades, and buckets above the size cap are",
+        "salt-split into bounded grid cells. dedup_clusters times the",
+        "iterative min-label propagation over cached minhash edges (pair",
+        "generation is the minhash_lsh_pairs row); its cost is rounds x one",
+        "shuffled join, rounds ~= cluster diameter (2-4 on near-dup blobs).",
         "",
         "Variance caveat: single-run walls on this shared VM swing up to ~4x",
         "run-to-run (the same op sequence re-measured minutes apart gave",
