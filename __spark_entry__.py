@@ -1097,6 +1097,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(spark, emb, query_vec_id=7, k=10, n_probe=12)
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """PCM WAV resampling over the deterministic audio fixture: real
+    RIFF parse -> linear-interp resample -> re-encode, distributed via
+    mapInPandas; graded on (rate, frame count, encoded byte length)."""
+    audio = MM.synthetic_audio_df(spark, 16, rate=8000)
+    return (MM.resample_audio(audio, 4000)
+            .select("media_id", "sample_rate", "n_frames",
+                    F.length("audio").cast("long").alias("n_bytes")))
+
+
 def q_multimodal_features(spark, sf_dir):
     media = MM.synthetic_media_df(spark, 64)
     with_meta = MM.attach_media_meta(media)
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         # relational operators (Spark-native; all green in r1)
         "window_topn": q_window_topn,
         "window_running": q_window_running,
@@ -1773,4 +1784,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _SQL_ANN_EXACT,
         "dedup_simhash": _constructed_oracle("dedup_simhash"),
         "multimodal_features": _constructed_oracle("multimodal_features"),
+        "multimodal_audio": _constructed_oracle("multimodal_audio"),
     }

@@ -2,11 +2,18 @@
 
 The Spark-side machinery — schema with typed metadata, Arrow-batched
 ``mapInPandas`` pipelines, partition-friendly batch shapes — is real and
-tested; the codec kernels are STUBBED (this container has no image/audio
-libraries): ``decode_image_meta`` parses real PNG/JPEG headers from bytes,
-while ``extract_features``/``resample_frames`` produce deterministic fakes
-behind clearly-marked stubs so the distributed plumbing can be exercised and
-swapped for real kernels (PIL/torchaudio/decord) without touching the plan.
+tested. Codec status:
+
+- REAL (stdlib, functions/media_codecs.py): PNG pixel decode/encode (zlib
+  IDAT inflate + scanline unfilter), PNG/JPEG header dims, WAV/PCM parse +
+  linear resample + re-encode. ``extract_features`` computes a real 16-bin
+  luminance histogram for decodable PNGs; ``resize_images`` does a real
+  nearest-neighbor resize re-encoded as PNG; ``resample_audio`` is fully
+  real for PCM WAV.
+- STUB (clearly marked): feature/resize fallbacks for formats that need
+  codec libraries absent from this container (JPEG entropy decode, video
+  demux). ``resample_frames`` fabricates frame boundaries. Swapping in
+  PIL/torchaudio/decord touches only the kernel, never the plan.
 """
 
 from __future__ import annotations
@@ -116,11 +123,12 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """payload -> fixed-dim float feature vector.
 
-    STUB kernel: deterministic pseudo-features from a sha1 of the payload
-    (real impl would run an image/audio encoder per Arrow batch). The Spark
-    plumbing — mapInPandas, stable schema, batch-wise numpy — is the real
-    deliverable here.
-    """
+    REAL kernel for decodable PNGs: a FEATURE_DIM-bin normalized luminance
+    histogram over the actual decoded pixels (media_codecs.decode_png). For
+    payloads the stdlib codecs can't decode (JPEG entropy data, opaque
+    blobs) a deterministic sha1 STUB stands in, keeping the batch shape and
+    schema identical so the plan never changes."""
+    from ..functions.media_codecs import decode_png, grayscale
     schema = f"{id_col} long, features array<float>"
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,9 +138,20 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                 if p is None:
                     feats.append([0.0] * FEATURE_DIM)
                     continue
-                seed = int.from_bytes(hashlib.sha1(bytes(p)).digest()[:4], "big")
-                rng = np.random.RandomState(seed)
-                feats.append(rng.standard_normal(FEATURE_DIM).astype("float32").tolist())
+                try:
+                    px = decode_png(bytes(p))
+                    lum = grayscale(px)
+                    hist, _ = np.histogram(
+                        lum, bins=FEATURE_DIM, range=(0.0, 256.0))
+                    feats.append((hist / max(lum.size, 1))
+                                 .astype("float32").tolist())
+                except ValueError:
+                    # STUB fallback: format needs codec libs not present here
+                    seed = int.from_bytes(
+                        hashlib.sha1(bytes(p)).digest()[:4], "big")
+                    rng = np.random.RandomState(seed)
+                    feats.append(rng.standard_normal(FEATURE_DIM)
+                                 .astype("float32").tolist())
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
 
     return df.mapInPandas(featurize, schema=schema)
@@ -173,10 +192,12 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "media_id") -> DataFrame:
     """Image resize plumbing: (media_id, resized binary, width, height).
 
-    STUB kernel: a real impl decodes + resamples per Arrow batch (PIL/opencv);
-    here the payload is deterministically re-hashed to width*height//8 bytes
-    so batch sizing, schema, and downstream joins behave exactly like the
-    real operator. Swap the kernel, keep the plan."""
+    REAL kernel for decodable PNGs: decode_png -> nearest-neighbor resample
+    -> encode_png, all stdlib+numpy. Undecodable payloads fall back to a
+    deterministic sha1-stream STUB of the same byte budget so batch sizing,
+    schema, and downstream joins behave identically."""
+    from ..functions.media_codecs import (decode_png, encode_png,
+                                          resize_nearest)
     schema = f"{id_col} long, resized binary, width int, height int"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,10 +207,16 @@ def resize_images(df: DataFrame, width: int, height: int,
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue
+                ids.append(mid)
+                try:
+                    px = decode_png(bytes(p))
+                    blobs.append(encode_png(resize_nearest(px, width, height)))
+                    continue
+                except ValueError:
+                    pass
                 # STUB: stretch a sha1 stream to the target byte budget
                 seed = hashlib.sha1(bytes(p)).digest()
                 reps = (n_out // len(seed)) + 1
-                ids.append(mid)
                 blobs.append((seed * reps)[:n_out])
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="int64"),
@@ -198,6 +225,44 @@ def resize_images(df: DataFrame, width: int, height: int,
                 "height": pd.Series([height] * len(ids), dtype="int32")})
 
     return df.mapInPandas(resize, schema=schema)
+
+
+def resample_audio(df: DataFrame, target_rate: int,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """PCM WAV resampling: (media_id, audio binary, sample_rate, n_frames).
+
+    REAL kernel end-to-end (functions/media_codecs): RIFF/fmt/data struct
+    parse -> numpy linear-interpolation resample -> 16-bit PCM re-encode.
+    Rows whose payload is not PCM WAV are dropped (same contract as
+    resample_frames dropping null payloads); at scale, pre-filter on the
+    mime column so the kernel only sees audio."""
+    from ..functions.media_codecs import (encode_wav, parse_wav,
+                                          resample_linear)
+    schema = f"{id_col} long, audio binary, sample_rate int, n_frames long"
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, frames = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    rate, _ch, samples = parse_wav(bytes(p))
+                except ValueError:
+                    continue
+                out = resample_linear(samples, rate, target_rate)
+                ids.append(mid)
+                blobs.append(encode_wav(target_rate, out))
+                frames.append(out.shape[0])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "audio": blobs,
+                "sample_rate": pd.Series([target_rate] * len(ids),
+                                         dtype="int32"),
+                "n_frames": pd.Series(frames, dtype="int64")})
+
+    return df.mapInPandas(resample, schema=schema)
 
 
 def synthetic_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
@@ -211,15 +276,19 @@ def synthetic_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/demos (tiny PNGs, minimal
-    JPEGs, opaque blobs)."""
+    """Deterministic fake media table for tests/demos: REAL decodable RGB
+    PNGs (even ids — pixel values derived from the id so the decode/resize/
+    feature kernels run for real), minimal JPEGs, opaque blobs. Dimensions
+    keep the original (1+i%7, 1+i%5) formulas the constructed oracle
+    replicates."""
+    from ..functions.media_codecs import encode_png
     rows = []
     for i in range(n):
         if i % 2 == 0:
             w, h = 1 + i % 7, 1 + i % 5
-            payload = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
-                       + struct.pack(">II", w, h) + bytes(8)
-                       + hashlib.sha1(str(i).encode()).digest())
+            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3) + i)
+                  % 256).astype(np.uint8).reshape(h, w, 3)
+            payload = encode_png(px)
             mime = "image/png"
         elif i % 4 == 1:
             payload = synthetic_jpeg(8 + i % 9, 8 + i % 11,
@@ -230,3 +299,19 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             mime = "application/octet-stream"
         rows.append((i, bytearray(payload), mime))
     return spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+
+
+def synthetic_audio_df(spark, n: int = 16, rate: int = 8000) -> DataFrame:
+    """Deterministic REAL PCM WAV clips (sine + ramp mix per id) for the
+    resample_audio kernel."""
+    from ..functions.media_codecs import encode_wav
+    rows = []
+    for i in range(n):
+        frames = 64 + 16 * (i % 4)
+        t = np.arange(frames, dtype=np.float64)
+        wave = (8000.0 * np.sin(2 * np.pi * (60 + 10 * i) * t / rate)
+                + 100.0 * t / frames)
+        rows.append((i, bytearray(encode_wav(rate, wave.astype(np.int16))),
+                     "audio/wav"))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string")

@@ -91,9 +91,29 @@ def multimodal_oracle(n: int = 64) -> str:
             + ", ".join(vals) + ") v(media_id, width, height, feat_dim)")
 
 
+def audio_oracle(n: int = 16, rate_in: int = 8000,
+                 rate_out: int = 4000) -> str:
+    """Expected (media_id, sample_rate, n_frames, n_bytes) of
+    resample_audio over synthetic_audio_df: frame counts follow the
+    fixture's 64+16*(i%4) formula through n_out = round(n_in*out/in)
+    (the resampler's public contract); a 16-bit mono WAV is 44 header
+    bytes + 2 per frame."""
+    vals = []
+    for i in range(n):
+        n_in = 64 + 16 * (i % 4)
+        n_out = max(1, round(n_in * rate_out / rate_in))
+        vals.append(f"({i}, {rate_out}, {n_out}, {44 + 2 * n_out})")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(sample_rate AS INTEGER) AS sample_rate, "
+            "CAST(n_frames AS BIGINT) AS n_frames, "
+            "CAST(n_bytes AS BIGINT) AS n_bytes FROM (VALUES "
+            + ", ".join(vals) + ") v(media_id, sample_rate, n_frames, n_bytes)")
+
+
 def main() -> None:
     out = {"dedup_simhash": simhash_oracle(),
-           "multimodal_features": multimodal_oracle()}
+           "multimodal_features": multimodal_oracle(),
+           "multimodal_audio": audio_oracle()}
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {OUT}: "
