@@ -261,6 +261,13 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
     elif action == "set-snapshot-ref":
         name = upd["ref-name"]
         snap_id = upd["snapshot-id"]
+        # idempotent no-op when the ref already equals the target
+        # (table_metadata_builder.rs set_ref:518-525): a retried commit must
+        # not append a duplicate snapshot-log entry
+        existing = md.refs.get(name)
+        if existing is not None and existing.snapshot_id == snap_id \
+                and existing.type == upd.get("type", "branch"):
+            return
         snap = md.snapshot_by_id(snap_id)
         if snap is None:
             raise InvalidUpdate(f"ref {name} -> unknown snapshot {snap_id}")
@@ -275,15 +282,26 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
                                     "snapshot-id": snap_id})
     elif action == "remove-snapshots":
+        # reference semantics (table_metadata_builder.rs remove_snapshots:
+        # 487-511): removal is not rejected for referenced snapshots —
+        # refs that become dangling are dropped with them (main's drop also
+        # clears current_snapshot_id, mirroring remove_ref)
         ids = set(upd["snapshot-ids"])
-        still_ref = {r.snapshot_id for r in md.refs.values()}
-        bad = ids & still_ref
-        if bad:
-            raise InvalidUpdate(f"cannot remove referenced snapshots {sorted(bad)}")
         md.snapshots = [s for s in md.snapshots if s.snapshot_id not in ids]
         md.snapshot_log = [e for e in md.snapshot_log
                            if e["snapshot-id"] not in ids]
+        live = {s.snapshot_id for s in md.snapshots}
+        dropped_main = ("main" in md.refs
+                        and md.refs["main"].snapshot_id not in live)
+        md.refs = {n: r for n, r in md.refs.items()
+                   if r.snapshot_id in live}
+        if dropped_main or md.current_snapshot_id in ids:
+            md.current_snapshot_id = None
     elif action == "remove-snapshot-ref":
+        # removing main clears current_snapshot_id but KEEPS the snapshot
+        # log (test_remove_main_ref_keeps_snapshot_log)
+        if upd["ref-name"] == "main":
+            md.current_snapshot_id = None
         md.refs.pop(upd["ref-name"], None)
     elif action == "set-location":
         md.location = upd["location"]

@@ -74,16 +74,18 @@ def test_snapshot_ref_and_remove_protection():
     ])
     assert out.current_snapshot_id == 101
     assert out.refs["main"].snapshot_id == 101
-    # a referenced snapshot cannot be removed
-    with pytest.raises(InvalidUpdate):
-        apply_updates(out, [{"action": "remove-snapshots",
-                             "snapshot-ids": [101]}])
-    # drop the ref first, then removal is fine
-    out2 = apply_updates(out, [
+    # reference semantics (remove_snapshots:487-511): removing a referenced
+    # snapshot drops the now-dangling ref with it; main's drop also clears
+    # current_snapshot_id
+    out2 = apply_updates(out, [{"action": "remove-snapshots",
+                                "snapshot-ids": [101]}])
+    assert out2.snapshots == [] and out2.refs == {}
+    assert out2.current_snapshot_id is None
+    # explicit ref removal also works, keeping the snapshot itself
+    out3 = apply_updates(out, [
         {"action": "remove-snapshot-ref", "ref-name": "main"},
-        {"action": "remove-snapshots", "snapshot-ids": [101]},
     ])
-    assert out2.snapshots == []
+    assert out3.refs == {} and len(out3.snapshots) == 1
 
 
 def test_properties_specs_and_guards():
@@ -344,3 +346,32 @@ def test_snapshot_log_tracks_main_only():
                                 "ref-name": "main", "snapshot-id": 22}])
     assert [e["snapshot-id"] for e in out2.snapshot_log] == [11, 22]
     assert out2.snapshot_log[-1]["timestamp-ms"] == 2000
+
+
+def test_set_ref_idempotent_and_remove_main_semantics():
+    """set-snapshot-ref to the identical target is a no-op (no duplicate
+    snapshot-log entry on commit retries); removing the main ref clears
+    current_snapshot_id but KEEPS the snapshot log
+    (table_metadata_builder.rs set_ref:518-525,
+    test_remove_main_ref_keeps_snapshot_log)."""
+    md = _md()
+    snap = Snapshot(snapshot_id=7, sequence_number=1, timestamp_ms=1000,
+                    manifest_list="/tmp/t/metadata/ml.parquet",
+                    summary={"operation": "append"}, schema_id=0)
+    out = apply_updates(md, [
+        {"action": "add-snapshot", "snapshot": snap},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "snapshot-id": 7, "type": "branch"},
+    ])
+    assert [e["snapshot-id"] for e in out.snapshot_log] == [7]
+    # identical re-set: no new log entry
+    again = apply_updates(out, [
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "snapshot-id": 7, "type": "branch"}])
+    assert [e["snapshot-id"] for e in again.snapshot_log] == [7]
+    # remove main: current cleared, log kept, snapshot kept
+    removed = apply_updates(out, [
+        {"action": "remove-snapshot-ref", "ref-name": "main"}])
+    assert removed.current_snapshot_id is None
+    assert [e["snapshot-id"] for e in removed.snapshot_log] == [7]
+    assert len(removed.snapshots) == 1
