@@ -904,6 +904,24 @@ def q_events_variant(spark, sf_dir):
                  F.min("k").alias("min_k"), F.max("k").alias("max_k")))
 
 
+def q_iceberg_join_pruned(spark, sf_dir):
+    """Joined SQL through the front door: each alias's WHERE conjuncts are
+    captured into metadata pruning for ITS scan (month-partition pruning on
+    db.lineitem, min/max metrics on db.orders_bucket) while Spark re-applies
+    the full WHERE — sources/sql.py _auto_scan_filters."""
+    from iceberg_rust_spark.sources.sql import run_sql
+    cat = _warehouse(spark, sf_dir)
+    return run_sql(spark, cat, f"""
+        SELECT l.l_returnflag AS l_returnflag, o.o_orderstatus AS o_orderstatus,
+               COUNT(*) AS n_rows, {_sql_sum_dec('l.l_quantity', 'sum_qty')}
+        FROM db.lineitem l JOIN db.orders_bucket o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+          AND o.o_totalprice > 50000
+        GROUP BY l.l_returnflag, o.o_orderstatus""")
+
+
 def q_iceberg_merge(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_merge")
     return t.to_df(spark).groupBy("o_orderpriority").agg(
@@ -1138,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_q1_pricing": q_iceberg_q1,
         "iceberg_q6_revenue": q_iceberg_q6,
         "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_join_pruned": q_iceberg_join_pruned,
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
         "iceberg_truncate_prune": q_iceberg_truncate_prune,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
@@ -1255,6 +1274,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate <  TIMESTAMP '1997-07-01'
             GROUP BY l_returnflag""",
+        "iceberg_join_pruned": f"""
+            SELECT l.l_returnflag AS l_returnflag,
+                   o.o_orderstatus AS o_orderstatus,
+                   COUNT(*) AS n_rows, {_sql_sum_dec('l.l_quantity', 'sum_qty')}
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+              AND o.o_totalprice > 50000
+            GROUP BY l.l_returnflag, o.o_orderstatus""",
         "iceberg_bucket_prune": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    CAST(o_totalprice AS DOUBLE) AS o_totalprice

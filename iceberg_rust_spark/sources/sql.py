@@ -20,7 +20,7 @@ under-pruning only costs IO.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -228,23 +228,103 @@ _AUTO_PRUNE_RE = re.compile(
     r"\s+HAVING|\s+LIMIT|\s*$)",
     re.IGNORECASE | re.DOTALL)
 
+# FROM <refs> WHERE <cond> for the join shape: refs = table [alias]
+# (JOIN table [alias] ON ...)*
+_AUTO_PRUNE_JOIN_RE = re.compile(
+    r"\bFROM\s+(.*?)\s+WHERE\s+(.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY|"
+    r"\s+HAVING|\s+LIMIT|\s*$)",
+    re.IGNORECASE | re.DOTALL)
 
-def _auto_scan_filter(query: str) -> Optional[tuple]:
-    """(table, Predicate) for the single-table SELECT...WHERE shape, else
-    None. Inclusive file pruning of a predicate the full WHERE re-applies
-    can only over-read, never over-prune — so best-effort is safe."""
-    if re.search(r"\bJOIN\b|,\s*[\w.]+\s+(AS\s+)?\w*\s*(WHERE|,)", query,
-                 re.IGNORECASE):
-        return None
-    m = _AUTO_PRUNE_RE.search(query)
+
+def _split_top_and(s: str) -> List[str]:
+    """Split on top-level AND (paren + quote aware)."""
+    parts, start, depth, inq, i = [], 0, 0, False, 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and up[i:i + 3] == "AND"
+                  and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                  and (i + 3 >= len(s)
+                       or not (s[i + 3].isalnum() or s[i + 3] == "_"))):
+                parts.append(s[start:i])
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
+    """{table: Predicate} captured from the query's WHERE clause for file
+    pruning. Inclusive pruning of a predicate the full WHERE re-applies can
+    only over-read, never over-prune — so best-effort is safe.
+
+    Shapes handled:
+    - single-table SELECT ... WHERE: the whole WHERE is tried.
+    - INNER-join SELECT ... FROM a x JOIN b y ON ... WHERE: each top-level
+      AND conjunct that references exactly ONE alias (and parses as
+      col-vs-literal — the predicate grammar rejects col-vs-col) prunes
+      that alias's table. OUTER/SEMI/ANTI joins are skipped: a
+      non-null-rejecting conjunct (IS NULL) on a null-supplying side would
+      change which rows find matches, so pruning there is not
+      result-preserving. Subqueries are skipped (conservative).
+    """
+    from ..plans.sql_pred import sql_to_predicate
+    has_join = re.search(r"\bJOIN\b", query, re.IGNORECASE)
+    if not has_join:
+        if re.search(r",\s*[\w.]+\s+(AS\s+)?\w*\s*(WHERE|,)", query,
+                     re.IGNORECASE):
+            return {}
+        m = _AUTO_PRUNE_RE.search(query)
+        if not m:
+            return {}
+        try:
+            return {m.group(1): sql_to_predicate(m.group(2))}
+        except ValueError:
+            return {}
+    if re.search(r"\b(LEFT|RIGHT|FULL|OUTER|SEMI|ANTI|CROSS)\s+"
+                 r"(OUTER\s+)?JOIN", query, re.IGNORECASE):
+        return {}
+    if re.search(r"\(\s*SELECT\b", query, re.IGNORECASE):
+        return {}
+    m = _AUTO_PRUNE_JOIN_RE.search(query)
     if not m:
-        return None
-    try:
-        from ..plans.sql_pred import sql_to_predicate
-
-        return m.group(1), sql_to_predicate(m.group(2))
-    except ValueError:
-        return None
+        return {}
+    from_part, where = m.group(1), m.group(2)
+    refs: Dict[str, str] = {}           # alias -> table identifier
+    for piece in re.split(r"\b(?:INNER\s+)?JOIN\b", from_part,
+                          flags=re.IGNORECASE):
+        piece = re.sub(r"\bON\b.*$", "", piece,
+                       flags=re.IGNORECASE | re.DOTALL).strip()
+        tm = re.match(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", piece,
+                      re.IGNORECASE)
+        if not tm:
+            return {}                   # unrecognized ref shape: bail
+        tbl = tm.group(1)
+        refs[tm.group(2) or tbl] = tbl
+    out: Dict[str, "E.Predicate"] = {}
+    for conj in _split_top_and(where):
+        aliases = {a for a, _c in re.findall(r"\b(\w+)\.(\w+)", conj)
+                   if a in refs}
+        if len(aliases) != 1:
+            continue                    # cross-table / unqualified: skip
+        alias = aliases.pop()
+        bare = re.sub(rf"\b{re.escape(alias)}\.", "", conj)
+        try:
+            pred = sql_to_predicate(bare)
+        except ValueError:
+            continue
+        tbl = refs[alias]
+        out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+    return out
 
 
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
@@ -574,9 +654,10 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.update_where(spark, pred, assignments)
         return spark.createDataFrame([(n,)], "updated_rows long")
 
-    auto = _auto_scan_filter(query)
-    if auto and auto[0] not in scan_filters:
-        scan_filters = {**scan_filters, auto[0]: auto[1]}
+    auto = _auto_scan_filters(query)
+    if auto:
+        scan_filters = {**{t: p for t, p in auto.items()
+                           if t not in scan_filters}, **scan_filters}
     vc = ViewCatalog(catalog)
     rewritten = query
 

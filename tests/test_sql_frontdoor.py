@@ -170,14 +170,16 @@ def test_run_sql_delete_from(spark, warehouse):
 
 def test_auto_scan_filter_extraction(spark, warehouse):
     import datetime as _dt
-    from iceberg_rust_spark.sources.sql import _auto_scan_filter
-    got = _auto_scan_filter(
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+    got = _auto_scan_filters(
         "SELECT a, count(*) FROM db.t WHERE a > 5 AND b = 'x' GROUP BY a")
-    assert got is not None and got[0] == "db.t"
-    assert _auto_scan_filter(
-        "SELECT * FROM db.a JOIN db.b ON a.k = b.k WHERE a.x > 1") is None
-    assert _auto_scan_filter(
-        "SELECT * FROM db.t WHERE lower(a) = 'x'") is None  # unparsable -> skip
+    assert set(got) == {"db.t"}
+    # joins now capture per-alias conjuncts (see the join tests below)
+    jg = _auto_scan_filters(
+        "SELECT * FROM db.a a JOIN db.b b ON a.k = b.k WHERE a.x > 1")
+    assert set(jg) == {"db.a"}
+    assert _auto_scan_filters(
+        "SELECT * FROM db.t WHERE lower(a) = 'x'") == {}  # unparsable -> skip
 
     # end-to-end: partitioned table, WHERE prunes files yet results are exact
     df = spark.createDataFrame(
@@ -691,5 +693,76 @@ def test_describe_falls_through_to_spark_for_views(spark, warehouse):
     out = run_sql(spark, warehouse, "DESCRIBE dsc_tmp")
     names = {r["col_name"] for r in out.collect()}
     assert {"x", "s"} <= names
-    out2 = run_sql(spark, warehouse, "SHOW CREATE TABLE dsc_tmp")
-    assert "dsc_tmp" in out2.collect()[0][0]
+    # SHOW CREATE on a temp view falls through too: Spark raises its own
+    # (accurate) AnalysisException, not our NoSuchTable
+    from pyspark.errors.exceptions.captured import AnalysisException
+    import pytest as _pytest
+    with _pytest.raises(AnalysisException):
+        run_sql(spark, warehouse, "SHOW CREATE TABLE dsc_tmp")
+
+
+def test_auto_scan_filters_join_capture():
+    """Per-alias WHERE conjuncts on an inner join map to per-table
+    predicates; outer joins, subqueries and cross-table conjuncts are
+    conservatively skipped."""
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    got = _auto_scan_filters("""
+        SELECT * FROM db.lineitem l JOIN db.orders o
+        ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_ship >= 5 AND o.o_total > 100 AND l.l_qty < 3
+          AND l.l_orderkey = o.o_orderkey""")
+    assert set(got) == {"db.lineitem", "db.orders"}
+    assert "l_ship gt_eq 5" in repr(got["db.lineitem"])
+    assert "l_qty lt 3" in repr(got["db.lineitem"])
+    assert "o_total gt 100" in repr(got["db.orders"])
+    # outer join: no capture (IS NULL on the null side isn't prunable)
+    assert _auto_scan_filters(
+        "SELECT * FROM a x LEFT JOIN b y ON x.k = y.k "
+        "WHERE y.v IS NULL") == {}
+    # subquery: bail
+    assert _auto_scan_filters(
+        "SELECT * FROM a x JOIN (SELECT * FROM b) y ON x.k = y.k "
+        "WHERE x.v = 1") == {}
+    # single-table path unchanged
+    one = _auto_scan_filters("SELECT * FROM db.t WHERE v = 1")
+    assert set(one) == {"db.t"}
+
+
+def test_run_sql_join_prunes_both_scans(spark, warehouse):
+    """The joined front-door query passes each captured predicate to the
+    matching table's scan (observed via a scan spy) and returns the same
+    rows as plain Spark SQL over full reads."""
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    li = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "k long, g long, v double")
+    od = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(30)], "k long, s string")
+    t1 = Table.create(warehouse, "db.jp_l", schema_from_spark(li.schema))
+    t1.append(spark, li)
+    t2 = Table.create(warehouse, "db.jp_o", schema_from_spark(od.schema))
+    t2.append(spark, od)
+
+    captured = {}
+    orig_scan = Table.scan
+
+    def spy(self, *a, **kw):
+        if kw.get("row_filter") is not None:
+            captured[self.identifier] = repr(kw["row_filter"])
+        return orig_scan(self, *a, **kw)
+
+    Table.scan = spy
+    try:
+        out = run_sql(spark, warehouse, """
+            SELECT l.k AS k, l.v AS v, o.s AS s
+            FROM db.jp_l l JOIN db.jp_o o ON l.k = o.k
+            WHERE l.g = 1 AND o.s = 's1'""").collect()
+    finally:
+        Table.scan = orig_scan
+    assert any("g eq 1" in v for v in captured.values())
+    assert any("s eq" in v and "s1" in v for v in captured.values())
+    exp = {(r["k"], r["v"], r["s"]) for r in
+           li.join(od, "k").where("g = 1 AND s = 's1'").collect()}
+    assert {(r["k"], r["v"], r["s"]) for r in out} == exp
