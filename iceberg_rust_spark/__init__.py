@@ -10,13 +10,14 @@ Layout:
 """
 
 from .sources.catalog import FileSystemCatalog
+from .sources.sql_catalog import SqlCatalog
 from .sources.metadata import PartitionField, PartitionSpec
 from .sources.rest import MemoryCatalog, RestCatalog, RestCatalogServer
 from .sources.table import Table
 from .sources.types import NestedField, Schema
 from .plans import expr
 
-__all__ = ["FileSystemCatalog", "MemoryCatalog", "RestCatalog",
+__all__ = ["FileSystemCatalog", "SqlCatalog", "MemoryCatalog", "RestCatalog",
            "RestCatalogServer", "Table", "Schema", "NestedField",
            "PartitionSpec", "PartitionField", "expr"]
 __version__ = "0.1.0"
