@@ -204,14 +204,59 @@ def _clusters(spark, docs, emb):
     return dedup_clusters(pairs).count()
 
 
+def _dv_table_loc(docs) -> str:
+    return f"/tmp/scale_dv/x{docs.count()}"
+
+
+def _dv_delete_prep(spark, docs, emb):
+    """Many-small-file table cached per decade UNTIMED: ~64 rows per data
+    file so a 20% delete touches hundreds-to-tens-of-thousands of files —
+    the shape that stresses the distributed puffin-DV write path."""
+    import shutil
+
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.catalog import FileSystemCatalog
+    from iceberg_rust_spark.sources.types import schema_from_spark
+    loc = _dv_table_loc(docs)
+    if os.path.isfile(os.path.join(loc, "_DONE")):
+        return
+    shutil.rmtree(loc, ignore_errors=True)
+    wh = FileSystemCatalog(loc)
+    base = docs.select("doc_id", "source")
+    n = base.count()
+    files = max(32, n // 64)
+    t = Table.create(wh, "db.dv", schema_from_spark(base.schema))
+    t.append(spark, base.repartition(files))
+    open(os.path.join(loc, "_DONE"), "w").close()
+
+
+def _dv_delete(spark, docs, emb):
+    """Wide MOR delete via deletion vectors: per-decade fresh snapshot each
+    run (delete commits on the cached base table; expire keeps it bounded).
+    Times the distributed roaring-serialize + rolled puffin write."""
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.catalog import FileSystemCatalog
+    wh = FileSystemCatalog(_dv_table_loc(docs))
+    t = Table.load(wh, "db.dv")
+    base_snap = t.metadata.current_snapshot_id
+    cut = int(t.to_df(spark).agg(
+        F.expr("percentile_approx(doc_id, 0.2)")).collect()[0][0])
+    # round-robin file layout => the range predicate hits EVERY data file
+    t2 = t.delete_where(spark, E.col("doc_id") <= cut, mode="dv")
+    n = t2.to_df(spark).count()
+    # roll back so repeated probes start from the same snapshot
+    t2.set_ref("main", base_snap)
+    return n
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
        "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
-       "cdc_changes_df": _cdc_changes}
+       "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes}
 
 # untimed per-decade setup (fixture caches) run before the timed op
-PREP = {"dedup_clusters": _clusters_prep}
+PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
 
 # embedding_lsh_pairs ran capped here until the partition-local rewrite
 # (adaptive plane count + salted bucket split) made x100 a bounded job;
