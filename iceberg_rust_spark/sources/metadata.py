@@ -120,15 +120,33 @@ class Snapshot:
 
 @dataclass
 class SnapshotRef:
+    """Named snapshot reference with the spec's per-ref retention policy
+    (snapshot.rs SnapshotRetention:450-479): branches may carry
+    min-snapshots-to-keep / max-snapshot-age-ms, any non-main ref may carry
+    max-ref-age-ms; None defers to the history.expire.* table properties."""
     snapshot_id: int
     type: str = "branch"  # branch | tag
+    min_snapshots_to_keep: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    max_ref_age_ms: Optional[int] = None
 
     def to_json(self) -> dict:
-        return {"snapshot-id": self.snapshot_id, "type": self.type}
+        d: Dict[str, Any] = {"snapshot-id": self.snapshot_id,
+                             "type": self.type}
+        if self.min_snapshots_to_keep is not None:
+            d["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            d["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        if self.max_ref_age_ms is not None:
+            d["max-ref-age-ms"] = self.max_ref_age_ms
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "SnapshotRef":
-        return SnapshotRef(d["snapshot-id"], d.get("type", "branch"))
+        return SnapshotRef(d["snapshot-id"], d.get("type", "branch"),
+                           d.get("min-snapshots-to-keep"),
+                           d.get("max-snapshot-age-ms"),
+                           d.get("max-ref-age-ms"))
 
 
 @dataclass

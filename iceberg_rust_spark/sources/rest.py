@@ -213,9 +213,16 @@ def diff_metadata(base: TableMetadata, new: TableMetadata) -> List[Dict[str, Any
     # refs AFTER add-snapshot (target must exist), removals after re-pointing
     for name, ref in new.refs.items():
         old = base.refs.get(name)
-        if old is None or old.snapshot_id != ref.snapshot_id or old.type != ref.type:
-            upd.append({"action": "set-snapshot-ref", "ref-name": name,
-                        "snapshot-id": ref.snapshot_id, "type": ref.type})
+        if old != ref:  # dataclass equality incl. per-ref retention fields
+            u = {"action": "set-snapshot-ref", "ref-name": name,
+                 "snapshot-id": ref.snapshot_id, "type": ref.type}
+            if ref.min_snapshots_to_keep is not None:
+                u["min-snapshots-to-keep"] = ref.min_snapshots_to_keep
+            if ref.max_snapshot_age_ms is not None:
+                u["max-snapshot-age-ms"] = ref.max_snapshot_age_ms
+            if ref.max_ref_age_ms is not None:
+                u["max-ref-age-ms"] = ref.max_ref_age_ms
+            upd.append(u)
     for name in base.refs:
         if name not in new.refs:
             upd.append({"action": "remove-snapshot-ref", "ref-name": name})

@@ -115,9 +115,17 @@ _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$",
                           re.IGNORECASE)
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$",
                              re.IGNORECASE)
+# Spark-Iceberg branch/tag DDL incl. retention clauses:
+#   ALTER TABLE t CREATE BRANCH b [AS OF VERSION v] [RETAIN n DAYS]
+#     [WITH SNAPSHOT RETENTION m SNAPSHOTS [n DAYS]]
 _BRANCH_TAG_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
-    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$", re.IGNORECASE)
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+    r"(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?"
+    r"(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(\d+)\s+SNAPSHOTS"
+    r"(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*$", re.IGNORECASE)
+
+_TIME_UNIT_MS = {"DAYS": 86_400_000, "HOURS": 3_600_000, "MINUTES": 60_000}
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
@@ -399,7 +407,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
                        else t.metadata.current_snapshot_id)
             if snap_id is None:
                 raise ValueError(f"{ident} has no snapshot to {kind}")
-            t.set_ref(name, snap_id, ref_type=kind)
+            ref_age = (int(m.group(6)) * _TIME_UNIT_MS[m.group(7).upper()]
+                       if m.group(6) else None)
+            min_keep = int(m.group(8)) if m.group(8) else None
+            snap_age = (int(m.group(9)) * _TIME_UNIT_MS[m.group(10).upper()]
+                        if m.group(9) else None)
+            t.set_ref(name, snap_id, ref_type=kind,
+                      min_snapshots_to_keep=min_keep,
+                      max_snapshot_age_ms=snap_age,
+                      max_ref_age_ms=ref_age)
         else:
             if name not in t.metadata.refs:
                 raise ValueError(f"no {kind} named {name}")

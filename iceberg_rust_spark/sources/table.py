@@ -598,23 +598,72 @@ class Table:
         semantics): age + retain-last, never expiring ref heads. When the
         arguments are omitted, the standard retention table properties apply:
         ``history.expire.max-snapshot-age-ms`` (cutoff = now - age) and
-        ``history.expire.min-snapshots-to-keep``."""
+        ``history.expire.min-snapshots-to-keep``.
+
+        Per-ref retention (spec SnapshotRetention, snapshot.rs:450-479) is
+        honored on top: non-main refs older than their ``max-ref-age-ms``
+        (default ``history.expire.max-ref-age-ms``) are dropped first, and
+        each surviving branch keeps its own ancestor chain per its
+        ``min-snapshots-to-keep`` / ``max-snapshot-age-ms`` overrides. A
+        snapshot survives if ANY retention rule keeps it."""
         def action(md: TableMetadata) -> TableMetadata:
             nonlocal older_than_ms, retain_last
+            now = now_ms()
             if older_than_ms is None:
                 age = md.properties.get("history.expire.max-snapshot-age-ms")
-                older_than_ms = (now_ms() - int(age)) if age else now_ms()
+                older_than_ms = (now - int(age)) if age else now
             if retain_last is None:
                 keep = md.properties.get(
                     "history.expire.min-snapshots-to-keep")
                 retain_last = int(keep) if keep else 1
             cutoff = older_than_ms
+            # 1. per-ref ref expiry (spec SnapshotRetention.max-ref-age-ms,
+            #    ref default history.expire.max-ref-age-ms; main NEVER
+            #    expires): the ref's age is its snapshot's age
+            default_ref_age = md.properties.get("history.expire.max-ref-age-ms")
+            default_ref_age = int(default_ref_age) if default_ref_age else None
+            kept_refs: Dict[str, SnapshotRef] = {}
+            for name, ref in md.refs.items():
+                if name == MAIN_BRANCH:
+                    kept_refs[name] = ref
+                    continue
+                limit = (ref.max_ref_age_ms if ref.max_ref_age_ms is not None
+                         else default_ref_age)
+                snap = md.snapshot_by_id(ref.snapshot_id)
+                if limit is not None and snap is not None \
+                        and now - snap.timestamp_ms > limit:
+                    continue
+                kept_refs[name] = ref
+            md.refs = kept_refs
+            # 2. keep set: ref heads, current, global retain-last, and each
+            #    branch's OWN ancestor retention (min-snapshots-to-keep /
+            #    max-snapshot-age-ms override the table defaults per branch)
             keep_ids = {r.snapshot_id for r in md.refs.values()}
             if md.current_snapshot_id is not None:
                 keep_ids.add(md.current_snapshot_id)
             chron = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
             for s in chron[-max(retain_last, 1):]:
                 keep_ids.add(s.snapshot_id)
+            for ref in md.refs.values():
+                if ref.type != "branch":
+                    continue
+                min_keep = (ref.min_snapshots_to_keep
+                            if ref.min_snapshots_to_keep is not None
+                            else max(retain_last, 1))
+                br_cutoff = (now - ref.max_snapshot_age_ms
+                             if ref.max_snapshot_age_ms is not None
+                             else cutoff)
+                kept, cur = 0, ref.snapshot_id
+                while cur is not None:
+                    snap = md.snapshot_by_id(cur)
+                    if snap is None:
+                        break
+                    if kept < min_keep or snap.timestamp_ms > br_cutoff:
+                        keep_ids.add(snap.snapshot_id)
+                        kept += 1
+                        cur = snap.parent_snapshot_id
+                    else:
+                        break
             md.snapshots = [s for s in md.snapshots
                             if s.snapshot_id in keep_ids or s.timestamp_ms > cutoff]
             valid = {s.snapshot_id for s in md.snapshots}
@@ -700,11 +749,16 @@ class Table:
         rolled-past snapshots stay addressable until expiry)."""
         return self.set_ref(MAIN_BRANCH, snapshot_id)
 
-    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Table":
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch",
+                min_snapshots_to_keep: Optional[int] = None,
+                max_snapshot_age_ms: Optional[int] = None,
+                max_ref_age_ms: Optional[int] = None) -> "Table":
         def action(md: TableMetadata) -> TableMetadata:
             if md.snapshot_by_id(snapshot_id) is None:
                 raise ValueError(f"no snapshot {snapshot_id}")
-            md.refs[name] = SnapshotRef(snapshot_id, ref_type)
+            md.refs[name] = SnapshotRef(snapshot_id, ref_type,
+                                        min_snapshots_to_keep,
+                                        max_snapshot_age_ms, max_ref_age_ms)
             if name == MAIN_BRANCH:
                 # same main special-case as the set-snapshot-ref applier:
                 # re-pointing main IS the fast-forward/rollback primitive

@@ -261,17 +261,19 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
     elif action == "set-snapshot-ref":
         name = upd["ref-name"]
         snap_id = upd["snapshot-id"]
+        new_ref = SnapshotRef(snap_id, upd.get("type", "branch"),
+                              upd.get("min-snapshots-to-keep"),
+                              upd.get("max-snapshot-age-ms"),
+                              upd.get("max-ref-age-ms"))
         # idempotent no-op when the ref already equals the target
         # (table_metadata_builder.rs set_ref:518-525): a retried commit must
         # not append a duplicate snapshot-log entry
-        existing = md.refs.get(name)
-        if existing is not None and existing.snapshot_id == snap_id \
-                and existing.type == upd.get("type", "branch"):
+        if md.refs.get(name) == new_ref:
             return
         snap = md.snapshot_by_id(snap_id)
         if snap is None:
             raise InvalidUpdate(f"ref {name} -> unknown snapshot {snap_id}")
-        md.refs[name] = SnapshotRef(snap_id, upd.get("type", "branch"))
+        md.refs[name] = new_ref
         if name == "main":
             # the snapshot LOG is the MAIN branch's current-snapshot history
             # (table_metadata_builder.rs test_set_branch_snapshot_* family):

@@ -155,3 +155,59 @@ def test_expire_snapshots_property_defaults(spark, warehouse):
     from iceberg_rust_spark.sources.metadata import now_ms
     t = t.expire_snapshots(older_than_ms=now_ms() + 1000)
     assert len(t.metadata.snapshots) == 3
+
+
+def test_expire_honors_per_ref_retention(spark, warehouse):
+    """Spec SnapshotRetention: a non-main ref past its max-ref-age-ms is
+    dropped; a branch's min-snapshots-to-keep protects its ancestors even
+    when globally aged out; main never expires."""
+    from iceberg_rust_spark.sources.metadata import now_ms
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.refret", schema_from_spark(df.schema))
+    t = t.append(spark, df)                        # s1
+    t = t.append(spark, df)                        # s2
+    t = t.append(spark, df)                        # s3 (main head)
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    s1, s2, s3 = [s.snapshot_id for s in snaps]
+
+    # an old tag with max-ref-age-ms=0 ages out immediately; a branch on s2
+    # with min-snapshots-to-keep=2 protects s2 AND its parent s1
+    t = t.set_ref("oldtag", s1, ref_type="tag", max_ref_age_ms=0)
+    t = t.set_ref("keeper", s2, ref_type="branch", min_snapshots_to_keep=2)
+    t = t.expire_snapshots(older_than_ms=now_ms() + 10**9, retain_last=1)
+
+    assert "oldtag" not in t.metadata.refs          # aged-out ref dropped
+    assert "keeper" in t.metadata.refs
+    alive = {s.snapshot_id for s in t.metadata.snapshots}
+    assert s3 in alive                              # main head
+    assert s2 in alive and s1 in alive              # branch min-keep chain
+
+    # without the branch, the same expiry keeps only the head
+    t2 = Table.create(warehouse, "db.refret2", schema_from_spark(df.schema))
+    t2 = t2.append(spark, df).append(spark, df).append(spark, df)
+    t2 = t2.expire_snapshots(older_than_ms=now_ms() + 10**9, retain_last=1)
+    assert len(t2.metadata.snapshots) == 1
+
+
+def test_ref_retention_roundtrips_metadata_and_wire(spark, warehouse):
+    """Retention fields survive JSON serde and the REST diff->apply wire."""
+    from iceberg_rust_spark.sources.metadata import TableMetadata
+    from iceberg_rust_spark.sources.rest import diff_metadata
+    from iceberg_rust_spark.sources.updates import apply_updates
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.refwire", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    base = t.metadata
+    t = t.set_ref("audit", t.metadata.current_snapshot_id,
+                  ref_type="branch", min_snapshots_to_keep=3,
+                  max_snapshot_age_ms=86400000, max_ref_age_ms=604800000)
+    md2 = TableMetadata.from_json(t.metadata.to_json())
+    r = md2.refs["audit"]
+    assert (r.min_snapshots_to_keep, r.max_snapshot_age_ms,
+            r.max_ref_age_ms) == (3, 86400000, 604800000)
+
+    upds = diff_metadata(base, t.metadata)
+    replayed = apply_updates(base, upds)
+    assert replayed.refs["audit"] == t.metadata.refs["audit"]

@@ -766,3 +766,22 @@ def test_run_sql_join_prunes_both_scans(spark, warehouse):
     exp = {(r["k"], r["v"], r["s"]) for r in
            li.join(od, "k").where("g = 1 AND s = 's1'").collect()}
     assert {(r["k"], r["v"], r["s"]) for r in out} == exp
+
+
+def test_branch_ddl_with_retention_clauses(spark, warehouse):
+    """ALTER TABLE ... CREATE BRANCH with RETAIN / WITH SNAPSHOT RETENTION
+    stores the spec's per-ref retention fields."""
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.br_ret", schema_from_spark(df.schema))
+    t.append(spark, df)
+    run_sql(spark, warehouse,
+            "ALTER TABLE db.br_ret CREATE BRANCH audit RETAIN 7 DAYS "
+            "WITH SNAPSHOT RETENTION 5 SNAPSHOTS 2 DAYS")
+    ref = Table.load(warehouse, "db.br_ret").metadata.refs["audit"]
+    assert ref.type == "branch"
+    assert ref.max_ref_age_ms == 7 * 86_400_000
+    assert ref.min_snapshots_to_keep == 5
+    assert ref.max_snapshot_age_ms == 2 * 86_400_000
+    # plain form still works
+    run_sql(spark, warehouse, "ALTER TABLE db.br_ret CREATE TAG snap1")
+    assert Table.load(warehouse, "db.br_ret").metadata.refs["snap1"].type == "tag"

@@ -3,6 +3,11 @@ and its oracle_sql() twin via DuckDB on the same parquet tables; compare row
 count, column names, and order-insensitive values.
 
 Usage: python tools/check_correctness.py [sf_dir] [only_query ...]
+
+With no query filter, also writes CORRECTNESS_LOCAL.json at the repo root —
+the full-N artifact (the external driver grades only the first 50 queries()
+entries, so this records the tail's per-round evidence; commit it as
+CORRECTNESS_LOCAL_r<N>.json each round).
 """
 
 from __future__ import annotations
@@ -46,9 +51,12 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        results[name] = {"status": "fail", "rows": None, "mode": "oracle",
+                         "problems": []}
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -56,11 +64,14 @@ def main():
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
+            results[name]["problems"] = [f"spark error: {type(exc).__name__}"]
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
+            results[name].update(status="pass", mode="rows-only",
+                                 rows=len(spark_rows))
             n_pass += 1
             continue
         try:
@@ -69,6 +80,7 @@ def main():
             duck_rows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            results[name]["problems"] = [f"duckdb error: {str(exc)[:120]}"]
             n_fail += 1
             continue
         problems = []
@@ -115,11 +127,23 @@ def main():
                 problems.append(f"values differ; first diffs: {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name]["problems"] = problems
             n_fail += 1
         else:
             print(f"ok {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            results[name].update(status="pass", rows=len(spark_rows))
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if not only:
+        import json
+        import os
+        out = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+               "n_total": len(results), "queries": results}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {path}")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -331,6 +331,11 @@ def main() -> None:
         "iterative min-label propagation over cached minhash edges (pair",
         "generation is the minhash_lsh_pairs row); its cost is rounds x one",
         "shuffled join, rounds ~= cluster diameter (2-4 on near-dup blobs).",
+        "dv_delete_wide times a MOR delete whose predicate hits EVERY data",
+        "file of a many-small-file table: scan + executor-side roaring",
+        "serialize + rolled puffin writes, only DataFile descriptors to the",
+        "driver — sub-linear because file count grows with rows but the",
+        "per-file bitmap work is constant-ish.",
         "",
         "Variance caveat: single-run walls on this shared VM swing up to ~4x",
         "run-to-run (the same op sequence re-measured minutes apart gave",
