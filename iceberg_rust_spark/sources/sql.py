@@ -47,6 +47,8 @@ _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",
 _INSERT_OVERWRITE_RE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$",
                           re.IGNORECASE)
 _PART_BY_RE = re.compile(r"\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
@@ -464,8 +466,25 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         target, select_sql = m.group(1), m.group(2)
         t = _Table.load(catalog, target)
         df = run_sql(spark, catalog, select_sql, scan_filters)
+        # standard SQL INSERT maps the query's columns POSITIONALLY when
+        # the arity matches (a bare VALUES list arrives as col1..colN);
+        # arity mismatches keep the name-based path (defaults fill in)
+        tcols = [f.name for f in t.metadata.schema().fields]
+        if len(df.columns) == len(tcols) and df.columns != tcols:
+            df = df.toDF(*tcols)
         t.append(spark, df)
         return df
+    m = _DROP_TABLE_RE.match(query)
+    if m:
+        if_exists, ident = bool(m.group(1)), m.group(2)
+        if catalog.table_exists(ident):
+            catalog.drop_table(ident)
+            return spark.createDataFrame([(ident, True)],
+                                         "table string, dropped boolean")
+        if if_exists:
+            return spark.createDataFrame([(ident, False)],
+                                         "table string, dropped boolean")
+        # unknown to the catalog: defer to spark.sql (temp/external relation)
     m = _TRUNCATE_RE.match(query)
     if m:
         from .table import Table as _Table
@@ -489,6 +508,11 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         from .types import schema_from_spark
 
         target, cols = m.group(1), m.group(2)
+        # TIMESTAMP(6) (ANSI precision syntax, e.g. from the reference's
+        # sqllogictest DDL) == microsecond timestamps == Iceberg/Spark
+        # TIMESTAMP; Spark's DDL parser rejects the precision form
+        cols = re.sub(r"TIMESTAMP\s*\(\s*6\s*\)", "TIMESTAMP", cols,
+                      flags=re.IGNORECASE)
         if catalog.table_exists(target):
             if re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE):
                 return spark.createDataFrame([(target, False)],
@@ -709,12 +733,14 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     for ns in catalog.list_namespaces():
         for tname in catalog.list_tables(ns):
             full = f"{ns}.{tname}"
-            pat = re.compile(rf"(?<![\w.]){re.escape(full)}(?![\w.])")
+            pat = re.compile(rf"(?<![\w.]){re.escape(full)}(?![\w.$])")
+            # metadata tables address as ns.t.snapshots or the Java-style
+            # ns.t$snapshots — both rewrite to the same temp view
             meta_hits = {
                 meta: re.compile(
-                    rf"(?<![\w.]){re.escape(full)}\.{meta}(?![\w.])")
+                    rf"(?<![\w.]){re.escape(full)}[.$]{meta}(?![\w.])")
                 for meta in _META_TABLES
-                if re.search(rf"(?<![\w.]){re.escape(full)}\.{meta}(?![\w.])",
+                if re.search(rf"(?<![\w.]){re.escape(full)}[.$]{meta}(?![\w.])",
                              rewritten)}
             if not pat.search(rewritten) and not meta_hits:
                 continue

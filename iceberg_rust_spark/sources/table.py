@@ -138,8 +138,15 @@ class Table:
         (used e.g. by the streaming sink for exactly-once batch bookkeeping).
         ``branch`` commits to a named branch ref instead of main (WAP-style
         isolated writes; main is untouched until a set_ref fast-forward). A
-        missing branch is created from the current main head."""
+        missing branch is created from the current main head.
+
+        An append of ZERO rows is a no-op (no snapshot), matching the
+        reference engine's behavior for `INSERT ... WHERE false` — unless
+        the caller passes extra_summary (e.g. the streaming sink's
+        exactly-once batch bookkeeping), which forces a commit."""
         data_files = write_data_files(spark, df, self.metadata)
+        if not data_files and extra_summary is None:
+            return self
         return self._commit_retry(lambda md: self._snapshot_update(
             md, "append", added=data_files, extra_summary=extra_summary,
             branch=branch))
