@@ -847,6 +847,67 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         return spark.createDataFrame(
             [(prev, int(args[1]))],
             "previous_snapshot_id long, current_snapshot_id long")
+    if proc == "fast_forward":
+        # fast_forward(table, branch, to_branch): point `branch` at
+        # `to_branch`'s head (the WAP publish step after audited writes)
+        if len(args) < 3:
+            raise ValueError("fast_forward(table, branch, to_branch)")
+        branch, to_branch = str(args[1]), str(args[2])
+        src = t.metadata.refs.get(to_branch)
+        if src is None:
+            raise ValueError(f"no branch named {to_branch}")
+        prev_ref = t.metadata.refs.get(branch)
+        prev = prev_ref.snapshot_id if prev_ref else None
+        t.set_ref(branch, src.snapshot_id)
+        return spark.createDataFrame(
+            [(branch, prev, src.snapshot_id)],
+            "branch string, previous_ref long, updated_ref long")
+    if proc == "cherrypick_snapshot":
+        # publish a staged (WAP) snapshot: only the fast-path where the
+        # staged snapshot is already based on the current head — the same
+        # constraint Spark's procedure enforces for non-append rewrites
+        if len(args) < 2:
+            raise ValueError("cherrypick_snapshot(table, snapshot_id)")
+        sid = int(args[1])
+        snap = t.metadata.snapshot_by_id(sid)
+        if snap is None:
+            raise ValueError(f"no snapshot {sid}")
+        cur = t.metadata.current_snapshot_id
+        if snap.parent_snapshot_id != cur:
+            raise ValueError(
+                f"cannot cherry-pick {sid}: not based on the current head "
+                f"{cur} (re-stage the write and retry)")
+        t.set_ref("main", sid)
+        return spark.createDataFrame(
+            [(cur, sid)], "source_snapshot_id long, current_snapshot_id long")
+    if proc == "ancestors_of":
+        from ..streaming.changes import _ancestor_chain
+        head = int(args[1]) if len(args) > 1 \
+            else t.metadata.current_snapshot_id
+        chain = _ancestor_chain(t.metadata, head)
+        rows = [(s.snapshot_id, s.timestamp_ms, s.parent_snapshot_id)
+                for s in reversed(chain)]  # newest first, like Spark's
+        return spark.createDataFrame(
+            rows, "snapshot_id long, timestamp_ms long, "
+                  "parent_snapshot_id long")
+    if proc == "create_changelog_view":
+        # create_changelog_view(table, view_name [, net_changes 0|1]):
+        # registers the CDC changelog (streaming/changes.py) as a temp view
+        from ..streaming.changes import changes_df, net_changes as _net
+        if len(args) < 2:
+            raise ValueError("create_changelog_view(table, view_name"
+                             "[, net_changes])")
+        view = str(args[1])
+        ch = changes_df(spark, t)
+        if len(args) > 2 and int(args[2]):
+            keys = [t.metadata.schema().field_by_id(i).name
+                    for i in t.metadata.schema().identifier_field_ids]
+            if not keys:
+                raise ValueError(
+                    "net_changes requires identifier fields on the table")
+            ch = _net(ch, keys)
+        ch.createOrReplaceTempView(view)
+        return spark.createDataFrame([(view,)], "changelog_view string")
     raise ValueError(f"unknown procedure: system.{proc}")
 
 

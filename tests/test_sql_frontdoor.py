@@ -785,3 +785,50 @@ def test_branch_ddl_with_retention_clauses(spark, warehouse):
     # plain form still works
     run_sql(spark, warehouse, "ALTER TABLE db.br_ret CREATE TAG snap1")
     assert Table.load(warehouse, "db.br_ret").metadata.refs["snap1"].type == "tag"
+
+
+def test_call_wap_and_changelog_procedures(spark, warehouse):
+    """fast_forward / cherrypick_snapshot publish staged WAP branches;
+    ancestors_of walks main ancestry; create_changelog_view registers the
+    CDC feed as a queryable temp view."""
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.wapproc", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+
+    # stage on a branch, then publish via fast_forward
+    staged = df.select(F.col("id") + 100, F.col("g")).toDF("id", "g")
+    t = t.append(spark, staged, branch="audit")
+    out = run_sql(spark, warehouse,
+                  "CALL system.fast_forward('db.wapproc', 'main', 'audit')")
+    assert out.collect()[0]["branch"] == "main"
+    t = Table.load(warehouse, "db.wapproc")
+    assert t.to_df(spark).count() == 20
+
+    anc = run_sql(spark, warehouse,
+                  "CALL system.ancestors_of('db.wapproc')").collect()
+    assert len(anc) == 2 and anc[0]["snapshot_id"] == \
+        t.metadata.current_snapshot_id
+
+    # cherry-pick: stage another branch commit based on the current head
+    t = t.append(spark, df.select(F.col("id") + 500, F.col("g"))
+                 .toDF("id", "g"), branch="wap2")
+    sid = t.metadata.refs["wap2"].snapshot_id
+    run_sql(spark, warehouse,
+            f"CALL system.cherrypick_snapshot('db.wapproc', {sid})")
+    t = Table.load(warehouse, "db.wapproc")
+    assert t.metadata.current_snapshot_id == sid
+    assert t.to_df(spark).count() == 30
+    # non-head-based pick is refused
+    import pytest as _pytest
+    old = anc[-1]["snapshot_id"]
+    with _pytest.raises(ValueError, match="cherry-pick"):
+        run_sql(spark, warehouse,
+                f"CALL system.cherrypick_snapshot('db.wapproc', {old})")
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.create_changelog_view('db.wapproc', 'wap_ch')")
+    assert out.collect()[0]["changelog_view"] == "wap_ch"
+    ch = spark.sql("SELECT _change_type, count(*) AS n FROM wap_ch "
+                   "GROUP BY _change_type").collect()
+    assert {r["_change_type"]: r["n"] for r in ch} == {"insert": 30}
