@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..plans import expr as E
 from ..plans.evaluators import file_must_match
-from .io import file_io_for
+from .io import file_io_for, posix_join
 from .catalog import CommitConflict, FileSystemCatalog
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_ADDED, STATUS_EXISTING,
@@ -84,7 +84,7 @@ class Table:
     def from_metadata_path(metadata_path: str) -> "Table":
         """StaticTable (table.rs:344 counterpart): read-only table loaded
         straight from a metadata JSON file, no catalog. Commits raise."""
-        from .io import file_io_for
+        from .io import file_io_for, posix_join
         md = TableMetadata.from_json(file_io_for(metadata_path).read_text(metadata_path))
         t = Table(None, f"static:{metadata_path}", md, -1)  # type: ignore[arg-type]
         return t
@@ -900,6 +900,40 @@ class Table:
                   "content int, file_path string, file_format string, "
                   "record_count long, file_size_in_bytes long, spec_id int, "
                   "referenced_data_file string")
+
+    def delete_files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `delete_files`: one row per live DELETE file
+        (positional, equality, or DV) of the current snapshot, with the
+        DV's referenced data file and blob offsets where present."""
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap is not None:
+            for mf in load_manifest_list(snap.manifest_list):
+                for e in load_manifest(mf.manifest_path):
+                    f = e.data_file
+                    if f.content == CONTENT_DATA:
+                        continue
+                    rows.append((f.content, f.file_path, f.file_format,
+                                 f.record_count, f.file_size_in_bytes,
+                                 f.spec_id, f.referenced_data_file,
+                                 f.content_offset, f.content_size_in_bytes,
+                                 list(f.equality_ids or [])))
+        return spark.createDataFrame(
+            rows, "content int, file_path string, file_format string, "
+                  "record_count long, file_size_in_bytes long, spec_id int, "
+                  "referenced_data_file string, content_offset long, "
+                  "content_size_in_bytes long, equality_ids array<int>")
+
+    def metadata_log_entries_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `metadata_log_entries`: the table's metadata-file
+        history (metadata-log) plus the current file, newest last."""
+        rows = [(e["timestamp-ms"], e["metadata-file"])
+                for e in self.metadata.metadata_log]
+        md_dir = posix_join(self.location, "metadata")
+        rows.append((self.metadata.last_updated_ms,
+                     posix_join(md_dir, f"v{self.version}.metadata.json")))
+        return spark.createDataFrame(
+            rows, "timestamp_ms long, file string")
 
     def all_manifests_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table `all_manifests`: manifests of EVERY snapshot (the

@@ -832,3 +832,21 @@ def test_call_wap_and_changelog_procedures(spark, warehouse):
     ch = spark.sql("SELECT _change_type, count(*) AS n FROM wap_ch "
                    "GROUP BY _change_type").collect()
     assert {r["_change_type"]: r["n"] for r in ch} == {"insert": 30}
+
+
+def test_delete_files_and_metadata_log_meta_tables(spark, warehouse):
+    df = spark.createDataFrame([(i, i % 3) for i in range(12)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.mtabs", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="dv")
+    out = run_sql(spark, warehouse,
+                  "SELECT content, file_format, referenced_data_file "
+                  "FROM db.mtabs.delete_files").collect()
+    assert len(out) >= 1
+    assert all(r["file_format"] == "puffin" and r["referenced_data_file"]
+               for r in out)
+    log = run_sql(spark, warehouse,
+                  "SELECT * FROM db.mtabs$metadata_log_entries").collect()
+    assert len(log) == 3  # create + append + delete
+    assert log[-1]["file"].endswith("v3.metadata.json")
