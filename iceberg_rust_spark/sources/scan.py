@@ -98,7 +98,8 @@ class TableScan:
                  snapshot_id: Optional[int] = None,
                  as_of_timestamp_ms: Optional[int] = None,
                  case_sensitive: bool = True,
-                 include_metadata_columns: bool = False):
+                 include_metadata_columns: bool = False,
+                 include_row_lineage: bool = False):
         self.metadata = metadata
         self.row_filter = row_filter or E.ALWAYS_TRUE
         self.selected_columns = selected_columns
@@ -106,6 +107,11 @@ class TableScan:
         self.as_of_timestamp_ms = as_of_timestamp_ms
         self.case_sensitive = case_sensitive
         self.include_metadata_columns = include_metadata_columns
+        # lineage-only mode: adds _file/_pos/_row_id WITHOUT the per-(spec,
+        # partition) group split the full metadata columns need — rewrites
+        # on partitioned tables read one group per delete-set, not one per
+        # partition value
+        self.include_row_lineage = include_row_lineage or include_metadata_columns
 
     # -- snapshot resolution ----------------------------------------------
     def _resolve_snapshot(self) -> Optional[Snapshot]:
@@ -289,7 +295,7 @@ class TableScan:
             schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
             file_schema = self._file_schema(schema_id, schema)
-            need_meta = bool(pos_paths) or self.include_metadata_columns
+            need_meta = bool(pos_paths) or self.include_row_lineage
             if schema_id is None:
                 # external id-less files (add_files): infer the physical
                 # schema, then rename aliases -> canonical via name mapping
@@ -300,7 +306,16 @@ class TableScan:
                     if alias in gdf.columns and alias != canonical:
                         gdf = gdf.withColumnRenamed(alias, canonical)
             else:
-                gdf = spark.read.schema(file_schema.to_spark()).parquet(*files)
+                read_schema = file_schema.to_spark()
+                if self.include_row_lineage:
+                    # v3 row lineage: REWRITTEN files materialize `_row_id`
+                    # as a physical column (write.py keep_extra); reading it
+                    # schema-on-read yields NULL for files that rely on
+                    # first_row_id + position inheritance instead
+                    from pyspark.sql.types import LongType, StructField
+                    read_schema = read_schema.add(
+                        StructField("_row_id", LongType(), True))
+                gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta:
                 gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
                          .withColumn("_pos", F.col("_metadata.row_index"))
@@ -311,9 +326,12 @@ class TableScan:
                 first = tasks[0].data_file
                 gdf = gdf.withColumn("_spec_id", F.lit(first.spec_id)) \
                          .withColumn("_partition", F.lit(_part_json(first.partition)))
-                # v3 row lineage: _row_id = first_row_id + position
-                # (scan/task.rs:70-76); per-file base joined in via a tiny
-                # broadcast map
+            if self.include_row_lineage:
+                # v3 row lineage: materialized `_row_id` wins; NULL entries
+                # inherit first_row_id + position (scan/task.rs:70-76);
+                # per-file base joined in via a tiny broadcast map
+                if "_row_id" not in gdf.columns:  # external id-less files
+                    gdf = gdf.withColumn("_row_id", F.lit(None).cast("long"))
                 frids = [(t.data_file.file_path, t.data_file.first_row_id)
                          for t in tasks]
                 if any(fr is not None for _, fr in frids):
@@ -323,10 +341,10 @@ class TableScan:
                         F.broadcast(frid_df),
                         _norm_path(gdf["_file"]) == _norm_path(frid_df["_frid_file"]),
                         "left") \
-                        .withColumn("_row_id", F.col("_frid") + F.col("_pos")) \
+                        .withColumn("_row_id", F.coalesce(
+                            F.col("_row_id"),
+                            F.col("_frid") + F.col("_pos"))) \
                         .drop("_frid_file", "_frid")
-                else:
-                    gdf = gdf.withColumn("_row_id", F.lit(None).cast("long"))
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
@@ -334,7 +352,7 @@ class TableScan:
                                          del_cache)
             # project file schema -> current schema by field id
             gdf = _project_to_schema(gdf, file_schema, schema,
-                                     keep_meta=self.include_metadata_columns)
+                                     keep_meta=self.include_row_lineage)
             if eq_paths:
                 eq_files = [d for t in tasks for d in t.eq_deletes]
                 gdf = _apply_eq_deletes(spark, gdf, eq_files, schema, del_cache)

@@ -227,14 +227,20 @@ class Table:
                            str(strict_partition_drops)}))
 
     def _live_rows_for_files(self, spark: SparkSession,
-                             paths: List[str]) -> DataFrame:
+                             paths: List[str],
+                             with_row_id: bool = True) -> DataFrame:
         """LIVE rows of the given data files — pending pos/eq/DV deletes
         APPLIED. Every copy-on-write rewrite (delete/update/compact/zorder)
         must read through this, not raw parquet: a raw read resurrects rows
         whose merge-on-read deletes are still outstanding, and the rewrite
-        then orphans those delete files."""
+        then orphans those delete files.
+
+        ``with_row_id`` (default, for rewrites) appends the ``_row_id``
+        lineage column so write_data_files materializes it — v3 row ids
+        survive the rewrite instead of being reassigned."""
         path_set = set(paths)
         scan = self.scan()
+        scan.include_row_lineage = with_row_id
         orig_plan = scan.plan_files
 
         def plan_files():
@@ -244,7 +250,11 @@ class Table:
             return p
 
         scan.plan_files = plan_files  # type: ignore[method-assign]
-        return scan.to_df(spark)
+        df = scan.to_df(spark)
+        if with_row_id:
+            names = [f.name for f in self.metadata.schema().fields]
+            df = df.select(*names, "_row_id")
+        return df
 
     def _delete_mor_positional(self, spark: SparkSession, pred: E.Predicate) -> "Table":
         schema = self.metadata.schema()

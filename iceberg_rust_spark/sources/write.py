@@ -43,9 +43,12 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 PART_COL_PREFIX = "_p_"
 
 
-def align_df_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
+def align_df_to_schema(df: DataFrame, schema: Schema,
+                       keep_extra: tuple = ()) -> DataFrame:
     """Select/cast the input DataFrame to the table schema (by name), applying
-    write defaults and required-ness checks."""
+    write defaults and required-ness checks. ``keep_extra`` names pass
+    through untouched when present (e.g. the materialized ``_row_id``
+    lineage column a rewrite carries)."""
     cols = []
     df_cols = set(df.columns)
     for f in schema.fields:
@@ -58,6 +61,9 @@ def align_df_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
             raise ValueError(f"required column {f.name!r} missing from input")
         else:
             cols.append(F.lit(None).cast(tgt).alias(f.name))
+    for name in keep_extra:
+        if name in df_cols:
+            cols.append(F.col(name))
     return df.select(*cols)
 
 
@@ -83,7 +89,11 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     z-order rewrite) and the write must not re-shuffle."""
     schema = metadata.schema()
     spec = metadata.spec()
-    df = align_df_to_schema(df, schema)
+    # a rewrite that scanned with row lineage carries `_row_id`: keep it as
+    # a MATERIALIZED column in the rewritten parquet (v3 row lineage — row
+    # ids must survive compaction/COW rewrites; the read side prefers the
+    # materialized value over first_row_id + position inheritance)
+    df = align_df_to_schema(df, schema, keep_extra=("_row_id",))
 
     write_id = uuid.uuid4().hex[:16]
     base = data_dir or os.path.join(metadata.location, "data")

@@ -17,3 +17,36 @@ def test_row_lineage(spark, warehouse):
     ids2 = sorted(r["_row_id"] for r in
                   t2.scan(include_metadata_columns=True).to_df(spark).collect())
     assert ids2 == ids
+
+
+def test_row_ids_survive_rewrites(spark, warehouse):
+    """v3 row lineage across rewrites: compaction, COW delete, and UPDATE
+    rewrite files but must keep each surviving row's _row_id (materialized
+    `_row_id` column in the rewritten parquet beats first_row_id+position
+    inheritance on read)."""
+    from iceberg_rust_spark import expr as E
+
+    df = spark.range(0, 40).select(F.col("id"))
+    t = Table.create(warehouse, "db.rlrw", schema_from_spark(df.schema))
+    # many small files so compaction has work
+    t = t.append(spark, df.where(F.col("id") < 20).repartition(4))
+    t = t.append(spark, df.where(F.col("id") >= 20).repartition(4))
+    before = {r["id"]: r["_row_id"] for r in
+              t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert sorted(before.values()) == list(range(40))
+
+    t = t.compact(spark, small_file_bytes=10**9)
+    after = {r["id"]: r["_row_id"] for r in
+             t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert after == before                       # compaction preserves ids
+
+    t = t.delete_where(spark, E.col("id") < 10, mode="cow")
+    after_del = {r["id"]: r["_row_id"] for r in
+                 t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert after_del == {k: v for k, v in before.items() if k >= 10}
+
+    t = t.update_where(spark, E.col("id") == 11, {"id": 1001})
+    after_upd = {r["id"]: r["_row_id"] for r in
+                 t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert after_upd[1001] == before[11]         # updated row keeps its id
+    assert after_upd[13] == before[13]
