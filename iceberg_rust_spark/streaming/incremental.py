@@ -26,48 +26,72 @@ class IncrementalReader:
         self.table = table
         self.checkpoint_path = checkpoint_path
 
-    def _load_state(self) -> Optional[int]:
+    def _load_state(self):
         from ..sources.io import file_io_for
         fio = file_io_for(self.checkpoint_path)
         if fio.is_file(self.checkpoint_path):
-            import io as _io
-            with _io.StringIO(fio.read_text(self.checkpoint_path)) as fh:
-                return json.load(fh).get("last_snapshot_id")
-        return None
+            d = json.loads(fio.read_text(self.checkpoint_path))
+            return d.get("last_snapshot_id"), d.get("last_sequence_number")
+        return None, None
 
-    def _save_state(self, snapshot_id: int) -> None:
+    def _save_state(self, snapshot_id: int, sequence_number: int) -> None:
         from ..sources.io import file_io_for
         fio = file_io_for(self.checkpoint_path)
         tmp = self.checkpoint_path + ".tmp"
-        fio.write_text(tmp, json.dumps({"last_snapshot_id": snapshot_id}))
+        # seq rides along so expire_snapshots removing the checkpointed
+        # snapshot can't force a full replay (same fix as ChangesReader)
+        fio.write_text(tmp, json.dumps({
+            "last_snapshot_id": snapshot_id,
+            "last_sequence_number": sequence_number}))
         fio.rename(tmp, self.checkpoint_path)
 
     def micro_batches(self, spark: SparkSession
                       ) -> Iterator[Tuple[int, DataFrame]]:
         """Yield (snapshot_id, appended-rows DataFrame) per unseen snapshot,
-        committing the checkpoint after each yield (at-least-once)."""
+        committing the checkpoint after each yield (at-least-once). Walks
+        MAIN's ancestry only — staged WAP-branch snapshots never surface."""
+        from .changes import _ancestor_chain
         self.table.refresh()
         md = self.table.metadata
-        last = self._load_state()
-        snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
-        for snap in snaps:
-            if last is not None:
-                last_snap = md.snapshot_by_id(last)
-                if last_snap is not None and snap.sequence_number <= last_snap.sequence_number:
-                    continue
+        last, last_seq = self._load_state()
+        if last is not None and last_seq is None:
+            # legacy checkpoint: recover seq while the id still resolves
+            ls = md.snapshot_by_id(last)
+            last_seq = ls.sequence_number if ls else None
+        ref = md.refs.get("main")
+        head = ref.snapshot_id if ref is not None else md.current_snapshot_id
+        prev_seq = last_seq
+        for snap in _ancestor_chain(md, head):
+            if last_seq is not None and snap.sequence_number <= last_seq:
+                continue
             if snap.operation not in ("append", "overwrite"):
                 # non-append snapshots are surfaced as empty batches for
                 # ordering; a CDC feed would emit deletes here
-                self._save_state(snap.snapshot_id)
+                self._save_state(snap.snapshot_id, snap.sequence_number)
+                prev_seq = snap.sequence_number
                 continue
-            if last is None and snap.parent_snapshot_id is None:
-                df = self.table.scan(snapshot_id=snap.snapshot_id).to_df(spark)
+            parent = snap.parent_snapshot_id
+            if parent is not None and md.snapshot_by_id(parent) is not None:
+                df = self.table.incremental_scan(
+                    parent, snap.snapshot_id).to_df(spark)
+            elif prev_seq is not None:
+                # parent expired but the checkpoint remembers the consumed
+                # sequence boundary: emit only files newer than it (a full
+                # re-scan here would replay the whole retained state)
+                scan = self.table.scan(snapshot_id=snap.snapshot_id)
+                orig_plan, min_seq = scan.plan_files, prev_seq
+
+                def plan_files(_orig=orig_plan, _min=min_seq):
+                    p = _orig()
+                    p.tasks = [t for t in p.tasks
+                               if t.sequence_number > _min]
+                    return p
+
+                scan.plan_files = plan_files  # type: ignore[method-assign]
+                df = scan.to_df(spark)
             else:
-                parent = snap.parent_snapshot_id
-                if parent is None or md.snapshot_by_id(parent) is None:
-                    df = self.table.scan(snapshot_id=snap.snapshot_id).to_df(spark)
-                else:
-                    df = self.table.incremental_scan(
-                        parent, snap.snapshot_id).to_df(spark)
+                # true initial batch: the snapshot's full state
+                df = self.table.scan(snapshot_id=snap.snapshot_id).to_df(spark)
             yield snap.snapshot_id, df
-            self._save_state(snap.snapshot_id)
+            self._save_state(snap.snapshot_id, snap.sequence_number)
+            prev_seq = snap.sequence_number

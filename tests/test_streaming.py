@@ -282,3 +282,35 @@ def test_merge_stream_sequence_col_picks_highest_version(spark, warehouse,
     t = t.refresh()
     got = {r["id"]: (r["seq"], r["v"]) for r in t.to_df(spark).collect()}
     assert got == {1: (5, 505), 2: (1, 21)}
+
+
+def test_incremental_reader_survives_expire_and_skips_wap(spark, warehouse,
+                                                          tmp_path):
+    """IncrementalReader mirrors the ChangesReader hardening: main-ancestry
+    walk (no WAP batches), seq-carrying checkpoint (expiry can't force a
+    replay), delta batches even when the parent snapshot was expired."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.metadata import now_ms
+    from iceberg_rust_spark.sources.types import schema_from_spark
+    from iceberg_rust_spark.streaming.incremental import IncrementalReader
+
+    df = spark.range(0, 12).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.increxp", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("g") == 0))    # A: 4 rows
+    t = t.append(spark, df.where(F.col("g") == 1))    # B: 4 rows
+    t = t.append(spark, df.where(F.col("g") == 2)
+                 .select(F.col("id") + 900, F.col("g"))
+                 .toDF("id", "g"), branch="wap")         # staged: not main
+
+    cp = str(tmp_path / "inc_ckpt.json")
+    got = [(sid, b.count()) for sid, b in
+           IncrementalReader(t, cp).micro_batches(spark)]
+    assert [n for _, n in got] == [4, 4]              # WAP batch absent
+
+    t = t.append(spark, df.where(F.col("g") == 2))    # C: 4 rows
+    t = t.expire_snapshots(older_than_ms=now_ms() + 10**9, retain_last=1)
+    more = [(sid, b.count()) for sid, b in
+            IncrementalReader(t, cp).micro_batches(spark)]
+    assert [n for _, n in more] == [4]                # delta only, no replay
