@@ -118,7 +118,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
         md = self._table.metadata
         out: List[_FilePartition] = []
-        for snap in sorted(md.snapshots, key=lambda s: s.sequence_number):
+        # MAIN ancestry only: a staged WAP-branch snapshot can hold a
+        # sequence number inside the offset window without ever being part
+        # of main's history (same rule as ChangesReader/IncrementalReader)
+        from .changes import _ancestor_chain
+        ref = md.refs.get("main")
+        head = ref.snapshot_id if ref is not None else md.current_snapshot_id
+        for snap in _ancestor_chain(md, head):
             if not start["seq"] < snap.sequence_number <= end["seq"]:
                 continue
             for mf in load_manifest_list(snap.manifest_list):
