@@ -955,6 +955,19 @@ def q_asof_join(spark, sf_dir):
 
 # ---- LLM-pipeline operators ------------------------------------------------
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test hash split over documents: same
+    md5-prefix rule as the sampler, so assignment is reproducible across
+    engines and repartitions (operators/sampling.py hash_split)."""
+    from iceberg_rust_spark.operators.sampling import hash_split
+    docs = read_table(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id",
+                       [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("n_chars")))
+
+
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
 
@@ -1190,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
         "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
         "doc_quota": q_doc_quota,
         "doc_token_budget": q_doc_token_budget,
         "text_tokens": q_text_tokens,
@@ -1746,6 +1760,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, length(text) AS n_chars
             FROM documents
             WHERE {_sql_sample_pred('doc_id', 0.25)}""",
+        "doc_split": """
+            SELECT CASE
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{t1}' THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < '{t2}' THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1""".format(
+                t1=__import__("iceberg_rust_spark.operators.sampling",
+                              fromlist=["x"])._hex_threshold(0.8),
+                t2=__import__("iceberg_rust_spark.operators.sampling",
+                              fromlist=["x"])._hex_threshold(0.9)),
         "doc_quota": """
             SELECT source, COUNT(*) AS n_docs, MAX(doc_id) AS max_kept_id
             FROM (SELECT source, doc_id,

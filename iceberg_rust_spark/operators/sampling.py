@@ -85,3 +85,33 @@ def token_budget_per_group(df: DataFrame, group_cols: List[str],
     return (df.withColumn("_tok_before", before)
             .where(F.col("_tok_before") < token_budget)
             .drop("_tok_before"))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               splits: Optional[List] = None,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a split
+    label from the md5-prefix of its key — the same engine-portable hash
+    the sampler uses, so (a) the SAME key always lands in the same split
+    across runs, engines, and repartitions (no leakage between train and
+    eval when the corpus is re-processed), and (b) a DuckDB oracle can
+    reproduce the assignment bit-for-bit.
+
+    ``splits``: [(label, fraction), ...] summing to ~1.0 (default the
+    classic 98/1/1). Pure column expression — codegen'd filter-friendly,
+    zero shuffles at any scale."""
+    splits = splits or [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    total = sum(f for _, f in splits)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    expr = None
+    acc = 0.0
+    for label, frac in splits[:-1]:
+        acc += frac
+        cond = h < _hex_threshold(acc)
+        expr = (F.when(cond, F.lit(label)) if expr is None
+                else expr.when(cond, F.lit(label)))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

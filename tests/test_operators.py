@@ -423,3 +423,23 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
                                           checkpoint_dir=ckdir).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     assert any(_os.scandir(ckdir))  # checkpoint files actually written
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    from iceberg_rust_spark.operators.sampling import hash_split
+    df = spark.range(0, 5000).select(F.col("id"))
+    s1 = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    # stable under repartitioning (no RNG, pure hash of the key)
+    s2 = {r["id"]: r["split"] for r in
+          hash_split(df.repartition(13), "id").collect()}
+    assert s1 == s2
+    from collections import Counter
+    c = Counter(s1.values())
+    assert c["train"] > 4700 and c["val"] > 10 and c["test"] > 10
+    assert sum(c.values()) == 5000
+    # custom fractions + bad fractions rejected
+    s3 = hash_split(df, "id", [("a", 0.5), ("b", 0.5)])
+    assert set(r["split"] for r in s3.collect()) == {"a", "b"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, "id", [("a", 0.5), ("b", 0.2)])
