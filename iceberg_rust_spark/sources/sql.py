@@ -573,9 +573,16 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t = _Table.load(catalog, target)
         schema = t.metadata.schema()
         pf = _parse_partition_clause(expr, schema).fields[0]
-        # partition field ids are never reused across spec versions
-        next_fid = max((f.field_id for s in t.metadata.partition_specs
-                        for f in s.fields), default=999) + 1
+        # a re-added (source, transform) pair REUSES its historical field id
+        # (table_metadata_builder.rs test_partition_field_id_reuse_across_
+        # specs / partitioning.rs compatibility rule); only genuinely new
+        # pairs get a fresh id
+        prior = {(f.source_id, repr(f.transform)): f.field_id
+                 for sp in t.metadata.partition_specs for f in sp.fields}
+        next_fid = prior.get((pf.source_id, repr(pf.transform)))
+        if next_fid is None:
+            next_fid = max((f.field_id for sp in t.metadata.partition_specs
+                            for f in sp.fields), default=999) + 1
         cur = t.metadata.spec()
         next_sid = max(s.spec_id for s in t.metadata.partition_specs) + 1
         new_spec = PartitionSpec(next_sid, list(cur.fields) + [

@@ -169,6 +169,23 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
                 else PartitionSpec.from_json(upd["spec"]))
         if any(s.spec_id == spec.spec_id for s in md.partition_specs):
             raise InvalidUpdate(f"spec id {spec.spec_id} already exists")
+        # cross-spec field-id compatibility (partitioning.rs: two specs
+        # defining the same partition field id must agree on source and
+        # transform — the id names ONE logical partition field forever).
+        # v1 is exempt: its sequential-block rule forces every spec to
+        # start at 1000, so ids are NOT unique across v1 specs
+        # (partitioning.rs's own caveat).
+        by_fid = ({} if md.format_version < 2 else
+                  {f.field_id: f for s in md.partition_specs
+                   for f in s.fields})
+        for pf in spec.fields:
+            prev = by_fid.get(pf.field_id)
+            if prev is not None and (prev.source_id != pf.source_id
+                                     or repr(prev.transform) != repr(pf.transform)):
+                raise InvalidUpdate(
+                    f"partition field id {pf.field_id} already maps to "
+                    f"source {prev.source_id}/{prev.transform!r}; cannot "
+                    f"redefine as source {pf.source_id}/{pf.transform!r}")
         seen_names: set = set()
         for pf in spec.fields:
             f = md.schema().field_by_id(pf.source_id)

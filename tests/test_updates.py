@@ -293,13 +293,13 @@ def test_partition_spec_evolution_validates_schema_name_conflicts():
                                                          IdentityTransform)
     from iceberg_rust_spark.sources.metadata import PartitionField
     md = _bucket_md()
-    clash = PartitionSpec(1, [PartitionField(1, 1000, "existing_field",
+    clash = PartitionSpec(1, [PartitionField(1, 1001, "existing_field",
                                              BucketTransform(8))])
     with pytest.raises(InvalidUpdate, match="identity"):
         apply_updates(md, [{"action": "add-spec", "spec": clash}])
     # identity of the SAME field may reuse the name
     # (test_partition_spec_evolution_allows_non_conflicting_names)
-    ok = PartitionSpec(1, [PartitionField(2, 1000, "existing_field",
+    ok = PartitionSpec(1, [PartitionField(2, 1001, "existing_field",
                                           IdentityTransform())])
     out = apply_updates(md, [{"action": "add-spec", "spec": ok}])
     assert len(out.partition_specs) == 2
@@ -315,9 +315,14 @@ def test_add_partition_spec_v1_requires_sequential_ids():
         PartitionField(2, 1002, "p2", IdentityTransform())])
     with pytest.raises(InvalidUpdate, match="non-sequential"):
         apply_updates(md, [{"action": "add-spec", "spec": gap}])
-    # the same spec is legal on a v2 table
+    # non-sequential ids are legal on a v2 table (fresh ids: the
+    # cross-spec id-compat rule forbids redefining 1000)
+    from iceberg_rust_spark.functions.transforms import IdentityTransform as _I
+    gap2 = PartitionSpec(1, [
+        PartitionField(1, 1001, "p1", _I()),
+        PartitionField(2, 1003, "p2", _I())])
     md2 = _bucket_md(format_version=2)
-    out = apply_updates(md2, [{"action": "add-spec", "spec": gap}])
+    out = apply_updates(md2, [{"action": "add-spec", "spec": gap2}])
     assert len(out.partition_specs) == 2
 
 
@@ -375,3 +380,27 @@ def test_set_ref_idempotent_and_remove_main_semantics():
     assert removed.current_snapshot_id is None
     assert [e["snapshot-id"] for e in removed.snapshot_log] == [7]
     assert len(removed.snapshots) == 1
+
+
+def test_partition_field_id_reuse_and_compat():
+    """A re-added (source, transform) pair reuses its historical field id;
+    redefining an existing field id with a different source/transform is
+    rejected (test_partition_field_id_reuse_across_specs +
+    partitioning.rs compatibility)."""
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+    md = _md()
+    f_id = md.schema().fields[0].field_id
+    spec1 = PartitionSpec(1, [PartitionField(f_id, 1000, "p1",
+                                             parse_transform("identity"))])
+    out = apply_updates(md, [{"action": "add-spec", "spec": spec1}])
+    # same id, same source+transform: compatible re-declaration OK
+    spec2 = PartitionSpec(2, [PartitionField(f_id, 1000, "p1",
+                                             parse_transform("identity"))])
+    apply_updates(out, [{"action": "add-spec", "spec": spec2}])
+    # same id, different transform: rejected
+    bad = PartitionSpec(3, [PartitionField(f_id, 1000, "pb",
+                                           parse_transform("bucket[4]"))])
+    with pytest.raises(InvalidUpdate, match="already maps"):
+        apply_updates(out, [{"action": "add-spec", "spec": bad}])
