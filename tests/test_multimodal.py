@@ -160,3 +160,51 @@ def test_extract_features_real_histogram(spark):
     assert len(feats) == FEATURE_DIM
     assert abs(sum(feats) - 1.0) < 1e-6
     assert feats[130 * FEATURE_DIM // 256] == 1.0
+
+
+# ---- property tests: random payloads through the stdlib codecs -----------
+
+def test_png_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_spark.functions.media_codecs import (decode_png,
+                                                           encode_png)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+    def roundtrip(h, w, ch, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+    roundtrip()
+
+
+def test_wav_roundtrip_and_resample_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_spark.functions.media_codecs import (encode_wav,
+                                                           parse_wav,
+                                                           resample_linear)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 200), st.sampled_from([1, 2]),
+           st.sampled_from([4000, 8000, 16000]), st.integers(0, 2**32 - 1))
+    def roundtrip(frames, ch, rate, seed):
+        s = np.random.RandomState(seed).randint(
+            -32768, 32767, size=(frames, ch), dtype=np.int16)
+        r, c, out = parse_wav(encode_wav(rate, s))
+        assert (r, c) == (rate, ch) and (out == s).all()
+        # resample to the same rate is identity; 2x then back keeps length
+        assert (resample_linear(s, rate, rate) == s).all()
+        up = resample_linear(s, rate, rate * 2)
+        assert up.shape[0] == frames * 2
+        # interpolated samples stay within the local min/max envelope
+        assert up.max() <= s.max() and up.min() >= s.min()
+
+    roundtrip()
