@@ -237,3 +237,43 @@ def test_changes_survive_expire_snapshots(spark, warehouse, tmp_path):
     expired_id = consumed[0][0]
     with _pytest.raises(ValueError, match="does not resolve"):
         changes_df(spark, t, to_snapshot_id=expired_id).count()
+
+
+def test_mirror_table_random_histories(spark, warehouse, tmp_path):
+    """Property-style: random append/MOR-delete/merge histories replicate
+    exactly through the CDC feed (seeded; few examples — Spark ops are
+    slow)."""
+    import random
+
+    from iceberg_rust_spark.streaming.changes import mirror_table
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        name = f"db.mirrnd{seed}"
+        df0 = spark.createDataFrame(
+            [(i, rng.randrange(100)) for i in range(40)], "id long, v long")
+        src = Table.create(warehouse, name + "s",
+                           schema_from_spark(df0.schema))
+        src = src.append(spark, df0)
+        for _ in range(3):
+            op = rng.choice(["append", "delete", "merge"])
+            if op == "append":
+                base = rng.randrange(1000, 9000)
+                src = src.append(spark, spark.createDataFrame(
+                    [(base + i, rng.randrange(100)) for i in range(10)],
+                    "id long, v long"))
+            elif op == "delete":
+                cut = rng.randrange(5, 35)
+                src = src.delete_where(spark, E.col("id") <= cut, mode="mor")
+            else:
+                rows = [(rng.randrange(40), 777), (9999, 1)]
+                src = src.merge(spark, spark.createDataFrame(
+                    rows, "id long, v long"), ["id"])
+        dst = Table.create(warehouse, name + "d",
+                           schema_from_spark(df0.schema))
+        mirror_table(spark, src, dst, ["id"],
+                     str(tmp_path / f"ck{seed}.json"))
+        dst = Table.load(warehouse, name + "d")
+        s_rows = {(r["id"], r["v"]) for r in src.to_df(spark).collect()}
+        d_rows = {(r["id"], r["v"]) for r in dst.to_df(spark).collect()}
+        assert s_rows == d_rows
