@@ -23,7 +23,7 @@ BENCH_QUERIES = [
     "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
     "iceberg_merge", "iceberg_compaction", "iceberg_branch_read",
-    "iceberg_nested_evolution", "iceberg_cdc_net",
+    "iceberg_nested_evolution", "iceberg_cdc_net", "iceberg_join_pruned",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q7_nation_volume", "q8_market_share", "q9_nation_profit",
     "q10_returned_items", "q14_promo_revenue",
@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "events_sessions", "dedup_exact", "dedup_minhash", "dedup_embedding_lsh",
     "dedup_clusters",
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
-    "doc_sample", "doc_quota",
+    "doc_sample", "doc_quota", "doc_split", "multimodal_audio",
     "ann_cosine_topk", "ann_lsh_topk",
 ]
 
