@@ -1158,67 +1158,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver processes entries in dict order and r1's run
-    # stopped after the 50th entry, leaving the whole LLM-pipeline block
-    # ungraded. High-value / previously-unchecked queries go first; the
-    # well-proven TPC-H family (all green in r1, exercising the same built-in
-    # Spark join/agg machinery) is at the tail where a budget cut costs the
-    # least new information.
+    # ORDER MATTERS: the driver grades the first 50 entries in dict order.
+    # Round-5 rotation (per VERDICT r4 "Next round #1"): the 26-query
+    # relational tail (TPC-H q3-q22, rollup/cube/setops, semi/anti,
+    # window_topn/running) last saw driver rows in r1-r3, so it goes FIRST
+    # this round; the iceberg/LLM blocks — all 50/50 driver-green in r4 —
+    # ride at the tail where a budget cut costs the least new information.
     return {
-        # iceberg table format core
-        "iceberg_q1_pricing": q_iceberg_q1,
-        "iceberg_q6_revenue": q_iceberg_q6,
-        "iceberg_partition_prune": q_iceberg_partition_prune,
-        "iceberg_join_pruned": q_iceberg_join_pruned,
-        "iceberg_bucket_prune": q_iceberg_bucket_prune,
-        "iceberg_truncate_prune": q_iceberg_truncate_prune,
-        "iceberg_schema_evolution": q_iceberg_schema_evolution,
-        "iceberg_time_travel": q_iceberg_time_travel,
-        "iceberg_incremental": q_iceberg_incremental,
-        "iceberg_branch_read": q_iceberg_branch_read,
-        "iceberg_nested_evolution": q_iceberg_nested_evolution,
-        "iceberg_delete_cow": q_iceberg_delete_cow,
-        "iceberg_delete_mor": q_iceberg_delete_mor,
-        "iceberg_cdc_net": q_iceberg_cdc_net,
-        "iceberg_delete_dv": q_iceberg_delete_dv,
-        "iceberg_delete_eq": q_iceberg_delete_eq,
-        "iceberg_merge": q_iceberg_merge,
-        "iceberg_compaction": q_iceberg_compaction,
-        "iceberg_add_files": q_iceberg_add_files,
-        "iceberg_view_monthly": q_view_monthly,
-        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
-        # ns-timestamp events queries (r1 casualties of the read_table bug)
-        "asof_join_events": q_asof_join,
-        "window_lag": q_window_lag,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_percentiles": q_events_percentiles,
-        "events_variant": q_events_variant,
-        # LLM-data-pipeline operators (unreached in r1's correctness run)
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_sample": q_doc_sample,
-        "doc_split": q_doc_split,
-        "doc_quota": q_doc_quota,
-        "doc_token_budget": q_doc_token_budget,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_top_terms": q_text_top_terms,
-        "text_tfidf": q_text_tfidf,
-        "text_fingerprint": q_text_fingerprint,
-        "doc_chunks": q_doc_chunks,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_audio": q_multimodal_audio,
-        # relational operators (Spark-native; all green in r1)
+        # relational operators (Spark-native; rotated to the front for r5)
         "window_topn": q_window_topn,
         "window_running": q_window_running,
         "set_intersect": q_set_intersect,
@@ -1245,6 +1192,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        # iceberg table format core (r4-green)
+        "iceberg_q1_pricing": q_iceberg_q1,
+        "iceberg_q6_revenue": q_iceberg_q6,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_join_pruned": q_iceberg_join_pruned,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
+        "iceberg_truncate_prune": q_iceberg_truncate_prune,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_branch_read": q_iceberg_branch_read,
+        "iceberg_nested_evolution": q_iceberg_nested_evolution,
+        "iceberg_delete_cow": q_iceberg_delete_cow,
+        "iceberg_delete_mor": q_iceberg_delete_mor,
+        "iceberg_cdc_net": q_iceberg_cdc_net,
+        "iceberg_delete_dv": q_iceberg_delete_dv,
+        "iceberg_delete_eq": q_iceberg_delete_eq,
+        "iceberg_merge": q_iceberg_merge,
+        "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_add_files": q_iceberg_add_files,
+        "iceberg_view_monthly": q_view_monthly,
+        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        # ns-timestamp events queries (r4-green)
+        "asof_join_events": q_asof_join,
+        "window_lag": q_window_lag,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_percentiles": q_events_percentiles,
+        "events_variant": q_events_variant,
+        # LLM-data-pipeline operators (r4-green)
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
+        "doc_quota": q_doc_quota,
+        "doc_token_budget": q_doc_token_budget,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_top_terms": q_text_top_terms,
+        "text_tfidf": q_text_tfidf,
+        "text_fingerprint": q_text_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
