@@ -136,13 +136,26 @@ class SqlCatalog:
                 (self.name, ns, name)).fetchone()
         return row[0] if row else None
 
+    @staticmethod
+    def _md_file_name(version: int) -> str:
+        """Reference naming (metadata_location.rs:127): every create/commit
+        attempt writes `{version:05}-{uuid}.metadata.json`, so a losing
+        committer can never overwrite the winner's committed file — the CAS
+        decides which uniquely-named file becomes the pointer."""
+        import uuid
+        return f"{version:05d}-{uuid.uuid4()}.metadata.json"
+
     def _md_path(self, identifier: str, version: int) -> str:
         return posix_join(self._metadata_dir(identifier),
-                          f"v{version}.metadata.json")
+                          self._md_file_name(version))
 
     def create_table(self, identifier: str,
                      metadata: TableMetadata) -> TableMetadata:
         ns, name = self._split(identifier)
+        if self.table_exists(identifier):
+            # check the pointer row BEFORE writing any file so a duplicate
+            # create can't disturb the live table's warehouse directory
+            raise TableAlreadyExists(identifier)
         md_dir = self._metadata_dir(identifier)
         self.io.makedirs(md_dir)
         self.io.makedirs(posix_join(self._table_dir(identifier), "data"))
@@ -163,8 +176,11 @@ class SqlCatalog:
 
     @staticmethod
     def _ptr_version(ptr: str) -> int:
+        # accepts both reference-style `00001-<uuid>.metadata.json` and the
+        # filesystem catalog's legacy `v1.metadata.json`
         import re
-        m = re.search(r"/v(\d+)\.metadata\.json$", ptr)
+        m = re.search(r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json$",
+                      ptr)
         if not m:
             raise NoSuchTable(f"unparseable metadata pointer {ptr}")
         return int(m.group(1))
@@ -192,7 +208,7 @@ class SqlCatalog:
                 f"{identifier}: base v{base_version} is no longer current")
         new_version = base_version + 1
         target = posix_join(expected.rsplit("/", 1)[0],
-                            f"v{new_version}.metadata.json")
+                            self._md_file_name(new_version))
         if self.io.is_file(expected):
             metadata.metadata_log.append({
                 "timestamp-ms": self.io.mtime_ns(expected) // 1_000_000,
