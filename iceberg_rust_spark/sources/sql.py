@@ -247,11 +247,27 @@ _AUTO_PRUNE_JOIN_RE = re.compile(
     r"\s+HAVING|\s+LIMIT|\s*$)",
     re.IGNORECASE | re.DOTALL)
 
+# splits text into [sql, 'literal', sql, 'literal', ...]; odd indices are
+# single-quoted literal segments ('' = escaped quote) and must never be
+# rewritten by alias handling
+_SQUOTE_RE = re.compile(r"('(?:[^']|'')*')")
+
 
 def _split_top_and(s: str) -> List[str]:
-    """Split on top-level AND (paren + quote aware)."""
+    """Split on top-level AND (paren + quote + BETWEEN aware): the AND that
+    closes a `BETWEEN lo AND hi` belongs to the BETWEEN, not the conjunct
+    list, so `x BETWEEN a AND b AND y = 1` splits into two conjuncts."""
     parts, start, depth, inq, i = [], 0, 0, False, 0
+    between_depth = None                # paren depth of an open BETWEEN
     up = s.upper()
+
+    def _kw(word: str) -> bool:
+        n = len(word)
+        return (up[i:i + n] == word
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                and (i + n >= len(s)
+                     or not (s[i + n].isalnum() or s[i + n] == "_")))
+
     while i < len(s):
         ch = s[i]
         if ch == "'":
@@ -261,12 +277,18 @@ def _split_top_and(s: str) -> List[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif (depth == 0 and up[i:i + 3] == "AND"
-                  and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-                  and (i + 3 >= len(s)
-                       or not (s[i + 3].isalnum() or s[i + 3] == "_"))):
-                parts.append(s[start:i])
-                start = i + 3
+                if between_depth is not None and depth < between_depth:
+                    between_depth = None
+            elif _kw("BETWEEN"):
+                between_depth = depth
+                i += 7
+                continue
+            elif _kw("AND"):
+                if between_depth is not None and depth == between_depth:
+                    between_depth = None    # this AND closes the BETWEEN
+                elif depth == 0:
+                    parts.append(s[start:i])
+                    start = i + 3
                 i += 3
                 continue
         i += 1
@@ -324,12 +346,20 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
         refs[tm.group(2) or tbl] = tbl
     out: Dict[str, "E.Predicate"] = {}
     for conj in _split_top_and(where):
-        aliases = {a for a, _c in re.findall(r"\b(\w+)\.(\w+)", conj)
+        # tokenize into quoted/unquoted segments: alias detection and
+        # alias-stripping must only see the SQL text, never string-literal
+        # bodies (WHERE a.s = 'x a.b y' would otherwise be captured as
+        # s = 'x b y' and prune files the real predicate keeps)
+        segs = _SQUOTE_RE.split(conj)
+        aliases = {a for i, seg in enumerate(segs) if i % 2 == 0
+                   for a, _c in re.findall(r"\b(\w+)\.(\w+)", seg)
                    if a in refs}
         if len(aliases) != 1:
             continue                    # cross-table / unqualified: skip
         alias = aliases.pop()
-        bare = re.sub(rf"\b{re.escape(alias)}\.", "", conj)
+        strip = re.compile(rf"\b{re.escape(alias)}\.")
+        bare = "".join(seg if i % 2 else strip.sub("", seg)
+                       for i, seg in enumerate(segs))
         try:
             pred = sql_to_predicate(bare)
         except ValueError:
@@ -867,6 +897,24 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             raise ValueError(f"no branch named {to_branch}")
         prev_ref = t.metadata.refs.get(branch)
         prev = prev_ref.snapshot_id if prev_ref else None
+        if prev is not None and prev != src.snapshot_id:
+            # Spark's procedure refuses non-fast-forward moves: the target
+            # head must descend from the branch's current head, else this
+            # would silently rewind the branch or jump it onto an
+            # unrelated history
+            snaps = {s.snapshot_id: s for s in t.metadata.snapshots}
+            cur, seen = src.snapshot_id, set()
+            while cur is not None and cur not in seen:
+                if cur == prev:
+                    break
+                seen.add(cur)
+                snap = snaps.get(cur)
+                cur = snap.parent_snapshot_id if snap else None
+            else:
+                raise ValueError(
+                    f"cannot fast-forward {branch}: {to_branch}'s head "
+                    f"{src.snapshot_id} is not a descendant of "
+                    f"{branch}'s head {prev}")
         t.set_ref(branch, src.snapshot_id)
         return spark.createDataFrame(
             [(branch, prev, src.snapshot_id)],

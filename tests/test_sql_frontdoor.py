@@ -729,6 +729,37 @@ def test_auto_scan_filters_join_capture():
     assert set(one) == {"db.t"}
 
 
+def test_auto_scan_filters_between_or_and_quoted_literals():
+    """r5: BETWEEN's inner AND is not a conjunct split point; a
+    single-alias OR group is captured; alias-stripping never rewrites
+    string-literal bodies (ADVICE r4 medium)."""
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    got = _auto_scan_filters("""
+        SELECT * FROM db.lineitem l JOIN db.orders o
+        ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_ship BETWEEN DATE '1997-06-01' AND DATE '1997-07-01'
+          AND o.o_total > 100""")
+    r = repr(got["db.lineitem"])
+    assert "gt_eq datetime.date(1997, 6, 1)" in r
+    assert "lt_eq datetime.date(1997, 7, 1)" in r
+    assert "o_total gt 100" in repr(got["db.orders"])
+
+    got = _auto_scan_filters("""
+        SELECT * FROM db.lineitem l JOIN db.orders o
+        ON l.l_orderkey = o.o_orderkey
+        WHERE (l.l_flag = 'A' OR l.l_flag = 'R') AND o.o_total > 1""")
+    r = repr(got["db.lineitem"])
+    assert "l_flag eq 'A'" in r and "l_flag eq 'R'" in r and " OR " in r
+
+    # a literal containing '<alias>.' text must survive verbatim
+    got = _auto_scan_filters("""
+        SELECT * FROM db.documents d JOIN db.orders o
+        ON d.doc_id = o.o_orderkey
+        WHERE d.lang = 'x d.b y' AND o.o_total > 1""")
+    assert "lang eq 'x d.b y'" in repr(got["db.documents"])
+
+
 def test_run_sql_join_prunes_both_scans(spark, warehouse):
     """The joined front-door query passes each captured predicate to the
     matching table's scan (observed via a scan spy) and returns the same
@@ -832,6 +863,40 @@ def test_call_wap_and_changelog_procedures(spark, warehouse):
     ch = spark.sql("SELECT _change_type, count(*) AS n FROM wap_ch "
                    "GROUP BY _change_type").collect()
     assert {r["_change_type"]: r["n"] for r in ch} == {"insert": 30}
+
+
+def test_call_fast_forward_refuses_rewind_and_divergence(spark, warehouse):
+    """ADVICE r4 (low): fast_forward must only move a branch to a
+    DESCENDANT of its current head — rewinding main to an ancestor or
+    jumping it onto a diverged branch history is refused."""
+    import pytest as _pytest
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.ffguard", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    first = t.metadata.current_snapshot_id
+    t = t.append(spark, spark.createDataFrame([(2,)], "id long"))
+    # 'old' tags the ancestor; moving main there would rewind
+    t.set_ref("old", first)
+    with _pytest.raises(ValueError, match="not a descendant"):
+        run_sql(spark, warehouse,
+                "CALL system.fast_forward('db.ffguard', 'main', 'old')")
+    # a branch forked from the ancestor diverges: also refused
+    t = Table.load(warehouse, "db.ffguard")
+    t.set_ref("fork", first)
+    t = Table.load(warehouse, "db.ffguard")
+    t = t.append(spark, spark.createDataFrame([(3,)], "id long"),
+                 branch="fork")
+    with _pytest.raises(ValueError, match="not a descendant"):
+        run_sql(spark, warehouse,
+                "CALL system.fast_forward('db.ffguard', 'main', 'fork')")
+    # a true descendant still fast-forwards
+    t = Table.load(warehouse, "db.ffguard")
+    t = t.append(spark, spark.createDataFrame([(4,)], "id long"),
+                 branch="ahead")
+    out = run_sql(spark, warehouse,
+                  "CALL system.fast_forward('db.ffguard', 'main', 'ahead')")
+    assert out.collect()[0]["branch"] == "main"
+    assert Table.load(warehouse, "db.ffguard").to_df(spark).count() == 3
 
 
 def test_delete_files_and_metadata_log_meta_tables(spark, warehouse):
