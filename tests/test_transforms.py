@@ -151,3 +151,46 @@ def test_sql_transform_functions_match_partition_values(spark):
     got_s = spark.sql("SELECT iceberg_bucket(16, s) AS b FROM sqlfn_t "
                       "WHERE id = 3").collect()[0]["b"]
     assert got_s == parse_transform("bucket[16]").apply("key111", ice.STRING)
+
+
+def test_sql_bucket_on_nullable_long_column(spark):
+    """ADVICE r4 (medium): long-with-NULLs arrives at the pandas_udf as
+    float64; the SQL bucket function must hash the non-null values exactly
+    like the write path and return NULL for NULL."""
+    from iceberg_rust_spark.functions.transforms import (parse_transform,
+                                                         register_sql_transforms)
+    from iceberg_rust_spark.sources import types as ice
+
+    register_sql_transforms(spark)
+    rows = [(i, i * 7919 if i % 3 else None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    df.createOrReplaceTempView("sqlfn_null_t")
+    got = {r["id"]: r["b"] for r in spark.sql(
+        "SELECT id, iceberg_bucket(8, k) AS b FROM sqlfn_null_t").collect()}
+    bt = parse_transform("bucket[8]")
+    for i, k in rows:
+        assert got[i] == (None if k is None else bt.apply(k, ice.LONG)), i
+
+
+def test_sql_truncate_int_and_string_dispatch(spark):
+    """iceberg_truncate is string-prefix; iceberg_truncate_int is the
+    numeric floor-to-width transform (ADVICE r4 low)."""
+    from iceberg_rust_spark.functions.transforms import (parse_transform,
+                                                         register_sql_transforms)
+    from iceberg_rust_spark.sources import types as ice
+
+    register_sql_transforms(spark)
+    df = spark.createDataFrame(
+        [(1, 11), (2, -1), (3, None), (4, 8)], "id long, v long")
+    df.createOrReplaceTempView("sqlfn_tr_t")
+    got = {r["id"]: r["t"] for r in spark.sql(
+        "SELECT id, iceberg_truncate_int(4, v) AS t FROM sqlfn_tr_t").collect()}
+    tt = parse_transform("truncate[4]")
+    assert got == {1: tt.apply(11, ice.LONG), 2: tt.apply(-1, ice.LONG),
+                   3: None, 4: 8}
+    # the string function refuses numeric input rather than stringifying
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception):
+        spark.sql("SELECT iceberg_truncate(4, v) AS t FROM sqlfn_tr_t") \
+            .collect()
