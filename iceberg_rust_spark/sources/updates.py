@@ -231,7 +231,24 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             if state["last_added_spec"] is None:
                 raise InvalidUpdate("set-default-spec -1 without add-spec")
             sid = state["last_added_spec"]
-        md.spec(sid)
+        spec = md.spec(sid)
+        # the default spec must BIND to the current schema — the reference
+        # recomputes partition_type(current_schema) here and fails on a
+        # missing source field or inapplicable transform
+        # (table_metadata_builder.rs set_default_partition_spec:959-961)
+        cur = md.schema()
+        for pf in spec.fields:
+            f = cur.field_by_id(pf.source_id)
+            if f is None:
+                raise InvalidUpdate(
+                    f"cannot set default spec {sid}: partition field "
+                    f"'{pf.name}' references source id {pf.source_id} "
+                    f"missing from current schema {md.current_schema_id}")
+            if not pf.transform.can_transform(f.field_type):
+                raise InvalidUpdate(
+                    f"cannot set default spec {sid}: transform "
+                    f"{pf.transform!r} cannot apply to {f.name}: "
+                    f"{f.field_type}")
         md.default_spec_id = sid
     elif action == "add-sort-order":
         so = (upd["sort-order"] if isinstance(upd["sort-order"], SortOrder)

@@ -285,6 +285,29 @@ def test_set_current_schema_validates_default_sort_order():
                            {"action": "set-current-schema", "schema-id": -1}])
 
 
+def test_set_default_spec_binds_to_current_schema():
+    """set_default_partition_spec recomputes partition_type against the
+    CURRENT schema (table_metadata_builder.rs:959-961): promoting a spec
+    whose source field the current schema no longer carries is rejected."""
+    from iceberg_rust_spark.functions.transforms import IdentityTransform
+    from iceberg_rust_spark.sources.metadata import PartitionField
+    md = _bucket_md()
+    # a second spec over field id 2
+    sp2 = PartitionSpec(1, [PartitionField(2, 1001, "ef_part",
+                                           IdentityTransform())])
+    md = apply_updates(md, [{"action": "add-spec", "spec": sp2}])
+    # evolve the current schema to one WITHOUT field id 2 (keeps id 1, the
+    # default spec's source, so the evolution itself is legal)
+    narrow = Schema([NestedField(1, "data", STRING, True)], schema_id=1)
+    md = apply_updates(md, [{"action": "add-schema", "schema": narrow},
+                            {"action": "set-current-schema", "schema-id": -1}])
+    with pytest.raises(InvalidUpdate, match="missing from current schema"):
+        apply_updates(md, [{"action": "set-default-spec", "spec-id": 1}])
+    # the still-compatible spec 0 can be promoted (idempotent here)
+    out = apply_updates(md, [{"action": "set-default-spec", "spec-id": 0}])
+    assert out.default_spec_id == 0
+
+
 def test_partition_spec_evolution_validates_schema_name_conflicts():
     """test_partition_spec_evolution_validates_schema_field_name_conflicts:
     a partition field named like a schema field is rejected unless it is the
