@@ -221,3 +221,550 @@ def resample_linear(samples: np.ndarray, rate_in: int,
     out = np.stack([np.interp(t_out, t_in, a[:, c].astype(np.float64))
                     for c in range(a.shape[1])], axis=1)
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec): sequential DCT, Huffman coding.
+# Decoder handles 8-bit baseline (SOF0) with any JFIF chroma subsampling and
+# restart intervals; progressive (SOF2) / arithmetic variants raise
+# ValueError and callers keep their marked stub fallback. The encoder emits
+# baseline 4:4:4 with the Annex-K example tables (quality-scaled by the
+# public IJG formula). Entropy coding is per-symbol Python (images here are
+# small fixtures); the IDCT/DCT/color math is batched numpy over all blocks.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K example quantization tables (raster order)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_DC_LUMA_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_LUMA_VALS = bytes(range(12))
+_DC_CHROMA_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+_DC_CHROMA_VALS = bytes(range(12))
+_AC_LUMA_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_LUMA_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROMA_BITS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+_AC_CHROMA_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-II basis C: forward DCT = C @ B @ C.T,
+    inverse = C.T @ B @ C."""
+    x = np.arange(8)
+    u = x[:, None]
+    c = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) / 2.0
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+def _huff_decode_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman: {symbol: (code, length)}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the `size`-bit magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 pixels (h, w, 3) RGB, or (h, w, 1) for
+    grayscale. ValueError on progressive/arithmetic/12-bit variants."""
+    b = bytes(data)
+    if b[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    qtables: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    comps = None       # [(cid, h, v, tq)]
+    w = h = None
+    restart_interval = 0
+    i = 2
+    n = len(b)
+    scan = None
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:                      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8) \
+                    .astype(np.int64)
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = tbl           # stored in zigzag order
+                qtables[tq] = raster
+                p += 65
+        elif marker == 0xC4:                    # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = seg[p + 1:p + 17]
+                cnt = sum(bits)
+                vals = seg[p + 17:p + 17 + cnt]
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                p += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for ci in range(nc):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                    # SOS
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                tt = seg[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            i = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    # entropy-coded data runs from i to EOI; split at restart markers and
+    # unstuff 0xFF00
+    segments = []
+    cur = bytearray()
+    j = i
+    while j < n:
+        if b[j] == 0xFF and j + 1 < n:
+            m = b[j + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m <= 0xD7:               # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            if m == 0xD9:                       # EOI
+                break
+            j += 1
+            continue
+        cur.append(b[j])
+        j += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # per-component coefficient planes (block grid)
+    planes = []
+    for cid, ch_, cv, tq in comps:
+        planes.append(np.zeros((mcus_y * cv, mcus_x * ch_, 64),
+                               dtype=np.int64))
+    scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                td, ta = scan_by_comp[cid]
+                dc_tab, ac_tab = dc_tabs[td], ac_tabs[ta]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        s = reader.read_symbol(dc_tab)
+                        diff = _extend(reader.read_bits(s), s)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:     # ZRL
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        planes[ci][my * cv + by, mx * ch_ + bx] = coeffs
+            mcu_count += 1
+
+    # dequantize + inverse zigzag + batched IDCT per component
+    out_planes = []
+    for ci, (cid, ch_, cv, tq) in enumerate(comps):
+        q = qtables[tq]
+        zz = planes[ci].reshape(-1, 64)
+        raster = np.zeros_like(zz)
+        raster[:, _ZIGZAG] = zz                 # de-zigzag BEFORE dequant:
+        blocks = raster * q[np.newaxis, :]      # q is raster-ordered
+        bmat = blocks.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT_C, bmat, _DCT_C) + 128.0
+        by_, bx_ = planes[ci].shape[:2]
+        plane = pix.reshape(by_, bx_, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by_ * 8, bx_ * 8)
+        # upsample to full MCU-grid resolution, crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                          hmax // ch_, axis=1)
+        out_planes.append(plane[:h, :w])
+    pix = np.stack(out_planes, axis=2)
+    if pix.shape[2] == 1:
+        return np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+    if pix.shape[2] != 3:
+        raise ValueError(f"{pix.shape[2]}-component JPEG unsupported")
+    y, cb, cr = pix[:, :, 0], pix[:, :, 1] - 128.0, pix[:, :, 2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)           # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill) and emit RSTn — no stuffing after a marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)     # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """Public IJG quality scaling of the Annex-K tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _mag_bits(v: int):
+    """(size, magnitude-bits) for a signed coefficient (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _block_zigzag(chan: np.ndarray, q: np.ndarray, bh: int,
+                  bw: int) -> np.ndarray:
+    """Pad a channel plane to (bh*8, bw*8), DCT+quantize every 8x8 block
+    (batched numpy), return zigzag coefficients of shape (bh, bw, 64)."""
+    h, w = chan.shape
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = chan
+    padded[h:, :w] = chan[-1:, :]               # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1:w]
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks, _DCT_C)
+    qz = np.rint(coef.reshape(-1, 64) / q[np.newaxis, :]).astype(np.int64)
+    return qz[:, _ZIGZAG].reshape(bh, bw, 64)
+
+
+def _emit_block(writer: "_BitWriter", zz: np.ndarray, pred: int,
+                dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    size, bits = _mag_bits(diff)
+    code, ln = dc_tab[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(bits, size)
+    nz = np.flatnonzero(zz[1:])
+    prev = 0
+    for k in nz:
+        run = int(k) - prev
+        prev = int(k) + 1
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)              # ZRL
+            run -= 16
+        size, bits = _mag_bits(int(zz[1 + k]))
+        code, ln = ac_tab[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+    if prev < 63:
+        code, ln = ac_tab[0x00]                 # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w)/(h, w, 1) gray -> baseline JPEG
+    (Annex-K tables quality-scaled; 4:4:4 or 4:2:0 chroma; optional DRI
+    restart markers)."""
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:
+        r, g, bch = (a[:, :, c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        channels = [y, cb, cr]
+    elif nc == 1:
+        channels = [a[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(f"cannot encode {nc}-channel image as JPEG")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and nc == 3
+
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    dc_enc = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_enc = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    if sub420:
+        # luma MCU = 2x2 blocks; chroma planes 2x2-averaged to half size
+        mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+        samp = [(2, 2), (1, 1), (1, 1)]
+        ch2 = (w + 1) // 2, (h + 1) // 2
+        half = []
+        for c in channels[1:]:
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            p = np.empty((ph, pw), dtype=np.float64)
+            p[:h, :w] = c
+            p[h:, :w] = c[-1:, :]
+            p[:, w:] = p[:, w - 1:w]
+            half.append(p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+        plane_zz = [_block_zigzag(channels[0], qy, mcus_y * 2, mcus_x * 2)]
+        plane_zz += [_block_zigzag(c, qc, mcus_y, mcus_x) for c in half]
+    else:
+        mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+        samp = [(1, 1)] * len(channels)
+        plane_zz = [_block_zigzag(c, qy if ci == 0 else qc, mcus_y, mcus_x)
+                    for ci, c in enumerate(channels)]
+
+    writer = _BitWriter()
+    preds = [0] * len(channels)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                writer.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(channels)
+            for ci in range(len(channels)):
+                sh, sv = samp[ci]
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = plane_zz[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _emit_block(writer, zz, preds[ci],
+                                                dc_enc[tsel], ac_enc[tsel])
+            mcu_count += 1
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy[_ZIGZAG].astype(np.uint8)))
+    if len(channels) == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(channels)))
+    for ci in range(len(channels)):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + _DC_LUMA_BITS + _DC_LUMA_VALS)
+    out += seg(0xC4, bytes([0x10]) + _AC_LUMA_BITS + _AC_LUMA_VALS)
+    if len(channels) == 3:
+        out += seg(0xC4, bytes([0x01]) + _DC_CHROMA_BITS + _DC_CHROMA_VALS)
+        out += seg(0xC4, bytes([0x11]) + _AC_CHROMA_BITS + _AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(channels)])
+    for ci in range(len(channels)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)

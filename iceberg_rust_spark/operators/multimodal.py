@@ -5,14 +5,17 @@ The Spark-side machinery — schema with typed metadata, Arrow-batched
 tested. Codec status:
 
 - REAL (stdlib, functions/media_codecs.py): PNG pixel decode/encode (zlib
-  IDAT inflate + scanline unfilter), PNG/JPEG header dims, WAV/PCM parse +
-  linear resample + re-encode. ``extract_features`` computes a real 16-bin
-  luminance histogram for decodable PNGs; ``resize_images`` does a real
-  nearest-neighbor resize re-encoded as PNG; ``resample_audio`` is fully
-  real for PCM WAV.
-- STUB (clearly marked): feature/resize fallbacks for formats that need
-  codec libraries absent from this container (JPEG entropy decode, video
-  demux). ``resample_frames`` fabricates frame boundaries. Swapping in
+  IDAT inflate + scanline unfilter), baseline JPEG decode/encode (T.81
+  Huffman + batched-numpy DCT, 4:4:4/4:2:0, restart intervals), PNG/JPEG
+  header dims, WAV/PCM parse + linear resample + re-encode.
+  ``extract_features`` computes a real 16-bin luminance histogram over
+  actual decoded pixels for PNG AND baseline JPEG; ``resize_images`` does
+  a real nearest-neighbor resize re-encoded as PNG; ``resample_audio`` is
+  fully real for PCM WAV.
+- STUB (clearly marked): feature/resize fallbacks for the remaining
+  formats that need codec libraries absent from this container
+  (progressive/arithmetic JPEG, webp/gif, video demux).
+  ``resample_frames`` fabricates frame boundaries. Swapping in
   PIL/torchaudio/decord touches only the kernel, never the plan.
 """
 
@@ -119,16 +122,26 @@ def decode_image_meta(payload: bytes, mime: str) -> dict:
             "n_bytes": len(b)}
 
 
+def _decode_image(b: bytes) -> "np.ndarray":
+    """PNG or baseline JPEG -> (h, w, c) uint8 pixels; ValueError when
+    neither stdlib codec can decode (callers stub-fallback)."""
+    from ..functions.media_codecs import decode_jpeg, decode_png
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
+    return decode_jpeg(b)
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """payload -> fixed-dim float feature vector.
 
-    REAL kernel for decodable PNGs: a FEATURE_DIM-bin normalized luminance
-    histogram over the actual decoded pixels (media_codecs.decode_png). For
-    payloads the stdlib codecs can't decode (JPEG entropy data, opaque
-    blobs) a deterministic sha1 STUB stands in, keeping the batch shape and
-    schema identical so the plan never changes."""
-    from ..functions.media_codecs import decode_png, grayscale
+    REAL kernel for PNG and baseline JPEG: a FEATURE_DIM-bin normalized
+    luminance histogram over the actual decoded pixels
+    (media_codecs.decode_png / decode_jpeg). For payloads the stdlib codecs
+    can't decode (progressive JPEG, opaque blobs) a deterministic sha1 STUB
+    stands in, keeping the batch shape and schema identical so the plan
+    never changes."""
+    from ..functions.media_codecs import grayscale
     schema = f"{id_col} long, features array<float>"
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,7 +152,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                     feats.append([0.0] * FEATURE_DIM)
                     continue
                 try:
-                    px = decode_png(bytes(p))
+                    px = _decode_image(bytes(p))
                     lum = grayscale(px)
                     hist, _ = np.histogram(
                         lum, bins=FEATURE_DIM, range=(0.0, 256.0))
@@ -192,12 +205,11 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "media_id") -> DataFrame:
     """Image resize plumbing: (media_id, resized binary, width, height).
 
-    REAL kernel for decodable PNGs: decode_png -> nearest-neighbor resample
-    -> encode_png, all stdlib+numpy. Undecodable payloads fall back to a
-    deterministic sha1-stream STUB of the same byte budget so batch sizing,
-    schema, and downstream joins behave identically."""
-    from ..functions.media_codecs import (decode_png, encode_png,
-                                          resize_nearest)
+    REAL kernel for PNG and baseline JPEG: decode -> nearest-neighbor
+    resample -> encode_png, all stdlib+numpy. Undecodable payloads fall
+    back to a deterministic sha1-stream STUB of the same byte budget so
+    batch sizing, schema, and downstream joins behave identically."""
+    from ..functions.media_codecs import encode_png, resize_nearest
     schema = f"{id_col} long, resized binary, width int, height int"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,7 +221,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                     continue
                 ids.append(mid)
                 try:
-                    px = decode_png(bytes(p))
+                    px = _decode_image(bytes(p))
                     blobs.append(encode_png(resize_nearest(px, width, height)))
                     continue
                 except ValueError:
@@ -277,11 +289,11 @@ def synthetic_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/demos: REAL decodable RGB
-    PNGs (even ids — pixel values derived from the id so the decode/resize/
-    feature kernels run for real), minimal JPEGs, opaque blobs. Dimensions
-    keep the original (1+i%7, 1+i%5) formulas the constructed oracle
-    replicates."""
-    from ..functions.media_codecs import encode_png
+    PNGs (even ids), REAL baseline JPEGs (i%4==1 ids — both 4:4:4 and
+    4:2:0, pixel values derived from the id so the T.81 decode path runs
+    for real), opaque blobs. Dimensions keep the original (1+i%7, 1+i%5)
+    and (8+i%9, 8+i%11) formulas the constructed oracle replicates."""
+    from ..functions.media_codecs import encode_jpeg, encode_png
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -291,8 +303,12 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             payload = encode_png(px)
             mime = "image/png"
         elif i % 4 == 1:
-            payload = synthetic_jpeg(8 + i % 9, 8 + i % 11,
-                                     hashlib.sha1(str(i).encode()).digest())
+            w, h = 8 + i % 9, 8 + i % 11
+            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 7) + 2 * i)
+                  % 256).astype(np.uint8).reshape(h, w, 3)
+            payload = encode_jpeg(
+                px, quality=90,
+                subsampling="420" if i % 8 == 5 else "444")
             mime = "image/jpeg"
         else:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
