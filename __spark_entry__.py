@@ -922,6 +922,25 @@ def q_iceberg_join_pruned(spark, sf_dir):
         GROUP BY l.l_returnflag, o.o_orderstatus""")
 
 
+def q_iceberg_join_between(spark, sf_dir):
+    """r5: BETWEEN date-range + single-alias OR group through the joined
+    front door — both shapes now reach metadata pruning (the AND splitter
+    keeps BETWEEN's inner AND; OR groups on one alias are captured) while
+    Spark re-applies the full WHERE — sources/sql.py _split_top_and /
+    _auto_scan_filters."""
+    from iceberg_rust_spark.sources.sql import run_sql
+    cat = _warehouse(spark, sf_dir)
+    return run_sql(spark, cat, f"""
+        SELECT l.l_returnflag AS l_returnflag, o.o_orderstatus AS o_orderstatus,
+               COUNT(*) AS n_rows, {_sql_sum_dec('l.l_extendedprice', 'sum_price')}
+        FROM db.lineitem l JOIN db.orders_bucket o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1997-06-01'
+                               AND TIMESTAMP '1997-06-15'
+          AND (o.o_orderstatus = 'F' OR o.o_orderstatus = 'O')
+        GROUP BY l.l_returnflag, o.o_orderstatus""")
+
+
 def q_iceberg_merge(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_merge")
     return t.to_df(spark).groupBy("o_orderpriority").agg(
@@ -1138,6 +1157,19 @@ def q_multimodal_audio(spark, sf_dir):
                     F.length("audio").cast("long").alias("n_bytes")))
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """r5: REAL MP4 demux — resample_frames walks the ISO-BMFF sample
+    tables and emits actual encoded sample payloads; the constructed
+    oracle pins frame numbers, byte lengths AND content (hex prefix), so a
+    fabricated-boundary stub could not pass."""
+    media = MM.synthetic_video_df(spark, 12)
+    frames = MM.resample_frames(media, every_n=4)
+    return frames.select(
+        "media_id", "frame_no",
+        F.length("frame").alias("n_bytes"),
+        F.hex(F.substring(F.col("frame"), 1, 4)).alias("head_hex"))
+
+
 def q_multimodal_features(spark, sf_dir):
     media = MM.synthetic_media_df(spark, 64)
     with_meta = MM.attach_media_meta(media)
@@ -1197,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_q6_revenue": q_iceberg_q6,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "iceberg_join_pruned": q_iceberg_join_pruned,
+        "iceberg_join_between": q_iceberg_join_between,
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
         "iceberg_truncate_prune": q_iceberg_truncate_prune,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
@@ -1245,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1296,6 +1330,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
               AND l.l_shipdate <  TIMESTAMP '1997-07-01'
               AND o.o_totalprice > 50000
+            GROUP BY l.l_returnflag, o.o_orderstatus""",
+        "iceberg_join_between": f"""
+            SELECT l.l_returnflag AS l_returnflag,
+                   o.o_orderstatus AS o_orderstatus,
+                   COUNT(*) AS n_rows,
+                   {_sql_sum_dec('l.l_extendedprice', 'sum_price')}
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate BETWEEN TIMESTAMP '1997-06-01'
+                                   AND TIMESTAMP '1997-06-15'
+              AND (o.o_orderstatus = 'F' OR o.o_orderstatus = 'O')
             GROUP BY l.l_returnflag, o.o_orderstatus""",
         "iceberg_bucket_prune": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1842,4 +1886,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _constructed_oracle("dedup_simhash"),
         "multimodal_features": _constructed_oracle("multimodal_features"),
         "multimodal_audio": _constructed_oracle("multimodal_audio"),
+        "multimodal_frames": _constructed_oracle("multimodal_frames"),
     }

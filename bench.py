@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
     "iceberg_merge", "iceberg_compaction", "iceberg_branch_read",
     "iceberg_nested_evolution", "iceberg_cdc_net", "iceberg_join_pruned",
+    "iceberg_join_between",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q7_nation_volume", "q8_market_share", "q9_nation_profit",
     "q10_returned_items", "q14_promo_revenue",
@@ -69,25 +70,37 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings = {}
     minimums = {}
+    plannings = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         runs = []
+        plans = []
         # row count once, untimed; the TIMED action is a noop-sink write so
         # Catalyst cannot column-prune away the query's actual work (a bare
         # count() on a projection query times only the scan)
         n = fn(spark, sf_dir).count()
         for _ in range(reps):
+            # split DRIVER-side planning (manifest walk, delete index,
+            # metadata pruning — everything before the DataFrame exists)
+            # from executor wall, so plateau-vs-trend questions on the
+            # scan/delete path have a named cause
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        runs.sort()
-        med = round(runs[len(runs) // 2], 3)
+            df = fn(spark, sf_dir)
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.time()
+            plans.append(t1 - t0)
+            runs.append(t2 - t0)
+        order = sorted(range(reps), key=lambda i: runs[i])
+        med_i = order[len(order) // 2]
+        med = round(runs[med_i], 3)
         timings[name] = med
-        minimums[name] = round(runs[0], 3)
+        minimums[name] = round(runs[order[0]], 3)
+        plannings[name] = round(plans[med_i], 3)
         total += med
-        print(f"# {name}: median {med}s min {minimums[name]}s ({n} rows)",
-              file=sys.stderr)
+        print(f"# {name}: median {med}s (plan {plannings[name]}s) "
+              f"min {minimums[name]}s ({n} rows)", file=sys.stderr)
 
     # stdout line stays COMPACT (medians only): r3's line carried the min
     # dict too and the driver's bounded tail window truncated it mid-JSON
@@ -97,8 +110,8 @@ def main() -> None:
         "value": round(total, 3), "unit": "sec",
         "queries": timings, "sf": sf,
     }
-    detail = dict(summary, queries_min=minimums, reps=reps,
-                  setup_sec=setup_sec, warmup_sec=warmup_sec)
+    detail = dict(summary, queries_min=minimums, queries_plan=plannings,
+                  reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

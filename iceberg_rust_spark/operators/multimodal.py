@@ -172,13 +172,17 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
 
 def resample_frames(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id", every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_no, frame_bytes)
-    rows, one output row per sampled frame.
+    """Video frame-sampling: emits (media_id, frame_no, frame_bytes) rows,
+    one output row per sampled frame.
 
-    STUB kernel: fabricates frame boundaries from payload length (a real impl
-    would demux containers per batch). Demonstrates the 1->N mapInPandas shape
-    that real frame extraction uses.
+    REAL kernel for ISO-BMFF (MP4) payloads: the sample tables (stsz/stsc/
+    stco) give every frame's exact byte range with zero codec work, so the
+    emitted frames are the actual encoded sample payloads
+    (functions/isobmff.py). Non-MP4 payloads keep the marked STUB that
+    fabricates boundaries from payload length, preserving the 1->N
+    mapInPandas shape.
     """
+    from ..functions.isobmff import extract_mp4_frames
     schema = f"{id_col} long, frame_no int, frame bytes".replace("bytes", "binary")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,6 +192,16 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
                 if p is None:
                     continue
                 b = bytes(p)
+                try:
+                    for fno, fb in extract_mp4_frames(b, every_n=every_n):
+                        ids.append(mid)
+                        frame_nos.append(fno)
+                        frames.append(fb)
+                    continue
+                except ValueError:
+                    pass
+                # STUB: non-ISO-BMFF containers need codec libs not present
+                # here; fabricate fixed-width boundaries
                 n_frames = max(1, len(b) // 32)
                 for fno in range(0, n_frames, every_n):
                     ids.append(mid)
@@ -315,6 +329,24 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             mime = "application/octet-stream"
         rows.append((i, bytearray(payload), mime))
     return spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+
+
+def synthetic_video_df(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL MP4 containers (functions/isobmff.encode_mp4):
+    per id, 8+(i%5)*4 frames whose payloads are a repeated (i+k)%256 byte
+    of length 20+((i*7+k*3)%40) — formulas the constructed oracle
+    replicates to verify the demuxer extracts the true sample ranges."""
+    from ..functions.isobmff import encode_mp4
+    rows = []
+    for i in range(n):
+        n_frames = 8 + (i % 5) * 4
+        frames = [bytes([(i + k) % 256]) * (20 + ((i * 7 + k * 3) % 40))
+                  for k in range(n_frames)]
+        payload = encode_mp4(frames, fps=10, width=32 + i % 8,
+                             height=24 + i % 5)
+        rows.append((i, bytearray(payload), "video/mp4"))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string")
 
 
 def synthetic_audio_df(spark, n: int = 16, rate: int = 8000) -> DataFrame:

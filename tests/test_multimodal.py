@@ -339,3 +339,81 @@ def test_extract_features_real_jpeg_histogram(spark):
     assert len(feats) == FEATURE_DIM
     assert abs(sum(feats) - 1.0) < 1e-6
     assert feats[130 * FEATURE_DIM // 256] == 1.0
+
+
+# ---- ISO-BMFF (MP4) demux (r5) --------------------------------------------
+
+def test_mp4_mux_demux_roundtrip():
+    from iceberg_rust_spark.functions.isobmff import (encode_mp4,
+                                                      extract_mp4_frames,
+                                                      parse_mp4_samples)
+    frames = [bytes([i]) * (10 + 7 * i) for i in range(11)]
+    mp4 = encode_mp4(frames, fps=10, width=32, height=24, sync_every=5)
+    info = parse_mp4_samples(mp4)
+    assert (info["width"], info["height"]) == (32, 24)
+    assert info["timescale"] == 1000 and len(info["samples"]) == 11
+    assert sorted(info["sync"]) == [0, 5, 10]
+    # every sample's byte range points at the exact payload we stored
+    assert [f for _, f in extract_mp4_frames(mp4)] == frames
+    assert [i for i, _ in extract_mp4_frames(mp4, every_n=3)] == [0, 3, 6, 9]
+    assert [i for i, _ in
+            extract_mp4_frames(mp4, every_n=1, sync_only=True)] == [0, 5, 10]
+    # single frame + short-last-chunk stsc runs
+    one = encode_mp4([b"only"], fps=1)
+    assert extract_mp4_frames(one) == [(0, b"only")]
+
+
+def test_mp4_demux_structural_layout():
+    """Non-circular check of the writer: assert the raw box layout by hand
+    (ftyp/mdat/moov walk, stsz sizes, stco offsets into mdat)."""
+    import struct
+
+    from iceberg_rust_spark.functions.isobmff import encode_mp4
+    frames = [b"AAAA", b"BBBBBB", b"CC"]
+    b = encode_mp4(frames, fps=5)
+    # top-level walk by hand
+    tops = []
+    pos = 0
+    while pos < len(b):
+        (size,) = struct.unpack(">I", b[pos:pos + 4])
+        tops.append(b[pos + 4:pos + 8])
+        pos += size
+    assert tops == [b"ftyp", b"mdat", b"moov"]
+    # mdat payload is the concatenated frames
+    (ftyp_size,) = struct.unpack(">I", b[0:4])
+    mdat_start = ftyp_size + 8
+    assert b[mdat_start:mdat_start + 12] == b"AAAABBBBBBCC"
+    # stsz carries the three sizes verbatim
+    i = b.find(b"stsz")
+    cnt_off = i + 4 + 4 + 4          # fullbox version/flags + sample_size
+    (cnt,) = struct.unpack(">I", b[cnt_off:cnt_off + 4])
+    sizes = struct.unpack(">3I", b[cnt_off + 4:cnt_off + 16])
+    assert cnt == 3 and sizes == (4, 6, 2)
+
+
+def test_mp4_demux_rejections():
+    import pytest
+
+    from iceberg_rust_spark.functions.isobmff import parse_mp4_samples
+    with pytest.raises(ValueError):
+        parse_mp4_samples(b"not a container at all")
+    with pytest.raises(ValueError):
+        parse_mp4_samples(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+def test_resample_frames_real_mp4(spark):
+    """The distributed operator emits the true encoded sample payloads for
+    MP4 and keeps the marked stub for opaque blobs."""
+    from iceberg_rust_spark.functions.isobmff import encode_mp4
+    from iceberg_rust_spark.operators.multimodal import resample_frames
+    frames = [bytes([k]) * (6 + k) for k in range(9)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp4(frames, fps=10))),
+         (2, bytearray(b"opaque" * 20))],
+        "media_id long, payload binary")
+    rows = resample_frames(df, every_n=4).collect()
+    mp4_rows = sorted([r for r in rows if r["media_id"] == 1],
+                      key=lambda r: r["frame_no"])
+    assert [(r["frame_no"], bytes(r["frame"])) for r in mp4_rows] == \
+        [(0, frames[0]), (4, frames[4]), (8, frames[8])]
+    assert any(r["media_id"] == 2 for r in rows)  # stub path still emits

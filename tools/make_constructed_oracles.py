@@ -91,6 +91,28 @@ def multimodal_oracle(n: int = 64) -> str:
             + ", ".join(vals) + ") v(media_id, width, height, feat_dim)")
 
 
+def video_oracle(n: int = 12, every_n: int = 4) -> str:
+    """Expected (media_id, frame_no, n_bytes, head_hex) of resample_frames
+    over synthetic_video_df: the fixture's frame formulas (count
+    8+(i%5)*4, payload byte (i+k)%256 repeated 20+((i*7+k*3)%40) times)
+    through every_n sampling — computed here WITHOUT the isobmff module,
+    so the demuxer's extracted ranges are verified against the content the
+    mux was told to store."""
+    vals = []
+    for i in range(n):
+        n_frames = 8 + (i % 5) * 4
+        for k in range(0, n_frames, every_n):
+            length = 20 + ((i * 7 + k * 3) % 40)
+            byte = (i + k) % 256
+            head = f"{byte:02X}" * 4
+            vals.append(f"({i}, {k}, {length}, '{head}')")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(frame_no AS INTEGER) AS frame_no, "
+            "CAST(n_bytes AS INTEGER) AS n_bytes, "
+            "head_hex FROM (VALUES " + ", ".join(vals)
+            + ") v(media_id, frame_no, n_bytes, head_hex)")
+
+
 def audio_oracle(n: int = 16, rate_in: int = 8000,
                  rate_out: int = 4000) -> str:
     """Expected (media_id, sample_rate, n_frames, n_bytes) of
@@ -113,7 +135,8 @@ def audio_oracle(n: int = 16, rate_in: int = 8000,
 def main() -> None:
     out = {"dedup_simhash": simhash_oracle(),
            "multimodal_features": multimodal_oracle(),
-           "multimodal_audio": audio_oracle()}
+           "multimodal_audio": audio_oracle(),
+           "multimodal_frames": video_oracle()}
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {OUT}: "
