@@ -41,7 +41,8 @@ _META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
                 "all_files": "all_files_df",
                 "all_entries": "all_entries_df",
                 "delete_files": "delete_files_df",
-                "metadata_log_entries": "metadata_log_entries_df"}
+                "metadata_log_entries": "metadata_log_entries_df",
+                "position_deletes": "position_deletes_df"}
 
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",

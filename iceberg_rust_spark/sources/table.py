@@ -934,6 +934,57 @@ class Table:
                   "referenced_data_file string, content_offset long, "
                   "content_size_in_bytes long, equality_ids array<int>")
 
+    def position_deletes_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `position_deletes`: one row per (data file,
+        position) delete of the current snapshot. Parquet pos-delete files
+        are read by Spark's distributed reader; DV blobs go through
+        scan.dv_pairs_df (descriptor shipping + executor-side roaring
+        decode for large blob totals), so positions never collect on the
+        driver at scale."""
+        from pyspark.sql import functions as F
+
+        from .scan import dv_pairs_df
+        snap = self.metadata.current_snapshot()
+        pq_paths: list = []
+        dv_files: list = []
+        if snap is not None:
+            for mf in load_manifest_list(snap.manifest_list):
+                for e in load_manifest(mf.manifest_path):
+                    f = e.data_file
+                    if f.content != CONTENT_POSITION_DELETES:
+                        continue
+                    if (f.file_format or "").lower() == "puffin":
+                        dv_files.append(f)
+                    else:
+                        pq_paths.append(f.file_path)
+        schema = ("file_path string, pos long, delete_file_path string, "
+                  "file_format string")
+        parts = []
+        if pq_paths:
+            parts.append(
+                spark.read.parquet(*pq_paths)
+                .select("file_path", "pos",
+                        F.input_file_name().alias("delete_file_path"),
+                        F.lit("parquet").alias("file_format")))
+        if dv_files:
+            pairs = dv_pairs_df(spark, dv_files)
+            desc = spark.createDataFrame(
+                [(d.referenced_data_file, d.file_path) for d in dv_files],
+                "ref string, dv_path string")
+            parts.append(
+                pairs.join(F.broadcast(desc),
+                           pairs["_del_file"] == desc["ref"])
+                .select(F.col("_del_file").alias("file_path"),
+                        F.col("_del_pos").alias("pos"),
+                        F.col("dv_path").alias("delete_file_path"),
+                        F.lit("puffin").alias("file_format")))
+        if not parts:
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def metadata_log_entries_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table `metadata_log_entries`: the table's metadata-file
         history (metadata-log) plus the current file, newest last."""

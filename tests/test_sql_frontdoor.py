@@ -915,3 +915,30 @@ def test_delete_files_and_metadata_log_meta_tables(spark, warehouse):
                   "SELECT * FROM db.mtabs$metadata_log_entries").collect()
     assert len(log) == 3  # create + append + delete
     assert log[-1]["file"].endswith("v3.metadata.json")
+
+
+def test_position_deletes_meta_table(spark, warehouse):
+    """r5: position_deletes exposes every (data file, pos) delete row —
+    parquet pos-delete files via the distributed reader, DV puffin blobs
+    via executor-side decode — and matches the live-row arithmetic."""
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.posdel", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+    t = t.delete_where(spark, E.col("g") == 2, mode="dv")
+    rows = run_sql(spark, warehouse,
+                   "SELECT file_format, count(*) AS n "
+                   "FROM db.posdel.position_deletes "
+                   "GROUP BY file_format").collect()
+    counts = {r["file_format"]: r["n"] for r in rows}
+    assert counts == {"parquet": 10, "puffin": 10}
+    # every deleted position references a real data file of the table
+    files = {r["file_path"] for r in run_sql(
+        spark, warehouse,
+        "SELECT DISTINCT file_path FROM db.posdel$position_deletes")
+        .collect()}
+    data_files = {r["file_path"] for r in run_sql(
+        spark, warehouse, "SELECT file_path FROM db.posdel.files").collect()}
+    assert files <= data_files
+    assert t.to_df(spark).count() == 20
