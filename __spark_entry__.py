@@ -707,6 +707,52 @@ def q11_important_stock(spark, sf_dir):
             .orderBy(F.col("value").desc(), "l_partkey").limit(50))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem supply costs stand in for partsupp): for
+    each part of one brand, the supplier(s) whose average unit price is the
+    part's MINIMUM — the correlated-min-subquery pattern, expressed as a
+    per-part min joined back (one shuffle for the agg, broadcast for the
+    dims)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    # MIN of the raw double unit price: IEEE division is bit-identical
+    # across engines and MIN has no summation-order sensitivity (ROUND
+    # would reintroduce engine-specific half-boundary behavior)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    cost = (l.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(unit).alias("supply_cost")))
+    min_cost = (cost.groupBy("l_partkey")
+                .agg(F.min("supply_cost").alias("min_cost")))
+    best = (cost.join(min_cost, "l_partkey")
+            .where(F.col("supply_cost") == F.col("min_cost")))
+    return (best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+            .where(F.col("p_brand") == "Brand#23")
+            .select(F.col("p_partkey"), F.col("p_name"), F.col("s_name"),
+                    F.col("s_acctbal").cast("double").alias("s_acctbal"),
+                    F.col("supply_cost"))
+            .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+            .limit(100))
+
+
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (l_returnflag stands in for l_shipmode): per flag in
+    a one-year ship window, how many orders are high- vs low-priority —
+    the conditional-aggregation pattern."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+        .otherwise(0)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .where((F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+                   & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1))))
+            .groupBy("l_returnflag")
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(1 - high).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13: distribution of order counts per customer (left join +
     two-level aggregation)."""
@@ -1214,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_nation_profit": q9_nation_profit,
         "q10_returned_items": q10_returned_items,
         "q11_important_stock": q11_important_stock,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q12_priority_shipping": q12_priority_shipping,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
@@ -1535,6 +1583,35 @@ def oracle_sql() -> dict[str, str]:
             FROM pp, (SELECT SUM(value_dec) * 0.001 AS threshold FROM pp) t
             WHERE value_dec > threshold
             ORDER BY value DESC, l_partkey LIMIT 50""",
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(l_extendedprice / l_quantity) AS supply_cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            mc AS (
+              SELECT l_partkey, MIN(supply_cost) AS min_cost
+              FROM cost GROUP BY l_partkey)
+            SELECT p_partkey, p_name, s_name,
+                   CAST(s_acctbal AS DOUBLE) AS s_acctbal, supply_cost
+            FROM cost
+              JOIN mc ON cost.l_partkey = mc.l_partkey
+                     AND cost.supply_cost = mc.min_cost
+              JOIN part ON cost.l_partkey = p_partkey
+              JOIN supplier ON cost.l_suppkey = s_suppkey
+            WHERE p_brand = 'Brand#23'
+            ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+        "q12_priority_shipping": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
         "q13_customer_distribution": """
             SELECT c_count, COUNT(*) AS custdist
             FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -846,6 +846,27 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         return spark.createDataFrame(
             [(before, after)],
             "rewritten_data_files_count int, added_data_files_count int")
+    if proc == "rewrite_manifests":
+        from .scan import load_manifest_list
+        target = int(args[1]) if len(args) > 1 else 100_000
+        before = len(load_manifest_list(
+            t.metadata.current_snapshot().manifest_list)) \
+            if t.metadata.current_snapshot() else 0
+        t = t.rewrite_manifests(target_entries=target)
+        after = len(load_manifest_list(
+            t.metadata.current_snapshot().manifest_list)) \
+            if t.metadata.current_snapshot() else 0
+        return spark.createDataFrame(
+            [(before, after)],
+            "rewritten_manifests_count int, added_manifests_count int")
+    if proc == "rewrite_position_delete_files":
+        cond = "content = 1 AND file_format <> 'puffin'"
+        before = t.delete_files_df(spark).where(cond).count()
+        t = t.rewrite_position_deletes(spark)
+        after = t.delete_files_df(spark).where(cond).count()
+        return spark.createDataFrame(
+            [(before, after)],
+            "rewritten_delete_files_count int, added_delete_files_count int")
     if proc == "expire_snapshots":
         older = int(args[1]) if len(args) > 1 else None
         retain = int(args[2]) if len(args) > 2 else None

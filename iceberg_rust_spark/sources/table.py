@@ -609,6 +609,140 @@ class Table:
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added=added, removed_paths=set(paths)))
 
+    def rewrite_manifests(self, target_entries: int = 100_000) -> "Table":
+        """Metadata-only manifest compaction (Spark's rewrite_manifests
+        procedure, composed from reference primitives): merge the current
+        snapshot's manifests into per-(content, spec) groups of at most
+        ``target_entries`` entries. Entries are carried as EXISTING with
+        their ORIGINAL snapshot/sequence numbers, so scan planning and
+        delete-applicability (seq-number rules) are byte-identical; only
+        the manifest grouping changes. Driver-side by design — manifests
+        are metadata-sized (thousands, not millions)."""
+        def update(md: TableMetadata) -> TableMetadata:
+            cur = md.current_snapshot()
+            if cur is None:
+                return md
+            fmt = md.properties.get("write.metadata.manifest-format",
+                                    "parquet")
+            md_dir = os.path.join(md.location, "metadata")
+            old = load_manifest_list(cur.manifest_list)
+            if len(old) <= 1:
+                return md
+            groups: Dict[Tuple[int, int], List[ManifestEntry]] = {}
+            for mf in old:
+                for e in load_manifest(mf.manifest_path):
+                    groups.setdefault((mf.content, mf.partition_spec_id),
+                                      []).append(e)
+            seq = md.last_sequence_number + 1
+            snap_id = new_snapshot_id()
+            manifests: List[ManifestFile] = []
+            for (content, spec_id), entries in sorted(groups.items()):
+                for i in range(0, len(entries), target_entries):
+                    chunk = entries[i:i + target_entries]
+                    carried = [ManifestEntry(
+                        STATUS_EXISTING, e.snapshot_id, e.sequence_number,
+                        e.file_sequence_number, e.data_file) for e in chunk]
+                    path = os.path.join(
+                        md_dir, f"manifest-{uuid.uuid4().hex[:16]}.{fmt}")
+                    if fmt == "avro":
+                        from .avro_manifest import write_avro_manifest
+                        length = write_avro_manifest(
+                            path, carried, md.schema(), md.spec(spec_id),
+                            md.format_version)
+                    else:
+                        length = write_manifest(path, carried)
+                    seqs = [e.sequence_number or 0 for e in chunk]
+                    manifests.append(ManifestFile(
+                        manifest_path=path, manifest_length=length,
+                        partition_spec_id=spec_id, content=content,
+                        sequence_number=max(seqs), min_sequence_number=min(seqs),
+                        added_snapshot_id=snap_id,
+                        existing_files_count=len(chunk),
+                        existing_rows_count=sum(e.data_file.record_count
+                                                for e in chunk),
+                        partitions=_field_summaries(
+                            [e.data_file for e in chunk])))
+            if len(manifests) >= len(old):
+                return md                 # nothing to gain; skip the commit
+            ml_path = os.path.join(
+                md_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.{fmt}")
+            if fmt == "avro":
+                from .avro_manifest import write_avro_manifest_list
+                write_avro_manifest_list(ml_path, manifests,
+                                         spec_fields=md.spec().fields,
+                                         schema=md.schema())
+            else:
+                write_manifest_list(ml_path, manifests)
+            snap = Snapshot(
+                snapshot_id=snap_id, sequence_number=seq,
+                timestamp_ms=now_ms(), manifest_list=ml_path,
+                summary={"operation": "replace",
+                         "manifests-replaced": str(len(old)),
+                         "manifests-created": str(len(manifests)),
+                         "total-records": str(sum(
+                             m.existing_rows_count for m in manifests
+                             if m.content == 0)),
+                         "total-data-files": str(sum(
+                             m.existing_files_count for m in manifests
+                             if m.content == 0))},
+                parent_snapshot_id=cur.snapshot_id,
+                schema_id=md.current_schema_id)
+            md.snapshots.append(snap)
+            md.last_sequence_number = seq
+            md.current_snapshot_id = snap_id
+            md.refs[MAIN_BRANCH] = SnapshotRef(snap_id, "branch")
+            md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                                    "snapshot-id": snap_id})
+            return md
+
+        return self._commit_retry(update)
+
+    def rewrite_position_deletes(self, spark: SparkSession) -> "Table":
+        """Compact positional-delete parquet files (Spark's
+        rewrite_position_delete_files): read every live pos-delete parquet
+        row distributed, DROP dangling positions (whose data file is no
+        longer live), and write back size-targeted delete files replacing
+        the old set in one atomic snapshot. Puffin DVs are already
+        one-blob-per-data-file and are left untouched."""
+        plan = self.scan().plan_files()
+        live_paths = [t.data_file.file_path for t in plan.tasks]
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return self
+        old_dels = []
+        for mf in load_manifest_list(snap.manifest_list):
+            for e in load_manifest(mf.manifest_path):
+                f = e.data_file
+                if (f.content == CONTENT_POSITION_DELETES
+                        and (f.file_format or "").lower() != "puffin"):
+                    old_dels.append(f)
+        if not old_dels:
+            return self
+        live_df = spark.createDataFrame([(p,) for p in live_paths],
+                                        "file_path string")
+        hits = (spark.read.parquet(*[f.file_path for f in old_dels])
+                .select("file_path", "pos")
+                .join(F.broadcast(live_df), "file_path", "left_semi"))
+        out = os.path.join(self.location, "data",
+                           f"pos-del-{uuid.uuid4().hex[:12]}")
+        hits.repartitionByRange("file_path", "pos") \
+            .sortWithinPartitions("file_path", "pos") \
+            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
+        files = [p for p in file_io_for(out).list_files(out)
+                 if p.endswith(".parquet")]
+        stats = collect_parquet_stats(spark, files)
+        schema = self.metadata.schema()
+        dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
+                         record_count=stats[p]["num_rows"],
+                         file_size_in_bytes=stats[p]["size"],
+                         schema_id=schema.schema_id,
+                         spec_id=self.spec.spec_id)
+                for p in files if stats[p]["num_rows"] > 0]
+        removed = {f.file_path for f in old_dels}
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "replace", added_deletes=dels, removed_paths=removed,
+            extra_summary={"removed-delete-files": str(len(removed))}))
+
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
                          retain_last: Optional[int] = None) -> "Table":
         """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86

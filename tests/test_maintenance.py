@@ -213,3 +213,66 @@ def test_ref_retention_roundtrips_metadata_and_wire(spark, warehouse):
     upds = diff_metadata(base, t.metadata)
     replayed = apply_updates(base, upds)
     assert replayed.refs["audit"] == t.metadata.refs["audit"]
+
+
+def test_rewrite_manifests_merges_without_changing_results(spark, warehouse):
+    """r5: manifest compaction is metadata-only — fewer manifests, same
+    rows, same time travel, deletes still applied (entries keep original
+    sequence numbers)."""
+    from iceberg_rust_spark import expr as E
+    from iceberg_rust_spark.sources.scan import load_manifest_list
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    df = spark.range(0, 60).selectExpr("id", "id % 3 AS g")
+    t = Table.create(warehouse, "db.rwm", schema_from_spark(df.schema))
+    for k in range(4):                       # 4 appends -> >=4 manifests
+        t = t.append(spark, df.where(F.col("id") % 4 == k))
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+    before_rows = {r["id"] for r in t.to_df(spark).collect()}
+    n_manifests = len(load_manifest_list(
+        t.metadata.current_snapshot().manifest_list))
+    assert n_manifests >= 5                  # 4 data + 1 delete manifest
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.rewrite_manifests('db.rwm')").collect()[0]
+    assert out["rewritten_manifests_count"] == n_manifests
+    assert out["added_manifests_count"] == 2  # one data + one delete group
+
+    t = Table.load(warehouse, "db.rwm")
+    assert {r["id"] for r in t.to_df(spark).collect()} == before_rows
+    # scan planning (incl. delete application by seq-number) is unchanged
+    assert t.to_df(spark).count() == 40
+    # old snapshots still readable (time travel intact)
+    snaps = t.metadata.snapshots
+    assert t.scan(snapshot_id=snaps[-2].snapshot_id).to_df(spark) \
+        .count() == 40
+
+
+def test_rewrite_position_deletes_compacts_and_drops_dangling(spark,
+                                                              warehouse):
+    """r5: several pos-delete parquet files compact to one; positions
+    pointing at data files removed by compaction are dropped."""
+    from iceberg_rust_spark import expr as E
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    df = spark.range(0, 80).selectExpr("id", "id % 8 AS g")
+    t = Table.create(warehouse, "db.rwpd", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    for gv in (1, 2, 3):                      # three delete snapshots
+        t = t.delete_where(spark, E.col("g") == gv, mode="mor")
+    assert t.to_df(spark).count() == 50
+    n_before = t.delete_files_df(spark) \
+        .where("content = 1 AND file_format <> 'puffin'").count()
+    assert n_before >= 3
+
+    out = run_sql(
+        spark, warehouse,
+        "CALL system.rewrite_position_delete_files('db.rwpd')").collect()[0]
+    assert out["rewritten_delete_files_count"] == n_before
+    assert out["added_delete_files_count"] < n_before
+
+    t = Table.load(warehouse, "db.rwpd")
+    assert t.to_df(spark).count() == 50       # results unchanged
+    # position_deletes rows survive the rewrite verbatim
+    pos = t.position_deletes_df(spark).count()
+    assert pos == 30
