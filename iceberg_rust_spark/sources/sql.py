@@ -859,6 +859,14 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         return spark.createDataFrame(
             [(before, after)],
             "rewritten_manifests_count int, added_manifests_count int")
+    if proc == "convert_equality_deletes":
+        n_eq = t.delete_files_df(spark).where("content = 2").count()
+        t = t.convert_equality_deletes(spark)
+        n_pos = t.delete_files_df(spark) \
+            .where("content = 1 AND file_format <> 'puffin'").count()
+        return spark.createDataFrame(
+            [(n_eq, n_pos)],
+            "converted_equality_files_count int, position_delete_files_count int")
     if proc == "rewrite_position_delete_files":
         cond = "content = 1 AND file_format <> 'puffin'"
         before = t.delete_files_df(spark).where(cond).count()
@@ -959,6 +967,28 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         t.set_ref("main", sid)
         return spark.createDataFrame(
             [(cur, sid)], "source_snapshot_id long, current_snapshot_id long")
+    if proc == "publish_changes":
+        # Spark's WAP publish by wap-id: find the staged snapshot whose
+        # summary carries wap.id = <id> and cherry-pick it (same
+        # current-head-parent constraint as cherrypick_snapshot)
+        if len(args) < 2:
+            raise ValueError("publish_changes(table, wap_id)")
+        wid = str(args[1])
+        staged = [s for s in t.metadata.snapshots
+                  if s.summary.get("wap.id") == wid]
+        if not staged:
+            raise ValueError(f"no staged snapshot with wap.id {wid!r}")
+        snap = staged[-1]
+        cur = t.metadata.current_snapshot_id
+        if snap.parent_snapshot_id != cur:
+            raise ValueError(
+                f"cannot publish wap.id {wid!r}: snapshot "
+                f"{snap.snapshot_id} is not based on the current head "
+                f"{cur} (re-stage the write and retry)")
+        t.set_ref("main", snap.snapshot_id)
+        return spark.createDataFrame(
+            [(cur, snap.snapshot_id)],
+            "source_snapshot_id long, current_snapshot_id long")
     if proc == "ancestors_of":
         from ..streaming.changes import _ancestor_chain
         head = int(args[1]) if len(args) > 1 \

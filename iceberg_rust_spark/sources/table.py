@@ -132,7 +132,8 @@ class Table:
     # ---------------------------------------------------------------- writes
     def append(self, spark: SparkSession, df: DataFrame,
                extra_summary: Optional[Dict[str, str]] = None,
-               branch: Optional[str] = None) -> "Table":
+               branch: Optional[str] = None,
+               wap_id: Optional[str] = None) -> "Table":
         """Fast-append (transaction/append.rs:33-90): write files, new manifest,
         re-point manifest list. ``extra_summary`` lands in the snapshot summary
         (used e.g. by the streaming sink for exactly-once batch bookkeeping).
@@ -140,16 +141,23 @@ class Table:
         isolated writes; main is untouched until a set_ref fast-forward). A
         missing branch is created from the current main head.
 
+        ``wap_id`` stages the snapshot WITHOUT moving any ref (Spark's
+        spark.wap.id flavor of write-audit-publish): the snapshot lands in
+        metadata with ``wap.id`` in its summary and is published later via
+        CALL system.publish_changes(table, wap_id).
+
         An append of ZERO rows is a no-op (no snapshot), matching the
         reference engine's behavior for `INSERT ... WHERE false` — unless
         the caller passes extra_summary (e.g. the streaming sink's
         exactly-once batch bookkeeping), which forces a commit."""
         data_files = write_data_files(spark, df, self.metadata)
-        if not data_files and extra_summary is None:
+        if not data_files and extra_summary is None and wap_id is None:
             return self
+        if wap_id is not None:
+            extra_summary = dict(extra_summary or {}, **{"wap.id": wap_id})
         return self._commit_retry(lambda md: self._snapshot_update(
             md, "append", added=data_files, extra_summary=extra_summary,
-            branch=branch))
+            branch=branch, stage_only=wap_id is not None))
 
     def overwrite_all(self, spark: SparkSession, df: DataFrame) -> "Table":
         """Replace the whole table contents in one atomic snapshot."""
@@ -742,6 +750,62 @@ class Table:
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added_deletes=dels, removed_paths=removed,
             extra_summary={"removed-delete-files": str(len(removed))}))
+
+    def convert_equality_deletes(self, spark: SparkSession) -> "Table":
+        """Rewrite equality deletes as positional deletes (the maintenance
+        step that keeps MOR read amplification bounded: eq-deletes force a
+        hash join per scan, pos-deletes are a sorted anti-join on
+        (_file, _pos)). Deleted positions are computed distributed as
+        (rows surviving pos/DV deletes) MINUS (rows surviving all
+        deletes) — per-task applicability (sequence-number rules) is
+        exactly the scan planner's, so the converted set is byte-equal to
+        what the eq-deletes were masking."""
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return self
+        eq_paths = set()
+        for mf in load_manifest_list(snap.manifest_list):
+            for e in load_manifest(mf.manifest_path):
+                if e.data_file.content == CONTENT_EQUALITY_DELETES:
+                    eq_paths.add(e.data_file.file_path)
+        if not eq_paths:
+            return self
+        norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+        live = self.scan(include_metadata_columns=True).to_df(spark) \
+            .select(norm(F.col("_file")).alias("file_path"),
+                    F.col("_pos").alias("pos"))
+        scan_no_eq = self.scan(include_metadata_columns=True)
+        orig_plan = scan_no_eq.plan_files
+
+        def plan_without_eq():
+            p = orig_plan()
+            for t in p.tasks:
+                t.eq_deletes = []
+            return p
+
+        scan_no_eq.plan_files = plan_without_eq  # type: ignore[method-assign]
+        base = scan_no_eq.to_df(spark) \
+            .select(norm(F.col("_file")).alias("file_path"),
+                    F.col("_pos").alias("pos"))
+        hits = base.join(live, ["file_path", "pos"], "left_anti")
+        out = os.path.join(self.location, "data",
+                           f"pos-del-{uuid.uuid4().hex[:12]}")
+        hits.repartitionByRange("file_path", "pos") \
+            .sortWithinPartitions("file_path", "pos") \
+            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
+        files = [p for p in file_io_for(out).list_files(out)
+                 if p.endswith(".parquet")]
+        stats = collect_parquet_stats(spark, files)
+        schema = self.metadata.schema()
+        dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
+                         record_count=stats[p]["num_rows"],
+                         file_size_in_bytes=stats[p]["size"],
+                         schema_id=schema.schema_id,
+                         spec_id=self.spec.spec_id)
+                for p in files if stats[p]["num_rows"] > 0]
+        return self._commit_retry(lambda m: self._snapshot_update(
+            m, "replace", added_deletes=dels, removed_paths=eq_paths,
+            extra_summary={"removed-delete-files": str(len(eq_paths))}))
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
                          retain_last: Optional[int] = None) -> "Table":
@@ -1481,7 +1545,8 @@ class Table:
                          removed_paths: Optional[set] = None,
                          remove_all: bool = False,
                          extra_summary: Optional[Dict[str, str]] = None,
-                         branch: Optional[str] = None) -> TableMetadata:
+                         branch: Optional[str] = None,
+                         stage_only: bool = False) -> TableMetadata:
         """Build the next snapshot: new manifest(s) for added files, carried
         (possibly rewritten) manifests for survivors, new manifest list.
         With ``branch`` set (non-main), the new snapshot extends and re-points
@@ -1613,7 +1678,9 @@ class Table:
             schema_id=md.current_schema_id)
         md.snapshots.append(snap)
         md.last_sequence_number = seq
-        if on_branch:
+        if stage_only:
+            pass          # WAP staging: snapshot exists, no ref moves
+        elif on_branch:
             md.refs[branch] = SnapshotRef(snap_id, "branch")
         else:
             md.current_snapshot_id = snap_id

@@ -276,3 +276,62 @@ def test_rewrite_position_deletes_compacts_and_drops_dangling(spark,
     # position_deletes rows survive the rewrite verbatim
     pos = t.position_deletes_df(spark).count()
     assert pos == 30
+
+
+def test_convert_equality_deletes_to_positional(spark, warehouse):
+    """r5: eq-deletes rewrite to pos-deletes with identical visible rows;
+    later appends are unaffected (converted deletes name exact files)."""
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    df = spark.range(0, 60).selectExpr("id", "id % 6 AS g")
+    t = Table.create(warehouse, "db.cveq", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    keys = spark.createDataFrame([(1,), (4,)], "g long")
+    t = t.delete_by_equality(spark, keys, ["g"])
+    assert t.to_df(spark).count() == 40
+    before = {r["id"] for r in t.to_df(spark).collect()}
+
+    out = run_sql(spark, warehouse,
+                  "CALL system.convert_equality_deletes('db.cveq')") \
+        .collect()[0]
+    assert out["converted_equality_files_count"] >= 1
+    assert out["position_delete_files_count"] >= 1
+    t = Table.load(warehouse, "db.cveq")
+    assert t.delete_files_df(spark).where("content = 2").count() == 0
+    assert {r["id"] for r in t.to_df(spark).collect()} == before
+    # rows appended AFTER conversion with previously-deleted key values
+    # stay visible (a pos-delete names files, an eq-delete named values)
+    t = t.append(spark, spark.createDataFrame([(100, 1)], "id long, g long"))
+    assert t.to_df(spark).where("id = 100").count() == 1
+    assert t.to_df(spark).count() == 41
+
+
+def test_publish_changes_wap_id(spark, warehouse):
+    """r5: wap.id staging — the staged snapshot moves no ref until
+    publish_changes cherry-picks it by id."""
+    import pytest
+
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    df = spark.range(0, 10).selectExpr("id")
+    t = Table.create(warehouse, "db.wapid", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    base = t.metadata.current_snapshot_id
+    t = t.append(spark, spark.range(10, 20).selectExpr("id"),
+                 wap_id="audit-123")
+    # staged: main unmoved, snapshot present with wap.id in its summary
+    assert t.metadata.current_snapshot_id == base
+    staged = [s for s in t.metadata.snapshots
+              if s.summary.get("wap.id") == "audit-123"]
+    assert len(staged) == 1
+    assert t.to_df(spark).count() == 10      # reads don't see staged rows
+
+    with pytest.raises(ValueError, match="no staged snapshot"):
+        run_sql(spark, warehouse,
+                "CALL system.publish_changes('db.wapid', 'nope')")
+    out = run_sql(spark, warehouse,
+                  "CALL system.publish_changes('db.wapid', 'audit-123')") \
+        .collect()[0]
+    assert out["current_snapshot_id"] == staged[0].snapshot_id
+    t = Table.load(warehouse, "db.wapid")
+    assert t.to_df(spark).count() == 20
