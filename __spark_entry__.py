@@ -1042,6 +1042,20 @@ def q_dedup_ngram(spark, sf_dir):
                                   threshold=0.5)
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """r5: benchmark decontamination — training docs (doc_id < 300)
+    n-gram-overlap-checked against a 'benchmark' slice (280..360); the
+    20-doc overlap must flag, the rest score their natural shared-gram
+    counts. One shingle join + one distinct-count, no cross join."""
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 300")
+    bench = read_table(spark, sf_dir, "documents") \
+        .where("doc_id BETWEEN 280 AND 360")
+    return (DD.contamination_flags(docs, bench, min_shared=3)
+            .select(F.col("doc_id"),
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.col("contaminated")))
+
+
 def q_dedup_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
                                 threshold=0.5)
@@ -1306,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
+        "doc_decontaminate": q_doc_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1853,6 +1868,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.grams, b.grams)) /
                         greatest(len(a.grams) + len(b.grams)
                                  - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5""",
+        "doc_decontaminate": f"""
+            WITH d AS (
+              SELECT doc_id, {TX.sql_word_ngrams_over('t')} AS grams
+              FROM (SELECT doc_id, {TX.sql_tokens('text')} AS t
+                    FROM documents WHERE doc_id < 300)),
+            b AS (
+              SELECT DISTINCT unnest(grams) AS g FROM (
+                SELECT {TX.sql_word_ngrams_over('t')} AS grams
+                FROM (SELECT {TX.sql_tokens('text')} AS t
+                      FROM documents WHERE doc_id BETWEEN 280 AND 360))),
+            sh AS (
+              SELECT doc_id, count(DISTINCT g) AS n_shared
+              FROM (SELECT doc_id, unnest(grams) AS g FROM d) dd
+                JOIN b USING (g)
+              GROUP BY doc_id)
+            SELECT d.doc_id AS doc_id,
+                   CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(sh.n_shared, 0) >= 3 AS contaminated
+            FROM d LEFT JOIN sh ON d.doc_id = sh.doc_id""",
         # SRP-LSH candidate recall is 1 at the 0.95 threshold on this corpus
         # (near-identical vectors agree on every hyperplane sign; verified
         # == brute force at the 500-vector fixture), so the exact cosine SQL

@@ -392,3 +392,31 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                 F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", n: int = 3,
+                        min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many DISTINCT
+    word-n-grams it shares with ANY benchmark doc, and a contaminated flag
+    at ``min_shared``. The standard eval-leakage guard for training-data
+    pipelines (n-gram overlap against held-out benchmarks).
+
+    Scale path: both sides shingle to int64 hashes (one narrow explode
+    each), the join runs hash-on-shingle against the DISTINCT benchmark
+    shingle set (dimension-sized -> broadcast when small, shuffle join at
+    benchmark scale), then one map-side-combinable distinct-count per doc.
+    Never a doc-by-doc cross join."""
+    d = shingle_df(docs, text_col, id_col, n)
+    b = (shingle_df(benchmark, bench_text_col, id_col, n)
+         .select("shingle").distinct())
+    shared = (d.join(b, "shingle")
+              .groupBy(id_col)
+              .agg(F.countDistinct("shingle").alias("n_shared")))
+    return (docs.select(id_col)
+            .join(shared, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) >= min_shared)
+                    .alias("contaminated")))

@@ -443,3 +443,25 @@ def test_hash_split_deterministic_and_partition_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(df, "id", [("a", 0.5), ("b", 0.2)])
+
+
+def test_contamination_flags(spark):
+    """r5: docs sharing >= min_shared n-grams with a benchmark flag true;
+    disjoint docs flag false with n_shared 0."""
+    from iceberg_rust_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words appear here okay"),
+         (3, "the quick brown fox sat still")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in contamination_flags(docs, bench, min_shared=2).collect()}
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps'
+    assert got[1][0] == 3 and got[1][1]
+    assert got[2] == (0, False)
+    # doc 3 shares 2 grams ('the quick brown', 'quick brown fox')
+    assert got[3] == (2, True)
