@@ -11,6 +11,7 @@ Layout:
 
 from .sources.catalog import FileSystemCatalog
 from .sources.sql_catalog import SqlCatalog
+from .sources.loader import load_catalog, supported_types
 from .sources.metadata import PartitionField, PartitionSpec
 from .sources.rest import MemoryCatalog, RestCatalog, RestCatalogServer
 from .sources.table import Table
@@ -19,5 +20,6 @@ from .plans import expr
 
 __all__ = ["FileSystemCatalog", "SqlCatalog", "MemoryCatalog", "RestCatalog",
            "RestCatalogServer", "Table", "Schema", "NestedField",
-           "PartitionSpec", "PartitionField", "expr"]
+           "PartitionSpec", "PartitionField", "expr", "load_catalog",
+           "supported_types"]
 __version__ = "0.1.0"

@@ -111,3 +111,37 @@ def test_file_uri_warehouse_end_to_end(spark, tmp_path):
     t = t.expire_snapshots(older_than_ms=None, retain_last=1)
     removed = t.remove_orphan_files(older_than_ms=2**62, dry_run=True)
     assert isinstance(removed, list)
+
+
+def test_load_catalog_registry(tmp_path, spark):
+    """r5: catalog loader parity (crates/catalog/loader): type string +
+    reference property keys resolve to live catalogs; cloud-only types
+    raise a named gap, unknown types list the registry."""
+    import pytest
+
+    from iceberg_rust_spark import Table, load_catalog, supported_types
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    assert {"rest", "sql", "fs", "memory", "glue", "hms",
+            "s3tables"} <= set(supported_types())
+
+    sql_cat = load_catalog("sql", uri=f"sqlite://{tmp_path}/c.db",
+                           warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(sql_cat, "db.l", schema_from_spark(df.schema))
+    t.append(spark, df)
+    assert Table.load(sql_cat, "db.l").to_df(spark).count() == 1
+
+    fs_cat = load_catalog("fs", warehouse=str(tmp_path / "wh2"))
+    Table.create(fs_cat, "db.f", schema_from_spark(df.schema))
+    assert fs_cat.table_exists("db.f")
+
+    mem = load_catalog("memory", warehouse=str(tmp_path / "whm"))
+    assert not mem.table_exists("db.x")
+
+    with pytest.raises(NotImplementedError, match="glue"):
+        load_catalog("glue", warehouse="x")
+    with pytest.raises(ValueError, match="unknown catalog type"):
+        load_catalog("nope")
+    with pytest.raises(ValueError, match="uri"):
+        load_catalog("rest")
