@@ -194,3 +194,33 @@ def test_sql_truncate_int_and_string_dispatch(spark):
     with pytest.raises(Exception):
         spark.sql("SELECT iceberg_truncate(4, v) AS t FROM sqlfn_tr_t") \
             .collect()
+
+
+def test_bytes_vec_murmur3_matches_scalar_and_is_faster():
+    """r5: the variable-length vectorized murmur3 is bit-identical to the
+    scalar spec implementation and materially faster on a large string
+    column (the VM swings, so the timing bar is a conservative 2x; the
+    hand-measured warm ratio is ~5x on 1M strings)."""
+    import time
+
+    import numpy as np
+
+    from iceberg_rust_spark.functions.murmur3 import (murmur3_32,
+                                                      murmur3_32_bytes_vec)
+    rng = np.random.RandomState(3)
+    cases = [b"", b"abc", "héllo wörld".encode(), b"x" * 2047, b"y" * 2049]
+    cases += [bytes(rng.randint(0, 256, rng.randint(0, 48)).astype(np.uint8))
+              for _ in range(400)]
+    assert (murmur3_32_bytes_vec(cases)
+            == np.array([murmur3_32(c) for c in cases], dtype=np.int32)).all()
+
+    big = [f"key-{i}".encode() for i in range(300_000)]
+    murmur3_32_bytes_vec(big)         # warm: first-touch page faults on this
+    t0 = time.time()                  # VM cost multiples of the compute
+    v = murmur3_32_bytes_vec(big)
+    t_vec = time.time() - t0
+    t0 = time.time()
+    s = [murmur3_32(b) for b in big[:60_000]]
+    t_scalar = (time.time() - t0) * 5             # extrapolate to 300k
+    assert (v[:60_000] == np.array(s, dtype=np.int32)).all()
+    assert t_vec * 2 < t_scalar, (t_vec, t_scalar)
