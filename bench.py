@@ -25,15 +25,17 @@ BENCH_QUERIES = [
     "iceberg_merge", "iceberg_compaction", "iceberg_branch_read",
     "iceberg_nested_evolution", "iceberg_cdc_net", "iceberg_join_pruned",
     "iceberg_join_between",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue",
     "q7_nation_volume", "q8_market_share", "q9_nation_profit",
-    "q10_returned_items", "q14_promo_revenue",
+    "q10_returned_items", "q12_priority_shipping", "q14_promo_revenue",
     "q18_large_orders", "q19_discounted_revenue",
     "window_topn", "rollup_orders", "events_hourly",
     "events_sessions", "dedup_exact", "dedup_minhash", "dedup_embedding_lsh",
-    "dedup_clusters",
+    "dedup_clusters", "doc_decontaminate",
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "doc_sample", "doc_quota", "doc_split", "multimodal_audio",
+    "multimodal_frames",
     "ann_cosine_topk", "ann_lsh_topk",
 ]
 

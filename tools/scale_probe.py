@@ -249,11 +249,37 @@ def _dv_delete(spark, docs, emb):
     return n
 
 
+
+def _decontaminate(spark, docs, emb):
+    """contamination_flags with a FIXED-size benchmark (500 docs) while the
+    training side scales: the shingle join + distinct-count must stay
+    linear in the docs decade."""
+    from iceberg_rust_spark.operators.dedup import contamination_flags
+    bench = docs.limit(500)
+    return contamination_flags(docs, bench, min_shared=3) \
+        .agg(F.sum(F.col("n_shared"))).collect()[0][0] or docs.count()
+
+
+def _string_bucket(spark, docs, emb):
+    """bucket[64] over the full text column — the r5 vectorized
+    variable-length murmur3 path (padded-matrix batch hash); per-value
+    Python here would dominate the decade."""
+    from iceberg_rust_spark.functions.transforms import BucketTransform
+    from iceberg_rust_spark.sources import types as ice
+    bt = BucketTransform(64)
+    forced = docs.select(
+        bt.spark_column(F.col("text"), ice.STRING).alias("b")) \
+        .agg(F.count(F.when(F.col("b") == 1, 1))).collect()[0][0]
+    return forced and docs.count()
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
        "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
-       "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes}
+       "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes,
+       "decontaminate": _decontaminate,
+       "string_bucket": _string_bucket}
 
 # untimed per-decade setup (fixture caches) run before the timed op
 PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
