@@ -42,7 +42,10 @@ _META_TABLES = {"snapshots": "snapshots_df", "history": "history_df",
                 "all_entries": "all_entries_df",
                 "delete_files": "delete_files_df",
                 "metadata_log_entries": "metadata_log_entries_df",
-                "position_deletes": "position_deletes_df"}
+                "position_deletes": "position_deletes_df",
+                "data_files": "data_files_df",
+                "all_data_files": "all_data_files_df",
+                "all_delete_files": "all_delete_files_df"}
 
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$",

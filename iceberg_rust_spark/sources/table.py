@@ -1231,6 +1231,21 @@ class Table:
             "record_count long, file_size_in_bytes long, spec_id int, "
             "first_seen_snapshot_id long")
 
+    def data_files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `data_files`: Spark's name for the live data-file
+        view — `files` here is already data-only (delete files live in
+        `delete_files`), so this is an alias for naming parity."""
+        return self.files_df(spark)
+
+    def all_data_files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `all_data_files`: cross-snapshot data files."""
+        return self.all_files_df(spark).where("content = 0")
+
+    def all_delete_files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table `all_delete_files`: cross-snapshot delete files
+        (positional, DV, equality)."""
+        return self.all_files_df(spark).where("content != 0")
+
     def all_entries_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table `all_entries`: manifest entries of every snapshot
         (one row per (snapshot, entry) — NOT deduped, mirroring the shape of

@@ -942,3 +942,24 @@ def test_position_deletes_meta_table(spark, warehouse):
         spark, warehouse, "SELECT file_path FROM db.posdel.files").collect()}
     assert files <= data_files
     assert t.to_df(spark).count() == 20
+
+
+def test_spark_style_file_meta_table_aliases(spark, warehouse):
+    """r5: data_files / all_data_files / all_delete_files naming parity
+    with Spark's inspect tables."""
+    df = spark.createDataFrame([(i, i % 2) for i in range(20)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.falias", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+    n_data = run_sql(spark, warehouse,
+                     "SELECT count(*) AS n FROM db.falias.data_files") \
+        .collect()[0]["n"]
+    assert n_data >= 1
+    alln = run_sql(spark, warehouse,
+                   "SELECT content, count(*) AS n "
+                   "FROM db.falias$all_data_files GROUP BY content").collect()
+    assert all(r["content"] == 0 for r in alln)
+    deln = run_sql(spark, warehouse,
+                   "SELECT content FROM db.falias.all_delete_files").collect()
+    assert len(deln) >= 1 and all(r["content"] != 0 for r in deln)
