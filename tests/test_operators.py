@@ -173,9 +173,10 @@ def test_multimodal_resize(spark):
     assert len(out) == 8
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
     for r in out:
-        if r["media_id"] % 2 == 0:      # real PNG: decodes to target dims
+        if r["media_id"] % 2 == 0 or r["media_id"] % 4 == 1:
+            # real PNG / baseline JPEG (r5): decodes to target dims
             assert decode_png(bytes(r["resized"])).shape == (32, 32, 3)
-        else:                            # stub fallback keeps byte budget
+        else:                            # opaque blob: stub byte budget
             assert len(r["resized"]) == 32 * 32 // 8
     # deterministic: same payload -> same resized bytes
     out2 = MM.resize_images(media, 32, 32).collect()
