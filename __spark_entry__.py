@@ -296,8 +296,14 @@ def _constructed_oracle(name: str) -> str:
     .py: spec-implemented XXH64 + re.ASCII tokenization for simhash; header
     parse/stub arithmetic for multimodal), checked in, regenerable."""
     import json
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "tools", "generated_oracles.json")
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    # sf-aware: the local checker exports SPARK_GRAFT_ORACLE_TAG for
+    # non-default scales (data-derived oracles like dedup_simhash change
+    # with the corpus); the driver's sf0.01 run uses the canonical file
+    tag = os.environ.get("SPARK_GRAFT_ORACLE_TAG", "")
+    p = os.path.join(tools, f"generated_oracles_{tag}.json")
+    if not (tag and os.path.isfile(p)):
+        p = os.path.join(tools, "generated_oracles.json")
     with open(p) as f:
         return json.load(f)[name]
 

@@ -115,10 +115,18 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
             probe.add(x)
     v = as_double_array(F.col(vec_col))
     qcol = F.array(*[F.lit(float(x)) for x in qv])
-    bucket_udf = srp_buckets_batch(planes[np.newaxis, :, :])
-    return (emb.withColumn("_bucket", bucket_udf(v).getItem(0))
-            .where(F.col("_bucket").isin(list(probe)))
-            .where(F.col(id_col) != query_vec_id)
+    if len(probe) > (1 << n_planes) // 2:
+        # probing half the bucket space saves nothing over a scan and can
+        # still miss low-similarity neighbors in the unprobed half (the
+        # exact case the sf0.1 artifact caught): go exact, recall 1 at any
+        # corpus size. Real pruning kicks in when n_planes grows with the
+        # corpus and the probe set becomes a small fraction.
+        base = emb
+    else:
+        bucket_udf = srp_buckets_batch(planes[np.newaxis, :, :])
+        base = (emb.withColumn("_bucket", bucket_udf(v).getItem(0))
+                .where(F.col("_bucket").isin(list(probe))))
+    return (base.where(F.col(id_col) != query_vec_id)
             .select(F.col(id_col), cosine_rounded(v, qcol).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col))
             .limit(k))
@@ -180,9 +188,15 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     cell_d = ((centroids - qv) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(cell_d)[:n_probe]]
     qcol = F.array(*[F.lit(float(x)) for x in qv])
-    return (emb.withColumn("_cell", assign_expr(centroids))
-            .where(F.col("_cell").isin(probe_cells))
-            .where(F.col(id_col) != query_vec_id)
+    if n_probe > len(centroids) // 2:
+        # probing half the cells saves nothing over a scan and can still
+        # miss weak neighbors in skipped cells: go exact (recall 1 at any
+        # corpus size). Pruning pays when n_cells grows with the corpus.
+        base = emb
+    else:
+        base = (emb.withColumn("_cell", assign_expr(centroids))
+                .where(F.col("_cell").isin(probe_cells)))
+    return (base.where(F.col(id_col) != query_vec_id)
             .select(F.col(id_col), cosine_rounded(v, qcol).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col))
             .limit(k))

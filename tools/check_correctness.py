@@ -13,6 +13,7 @@ CORRECTNESS_LOCAL_r<N>.json each round).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -42,6 +43,9 @@ def rows_key(rows, cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag != "sf0.01":
+        os.environ["SPARK_GRAFT_ORACLE_TAG"] = tag
     only = set(sys.argv[2:])
     spark = get_spark(cpus=8)
     con = duckdb.connect()
@@ -136,7 +140,6 @@ def main():
     print(f"\n{n_pass} passed, {n_fail} failed")
     if not only:
         import json
-        import os
         out = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
                "n_total": len(results), "queries": results}
         path = os.path.join(os.path.dirname(os.path.dirname(

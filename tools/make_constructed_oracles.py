@@ -27,8 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xxh64 import xxh64_signed  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "generated_oracles.json")
+_TAG = os.path.basename(SF_DIR.rstrip("/"))
+# the default (driver-graded) scale writes the canonical file; other scales
+# get a suffixed file that __spark_entry__._constructed_oracle selects when
+# the correctness checker runs at that sf (only data-derived oracles —
+# dedup_simhash — actually vary; the synthetic-media ones are sf-free)
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "generated_oracles.json" if _TAG == "sf0.01"
+    else f"generated_oracles_{_TAG}.json")
 
 N_BITS = 64
 
