@@ -1062,6 +1062,21 @@ def q_doc_decontaminate(spark, sf_dir):
                     F.col("contaminated")))
 
 
+def q_doc_derep(spark, sf_dir):
+    """r5: intra-document repetition removal — documents with constructed
+    repeated spans collapse to first occurrences in order; one shuffle on
+    (doc, span) + one on doc, zero Python."""
+    from iceberg_rust_spark.operators.chunking import remove_repeated_spans
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 200")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.substring("text", 1, 80), F.substring("text", 1, 80),
+                    F.substring("text", 41, 60), F.substring("text", 1, 80))
+        .alias("text"))
+    return remove_repeated_spans(built).orderBy("doc_id")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
                                 threshold=0.5)
@@ -1327,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_derep": q_doc_derep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1354,6 +1370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _sql_sample_pred(key_sql: str, rate: float) -> str:
     from iceberg_rust_spark.operators.sampling import sql_sample_predicate
     return sql_sample_predicate(key_sql, rate)
+
+
+
+def _sql_doc_derep() -> str:
+    from iceberg_rust_spark.operators.chunking import sql_remove_repeated_spans
+    src = ("(SELECT doc_id, concat_ws(chr(10), substr(text, 1, 80), "
+           "substr(text, 1, 80), substr(text, 41, 60), substr(text, 1, 80))"
+           " AS text FROM documents WHERE doc_id < 200) AS src")
+    return sql_remove_repeated_spans(table=src, sep="\n")
 
 
 def _sql_doc_chunks() -> str:
@@ -1874,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.grams, b.grams)) /
                         greatest(len(a.grams) + len(b.grams)
                                  - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.5""",
+        "doc_derep": _sql_doc_derep(),
         "doc_decontaminate": f"""
             WITH d AS (
               SELECT doc_id, {TX.sql_word_ngrams_over('t')} AS grams

@@ -67,3 +67,56 @@ def sql_chunk_documents(table: str = "documents", window: int = 64,
            CAST(least({window}, n - i*{stride}) AS INT) AS n_tokens
     FROM nc, UNNEST(range(n_chunks)) AS u(i)
     """
+
+
+def remove_repeated_spans(docs: DataFrame, sep: str = "\n",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition removal: drop duplicate ``sep``-separated
+    spans (paragraphs/lines), keeping each span's FIRST occurrence in
+    order — the standard boilerplate/repeated-paragraph cleanup in
+    training-data pipelines.
+
+    All builtins: split -> posexplode -> per-(doc, span) min position ->
+    order-preserving reassembly via array_sort over (pos, span) structs.
+    One shuffle on (doc_id, span) + one on doc_id; no Python."""
+    spans = (docs.select(F.col(id_col),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("pos", "span")))
+    firsts = (spans.groupBy(id_col, "span")
+              .agg(F.min("pos").alias("first_pos"),
+                   F.count(F.lit(1)).alias("n_occ")))
+    return (firsts.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("first_pos"), F.col("span")))),
+                         lambda s: s["span"]),
+                     sep).alias("cleaned_text"),
+                 (F.sum("n_occ") - F.count(F.lit(1))).cast("long")
+                 .alias("n_removed")))
+
+
+def sql_remove_repeated_spans(table: str = "documents", sep: str = "\n",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB oracle twin: zipped unnest(list, subscripts) gives (span,
+    pos); min(pos) per span; ordered string_agg rebuilds the text."""
+    esc = sep.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    WITH spans AS (
+        SELECT {id_col},
+               unnest(string_split({text_col}, '{esc}')) AS span,
+               unnest(range(1, len(string_split({text_col}, '{esc}')) + 1))
+                   AS pos
+        FROM {table}
+    ), firsts AS (
+        SELECT {id_col}, span, min(pos) AS first_pos,
+               count(*) AS n_occ
+        FROM spans GROUP BY {id_col}, span
+    )
+    SELECT {id_col},
+           string_agg(span, '{esc}' ORDER BY first_pos) AS cleaned_text,
+           CAST(sum(n_occ) - count(*) AS BIGINT) AS n_removed
+    FROM firsts GROUP BY {id_col}
+    """

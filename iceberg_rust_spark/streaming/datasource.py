@@ -103,20 +103,59 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.options = options
         self.columns = list(schema.fieldNames())
         self._table = _load_table(options)
+        start = self.options.get("starting_sequence")
+        self._last_end = int(start) if start is not None else 0
+        # Spark-Iceberg rate limits (streaming-max-files/rows-per-micro-
+        # batch): admission is SNAPSHOT-granular — at least one snapshot is
+        # always admitted so the stream progresses even when a single
+        # commit exceeds the cap
+        self._max_files = int(options.get(
+            "streaming_max_files_per_micro_batch", 0) or 0)
+        self._max_rows = int(options.get(
+            "streaming_max_rows_per_micro_batch", 0) or 0)
 
     def initialOffset(self) -> dict:
         start = self.options.get("starting_sequence")
-        return {"seq": int(start) if start is not None else 0}
+        off = {"seq": int(start) if start is not None else 0}
+        self._last_end = off["seq"]
+        return off
 
     def latestOffset(self) -> dict:
         self._table = self._table.refresh()
-        return {"seq": self._table.metadata.last_sequence_number}
+        md = self._table.metadata
+        if not (self._max_files or self._max_rows):
+            self._last_end = max(self._last_end, md.last_sequence_number)
+            return {"seq": md.last_sequence_number}
+        from .changes import _ancestor_chain
+        ref = md.refs.get("main")
+        head = ref.snapshot_id if ref is not None else md.current_snapshot_id
+        pending = sorted(
+            (s for s in _ancestor_chain(md, head)
+             if s.sequence_number > self._last_end),
+            key=lambda s: s.sequence_number)
+        end = self._last_end
+        files = rows = 0
+        for snap in pending:
+            f = int(snap.summary.get("added-data-files", "0") or 0)
+            r = int(snap.summary.get("added-records", "0") or 0)
+            if end > self._last_end and (
+                    (self._max_files and files + f > self._max_files)
+                    or (self._max_rows and rows + r > self._max_rows)):
+                break
+            files += f
+            rows += r
+            end = snap.sequence_number
+        self._last_end = end
+        return {"seq": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from ..sources.manifest import CONTENT_DATA, STATUS_ADDED
         from ..sources.scan import load_manifest, load_manifest_list
 
         md = self._table.metadata
+        # restart resync: the engine's checkpointed start wins over our
+        # in-memory rate-limit cursor
+        self._last_end = max(self._last_end, start["seq"])
         out: List[_FilePartition] = []
         # MAIN ancestry only: a staged WAP-branch snapshot can hold a
         # sequence number inside the offset window without ever being part
@@ -142,7 +181,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         return _read_arrow(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        # restart resync: after a checkpoint recovery the engine replays
+        # from ITS offset, which can be ahead of our in-memory cursor
+        self._last_end = max(self._last_end, end["seq"])
 
 
 class _FilesMessage(WriterCommitMessage):

@@ -196,3 +196,39 @@ def test_datasource_write_rolls_files_at_target_size(spark, warehouse):
     tasks = list(t.scan().plan_files().tasks)
     assert len(tasks) > 1  # one coalesced task still rolled multiple files
     assert t.to_df(spark).count() == 10000
+
+
+def test_stream_datasource_rate_limited_micro_batches(spark, warehouse,
+                                                      tmp_path):
+    """r5: streaming_max_files_per_micro_batch admits ONE snapshot per
+    trigger — each availableNow pass (one trigger each here, since the
+    Python DataSource API captures the end offset at stream start) moves
+    exactly one snapshot; rows arrive exactly once, checkpoint-resumed."""
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df0 = spark.range(0, 10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.ds_rate", schema_from_spark(df0.schema))
+    for k in range(3):
+        t = t.append(spark, spark.range(k * 10, k * 10 + 10).select(
+            F.col("id"), (F.col("id") % 3).alias("g")).coalesce(1))
+    register(spark)
+    ckpt = str(tmp_path / "rate_ckpt")
+    out_dir = str(tmp_path / "rate_out")
+
+    def run_pass():
+        q = (spark.readStream.format("iceberg_rust")
+             .option("warehouse", warehouse.warehouse)
+             .option("table", "db.ds_rate")
+             .option("streaming_max_files_per_micro_batch", "1").load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).count()
+
+    assert run_pass() == 10     # first trigger: one snapshot only
+    assert run_pass() == 20     # checkpoint resumes at the next snapshot
+    assert run_pass() == 30
+    got = spark.read.parquet(out_dir)
+    assert {r["id"] for r in got.collect()} == set(range(30))

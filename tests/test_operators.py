@@ -466,3 +466,20 @@ def test_contamination_flags(spark):
     assert got[2] == (0, False)
     # doc 3 shares 2 grams ('the quick brown', 'quick brown fox')
     assert got[3] == (2, True)
+
+
+def test_remove_repeated_spans(spark):
+    """r5: duplicate paragraphs collapse to the first occurrence in
+    original order; n_removed counts dropped occurrences."""
+    from iceberg_rust_spark.operators.chunking import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+         (2, "only one paragraph"),
+         (3, "x\nx\nx\nx")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+           for r in remove_repeated_spans(docs).collect()}
+    assert got[1] == ("alpha\nbeta\ngamma", 2)
+    assert got[2] == ("only one paragraph", 0)
+    assert got[3] == ("x", 3)
