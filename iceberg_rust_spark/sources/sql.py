@@ -88,6 +88,11 @@ _ALTER_DROP_PART_RE = re.compile(
 _ALTER_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
+# ALTER TABLE t WRITE ORDERED BY (c1 DESC, truncate(4, s)) / WRITE UNORDERED
+_WRITE_ORDERED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+"
+    r"(?:ORDERED\s+BY\s*\((.*)\)|UNORDERED)\s*$",
+    re.IGNORECASE | re.DOTALL)
 # SQL type synonyms -> Iceberg primitive names (spec/datatypes.rs naming)
 _SQL_TO_ICE_TYPE = {
     "bigint": "long", "integer": "int", "smallint": "int", "tinyint": "int",
@@ -653,6 +658,65 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         _Table.load(catalog, target).update_properties(props)
         return spark.createDataFrame(sorted(props.items()),
                                      "property string, value string")
+    m = _WRITE_ORDERED_RE.match(query)
+    if m:
+        # Spark-Iceberg DDL: ALTER TABLE t WRITE ORDERED BY (c1 [ASC|DESC],
+        # transform(c), ...) / WRITE UNORDERED — metadata-only SortOrder
+        # replacement; the write path then sorts within partitions
+        from ..functions.transforms import parse_transform
+        from .metadata import SortField, SortOrder
+        target, clause = m.group(1), m.group(2)
+        t = Table.load(catalog, target)
+        if clause is None:                         # WRITE UNORDERED
+            def unordered(md):
+                md.default_sort_order_id = 0
+                if not any(o.order_id == 0 for o in md.sort_orders):
+                    md.sort_orders.append(SortOrder(0, []))
+                return md
+            t._commit_retry(unordered)
+            return spark.createDataFrame([(target, 0)],
+                                         "table string, sort_order_id int")
+        schema = t.metadata.schema()
+        sfs = []
+        for item in re.split(r",(?![^()]*\))", clause):
+            im = re.match(
+                r"^\s*(?:(\w+)\s*\(\s*([\w,\s]+?)\s*\)|(\w+))"
+                r"(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                item, re.IGNORECASE)
+            if not im:
+                raise ValueError(f"cannot parse sort field {item!r}")
+            fn, fn_args, bare, direction, nulls = im.groups()
+            if fn:
+                args = [a.strip() for a in fn_args.split(",")]
+                if fn.lower() in ("bucket", "truncate"):
+                    n, col = ((args[0], args[1]) if args[0].isdigit()
+                              else (args[1], args[0]))
+                    transform = parse_transform(f"{fn.lower()}[{n}]")
+                else:
+                    transform, col = parse_transform(fn.lower()), args[0]
+            else:
+                transform, col = parse_transform("identity"), bare
+            f = schema.field_by_name(col)
+            if f is None:
+                raise ValueError(f"no column {col}")
+            if not transform.can_transform(f.field_type):
+                raise ValueError(
+                    f"sort transform {transform!r} cannot apply to "
+                    f"{col}: {f.field_type}")
+            sfs.append(SortField(
+                f.field_id, transform,
+                (direction or "asc").lower(),
+                f"nulls-{(nulls or 'last').lower()}"))
+
+        def ordered(md):
+            oid = max((o.order_id for o in md.sort_orders), default=0) + 1
+            md.sort_orders.append(SortOrder(oid, sfs))
+            md.default_sort_order_id = oid
+            return md
+        t = t._commit_retry(ordered)
+        return spark.createDataFrame(
+            [(target, t.metadata.default_sort_order_id)],
+            "table string, sort_order_id int")
     m = _DROP_RE.match(query)
     if m:
         if_exists, target = bool(m.group(1)), m.group(2)

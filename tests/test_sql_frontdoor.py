@@ -963,3 +963,42 @@ def test_spark_style_file_meta_table_aliases(spark, warehouse):
     deln = run_sql(spark, warehouse,
                    "SELECT content FROM db.falias.all_delete_files").collect()
     assert len(deln) >= 1 and all(r["content"] != 0 for r in deln)
+
+
+def test_write_ordered_by_ddl(spark, warehouse):
+    """r5: WRITE ORDERED BY installs a default SortOrder (identity +
+    transform fields, direction, null order); subsequent writes sort
+    within partitions; WRITE UNORDERED restores order 0."""
+    df = spark.createDataFrame(
+        [(3, "cc", 1.0), (1, "aa", 2.0), (2, "bb", 3.0)],
+        "id long, s string, v double")
+    Table.create(warehouse, "db.wob", schema_from_spark(df.schema))
+    out = run_sql(spark, warehouse,
+                  "ALTER TABLE db.wob WRITE ORDERED BY "
+                  "(id DESC NULLS FIRST, truncate(1, s))").collect()[0]
+    assert out["sort_order_id"] == 1
+    t = Table.load(warehouse, "db.wob")
+    order = next(o for o in t.metadata.sort_orders if o.order_id == 1)
+    assert t.metadata.default_sort_order_id == 1
+    assert [(f.direction, f.null_order, repr(f.transform))
+            for f in order.fields] == \
+        [("desc", "nulls-first", "identity"), ("asc", "nulls-last",
+                                               "truncate[1]")]
+    # writes honor the order: rows land id-descending inside the file
+    t = t.append(spark, df.coalesce(1))
+    import pyarrow.parquet as pq
+    path = list(t.scan().plan_files().tasks)[0].data_file.file_path
+    assert pq.read_table(path).column("id").to_pylist() == [3, 2, 1]
+    # unknown column / inapplicable transform are rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no column"):
+        run_sql(spark, warehouse,
+                "ALTER TABLE db.wob WRITE ORDERED BY (nope)")
+    with _pytest.raises(ValueError, match="cannot apply"):
+        run_sql(spark, warehouse,
+                "ALTER TABLE db.wob WRITE ORDERED BY (year(s))")
+    out = run_sql(spark, warehouse,
+                  "ALTER TABLE db.wob WRITE UNORDERED").collect()[0]
+    assert out["sort_order_id"] == 0
+    assert Table.load(warehouse, "db.wob").metadata \
+        .default_sort_order_id == 0
