@@ -54,6 +54,20 @@ def _load_memory(name: str, props: Dict[str, str]):
     return MemoryCatalog(warehouse)
 
 
+def _load_hms(name: str, props: Dict[str, str]):
+    from .hms import HmsCatalog
+    uri = props.get("uri")
+    warehouse = props.get("warehouse")
+    if not uri or not warehouse:
+        # same required props as the reference builder (hms/catalog.rs:43-55)
+        raise ValueError("hms catalog requires 'uri' and 'warehouse'")
+    for prefix in ("thrift://",):
+        if uri.startswith(prefix):
+            uri = uri[len(prefix):]
+    framed = props.get("thrift_transport", "buffered").lower() == "framed"
+    return HmsCatalog(uri, warehouse, framed=framed)
+
+
 def _unreachable(kind: str) -> Callable:
     def load(name: str, props: Dict[str, str]):
         raise NotImplementedError(
@@ -71,7 +85,7 @@ _REGISTRY: Dict[str, Callable] = {
     "hadoop": _load_fs,
     "memory": _load_memory,
     "glue": _unreachable("glue"),
-    "hms": _unreachable("hms"),
+    "hms": _load_hms,
     "s3tables": _unreachable("s3tables"),
 }
 
