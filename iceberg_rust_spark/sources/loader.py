@@ -5,10 +5,12 @@ catalog instance, with the same property keys the reference's builders
 take (`uri`, `warehouse`; rest adds headers/token pass-through).
 
 Supported here: ``rest`` (real-HTTP client), ``sql`` (sqlite pointer-CAS),
-``fs`` / ``hadoop`` (filesystem version-hint), ``memory``. The reference's
-``glue`` / ``hms`` / ``s3tables`` entries require live cloud/Thrift
-endpoints this environment cannot reach; they are registered to raise a
-clear error naming the gap rather than being silently absent.
+``fs`` / ``hadoop`` (filesystem version-hint), ``memory``, ``hms``
+(Thrift binary RPC), ``glue`` (AWS JSON 1.1 + SigV4), ``s3tables``
+(rest-json + SigV4) — the full reference registry
+(crates/catalog/loader/src/lib.rs). The AWS-backed types take an
+endpoint override, same as the reference builders, so they run against
+any endpoint speaking the public protocol.
 """
 
 from __future__ import annotations
@@ -68,14 +70,37 @@ def _load_hms(name: str, props: Dict[str, str]):
     return HmsCatalog(uri, warehouse, framed=framed)
 
 
-def _unreachable(kind: str) -> Callable:
-    def load(name: str, props: Dict[str, str]):
-        raise NotImplementedError(
-            f"catalog type {kind!r} requires a live "
-            f"{'AWS' if kind in ('glue', 's3tables') else 'Thrift'} "
-            f"endpoint; this build supports rest/sql/fs/memory "
-            f"(reference: crates/catalog/{kind})")
-    return load
+def _load_glue(name: str, props: Dict[str, str]):
+    from .glue import GlueCatalog
+    uri = props.get("uri")
+    warehouse = props.get("warehouse")
+    if not uri or not warehouse:
+        # 'uri' is the endpoint override; reference property keys
+        # otherwise (glue/src/utils.rs:30-42)
+        raise ValueError("glue catalog requires 'uri' and 'warehouse'")
+    return GlueCatalog(
+        uri, warehouse,
+        region=props.get("region_name", "us-east-1"),
+        access_key=props.get("aws_access_key_id", ""),
+        secret_key=props.get("aws_secret_access_key", ""),
+        session_token=props.get("aws_session_token"))
+
+
+def _load_s3tables(name: str, props: Dict[str, str]):
+    from .s3tables import S3TablesCatalog
+    arn = props.get("table_bucket_arn")
+    endpoint = props.get("endpoint_url")
+    if not arn or not endpoint:
+        # reference keys (s3tables/catalog.rs:43-45); endpoint_url is
+        # optional there (defaults to AWS) but required without cloud reach
+        raise ValueError(
+            "s3tables catalog requires 'table_bucket_arn' and 'endpoint_url'")
+    return S3TablesCatalog(
+        endpoint, arn,
+        region=props.get("region_name", "us-east-1"),
+        access_key=props.get("aws_access_key_id", ""),
+        secret_key=props.get("aws_secret_access_key", ""),
+        session_token=props.get("aws_session_token"))
 
 
 _REGISTRY: Dict[str, Callable] = {
@@ -84,9 +109,9 @@ _REGISTRY: Dict[str, Callable] = {
     "fs": _load_fs,
     "hadoop": _load_fs,
     "memory": _load_memory,
-    "glue": _unreachable("glue"),
+    "glue": _load_glue,
     "hms": _load_hms,
-    "s3tables": _unreachable("s3tables"),
+    "s3tables": _load_s3tables,
 }
 
 

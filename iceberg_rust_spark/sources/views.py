@@ -112,6 +112,11 @@ class ViewCatalog:
 
     def _view_path(self, identifier: str) -> str:
         from .io import posix_join
+        if not hasattr(self.catalog, "warehouse"):
+            # e.g. S3Tables: the service owns all locations and has no
+            # Iceberg-view concept — match it with a named error
+            raise ValueError(
+                f"catalog {type(self.catalog).__name__} has no view storage")
         parts = identifier.split(".")
         return posix_join(self.catalog.warehouse, *parts[:-1],
                           f"{parts[-1]}.view.json")
@@ -190,6 +195,8 @@ class ViewCatalog:
 
     def list_views(self, namespace: str) -> List[str]:
         from .io import posix_join
+        if not hasattr(self.catalog, "warehouse"):
+            return []  # no view storage on this catalog (see _view_path)
         ns_dir = posix_join(self.catalog.warehouse, *namespace.split("."))
         return sorted(f[:-len(".view.json")] for f in self._io.list_dir(ns_dir)
                       if f.endswith(".view.json"))

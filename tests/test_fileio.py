@@ -139,7 +139,7 @@ def test_load_catalog_registry(tmp_path, spark):
     mem = load_catalog("memory", warehouse=str(tmp_path / "whm"))
     assert not mem.table_exists("db.x")
 
-    with pytest.raises(NotImplementedError, match="glue"):
+    with pytest.raises(ValueError, match="glue catalog requires"):
         load_catalog("glue", warehouse="x")
     with pytest.raises(ValueError, match="unknown catalog type"):
         load_catalog("nope")
