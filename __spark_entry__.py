@@ -1162,6 +1162,28 @@ def q_text_langid(spark, sf_dir):
     return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_scrub(spark, sf_dir):
+    """PII redaction: deterministic constructed PII (an email, an intl
+    phone, an IPv4, all derived from doc_id) is appended to every text so
+    the scrub kernel provably fires on every row, then the regexp_replace
+    chain redacts it. Counts per type + md5 of the scrubbed text give the
+    oracle byte-exact leverage. Zero shuffles, fully codegen'd (PLAN_AUDIT:
+    no Python rows)."""
+    d = read_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1 "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-0100 at 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.7"))
+    return d.select(
+        "doc_id",
+        TX.pii_count(pii, TX.PII_EMAIL).alias("n_emails"),
+        TX.pii_count(pii, TX.PII_PHONE).alias("n_phones"),
+        TX.pii_count(pii, TX.PII_IP).alias("n_ips"),
+        F.md5(TX.scrub_pii(pii)).alias("scrub_hash"))
+
+
 def q_text_top_terms(spark, sf_dir):
     """Corpus document-frequency top-20 terms: one partial-aggregated
     shuffle on term after an explode — the vocabulary-stats primitive."""
@@ -1329,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compaction": q_iceberg_compaction,
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_view_monthly": q_view_monthly,
+        "doc_scrub": q_doc_scrub,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         # ns-timestamp events queries (r4-green)
         "asof_join_events": q_asof_join,
@@ -1994,6 +2017,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_langid": f"""
             SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
+        "doc_scrub": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 '
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-555-0100 at 10.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS s
+                FROM documents)
+            SELECT doc_id,
+                   {TX.sql_pii_count('s', TX.PII_EMAIL)} AS n_emails,
+                   {TX.sql_pii_count('s', TX.PII_PHONE)} AS n_phones,
+                   {TX.sql_pii_count('s', TX.PII_IP)} AS n_ips,
+                   md5({TX.sql_scrub_pii('s')}) AS scrub_hash
+            FROM p""",
         "text_top_terms": f"""
             SELECT term, COUNT(*) AS df
             FROM (SELECT unnest(list_distinct({TX.sql_alpha_tokens(t)}))

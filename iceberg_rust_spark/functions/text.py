@@ -213,3 +213,40 @@ def sql_word_ngrams_over(t: str, n: int = 3) -> str:
     parts = " || ' ' || ".join(f"{t}[i+{k}]" for k in range(n))
     return (f"list_distinct(list_transform("
             f"range(1, greatest(len({t}) - {n - 2}, 1)), i -> {parts}))")
+
+
+# ---- PII scrubbing (training-data redaction) ------------------------------
+# Patterns deliberately stay in the Java-regex ∩ RE2 common subset (no
+# backslash classes, no backrefs) so the Spark kernel and the DuckDB oracle
+# compile the exact same automaton.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[+][0-9]{1,2}[ ][0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_ORDER = ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"),
+              (PII_IP, "<IP>"))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, intl-format phone numbers, and IPv4 addresses with
+    typed redaction tokens. Pure regexp_replace chain — JVM-side, codegen'd,
+    zero shuffles; order matters (emails first so their dotted hosts are
+    gone before the IP pass)."""
+    out = text
+    for pat, token in _PII_ORDER:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def sql_scrub_pii(col: str) -> str:
+    out = col
+    for pat, token in _PII_ORDER:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def sql_pii_count(col: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}', 0))"

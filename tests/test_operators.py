@@ -483,3 +483,21 @@ def test_remove_repeated_spans(spark):
     assert got[1] == ("alpha\nbeta\ngamma", 2)
     assert got[2] == ("only one paragraph", 0)
     assert got[3] == ("x", 3)
+
+
+def test_scrub_pii_kernel(spark):
+    """PII redaction hits each pattern class and leaves clean text alone;
+    emails redact before the IP pass so dotted hosts never half-match."""
+    from iceberg_rust_spark.functions import text as TX
+    df = spark.createDataFrame([
+        ("mail bob.smith+x@corp.example.org end",),
+        ("call +1 415-555-0100 now",),
+        ("host 192.168.0.1 and 8.8.8.8",),
+        ("clean text stays",)], "s string")
+    out = [r[0] for r in df.select(TX.scrub_pii(F.col("s"))).collect()]
+    assert out == ["mail <EMAIL> end", "call <PHONE> now",
+                   "host <IP> and <IP>", "clean text stays"]
+    counts = df.agg(
+        F.sum(TX.pii_count(F.col("s"), TX.PII_EMAIL)).alias("e"),
+        F.sum(TX.pii_count(F.col("s"), TX.PII_IP)).alias("i")).collect()[0]
+    assert (counts["e"], counts["i"]) == (1, 2)
