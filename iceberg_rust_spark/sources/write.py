@@ -139,6 +139,8 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
 
     files = _list_parquet_files(out_dir)
     stats = collect_parquet_stats(spark, files)
+    nan_counts = collect_nan_counts(spark, out_dir, schema,
+                                    metadata.properties)
 
     data_files: List[DataFile] = []
     for path in sorted(files):
@@ -158,7 +160,8 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             partition=partition,
             record_count=st["num_rows"], file_size_in_bytes=st["size"],
             column_sizes=st["column_sizes"], value_counts=st["value_counts"],
-            null_value_counts=st["null_counts"], nan_value_counts={},
+            null_value_counts=st["null_counts"],
+            nan_value_counts=nan_counts.get(path, {}),
             lower_bounds=st["lower"], upper_bounds=st["upper"],
             split_offsets=st["split_offsets"],
             schema_id=schema.schema_id, spec_id=spec.spec_id))
@@ -277,6 +280,45 @@ def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
         # files as always-might-match (prune loss, never wrong results).
         result.update(_spark_fallback_stats(spark, sorted(errs)))
     return result
+
+
+def collect_nan_counts(spark: SparkSession, out_dir: str, schema: Schema,
+                       properties: Dict[str, str]) -> Dict[str, Dict[str, int]]:
+    """Per-file NaN counts for top-level float/double columns.
+
+    The reference counts NaNs in-stream while writing
+    (writer/file_writer/parquet_writer.rs:432-487 MinMaxColAggregator);
+    Spark's native parquet writer can't, and footers carry no NaN stats,
+    so we run ONE column-pruned distributed aggregate over the files just
+    written — only the float/double columns are read, grouped by
+    ``_metadata.file_path``. Skipped entirely when the schema has no
+    float/double columns or ``write.metadata.nan-counts.enabled=false``
+    (the knob for 100 TB float-heavy writes where the re-scan isn't worth
+    is_nan/not_nan pruning)."""
+    if properties.get("write.metadata.nan-counts.enabled",
+                      "true").lower() != "true":
+        return {}
+    float_cols = [f.name for f in schema.fields
+                  if isinstance(f.field_type, PrimitiveType)
+                  and f.field_type.name in ("float", "double")]
+    if not float_cols:
+        return {}
+
+    def bare(p: str) -> str:
+        return p[len("file://"):] if p.startswith("file://") else \
+            (p[len("file:"):] if p.startswith("file:") else p)
+
+    df = spark.read.parquet(out_dir)
+    present = set(df.columns)
+    float_cols = [c for c in float_cols if c in present]
+    if not float_cols:
+        return {}
+    aggs = [F.sum(F.when(F.isnan(F.col(c)), 1).otherwise(0)).alias(c)
+            for c in float_cols]
+    rows = (df.groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs).collect())
+    return {bare(r["__fp"]): {c: int(r[c]) for c in float_cols}
+            for r in rows}
 
 
 def _spark_fallback_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:

@@ -273,3 +273,39 @@ def test_partition_summaries_in_snapshot(spark, warehouse, lineitem):
     summ2 = t2.refresh().metadata.current_snapshot().summary
     assert "changed-partition-count" in summ2
     assert not any(k.startswith("partitions.") for k in summ2)
+
+
+def test_nan_counts_collected_and_pruned(spark, warehouse):
+    """nan_value_counts parity (reference MinMaxColAggregator,
+    parquet_writer.rs:432-487): the write path back-fills per-file NaN
+    counts with one column-pruned aggregate, and the metrics evaluator
+    prunes is_nan scans down to files that actually contain NaNs."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", nan), (3, "b", 2.0), (4, "b", 3.0)],
+        "id long, g string, v double")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.nan", schema, partition_spec=spec) \
+        .append(spark, df)
+
+    counts = {task.data_file.file_path.split("/")[-2]:
+              task.data_file.nan_value_counts
+              for task in t.scan().plan_files().tasks}
+    assert counts == {"_p_g=a": {"v": 1}, "_p_g=b": {"v": 0}}
+
+    plan = t.scan(row_filter=E.col("v").is_nan()).plan_files()
+    assert len(plan.tasks) == 1 and plan.skipped_by_metrics == 1
+    assert t.scan(row_filter=E.col("v").is_nan()).to_df(spark).count() == 1
+    assert t.scan(row_filter=E.col("v").not_nan()).to_df(spark).count() == 3
+
+    # knob off: no re-scan, metrics stay unknown (conservative evaluator)
+    t2 = Table.create(
+        warehouse, "db.nan_off", schema_from_spark(df.schema),
+        properties={"write.metadata.nan-counts.enabled": "false"}) \
+        .append(spark, df)
+    tasks = t2.scan().plan_files().tasks
+    assert all(task.data_file.nan_value_counts == {} for task in tasks)
+    assert t2.scan(row_filter=E.col("v").is_nan()).to_df(spark).count() == 1
