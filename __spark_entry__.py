@@ -1077,6 +1077,28 @@ def q_doc_derep(spark, sf_dir):
     return remove_repeated_spans(built).orderBy("doc_id")
 
 
+def q_doc_boilerplate(spark, sf_dir):
+    """Corpus-level line dedup (C4/CCNet boilerplate rule): constructed
+    boilerplate — one line shared by ALL docs, one by every 10th doc, one
+    unique per doc — plus the natural text; lines in >=5 distinct docs are
+    dropped corpus-wide. Broadcast anti-join on the (small) frequent-line
+    set; the line stream shuffles once for counts, once for reassembly."""
+    from iceberg_rust_spark.operators.chunking import remove_frequent_lines
+    d = read_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit("\nFollow us on social media")).otherwise(F.lit("")),
+            F.lit("\nEditor note "), F.col("doc_id").cast("string"))
+        .alias("text"))
+    out = remove_frequent_lines(built, min_docs=5)
+    return out.select("doc_id", F.md5("cleaned_text").alias("clean_hash"),
+                      "n_lines_kept", "n_lines_dropped")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
                                 threshold=0.5)
@@ -1352,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_add_files": q_iceberg_add_files,
         "iceberg_view_monthly": q_view_monthly,
         "doc_scrub": q_doc_scrub,
+        "doc_boilerplate": q_doc_boilerplate,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         # ns-timestamp events queries (r4-green)
         "asof_join_events": q_asof_join,
@@ -1402,6 +1425,20 @@ def _sql_doc_derep() -> str:
            "substr(text, 1, 80), substr(text, 41, 60), substr(text, 1, 80))"
            " AS text FROM documents WHERE doc_id < 200) AS src")
     return sql_remove_repeated_spans(table=src, sep="\n")
+
+
+def _sql_doc_boilerplate() -> str:
+    from iceberg_rust_spark.operators.chunking import \
+        sql_remove_frequent_lines
+    src = ("(SELECT doc_id, text || chr(10) || "
+           "'Subscribe to our newsletter today' || "
+           "CASE WHEN doc_id % 10 = 0 THEN chr(10) || "
+           "'Follow us on social media' ELSE '' END || "
+           "chr(10) || 'Editor note ' || CAST(doc_id AS VARCHAR) AS text "
+           "FROM documents) AS src")
+    inner = sql_remove_frequent_lines(table=src, min_docs=5)
+    return (f"SELECT doc_id, md5(cleaned_text) AS clean_hash, "
+            f"n_lines_kept, n_lines_dropped FROM ({inner}) q")
 
 
 def _sql_doc_chunks() -> str:
@@ -2017,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_langid": f"""
             SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
+        "doc_boilerplate": _sql_doc_boilerplate(),
         "doc_scrub": f"""
             WITH p AS (
                 SELECT doc_id,

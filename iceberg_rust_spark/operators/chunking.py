@@ -120,3 +120,81 @@ def sql_remove_repeated_spans(table: str = "documents", sep: str = "\n",
            CAST(sum(n_occ) - count(*) AS BIGINT) AS n_removed
     FROM firsts GROUP BY {id_col}
     """
+
+
+def remove_frequent_lines(docs: DataFrame, min_docs: int = 5,
+                          sep: str = "\n", text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """CORPUS-level boilerplate removal (the C4/CCNet line-dedup rule):
+    drop every line that occurs in >= ``min_docs`` DISTINCT documents,
+    keeping remaining lines in order. Complements remove_repeated_spans
+    (intra-document) — this one needs corpus-global line frequencies.
+
+    Scale shape: explode -> one map-side-combinable shuffle on line for
+    the distinct-doc counts; the >=min_docs survivors are heavy hitters
+    (a SMALL set by construction) so the removal join is a broadcast
+    left_anti — the 100 TB line stream is never shuffled a second time;
+    reassembly is one shuffle on doc_id. Returns every input doc (docs
+    that were pure boilerplate come back with empty cleaned text).
+    """
+    lines = (docs.select(F.col(id_col),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("pos", "line")))
+    frequent = (lines.groupBy("line")
+                .agg(F.countDistinct(id_col).alias("n_docs"))
+                .filter(F.col("n_docs") >= min_docs)
+                .select("line"))
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("line")))),
+                            lambda s: s["line"]),
+                        sep).alias("cleaned_text"),
+                    F.count(F.lit(1)).alias("n_lines_kept")))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_lines_total")))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines_total") -
+                     F.coalesce("n_lines_kept", F.lit(0))).cast("long")
+                    .alias("n_lines_dropped")))
+
+
+def sql_remove_frequent_lines(table: str = "documents", min_docs: int = 5,
+                              sep: str = "\n", id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    esc = sep.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    WITH lines AS (
+        SELECT {id_col},
+               unnest(string_split({text_col}, '{esc}')) AS line,
+               unnest(range(1, len(string_split({text_col}, '{esc}')) + 1))
+                   AS pos
+        FROM {table}
+    ), frequent AS (
+        SELECT line FROM lines
+        GROUP BY line HAVING count(DISTINCT {id_col}) >= {min_docs}
+    ), kept AS (
+        SELECT * FROM lines WHERE line NOT IN (SELECT line FROM frequent)
+    ), rebuilt AS (
+        SELECT {id_col},
+               string_agg(line, '{esc}' ORDER BY pos) AS cleaned_text,
+               count(*) AS n_lines_kept
+        FROM kept GROUP BY {id_col}
+    ), totals AS (
+        SELECT {id_col}, count(*) AS n_lines_total
+        FROM lines GROUP BY {id_col}
+    )
+    SELECT t.{id_col} AS {id_col},
+           coalesce(r.cleaned_text, '') AS cleaned_text,
+           CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(t.n_lines_total - coalesce(r.n_lines_kept, 0) AS BIGINT)
+               AS n_lines_dropped
+    FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+    """

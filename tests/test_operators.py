@@ -501,3 +501,23 @@ def test_scrub_pii_kernel(spark):
         F.sum(TX.pii_count(F.col("s"), TX.PII_EMAIL)).alias("e"),
         F.sum(TX.pii_count(F.col("s"), TX.PII_IP)).alias("i")).collect()[0]
     assert (counts["e"], counts["i"]) == (1, 2)
+
+
+def test_remove_frequent_lines(spark):
+    """Corpus-level line dedup: lines in >= min_docs distinct docs drop
+    everywhere; order is preserved; an all-boilerplate doc comes back
+    empty rather than vanishing; per-doc drop counts are exact."""
+    from iceberg_rust_spark.operators.chunking import remove_frequent_lines
+    docs = spark.createDataFrame(
+        [(1, "keep me\nad footer\nunique one"),
+         (2, "ad footer\nanother keeper"),
+         (3, "ad footer\nthird text"),
+         (4, "ad footer")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["cleaned_text"], r["n_lines_kept"],
+                         r["n_lines_dropped"])
+           for r in remove_frequent_lines(docs, min_docs=3).collect()}
+    assert got[1] == ("keep me\nunique one", 2, 1)
+    assert got[2] == ("another keeper", 1, 1)
+    assert got[3] == ("third text", 1, 1)
+    assert got[4] == ("", 0, 1)
