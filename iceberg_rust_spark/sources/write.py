@@ -12,8 +12,10 @@ Spark-first reshape of the reference's write stack (§2.1 of SURVEY.md):
 - per-file column metrics (writer/file_writer/parquet_writer.rs:432-487) ->
   distributed Parquet footer scan (``sparkContext.parallelize(files)
   .mapPartitions``) so metric collection scales with the cluster, never the
-  driver. NOTE: Parquet footers carry no NaN counts, so ``nan_value_counts``
-  stays unknown => the metrics evaluator is conservative for is_nan/not_nan.
+  driver. Parquet footers carry no NaN counts, so ``nan_value_counts`` is
+  back-filled by one column-pruned aggregate over the written files
+  (``collect_nan_counts``; disable per table via
+  ``write.metadata.nan-counts.enabled=false``) => is_nan/not_nan prune.
 
 Distribution modes (write.distribution-mode table property, like Iceberg's):
   none   — no shuffle before write (fanout writers per task)
