@@ -143,27 +143,24 @@ def remove_frequent_lines(docs: DataFrame, min_docs: int = 5,
     frequent = (lines.groupBy("line")
                 .agg(F.countDistinct(id_col).alias("n_docs"))
                 .filter(F.col("n_docs") >= min_docs)
-                .select("line"))
-    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct(F.col("pos"), F.col("line")))),
-                            lambda s: s["line"]),
-                        sep).alias("cleaned_text"),
-                    F.count(F.lit(1)).alias("n_lines_kept")))
-    totals = (lines.groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_lines_total")))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("cleaned_text", F.lit(""))
-                    .alias("cleaned_text"),
-                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
-                    .alias("n_lines_kept"),
-                    (F.col("n_lines_total") -
-                     F.coalesce("n_lines_kept", F.lit(0))).cast("long")
-                    .alias("n_lines_dropped")))
+                .select("line", F.lit(True).alias("__freq")))
+    # broadcast LEFT join flags frequent lines in place, so ONE groupBy on
+    # doc_id rebuilds text and counts both kept and dropped (collect_list
+    # skips the NULL entries the when() leaves for dropped lines) — 2
+    # shuffles total instead of count/rebuild/total/join = 4
+    flagged = lines.join(F.broadcast(frequent), "line", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__freq").isNull(),
+                                    F.struct(F.col("pos"), F.col("line"))))),
+                         lambda s: s["line"]),
+                     sep).alias("cleaned_text"),
+                 F.sum(F.when(F.col("__freq").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_lines_kept"),
+                 F.sum(F.when(F.col("__freq").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_lines_dropped")))
 
 
 def sql_remove_frequent_lines(table: str = "documents", min_docs: int = 5,

@@ -273,13 +273,32 @@ def _string_bucket(spark, docs, emb):
     return forced and docs.count()
 
 
+def _boilerplate(spark, docs, emb):
+    """corpus-level line dedup (r5): the line stream shuffles for distinct-
+    doc counts, the frequent set broadcasts; must stay linear in docs."""
+    from iceberg_rust_spark.operators.chunking import remove_frequent_lines
+    return remove_frequent_lines(docs, min_docs=5) \
+        .agg(F.sum("n_lines_dropped")).collect()[0][0] or docs.count()
+
+
+def _pii_scrub(spark, docs, emb):
+    """regexp_replace redaction chain (r5): zero shuffles, pure codegen —
+    the probe guards against a regex-engine cliff at volume."""
+    from iceberg_rust_spark.functions.text import scrub_pii
+    return int(docs.select(
+        F.length(scrub_pii(F.col("text"))).alias("n"))
+        .agg(F.sum("n")).collect()[0][0])
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
        "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
        "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes,
        "decontaminate": _decontaminate,
-       "string_bucket": _string_bucket}
+       "string_bucket": _string_bucket,
+       "boilerplate_lines": _boilerplate,
+       "pii_scrub": _pii_scrub}
 
 # untimed per-decade setup (fixture caches) run before the timed op
 PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
