@@ -24,6 +24,17 @@ from .metadata import TableMetadata
 VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
 
+def ptr_version(ptr: str) -> int:
+    """Version number from a metadata-file pointer. Accepts the reference's
+    `00001-<uuid>.metadata.json`, our `v1-<uuid>...`, and the filesystem
+    catalog's `v1.metadata.json` spellings."""
+    import re
+    m = re.search(r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json$", ptr)
+    if m is None:
+        raise NoSuchTable(f"unparseable metadata pointer {ptr}")
+    return int(m.group(1))
+
+
 class CommitConflict(Exception):
     """Another writer committed first; refresh and retry."""
 
@@ -150,6 +161,23 @@ class FileSystemCatalog:
             raise CommitConflict(f"{identifier}: v{new_version} already committed")
         self._write_hint(md_dir, new_version)
         return new_version
+
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """Catalog::register_table: create a catalog entry pointing at
+        EXISTING metadata — no data or metadata rewrite; the table LOCATION
+        inside the metadata stays wherever it already is (manifest paths
+        are absolute). Counterpart of the reference's register_table (rest/
+        glue) and the DataFusion ``CREATE EXTERNAL TABLE ... STORED AS
+        ICEBERG LOCATION`` factory (table_provider_factory.rs:100-155)."""
+        if self.table_exists(identifier):
+            raise TableAlreadyExists(identifier)
+        from .io import file_io_for
+        md = TableMetadata.from_json(
+            file_io_for(metadata_location).read_text(metadata_location))
+        self.io.makedirs(self._metadata_dir(identifier))
+        self._write_version(identifier, 1, md)
+        return md
 
     # -- helpers -----------------------------------------------------------
     def _write_version(self, identifier: str, version: int, metadata: TableMetadata) -> None:

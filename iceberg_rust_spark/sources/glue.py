@@ -233,8 +233,8 @@ class GlueCatalog:
 
     @staticmethod
     def _ptr_version(ptr: str) -> int:
-        base = ptr.rsplit("/", 1)[-1]
-        return int(base.split("-", 1)[0].lstrip("v"))
+        from .catalog import ptr_version
+        return ptr_version(ptr)
 
     def create_table(self, identifier: str,
                      metadata: TableMetadata) -> TableMetadata:
@@ -301,6 +301,26 @@ class GlueCatalog:
                 raise NoSuchTable(identifier)
             raise
         return new_version
+
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """Catalog entry at EXISTING metadata (reference glue
+        catalog.rs:844-898): CreateTable whose metadata_location is the
+        given file; nothing is copied or rewritten."""
+        ns, name = self._split(identifier)
+        if self.table_exists(identifier):
+            raise TableAlreadyExists(identifier)
+        md = TableMetadata.from_json(self.io.read_text(metadata_location))
+        try:
+            self._call("CreateTable",
+                       {"DatabaseName": ns,
+                        "TableInput": _table_input(name, md,
+                                                   metadata_location)})
+        except GlueError as e:
+            if "AlreadyExists" in e.type:
+                raise TableAlreadyExists(identifier)
+            raise
+        return md
 
     def drop_table(self, identifier: str, purge: bool = True) -> None:
         ns, name = self._split(identifier)

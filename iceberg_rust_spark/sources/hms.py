@@ -267,8 +267,8 @@ class HmsCatalog:
 
     @staticmethod
     def _ptr_version(ptr: str) -> int:
-        base = ptr.rsplit("/", 1)[-1]
-        return int(base.split("-", 1)[0].lstrip("v"))
+        from .catalog import ptr_version
+        return ptr_version(ptr)
 
     def create_table(self, identifier: str,
                      metadata: TableMetadata) -> TableMetadata:
@@ -365,6 +365,21 @@ class HmsCatalog:
             return new_version
         finally:
             self._unlock(lock_id)
+
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """Catalog entry at EXISTING metadata (the Rust reference leaves
+        this unsupported for HMS, catalog.rs:717-726; Java's HiveCatalog
+        supports it and this follows Java)."""
+        ns, name = self._split(identifier)
+        if self.table_exists(identifier):
+            raise TableAlreadyExists(identifier)
+        md = TableMetadata.from_json(self.io.read_text(metadata_location))
+        tbl = _hive_table(ns, name, md.schema(), md.location,
+                          metadata_location, md.properties)
+        self._call("create_table", {1: (tp.STRUCT, tbl)},
+                   exc_map={1: TableAlreadyExists})
+        return md
 
     def drop_table(self, identifier: str, purge: bool = True) -> None:
         ns, name = self._split(identifier)

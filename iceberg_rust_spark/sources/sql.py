@@ -62,6 +62,11 @@ _PART_BY_RE = re.compile(r"\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
+# DataFusion integration parity (table_provider_factory.rs:62-155):
+# CREATE EXTERNAL TABLE t STORED AS ICEBERG LOCATION '<metadata json>'
+_CREATE_EXT_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+([\w.]+)\s+STORED\s+AS\s+ICEBERG\s+"
+    r"LOCATION\s+'([^']+)'\s*$", re.IGNORECASE)
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
                       re.IGNORECASE)
 # ALTER TABLE schema evolution -> SchemaUpdate builder
@@ -393,6 +398,17 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     m = _CALL_RE.match(query)
     if m:
         return _run_procedure(spark, catalog, m.group(1).lower(), m.group(2))
+    m = _CREATE_EXT_RE.match(query)
+    if m:
+        # register an existing Iceberg table by its metadata-file path
+        # (DataFusion's STORED AS ICEBERG factory registers session-scoped;
+        # here it lands in the catalog so every later query resolves it)
+        ident, location = m.group(1), m.group(2)
+        md = catalog.register_table(ident, location)
+        cur = md.current_snapshot()
+        return spark.createDataFrame(
+            [(ident, location, cur.snapshot_id if cur else None)],
+            "table string, metadata_file string, current_snapshot_id long")
     m = _DESCRIBE_RE.match(query)
     if m:
         # a view / temp view / non-Iceberg relation is not in the catalog:
@@ -896,6 +912,19 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             args.append(int(a))
     if not args:
         raise ValueError(f"CALL system.{proc}: table identifier required")
+    if proc == "register_table":
+        # register_table(table, metadata_file): catalog entry at EXISTING
+        # metadata (Catalog::register_table; Spark's system.register_table
+        # procedure) — dispatched before Table.load since the identifier
+        # doesn't exist yet
+        if len(args) < 2:
+            raise ValueError("register_table(table, metadata_file)")
+        md = catalog.register_table(str(args[0]), str(args[1]))
+        cur = md.current_snapshot()
+        return spark.createDataFrame(
+            [(str(args[0]), str(args[1]),
+              cur.snapshot_id if cur else None)],
+            "table string, metadata_file string, current_snapshot_id long")
     t = _Table.load(catalog, str(args[0]))
 
     if proc == "rewrite_data_files":

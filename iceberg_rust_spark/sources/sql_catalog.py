@@ -174,6 +174,31 @@ class SqlCatalog:
             raise TableAlreadyExists(identifier)
         return metadata
 
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """Catalog::register_table (reference catalog/sql register path):
+        insert a pointer row at the EXISTING metadata file — nothing is
+        copied or rewritten; later commits write new versions next to that
+        pointer, i.e. into the external table's own metadata dir."""
+        ns, name = self._split(identifier)
+        if self.table_exists(identifier):
+            raise TableAlreadyExists(identifier)
+        from .io import file_io_for
+        md = TableMetadata.from_json(
+            file_io_for(metadata_location).read_text(metadata_location))
+        self._ptr_version(metadata_location)  # must be a versioned name
+        try:
+            with self._conn() as c:
+                c.execute(
+                    "INSERT INTO iceberg_tables (catalog_name, "
+                    "table_namespace, table_name, metadata_location, "
+                    "previous_metadata_location, iceberg_type) "
+                    "VALUES (?, ?, ?, ?, NULL, ?)",
+                    (self.name, ns, name, metadata_location, _TABLE_RECORD))
+        except sqlite3.IntegrityError:
+            raise TableAlreadyExists(identifier)
+        return md
+
     @staticmethod
     def _ptr_version(ptr: str) -> int:
         # accepts both reference-style `00001-<uuid>.metadata.json` and the

@@ -168,3 +168,23 @@ def test_glue_through_loader_and_sql_front_door(spark, tmp_path):
         assert len(snaps) == 1
     finally:
         server.stop()
+
+
+def test_glue_register_table(spark, glue_catalog, tmp_path):
+    """register_table (reference glue catalog.rs:844-898): CreateTable at
+    the existing metadata location, immediately readable + committable."""
+    import glob
+
+    from iceberg_rust_spark import FileSystemCatalog
+
+    src = FileSystemCatalog(str(tmp_path / "src_wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    Table.create(src, "db.orig", schema_from_spark(df.schema)) \
+        .append(spark, df)
+    md_file = sorted(glob.glob(
+        str(tmp_path / "src_wh/db/orig/metadata/v*.metadata.json")))[-1]
+    cat = glue_catalog
+    cat.register_table("db.ext", md_file)
+    assert Table.load(cat, "db.ext").to_df(spark).count() == 2
+    with pytest.raises(TableAlreadyExists):
+        cat.register_table("db.ext", md_file)

@@ -183,3 +183,25 @@ def test_hms_namespace_surface(hms_catalog):
     cat.drop_namespace("other")
     assert "other" not in cat.list_namespaces()
     assert not cat.namespace_exists("other")
+
+
+def test_hms_register_table(spark, hms_catalog, tmp_path):
+    """register_table (beyond the Rust reference, Java-HiveCatalog
+    behavior): an externally-created table registers by metadata path and
+    reads/commits through the metastore."""
+    import glob
+
+    from iceberg_rust_spark import FileSystemCatalog
+
+    src = FileSystemCatalog(str(tmp_path / "src_wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    Table.create(src, "db.orig", schema_from_spark(df.schema)) \
+        .append(spark, df)
+    md_file = sorted(glob.glob(
+        str(tmp_path / "src_wh/db/orig/metadata/v*.metadata.json")))[-1]
+    cat = hms_catalog
+    cat.register_table("db.ext", md_file)
+    t = Table.load(cat, "db.ext")
+    assert t.to_df(spark).count() == 2
+    t.append(spark, df)
+    assert Table.load(cat, "db.ext").to_df(spark).count() == 4

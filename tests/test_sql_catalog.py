@@ -230,3 +230,55 @@ def test_sql_catalog_concurrent_commits_serialize(spark, tmp_path):
     final = Table.load(cat, "db.race")
     assert final.to_df(spark).count() == 4
     assert final.version == 5  # create + 4 appends, each one CAS step
+
+
+def test_register_table_and_create_external(spark, tmp_path):
+    """Catalog::register_table + CREATE EXTERNAL TABLE ... STORED AS
+    ICEBERG LOCATION (DataFusion table_provider_factory.rs parity): a
+    table whose metadata lives in ANOTHER catalog's warehouse registers by
+    metadata path — no data movement — and is immediately queryable +
+    committable through the front door."""
+    import glob
+
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    # source-of-truth table in an FS warehouse
+    src_cat = FileSystemCatalog(str(tmp_path / "src_wh"))
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                               "id long, v double")
+    Table.create(src_cat, "db.orig", schema_from_spark(df.schema)) \
+        .append(spark, df)
+    md_file = sorted(glob.glob(
+        str(tmp_path / "src_wh/db/orig/metadata/v*.metadata.json")))[-1]
+
+    # register into a SQL catalog via the SQL surface
+    cat = SqlCatalog(str(tmp_path / "c.db"), str(tmp_path / "wh"))
+    out = run_sql(spark, cat,
+                  f"CREATE TABLE db.linked AS SELECT 1 AS x") and None
+    res = run_sql(
+        spark, cat,
+        f"CREATE EXTERNAL TABLE db.ext STORED AS ICEBERG "
+        f"LOCATION '{md_file}'").collect()[0]
+    assert res["metadata_file"] == md_file
+    n = run_sql(spark, cat,
+                "SELECT count(*) AS n FROM db.ext WHERE v >= 10") \
+        .collect()[0]["n"]
+    assert n == 10
+
+    # commits against the registered table write into the ORIGINAL
+    # metadata dir and stay visible to the source catalog
+    t = Table.load(cat, "db.ext")
+    t.append(spark, df)
+    assert Table.load(cat, "db.ext").to_df(spark).count() == 40
+    assert Table.load(src_cat, "db.orig").refresh() is not None
+
+    # duplicate registration refuses
+    with pytest.raises(TableAlreadyExists):
+        cat.register_table("db.ext", md_file)
+
+    # CALL spelling works on the FS catalog too
+    fs2 = FileSystemCatalog(str(tmp_path / "wh2"))
+    out = run_sql(spark, fs2,
+                  f"CALL system.register_table('db.reg', '{md_file}')")
+    assert out.collect()[0]["table"] == "db.reg"
+    assert Table.load(fs2, "db.reg").to_df(spark).count() >= 20
