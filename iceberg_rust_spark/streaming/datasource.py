@@ -88,6 +88,16 @@ class _IcebergBatchReader(DataSourceReader):
         if self.options.get("where"):
             pred = sql_to_predicate(self.options["where"])
         snap_id = self.options.get("snapshot_id")
+        # Spark-Iceberg read options: branch/tag select a named ref's head
+        # (refs map, TableMetadata::snapshot_for_ref counterpart)
+        ref = self.options.get("branch") or self.options.get("tag")
+        if ref and snap_id:
+            raise ValueError("pass either branch/tag or snapshot_id")
+        if ref:
+            r = t.metadata.refs.get(ref)
+            if r is None:
+                raise ValueError(f"no such ref: {ref}")
+            snap_id = r.snapshot_id
         plan = t.scan(row_filter=pred,
                       snapshot_id=int(snap_id) if snap_id else None
                       ).plan_files()

@@ -232,3 +232,31 @@ def test_stream_datasource_rate_limited_micro_batches(spark, warehouse,
     assert run_pass() == 30
     got = spark.read.parquet(out_dir)
     assert {r["id"] for r in got.collect()} == set(range(30))
+
+
+def test_batch_datasource_branch_read(spark, warehouse):
+    """option('branch'|'tag') reads the named ref's head (Spark-Iceberg
+    read-option parity; refs map / snapshot_for_ref counterpart)."""
+    t, df = _mk(spark, warehouse, "db.ds_branch")
+    t.refresh()
+    t.set_ref("audit", t.metadata.current_snapshot_id, ref_type="branch")
+    t.set_ref("v1", t.metadata.current_snapshot_id, ref_type="tag")
+    # main advances past the branch point
+    t.refresh().append(spark, spark.createDataFrame(
+        [(1000, 99)], "id long, g long"))
+    register(spark)
+
+    def rd(**opts):
+        r = (spark.read.format("iceberg_rust")
+             .option("warehouse", warehouse.warehouse)
+             .option("table", "db.ds_branch"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert rd().count() == 61                 # main head
+    assert rd(branch="audit").count() == 60   # branch frozen pre-append
+    assert rd(tag="v1").count() == 60
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no such ref"):
+        rd(branch="nope").count()
