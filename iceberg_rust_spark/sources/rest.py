@@ -58,6 +58,8 @@ class MemoryCatalog:
         # stored so each load round-trips serialization like a real catalog
         self._tables: Dict[str, Tuple[str, int]] = {}
         self._namespaces: set = set()
+        # externally-registered tables: (ident, version) -> metadata path
+        self._registered: Dict[Tuple[str, int], str] = {}
 
     # -- namespaces --------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:
@@ -139,7 +141,24 @@ class MemoryCatalog:
             return new_version
 
     # -- helpers -----------------------------------------------------------
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """Catalog::register_table (REST spec POST .../register): adopt
+        EXISTING metadata by path; nothing is copied or rewritten."""
+        from .catalog import ptr_version
+        text = file_io_for(metadata_location).read_text(metadata_location)
+        version = ptr_version(metadata_location)
+        with self._lock:
+            if identifier in self._tables:
+                raise TableAlreadyExists(identifier)
+            self._tables[identifier] = (text, version)
+            self._registered[(identifier, version)] = metadata_location
+        return TableMetadata.from_json(text)
+
     def metadata_location(self, identifier: str, version: int) -> str:
+        reg = self._registered.get((identifier, version))
+        if reg is not None:
+            return reg
         return posix_join(self._table_dir(identifier), "metadata",
                           f"v{version}.metadata.json")
 
@@ -346,6 +365,15 @@ class RestCatalogServer:
                 return 200, {"namespaces": [n.split(".") for n in
                                             self.backing.list_namespaces()]}
             ns = parts[2]
+            if len(parts) == 4 and parts[3] == "register" \
+                    and method == "POST":
+                # REST spec register route (reference catalog.rs:997-1050)
+                ident = f"{ns}.{body['name']}"
+                md = self.backing.register_table(
+                    ident, body["metadata-location"])
+                return 200, {"metadata-location": body["metadata-location"],
+                             "metadata": json.loads(md.to_json()),
+                             "config": {}}
             if len(parts) == 4 and parts[3] == "tables":
                 if method == "POST":
                     return self._create_table(ns, body)
@@ -465,6 +493,19 @@ class RestCatalog:
         version = _version_of(body["metadata-location"])
         self._bases[(identifier, version)] = copy.deepcopy(md)
         return md, version
+
+    def register_table(self, identifier: str,
+                       metadata_location: str) -> TableMetadata:
+        """POST .../register (reference rest catalog.rs:997-1050): the
+        server adopts existing metadata by path."""
+        ns, name = identifier.rsplit(".", 1)
+        _, body = self._call(
+            "POST", f"v1/namespaces/{ns}/register",
+            {"name": name, "metadata-location": metadata_location})
+        md = TableMetadata.from_json(json.dumps(body["metadata"]))
+        version = _version_of(body["metadata-location"])
+        self._bases[(identifier, version)] = copy.deepcopy(md)
+        return md
 
     def drop_table(self, identifier: str, purge: bool = True) -> None:
         ns, name = identifier.rsplit(".", 1)

@@ -208,3 +208,33 @@ def test_workflow_over_real_http(spark, tmp_path):
         assert t.to_df(spark).count() == t2.to_df(spark).count()
     finally:
         shutdown()
+
+
+def test_register_table_over_rest(spark, tmp_path):
+    """REST register route (reference catalog.rs:997-1050): adopt an
+    existing table by metadata path over the wire; reads and commits work
+    and the load result reports the EXTERNAL metadata location."""
+    import glob
+
+    from iceberg_rust_spark import FileSystemCatalog
+    from iceberg_rust_spark.sources.catalog import TableAlreadyExists
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    src = FileSystemCatalog(str(tmp_path / "src_wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    Table.create(src, "db.orig", schema_from_spark(df.schema)) \
+        .append(spark, df)
+    md_file = sorted(glob.glob(
+        str(tmp_path / "src_wh/db/orig/metadata/v*.metadata.json")))[-1]
+
+    backing = MemoryCatalog(str(tmp_path / "wh"))
+    backing.create_namespace("db")
+    cat = RestCatalog(transport=RestCatalogServer(backing))
+    md = cat.register_table("db.ext", md_file)
+    assert md.current_snapshot() is not None
+    t = Table.load(cat, "db.ext")
+    assert t.to_df(spark).count() == 2
+    t.append(spark, df)
+    assert Table.load(cat, "db.ext").to_df(spark).count() == 4
+    with pytest.raises(Exception):
+        cat.register_table("db.ext", md_file)
