@@ -243,6 +243,19 @@ class ThriftClient:
                 sock.sendall(struct.pack(">i", len(msg)) + msg)
             else:
                 sock.sendall(msg)
+        except (ConnectionError, OSError):
+            # the pooled connection went stale (metastore restart, idle
+            # reset). Failing during SEND means the request cannot have
+            # been applied, so one reconnect+resend is always safe — a
+            # failure during the reply read below is NOT retried (the call
+            # may have landed server-side).
+            self.close()
+            sock = self._connect()
+            if self._framed:
+                sock.sendall(struct.pack(">i", len(msg)) + msg)
+            else:
+                sock.sendall(msg)
+        try:
             if self._framed:
                 n = struct.unpack(
                     ">i", self._read_exact_sock(sock, 4))[0]

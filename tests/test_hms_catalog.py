@@ -205,3 +205,21 @@ def test_hms_register_table(spark, hms_catalog, tmp_path):
     assert t.to_df(spark).count() == 2
     t.append(spark, df)
     assert Table.load(cat, "db.ext").to_df(spark).count() == 4
+
+
+def test_thrift_client_reconnects_after_stale_socket(tmp_path):
+    """A pooled connection that goes stale (idle reset / metastore
+    restart) is re-established transparently: send-phase failures are
+    safe to retry because the request can't have been applied."""
+    server = FakeHms()
+    uri = server.start()
+    try:
+        cat = HmsCatalog(uri, str(tmp_path / "wh"))
+        cat.create_namespace("db")
+        assert "db" in cat.list_namespaces()
+        # simulate the metastore dropping the pooled connection
+        cat._client._sock.close()
+        assert "db" in cat.list_namespaces()  # reconnect + resend
+        cat.close()
+    finally:
+        server.stop()
