@@ -29,7 +29,8 @@ def ptr_version(ptr: str) -> int:
     `00001-<uuid>.metadata.json`, our `v1-<uuid>...`, and the filesystem
     catalog's `v1.metadata.json` spellings."""
     import re
-    m = re.search(r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json$", ptr)
+    m = re.search(r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json(?:\.gz)?$",
+                  ptr)
     if m is None:
         raise NoSuchTable(f"unparseable metadata pointer {ptr}")
     return int(m.group(1))
@@ -102,8 +103,10 @@ class FileSystemCatalog:
         if not self.io.is_file(hint):
             raise NoSuchTable(identifier)
         version = int(self.io.read_text(hint).strip())
-        text = self.io.read_text(posix_join(md_dir, f"v{version}.metadata.json"))
-        return TableMetadata.from_json(text), version
+        plain = posix_join(md_dir, f"v{version}.metadata.json")
+        # write.metadata.compression-codec=gzip tables name files .json.gz
+        path = plain if self.io.is_file(plain) else plain + ".gz"
+        return TableMetadata.from_json(self.io.read_text(path)), version
 
     def drop_table(self, identifier: str, purge: bool = True) -> None:
         tdir = self._table_dir(identifier)
@@ -130,7 +133,8 @@ class FileSystemCatalog:
         self.io.makedirs(dst_md)
         md, version = self.load_table(src)
         for f in self.io.list_dir(src_md):
-            if f.endswith(".metadata.json") or f == "version-hint.text":
+            if (f.endswith(".metadata.json") or f.endswith(".metadata.json.gz")
+                    or f == "version-hint.text"):
                 self.io.rename(posix_join(src_md, f), posix_join(dst_md, f))
         # metadata-log entries pointed at the moved version files — re-anchor
         for entry in md.metadata_log:
@@ -144,10 +148,12 @@ class FileSystemCatalog:
         """CAS commit: succeed only if base_version is still current."""
         new_version = base_version + 1
         md_dir = self._metadata_dir(identifier)
-        target = posix_join(md_dir, f"v{new_version}.metadata.json")
+        target = posix_join(md_dir, self._md_name(new_version, metadata))
         # spec metadata-log: record the superseded metadata file, capped by
         # write.metadata.previous-versions-max (default 100)
         prev = posix_join(md_dir, f"v{base_version}.metadata.json")
+        if not self.io.is_file(prev):
+            prev = prev + ".gz"
         if self.io.is_file(prev):
             metadata.metadata_log.append({
                 "timestamp-ms": self.io.mtime_ns(prev) // 1_000_000,
@@ -155,8 +161,12 @@ class FileSystemCatalog:
             keep = int(metadata.properties.get(
                 "write.metadata.previous-versions-max", "100"))
             metadata.metadata_log = metadata.metadata_log[-keep:]
+        payload = metadata.to_json().encode()
+        if target.endswith(".gz"):
+            import gzip
+            payload = gzip.compress(payload, mtime=0)
         try:
-            self.io.create_exclusive(target, metadata.to_json().encode())
+            self.io.create_exclusive(target, payload)
         except FileExistsError:
             raise CommitConflict(f"{identifier}: v{new_version} already committed")
         self._write_hint(md_dir, new_version)
@@ -180,9 +190,16 @@ class FileSystemCatalog:
         return md
 
     # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _md_name(version: int, metadata: TableMetadata) -> str:
+        codec = metadata.properties.get(
+            "write.metadata.compression-codec", "none").lower()
+        suffix = ".gz" if codec == "gzip" else ""
+        return f"v{version}.metadata.json{suffix}"
+
     def _write_version(self, identifier: str, version: int, metadata: TableMetadata) -> None:
         md_dir = self._metadata_dir(identifier)
-        self.io.write_text(posix_join(md_dir, f"v{version}.metadata.json"),
+        self.io.write_text(posix_join(md_dir, self._md_name(version, metadata)),
                            metadata.to_json())
         self._write_hint(md_dir, version)
 

@@ -99,10 +99,22 @@ class FileIO:
 
     # convenience ----------------------------------------------------------
     def read_text(self, path: str) -> str:
-        return self.read_bytes(path).decode("utf-8")
+        """UTF-8 text; `.gz` paths decompress transparently — Iceberg
+        metadata JSON may be gzip-compressed
+        (write.metadata.compression-codec, reference compression.rs)."""
+        data = self.read_bytes(path)
+        if path.endswith(".gz"):
+            import gzip
+            data = gzip.decompress(data)
+        return data.decode("utf-8")
 
     def write_text(self, path: str, text: str) -> None:
-        self.write_bytes(path, text.encode("utf-8"))
+        data = text.encode("utf-8")
+        if path.endswith(".gz"):
+            import gzip
+            # mtime=0: deterministic bytes for identical content
+            data = gzip.compress(data, mtime=0)
+        self.write_bytes(path, data)
 
 
 class LocalFileIO(FileIO):

@@ -137,17 +137,22 @@ class SqlCatalog:
         return row[0] if row else None
 
     @staticmethod
-    def _md_file_name(version: int) -> str:
+    def _md_file_name(version: int, metadata=None) -> str:
         """Reference naming (metadata_location.rs:127): every create/commit
         attempt writes `{version:05}-{uuid}.metadata.json`, so a losing
         committer can never overwrite the winner's committed file — the CAS
-        decides which uniquely-named file becomes the pointer."""
+        decides which uniquely-named file becomes the pointer. A `.gz`
+        suffix is added under write.metadata.compression-codec=gzip."""
         import uuid
-        return f"{version:05d}-{uuid.uuid4()}.metadata.json"
+        suffix = ""
+        if metadata is not None and metadata.properties.get(
+                "write.metadata.compression-codec", "none").lower() == "gzip":
+            suffix = ".gz"
+        return f"{version:05d}-{uuid.uuid4()}.metadata.json{suffix}"
 
-    def _md_path(self, identifier: str, version: int) -> str:
+    def _md_path(self, identifier: str, version: int, metadata=None) -> str:
         return posix_join(self._metadata_dir(identifier),
-                          self._md_file_name(version))
+                          self._md_file_name(version, metadata))
 
     def create_table(self, identifier: str,
                      metadata: TableMetadata) -> TableMetadata:
@@ -160,7 +165,7 @@ class SqlCatalog:
         self.io.makedirs(md_dir)
         self.io.makedirs(posix_join(self._table_dir(identifier), "data"))
         metadata.location = self._table_dir(identifier)
-        target = self._md_path(identifier, 1)
+        target = self._md_path(identifier, 1, metadata)
         self.io.write_text(target, metadata.to_json())
         try:
             with self._conn() as c:
@@ -204,8 +209,8 @@ class SqlCatalog:
         # accepts both reference-style `00001-<uuid>.metadata.json` and the
         # filesystem catalog's legacy `v1.metadata.json`
         import re
-        m = re.search(r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json$",
-                      ptr)
+        m = re.search(
+            r"/(?:v)?(\d+)(?:-[0-9a-f-]{36})?\.metadata\.json(?:\.gz)?$", ptr)
         if not m:
             raise NoSuchTable(f"unparseable metadata pointer {ptr}")
         return int(m.group(1))
@@ -233,7 +238,7 @@ class SqlCatalog:
                 f"{identifier}: base v{base_version} is no longer current")
         new_version = base_version + 1
         target = posix_join(expected.rsplit("/", 1)[0],
-                            self._md_file_name(new_version))
+                            self._md_file_name(new_version, metadata))
         if self.io.is_file(expected):
             metadata.metadata_log.append({
                 "timestamp-ms": self.io.mtime_ns(expected) // 1_000_000,

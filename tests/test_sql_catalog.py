@@ -282,3 +282,42 @@ def test_register_table_and_create_external(spark, tmp_path):
                   f"CALL system.register_table('db.reg', '{md_file}')")
     assert out.collect()[0]["table"] == "db.reg"
     assert Table.load(fs2, "db.reg").to_df(spark).count() >= 20
+
+
+def test_gzip_metadata_codec(spark, tmp_path):
+    """write.metadata.compression-codec=gzip (reference compression.rs /
+    table_properties): metadata JSON lands as .metadata.json.gz on BOTH
+    catalogs, loads transparently, commits version forward compressed, and
+    a plain-codec catalog can still register the compressed pointer."""
+    import glob
+    import gzip as _gzip
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    props = {"write.metadata.compression-codec": "gzip"}
+
+    fs = FileSystemCatalog(str(tmp_path / "wh_fs"))
+    t = Table.create(fs, "db.gz", schema_from_spark(df.schema),
+                     properties=props)
+    t = t.append(spark, df)
+    files = sorted(glob.glob(
+        str(tmp_path / "wh_fs/db/gz/metadata/*.metadata.json*")))
+    assert files and all(f.endswith(".json.gz") for f in files)
+    raw = open(files[-1], "rb").read()
+    assert raw[:2] == b"\x1f\x8b"  # really gzip on disk
+    assert b'"format-version"' in _gzip.decompress(raw)
+    assert Table.load(fs, "db.gz").to_df(spark).count() == 2
+    Table.load(fs, "db.gz").append(spark, df)
+    assert Table.load(fs, "db.gz").to_df(spark).count() == 4
+
+    sq = SqlCatalog(str(tmp_path / "c.db"), str(tmp_path / "wh_sql"))
+    t2 = Table.create(sq, "db.gz", schema_from_spark(df.schema),
+                      properties=props)
+    t2.append(spark, df)
+    ptr = sq._pointer("db.gz")
+    assert ptr.endswith(".metadata.json.gz")
+    assert Table.load(sq, "db.gz").to_df(spark).count() == 2
+
+    # cross-catalog: register the compressed pointer elsewhere
+    other = FileSystemCatalog(str(tmp_path / "wh_other"))
+    other.register_table("db.linked", ptr)
+    assert Table.load(other, "db.linked").to_df(spark).count() == 2
