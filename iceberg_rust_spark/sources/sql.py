@@ -124,6 +124,10 @@ def _parse_default(tok: Optional[str]):
         return int(tok)
     except ValueError:
         return float(tok)
+_SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*$",
+                         re.IGNORECASE)
+_SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS(?:\s+IN\s+([\w.]+))?\s*$",
+                            re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
                       re.IGNORECASE)
 # stored-procedure surface, Spark-Iceberg shape: CALL system.proc(args...)
@@ -752,6 +756,20 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
                 for t in catalog.list_tables(ns)]
         return spark.createDataFrame(rows or [],
                                      "namespace string, tableName string")
+    m = _SHOW_NS_RE.match(query)
+    if m:
+        return spark.createDataFrame(
+            [(ns,) for ns in catalog.list_namespaces()] or [],
+            "namespace string")
+    m = _SHOW_VIEWS_RE.match(query)
+    if m:
+        vc0 = ViewCatalog(catalog)
+        ns_filter = m.group(1)
+        rows = [(ns, v) for ns in catalog.list_namespaces()
+                if ns_filter is None or ns == ns_filter
+                for v in vc0.list_views(ns)]
+        return spark.createDataFrame(rows or [],
+                                     "namespace string, viewName string")
     m = _CTAS_RE.match(query)
     if m:
         from .table import Table as _Table

@@ -1002,3 +1002,19 @@ def test_write_ordered_by_ddl(spark, warehouse):
     assert out["sort_order_id"] == 0
     assert Table.load(warehouse, "db.wob").metadata \
         .default_sort_order_id == 0
+
+
+def test_show_namespaces_and_views(spark, warehouse):
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(1,)], "id long")
+    Table.create(warehouse, "db.t1", schema_from_spark(df.schema))
+    run_sql(spark, warehouse, "CREATE VIEW db.v1 AS SELECT id FROM db.t1")
+    assert [r["namespace"] for r in
+            run_sql(spark, warehouse, "SHOW NAMESPACES").collect()] == ["db"]
+    assert [(r["namespace"], r["viewName"]) for r in
+            run_sql(spark, warehouse, "SHOW VIEWS IN db").collect()] == \
+        [("db", "v1")]
+    assert run_sql(spark, warehouse, "SHOW VIEWS IN nope").count() == 0
