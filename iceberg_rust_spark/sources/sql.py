@@ -930,6 +930,38 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             args.append(int(a))
     if not args:
         raise ValueError(f"CALL system.{proc}: table identifier required")
+    if proc == "snapshot":
+        # snapshot(source_glob, table): adopt EXISTING parquet files as a
+        # brand-new Iceberg table without copying them — Spark-Iceberg's
+        # system.snapshot for a path source (schema inferred, files
+        # imported via the name-mapping add_files path). The files stay
+        # where they are; only metadata is created.
+        if len(args) < 2:
+            raise ValueError("snapshot(source_glob, table)")
+        import glob as _glob
+
+        from .types import schema_from_spark
+        src_glob, ident = str(args[0]), str(args[1])
+        paths = sorted(_glob.glob(src_glob))
+        if not paths:
+            raise ValueError(f"no files match {src_glob}")
+        inferred = spark.read.parquet(*paths).schema
+        t = _Table.create(catalog, ident, schema_from_spark(inferred))
+        t = t.add_files(spark, paths)
+        n_rows = t.to_df(spark).count()
+        return spark.createDataFrame(
+            [(ident, len(paths), n_rows)],
+            "table string, imported_files_count int, imported_rows long")
+    if proc == "compute_table_stats":
+        # Spark-Iceberg's system.compute_table_stats: one distributed NDV
+        # aggregation -> Puffin statistics file -> set-statistics commit
+        t = _Table.load(catalog, str(args[0]))
+        cols = [str(a) for a in args[1:]] or None
+        t = t.analyze(spark, columns=cols)
+        sf = t.metadata.statistics[-1] if t.metadata.statistics else {}
+        return spark.createDataFrame(
+            [(str(args[0]), sf.get("statistics-path", ""))],
+            "table string, statistics_file string")
     if proc == "register_table":
         # register_table(table, metadata_file): catalog entry at EXISTING
         # metadata (Catalog::register_table; Spark's system.register_table

@@ -1018,3 +1018,42 @@ def test_show_namespaces_and_views(spark, warehouse):
             run_sql(spark, warehouse, "SHOW VIEWS IN db").collect()] == \
         [("db", "v1")]
     assert run_sql(spark, warehouse, "SHOW VIEWS IN nope").count() == 0
+
+
+def test_snapshot_and_compute_table_stats_procedures(spark, warehouse,
+                                                     tmp_path):
+    """CALL system.snapshot adopts existing parquet as a new table (no
+    copy; name-mapping import) and compute_table_stats writes + commits a
+    Puffin NDV statistics file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    ext = tmp_path / "ext"
+    ext.mkdir()
+    pq.write_table(pa.table({"id": list(range(50)),
+                             "g": [i % 5 for i in range(50)]}),
+                   str(ext / "a.parquet"))
+    pq.write_table(pa.table({"id": list(range(50, 80)),
+                             "g": [i % 5 for i in range(30)]}),
+                   str(ext / "b.parquet"))
+    out = run_sql(spark, warehouse,
+                  f"CALL system.snapshot('{ext}/*.parquet', 'db.adopted')") \
+        .collect()[0]
+    assert (out["imported_files_count"], out["imported_rows"]) == (2, 80)
+    n = run_sql(spark, warehouse,
+                "SELECT count(*) AS n FROM db.adopted WHERE g = 3") \
+        .collect()[0]["n"]
+    assert n == 16
+    # files were adopted in place, not copied
+    t = Table.load(warehouse, "db.adopted")
+    assert all(task.data_file.file_path.startswith(str(ext))
+               for task in t.scan().plan_files().tasks)
+
+    st = run_sql(spark, warehouse,
+                 "CALL system.compute_table_stats('db.adopted')") \
+        .collect()[0]
+    assert st["statistics_file"].endswith(".puffin")
+    assert Table.load(warehouse, "db.adopted").metadata.statistics
