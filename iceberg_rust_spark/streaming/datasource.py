@@ -137,7 +137,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
             self._last_end = max(self._last_end, md.last_sequence_number)
             return {"seq": md.last_sequence_number}
         from .changes import _ancestor_chain
-        ref = md.refs.get("main")
+        ref = md.refs.get(self.options.get("branch", "main"))
         head = ref.snapshot_id if ref is not None else md.current_snapshot_id
         pending = sorted(
             (s for s in _ancestor_chain(md, head)
@@ -167,11 +167,12 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # in-memory rate-limit cursor
         self._last_end = max(self._last_end, start["seq"])
         out: List[_FilePartition] = []
-        # MAIN ancestry only: a staged WAP-branch snapshot can hold a
-        # sequence number inside the offset window without ever being part
-        # of main's history (same rule as ChangesReader/IncrementalReader)
+        # followed-ref ancestry only (option("branch", ...) selects a ref,
+        # default main): a staged WAP snapshot can hold a sequence number
+        # inside the offset window without ever being part of the followed
+        # history (same rule as ChangesReader/IncrementalReader)
         from .changes import _ancestor_chain
-        ref = md.refs.get("main")
+        ref = md.refs.get(self.options.get("branch", "main"))
         head = ref.snapshot_id if ref is not None else md.current_snapshot_id
         for snap in _ancestor_chain(md, head):
             if not start["seq"] < snap.sequence_number <= end["seq"]:

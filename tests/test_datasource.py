@@ -260,3 +260,40 @@ def test_batch_datasource_branch_read(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(Exception, match="no such ref"):
         rd(branch="nope").count()
+
+
+def test_stream_datasource_follows_branch(spark, warehouse, tmp_path):
+    """option('branch') on the stream reader follows the named ref's
+    ancestry: staged appends to the audit branch arrive, while commits on
+    main outside that ancestry are invisible to the stream. (Rate-limited
+    mode engages the ancestry walk.)"""
+    t, df = _mk(spark, warehouse, "db.ds_br_stream", 20)
+    t.refresh()
+    t.set_ref("audit", t.metadata.current_snapshot_id, ref_type="branch")
+    register(spark)
+    ckpt = str(tmp_path / "br_ckpt")
+    out_dir = str(tmp_path / "br_out")
+
+    def run_pass():
+        q = (spark.readStream.format("iceberg_rust")
+             .option("warehouse", warehouse.warehouse)
+             .option("table", "db.ds_br_stream")
+             .option("branch", "audit")
+             .option("streaming_max_files_per_micro_batch", "10").load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_pass()
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # branch append arrives; main append does not
+    t = t.refresh().append(spark, spark.range(100, 105).select(
+        F.col("id"), (F.col("id") % 5).alias("g")), branch="audit")
+    t = t.refresh().append(spark, spark.range(900, 950).select(
+        F.col("id"), (F.col("id") % 5).alias("g")))  # main only
+    run_pass()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 25
+    assert got.agg(F.max("id")).collect()[0][0] == 104
