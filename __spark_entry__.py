@@ -1148,6 +1148,22 @@ def q_doc_quota(spark, sf_dir):
                                    F.max("doc_id").alias("max_kept_id")))
 
 
+def q_doc_pack(spark, sf_dir):
+    """Greedy sequence packing (sample packing): every doc lands in a
+    fixed-512-token training sequence per language, deterministic in
+    doc_id order — one window per lang partition, no global sort."""
+    from iceberg_rust_spark.operators.sampling import pack_sequences
+    d = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", TX.token_count(F.col("text"))
+                .alias("n_tokens"))
+    packed = pack_sequences(d, 512, group_cols=["lang"])
+    return packed.groupBy("lang", "seq_no").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("seq_offset").cast("long").alias("last_offset"))
+
+
 def q_doc_token_budget(spark, sf_dir):
     """Token-budget stratified sampling: keep docs per source until 20k
     tokens — the training-mix primitive (row quotas skew the mix because
@@ -1376,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; view_monthly (r4-green) rotates just past it
         "doc_scrub": q_doc_scrub,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_pack": q_doc_pack,
         "iceberg_view_monthly": q_view_monthly,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         # ns-timestamp events queries (r4-green)
@@ -1427,6 +1444,20 @@ def _sql_doc_derep() -> str:
            "substr(text, 1, 80), substr(text, 41, 60), substr(text, 1, 80))"
            " AS text FROM documents WHERE doc_id < 200) AS src")
     return sql_remove_repeated_spans(table=src, sep="\n")
+
+
+def _sql_doc_pack() -> str:
+    from iceberg_rust_spark.functions import text as _TX
+    from iceberg_rust_spark.operators.sampling import sql_pack_sequences
+    src = (f"(SELECT doc_id, lang, {_TX.sql_token_count('text')} AS n_tokens"
+           f" FROM documents) AS src")
+    inner = sql_pack_sequences(src, 512, group_cols=["lang"])
+    return f"""
+    SELECT lang, seq_no, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           CAST(MAX(seq_offset) AS BIGINT) AS last_offset
+    FROM ({inner}) q GROUP BY lang, seq_no"""
 
 
 def _sql_doc_boilerplate() -> str:
@@ -2031,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 50 GROUP BY source""",
+        "doc_pack": _sql_doc_pack(),
         "doc_token_budget": f"""
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(tc) AS BIGINT) AS total_tokens,

@@ -115,3 +115,53 @@ def hash_split(df: DataFrame, key_col: str,
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   group_cols: Optional[List[str]] = None,
+                   order_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Greedy sequential sample packing: assign each document to a
+    fixed-token-budget training sequence — ``seq_no`` = which budget
+    bucket the running token total lands in, walking docs in ``order_col``
+    order inside each group. The standard pre-training packing
+    approximation (documents are not split; a doc longer than the budget
+    owns its sequence).
+
+    Scale shape: ONE window per group partition — ``group_cols`` (e.g.
+    language or source) keys the parallelism, so no global sort; within a
+    group the running sum is a single pass. Deterministic given
+    (order_col, tokens_col), so the same assignment reproduces on any
+    cluster layout and in the DuckDB oracle.
+    """
+    w = Window.partitionBy(*(group_cols or [F.lit(0)])) \
+        .orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(tokens_col)).over(w)
+    seq = F.floor((cum - F.col(tokens_col)) / F.lit(budget)) \
+        .cast("long").alias("seq_no")
+    off = (cum - F.col(tokens_col) -
+           F.floor((cum - F.col(tokens_col)) / F.lit(budget)) *
+           F.lit(budget)).cast("long").alias("seq_offset")
+    return df.select(*(group_cols or []), order_col,
+                     F.col(tokens_col).cast("long").alias(tokens_col),
+                     seq, off)
+
+
+def sql_pack_sequences(table: str, budget: int,
+                       group_cols: Optional[List[str]] = None,
+                       order_col: str = "doc_id",
+                       tokens_col: str = "n_tokens") -> str:
+    part = f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+    cum = (f"SUM({tokens_col}) OVER ({part}ORDER BY {order_col} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    prev = f"({cum} - {tokens_col})"
+    sel_groups = (", ".join(group_cols) + ", ") if group_cols else ""
+    return f"""
+    SELECT {sel_groups}{order_col},
+           CAST({tokens_col} AS BIGINT) AS {tokens_col},
+           CAST(floor({prev} / {budget}) AS BIGINT) AS seq_no,
+           CAST({prev} - floor({prev} / {budget}) * {budget} AS BIGINT)
+               AS seq_offset
+    FROM {table}
+    """

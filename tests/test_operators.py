@@ -521,3 +521,22 @@ def test_remove_frequent_lines(spark):
     assert got[2] == ("another keeper", 1, 1)
     assert got[3] == ("third text", 1, 1)
     assert got[4] == ("", 0, 1)
+
+
+def test_pack_sequences(spark):
+    """Greedy packing: per-group running token totals bucket docs into
+    fixed-budget sequences; oversized docs own their sequence; offsets
+    restart per bucket."""
+    from iceberg_rust_spark.operators.sampling import pack_sequences
+    docs = spark.createDataFrame(
+        [(1, "en", 300), (2, "en", 300), (3, "en", 300), (4, "en", 1500),
+         (5, "de", 100)],
+        "doc_id long, lang string, n_tokens long")
+    got = {r["doc_id"]: (r["seq_no"], r["seq_offset"])
+           for r in pack_sequences(docs, 512,
+                                   group_cols=["lang"]).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 300)    # 600 > 512 spills next doc, not this one
+    assert got[3] == (1, 88)     # prev total 600 -> bucket 1, offset 88
+    assert got[4] == (1, 388)    # giant doc starts in bucket 1
+    assert got[5] == (0, 0)      # independent group
