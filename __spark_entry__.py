@@ -1164,6 +1164,22 @@ def q_doc_pack(spark, sf_dir):
         F.max("seq_offset").cast("long").alias("last_offset"))
 
 
+def q_doc_mix(spark, sf_dir):
+    """Training-mix rebalancing: deterministic stratified downsample of
+    documents to a 60/20/10/10 language mix over a 300-doc budget; md5
+    rank keeps the selection engine-portable."""
+    from iceberg_rust_spark.operators.sampling import stratified_mix
+    d = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+    targets = {"en": 0.6, "de": 0.2, "fr": 0.1, "es": 0.1}
+    kept = stratified_mix(d, "lang", targets, 300)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_kept"),
+        F.max("doc_id").alias("max_kept"))
+
+
 def q_doc_token_budget(spark, sf_dir):
     """Token-budget stratified sampling: keep docs per source until 20k
     tokens — the training-mix primitive (row quotas skew the mix because
@@ -1393,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub": q_doc_scrub,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_pack": q_doc_pack,
+        "doc_mix": q_doc_mix,
         "iceberg_view_monthly": q_view_monthly,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         # ns-timestamp events queries (r4-green)
@@ -1458,6 +1475,19 @@ def _sql_doc_pack() -> str:
            MIN(doc_id) AS first_doc,
            CAST(MAX(seq_offset) AS BIGINT) AS last_offset
     FROM ({inner}) q GROUP BY lang, seq_no"""
+
+
+def _sql_doc_mix() -> str:
+    from iceberg_rust_spark.operators.sampling import sql_stratified_mix
+    targets = {"en": 0.6, "de": 0.2, "fr": 0.1, "es": 0.1}
+    src = ("(SELECT doc_id, lang, length(text) AS n_chars "
+           "FROM documents) AS src")
+    inner = sql_stratified_mix(src, "lang", targets, 300)
+    return f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept
+    FROM ({inner}) q GROUP BY lang"""
 
 
 def _sql_doc_boilerplate() -> str:
@@ -2063,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE rn <= 50 GROUP BY source""",
         "doc_pack": _sql_doc_pack(),
+        "doc_mix": _sql_doc_mix(),
         "doc_token_budget": f"""
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(tc) AS BIGINT) AS total_tokens,

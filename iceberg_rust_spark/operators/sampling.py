@@ -165,3 +165,42 @@ def sql_pack_sequences(table: str, budget: int,
                AS seq_offset
     FROM {table}
     """
+
+
+def stratified_mix(df: DataFrame, group_col: str, targets: dict,
+                   total: int, key_col: str = "doc_id") -> DataFrame:
+    """Rebalance a corpus to a target group mix by deterministic
+    downsampling: keep ``floor(target_fraction * total)`` rows per group
+    (capped by what the group has — a short group skews the realized mix
+    rather than upsampling), choosing WHICH rows by md5(key) order so the
+    selection is engine-portable and layout-stable. Groups absent from
+    ``targets`` are dropped.
+
+    Scale shape: one window per group partition (rank by hash), keep-count
+    folded into a CASE literal — no join, no second shuffle, no driver
+    pass over the data."""
+    w = Window.partitionBy(group_col) \
+        .orderBy(F.md5(F.col(key_col).cast("string")), key_col)
+    keep = None
+    for g, frac in sorted(targets.items()):
+        n = int(frac * total)
+        keep = (F.when(F.col(group_col) == g, F.lit(n)) if keep is None
+                else keep.when(F.col(group_col) == g, F.lit(n)))
+    keep = keep.otherwise(F.lit(0))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= keep).drop("__rn"))
+
+
+def sql_stratified_mix(table: str, group_col: str, targets: dict,
+                       total: int, key_col: str = "doc_id") -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(frac * total)}"
+        for g, frac in sorted(targets.items()))
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {group_col}
+            ORDER BY md5(CAST({key_col} AS VARCHAR)), {key_col}) AS __rn
+        FROM {table})
+    WHERE __rn <= CASE {group_col} {cases} ELSE 0 END
+    """

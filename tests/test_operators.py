@@ -540,3 +540,21 @@ def test_pack_sequences(spark):
     assert got[3] == (1, 88)     # prev total 600 -> bucket 1, offset 88
     assert got[4] == (1, 388)    # giant doc starts in bucket 1
     assert got[5] == (0, 0)      # independent group
+
+
+def test_stratified_mix(spark):
+    """Mix rebalancing keeps floor(frac*total) per group (capped by group
+    size), selection is md5-deterministic, non-target groups drop."""
+    from iceberg_rust_spark.operators.sampling import stratified_mix
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 60 else ("de" if i < 70 else "xx"))
+         for i in range(80)], "doc_id long, lang string")
+    out = stratified_mix(docs, "lang", {"en": 0.5, "de": 0.5}, 40)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 20, "de": 10}  # de capped at its 10 rows
+    # deterministic: same selection on re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_mix(
+        docs.repartition(7), "lang", {"en": 0.5, "de": 0.5}, 40).collect())
+    assert ids1 == ids2
