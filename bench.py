@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "dedup_clusters", "doc_decontaminate",
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "doc_scrub", "doc_derep", "doc_boilerplate",
-    "doc_sample", "doc_quota", "doc_split", "doc_pack", "multimodal_audio",
+    "doc_sample", "doc_quota", "doc_split", "doc_pack", "doc_mix",
+    "multimodal_audio",
     "multimodal_frames",
     "ann_cosine_topk", "ann_lsh_topk",
 ]
