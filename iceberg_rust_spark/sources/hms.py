@@ -260,10 +260,16 @@ class HmsCatalog:
         return posix_join(self.warehouse, ns, name)
 
     @staticmethod
-    def _md_file_name(version: int) -> str:
+    def _md_file_name(version: int, metadata=None) -> str:
         # v{N}-{uuid} — unique per attempt so losers never clobber winners
-        # (same scheme as SqlCatalog / reference metadata_location.rs)
-        return f"v{version}-{uuid.uuid4()}.metadata.json"
+        # (same scheme as SqlCatalog / reference metadata_location.rs);
+        # .gz under write.metadata.compression-codec=gzip
+        suffix = ""
+        if metadata is not None and metadata.properties.get(
+                "write.metadata.compression-codec",
+                "none").lower() == "gzip":
+            suffix = ".gz"
+        return f"v{version}-{uuid.uuid4()}.metadata.json{suffix}"
 
     @staticmethod
     def _ptr_version(ptr: str) -> int:
@@ -280,7 +286,7 @@ class HmsCatalog:
         md_dir = posix_join(location, "metadata")
         self.io.makedirs(md_dir)
         self.io.makedirs(posix_join(location, "data"))
-        target = posix_join(md_dir, self._md_file_name(1))
+        target = posix_join(md_dir, self._md_file_name(1, metadata))
         self.io.write_text(target, metadata.to_json())
         tbl = _hive_table(ns, name, metadata.schema(), location, target,
                           metadata.properties)
@@ -346,7 +352,7 @@ class HmsCatalog:
                     f"{identifier}: base v{base_version} is no longer current")
             new_version = base_version + 1
             target = posix_join(current.rsplit("/", 1)[0],
-                                self._md_file_name(new_version))
+                                self._md_file_name(new_version, metadata))
             if self.io.is_file(current):
                 metadata.metadata_log.append({
                     "timestamp-ms": self.io.mtime_ns(current) // 1_000_000,
