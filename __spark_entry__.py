@@ -1156,8 +1156,10 @@ def q_doc_pack(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", TX.token_count(F.col("text"))
                 .alias("n_tokens"))
-    packed = pack_sequences(d, 512, group_cols=["lang"])
-    return packed.groupBy("lang", "seq_no").agg(
+    # shard_chars=1: 16 independent packing streams per language, so
+    # parallelism scales past the language count (the 100 TB path)
+    packed = pack_sequences(d, 512, group_cols=["lang"], shard_chars=1)
+    return packed.groupBy("lang", "shard", "seq_no").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -1468,13 +1470,13 @@ def _sql_doc_pack() -> str:
     from iceberg_rust_spark.operators.sampling import sql_pack_sequences
     src = (f"(SELECT doc_id, lang, {_TX.sql_token_count('text')} AS n_tokens"
            f" FROM documents) AS src")
-    inner = sql_pack_sequences(src, 512, group_cols=["lang"])
+    inner = sql_pack_sequences(src, 512, group_cols=["lang"], shard_chars=1)
     return f"""
-    SELECT lang, seq_no, COUNT(*) AS n_docs,
+    SELECT lang, shard, seq_no, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc,
            CAST(MAX(seq_offset) AS BIGINT) AS last_offset
-    FROM ({inner}) q GROUP BY lang, seq_no"""
+    FROM ({inner}) q GROUP BY lang, shard, seq_no"""
 
 
 def _sql_doc_mix() -> str:

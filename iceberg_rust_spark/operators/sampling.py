@@ -120,7 +120,8 @@ def hash_split(df: DataFrame, key_col: str,
 def pack_sequences(df: DataFrame, budget: int,
                    group_cols: Optional[List[str]] = None,
                    order_col: str = "doc_id",
-                   tokens_col: str = "n_tokens") -> DataFrame:
+                   tokens_col: str = "n_tokens",
+                   shard_chars: int = 0) -> DataFrame:
     """Greedy sequential sample packing: assign each document to a
     fixed-token-budget training sequence — ``seq_no`` = which budget
     bucket the running token total lands in, walking docs in ``order_col``
@@ -133,8 +134,21 @@ def pack_sequences(df: DataFrame, budget: int,
     group the running sum is a single pass. Deterministic given
     (order_col, tokens_col), so the same assignment reproduces on any
     cluster layout and in the DuckDB oracle.
+
+    With FEW groups the per-group window caps parallelism (4 languages =
+    4 tasks regardless of cluster size): ``shard_chars`` > 0 additionally
+    partitions by the first N hex chars of md5(order_col) — 16^N shards
+    per group, each packed independently (any disjoint partition of docs
+    into sequences is a valid packing). The shard key is a STRING prefix,
+    so the oracle computes it identically with no cross-engine integer
+    hashing.
     """
-    w = Window.partitionBy(*(group_cols or [F.lit(0)])) \
+    parts = list(group_cols or [])
+    if shard_chars:
+        parts.append(F.substring(
+            F.md5(F.col(order_col).cast("string")), 1, shard_chars)
+            .alias("__shard"))
+    w = Window.partitionBy(*(parts or [F.lit(0)])) \
         .orderBy(order_col) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(F.col(tokens_col)).over(w)
@@ -143,7 +157,10 @@ def pack_sequences(df: DataFrame, budget: int,
     off = (cum - F.col(tokens_col) -
            F.floor((cum - F.col(tokens_col)) / F.lit(budget)) *
            F.lit(budget)).cast("long").alias("seq_offset")
-    return df.select(*(group_cols or []), order_col,
+    shard_out = ([F.substring(F.md5(F.col(order_col).cast("string")), 1,
+                              shard_chars).alias("shard")]
+                 if shard_chars else [])
+    return df.select(*(group_cols or []), *shard_out, order_col,
                      F.col(tokens_col).cast("long").alias(tokens_col),
                      seq, off)
 
@@ -151,14 +168,21 @@ def pack_sequences(df: DataFrame, budget: int,
 def sql_pack_sequences(table: str, budget: int,
                        group_cols: Optional[List[str]] = None,
                        order_col: str = "doc_id",
-                       tokens_col: str = "n_tokens") -> str:
-    part = f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+                       tokens_col: str = "n_tokens",
+                       shard_chars: int = 0) -> str:
+    keys = list(group_cols or [])
+    shard_sql = (f"substr(md5(CAST({order_col} AS VARCHAR)), 1, "
+                 f"{shard_chars})")
+    if shard_chars:
+        keys.append(shard_sql)
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
     cum = (f"SUM({tokens_col}) OVER ({part}ORDER BY {order_col} "
            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     prev = f"({cum} - {tokens_col})"
     sel_groups = (", ".join(group_cols) + ", ") if group_cols else ""
+    sel_shard = f"{shard_sql} AS shard, " if shard_chars else ""
     return f"""
-    SELECT {sel_groups}{order_col},
+    SELECT {sel_groups}{sel_shard}{order_col},
            CAST({tokens_col} AS BIGINT) AS {tokens_col},
            CAST(floor({prev} / {budget}) AS BIGINT) AS seq_no,
            CAST({prev} - floor({prev} / {budget}) * {budget} AS BIGINT)
