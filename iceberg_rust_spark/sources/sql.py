@@ -1054,6 +1054,17 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         after = len(list(t.scan().plan_files().tasks))
         return spark.createDataFrame(
             [(after - before,)], "added_files_count int")
+    if proc == "rewrite_table_path":
+        # rewrite_table_path(table, source_prefix, target_prefix): stage a
+        # path-rewritten metadata tree + the copy file list (Spark's
+        # procedure shape; the bulk copy itself is the caller's DistCp)
+        if len(args) < 3:
+            raise ValueError(
+                "rewrite_table_path(table, source_prefix, target_prefix)")
+        out = t.rewrite_table_path(str(args[1]), str(args[2]))
+        return spark.createDataFrame(
+            [(out["latest_version"], out["file_list_location"])],
+            "latest_version string, file_list_location string")
     if proc == "set_current_snapshot":
         if len(args) < 2:
             raise ValueError("set_current_snapshot(table, snapshot_id)")

@@ -807,6 +807,150 @@ class Table:
             m, "replace", added_deletes=dels, removed_paths=eq_paths,
             extra_summary={"removed-delete-files": str(len(eq_paths))}))
 
+    def rewrite_table_path(self, source_prefix: str, target_prefix: str,
+                           staging_dir: Optional[str] = None
+                           ) -> Dict[str, str]:
+        """Spark-Iceberg's ``rewrite_table_path`` procedure: stage a copy
+        of the metadata tree (manifest lists, manifests, metadata JSON)
+        with every absolute path under ``source_prefix`` rewritten to
+        ``target_prefix``, and emit a ``file-list.csv`` of
+        ``source,target`` pairs covering data/delete files, statistics
+        files, historical metadata, and the staged metadata files
+        themselves. Nothing is copied here — the file list drives the
+        user's bulk copy (DistCp-style); after the copy, the tree at
+        ``target_prefix`` is self-consistent, including time travel.
+        Metadata-sized driver work only."""
+        md = TableMetadata.from_json(self.metadata.to_json())
+        fmt = md.properties.get("write.metadata.manifest-format", "parquet")
+        staging = staging_dir or os.path.join(
+            md.location, "metadata", f"rewrite-staging-{uuid.uuid4().hex[:8]}")
+        io = file_io_for(staging)
+        io.makedirs(staging)
+
+        def sub(p: str) -> str:
+            return (target_prefix + p[len(source_prefix):]
+                    if p and p.startswith(source_prefix) else p)
+
+        copies: List[Tuple[str, str]] = []   # (copy-from, copy-to)
+        staged_manifests: Dict[str, Tuple[str, int]] = {}  # src -> (tgt, len)
+        staged_deletes: Dict[str, int] = {}  # src -> staged size
+
+        def stage_delete_file(src: str) -> int:
+            """Positional-delete files EMBED data-file paths (pos-delete
+            parquet `file_path` column; DV puffin `referenced-data-file`
+            blob properties) — rewrite the contents, not just the pointer.
+            Returns the staged file's size. Blob offsets are unchanged for
+            puffin (only the footer moves), so DataFile content_offset/
+            content_size stay valid."""
+            if src in staged_deletes:
+                return staged_deletes[src]
+            base = src.rsplit("/", 1)[-1]
+            staged = posix_join(staging, base)
+            if src.endswith(".puffin"):
+                from .puffin import (read_blob, read_puffin_footer,
+                                     write_puffin)
+                metas, props = read_puffin_footer(src)
+                blobs = []
+                for m in metas:
+                    data = read_blob(src, m)
+                    ref = m.properties.get("referenced-data-file")
+                    if ref:
+                        m.properties["referenced-data-file"] = sub(ref)
+                    blobs.append((m, data))
+                write_puffin(staged, blobs, props)
+            else:
+                import io as _io
+
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+                tbl = _pq.read_table(
+                    _io.BytesIO(file_io_for(src).read_bytes(src)))
+                idx = tbl.schema.get_field_index("file_path")
+                rewritten = _pa.array(
+                    [sub(v) for v in tbl.column(idx).to_pylist()],
+                    type=tbl.schema.field(idx).type)
+                tbl = tbl.set_column(idx, tbl.schema.field(idx), rewritten)
+                buf = _io.BytesIO()
+                _pq.write_table(tbl, buf)
+                file_io_for(staged).write_bytes(staged, buf.getvalue())
+            copies.append((staged, sub(src)))
+            size = file_io_for(staged).size(staged)
+            staged_deletes[src] = size
+            return size
+
+        def stage_manifest(mf) -> Tuple[str, int]:
+            if mf.manifest_path in staged_manifests:
+                return staged_manifests[mf.manifest_path]
+            entries = list(load_manifest(mf.manifest_path))
+            for e in entries:
+                f = e.data_file
+                if f.content == CONTENT_POSITION_DELETES and \
+                        f.file_path.startswith(source_prefix):
+                    f.file_size_in_bytes = stage_delete_file(f.file_path)
+                    f.file_path = sub(f.file_path)
+                    for bounds in (f.lower_bounds, f.upper_bounds):
+                        if bounds and "file_path" in bounds:
+                            bounds["file_path"] = sub(bounds["file_path"])
+                elif f.file_path.startswith(source_prefix):
+                    copies.append((f.file_path, sub(f.file_path)))
+                    f.file_path = sub(f.file_path)
+                if f.referenced_data_file:
+                    f.referenced_data_file = sub(f.referenced_data_file)
+            base = mf.manifest_path.rsplit("/", 1)[-1]
+            staged = posix_join(staging, base)
+            if fmt == "avro":
+                from .avro_manifest import write_avro_manifest
+                length = write_avro_manifest(
+                    staged, entries, md.schema(),
+                    md.spec(mf.partition_spec_id), md.format_version)
+            else:
+                length = write_manifest(staged, entries)
+            target = sub(mf.manifest_path)
+            copies.append((staged, target))
+            staged_manifests[mf.manifest_path] = (target, length)
+            return target, length
+
+        for snap in md.snapshots:
+            manifests = list(load_manifest_list(snap.manifest_list))
+            for mf in manifests:
+                mf.manifest_path, mf.manifest_length = stage_manifest(mf)
+            ml_base = snap.manifest_list.rsplit("/", 1)[-1]
+            staged_ml = posix_join(staging, ml_base)
+            if fmt == "avro":
+                from .avro_manifest import write_avro_manifest_list
+                write_avro_manifest_list(
+                    staged_ml, manifests, spec_fields=md.spec().fields,
+                    format_version=md.format_version)
+            else:
+                write_manifest_list(staged_ml, manifests)
+            copies.append((staged_ml, sub(snap.manifest_list)))
+            snap.manifest_list = sub(snap.manifest_list)
+
+        for sf in md.statistics + md.partition_statistics:
+            p = sf.get("statistics-path") or sf.get("path")
+            for key in ("statistics-path", "path"):
+                if sf.get(key):
+                    copies.append((sf[key], sub(sf[key])))
+                    sf[key] = sub(sf[key])
+        for entry in md.metadata_log:
+            copies.append((entry["metadata-file"],
+                           sub(entry["metadata-file"])))
+            entry["metadata-file"] = sub(entry["metadata-file"])
+
+        md.location = sub(md.location)
+        latest = f"v{self.version}.metadata.json"
+        staged_md = posix_join(staging, latest)
+        io.write_text(staged_md, md.to_json())
+        copies.append((staged_md,
+                       posix_join(md.location, "metadata", latest)))
+
+        file_list = posix_join(staging, "file-list.csv")
+        io.write_text(file_list,
+                      "\n".join(f"{s},{t}" for s, t in copies) + "\n")
+        return {"latest_version": latest,
+                "file_list_location": file_list,
+                "staged_metadata": staged_md}
+
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
                          retain_last: Optional[int] = None) -> "Table":
         """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86

@@ -335,3 +335,84 @@ def test_publish_changes_wap_id(spark, warehouse):
     assert out["current_snapshot_id"] == staged[0].snapshot_id
     t = Table.load(warehouse, "db.wapid")
     assert t.to_df(spark).count() == 20
+
+
+def test_rewrite_table_path_full_relocation(spark, warehouse, tmp_path):
+    """rewrite_table_path stages a path-rewritten metadata tree + a copy
+    file list; executing the copies (stand-in for DistCp) yields a fully
+    self-consistent table at the TARGET prefix — current reads, pruning,
+    deletes, and time travel all work from the relocated tree."""
+    import os
+    import shutil
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, i % 5, float(i)) for i in range(100)],
+                               "id long, g long, v double")
+    t = Table.create(warehouse, "db.mv", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    first_snap = t.metadata.current_snapshot_id
+    t = t.append(spark, df.where("id >= 90"))   # second snapshot (110 rows)
+    t = t.delete_where(spark, E.col("id") < 10, mode="mor")  # pos deletes
+
+    target_root = str(tmp_path / "relocated")
+    out = run_sql(spark, warehouse,
+                  f"CALL system.rewrite_table_path('db.mv', "
+                  f"'{warehouse.warehouse}', '{target_root}')").collect()[0]
+    assert out["latest_version"].endswith(".metadata.json")
+
+    # stand-in for the bulk copy: execute the emitted file list
+    pairs = [line.split(",") for line in
+             open(out["file_list_location"]).read().strip().splitlines()]
+    assert pairs and all(dst.startswith(target_root) for _, dst in pairs)
+    for src, dst in pairs:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+
+    relocated = Table.from_metadata_path(
+        os.path.join(target_root, "db", "mv", "metadata",
+                     out["latest_version"]))
+    # nothing in the relocated tree points back at the source
+    assert relocated.metadata.location.startswith(target_root)
+    got = relocated.to_df(spark)
+    assert got.count() == 100  # 110 appended - 10 MOR-deleted
+    assert got.agg(F.min("id")).collect()[0][0] == 10
+    # every planned file path lives under the target
+    for task in relocated.scan().plan_files().tasks:
+        assert task.data_file.file_path.startswith(target_root)
+    # time travel from the relocated tree
+    old = relocated.scan(snapshot_id=first_snap).to_df(spark)
+    assert old.count() == 100
+    assert old.agg(F.min("id")).collect()[0][0] == 0
+
+
+def test_rewrite_table_path_with_deletion_vectors(spark, warehouse,
+                                                  tmp_path):
+    """DV variant: puffin deletion vectors' referenced-data-file blob
+    properties rewrite with the tree (blob offsets stay valid), so the
+    relocated table still applies its vectors."""
+    import os
+    import shutil
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, i % 4) for i in range(80)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.mvdv", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="dv")  # 20 rows out
+
+    target_root = str(tmp_path / "dv_target")
+    out = t.rewrite_table_path(warehouse.warehouse, target_root)
+    for line in open(out["file_list_location"]).read().strip().splitlines():
+        src, dst = line.split(",")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+    relocated = Table.from_metadata_path(os.path.join(
+        target_root, "db", "mvdv", "metadata", out["latest_version"]))
+    got = relocated.to_df(spark)
+    assert got.count() == 60
+    assert got.where("g = 1").count() == 0
