@@ -1054,6 +1054,15 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         after = len(list(t.scan().plan_files().tasks))
         return spark.createDataFrame(
             [(after - before,)], "added_files_count int")
+    if proc == "remove_dangling_deletes":
+        before_snap = t.metadata.current_snapshot_id
+        t2 = t.remove_dangling_deletes()
+        snap = t2.metadata.current_snapshot()
+        # a no-op sweep commits nothing — the head is unchanged
+        removed = int(snap.summary.get("removed-delete-files", "0")) \
+            if snap and snap.snapshot_id != before_snap else 0
+        return spark.createDataFrame(
+            [(removed,)], "removed_delete_files_count int")
     if proc == "rewrite_table_path":
         # rewrite_table_path(table, source_prefix, target_prefix): stage a
         # path-rewritten metadata tree + the copy file list (Spark's

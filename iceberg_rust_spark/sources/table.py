@@ -705,6 +705,93 @@ class Table:
 
         return self._commit_retry(update)
 
+    def remove_dangling_deletes(self) -> "Table":
+        """Spark's remove_dangling_deletes: drop whole delete FILES that no
+        live data file can reference anymore (sequence-number rules after
+        compaction/rewrites make old deletes unreachable) — metadata-only,
+        one replace snapshot, no data IO. Complements
+        rewrite_position_deletes (which drops dangling POSITIONS inside
+        still-referenced files)."""
+        def update(md: TableMetadata) -> TableMetadata:
+            cur = md.current_snapshot()
+            if cur is None:
+                return md
+            plan = TableScan(md).plan_files()
+            used = {d.file_path for t in plan.tasks
+                    for d in list(t.pos_deletes) + list(t.eq_deletes)}
+            fmt = md.properties.get("write.metadata.manifest-format",
+                                    "parquet")
+            md_dir = os.path.join(md.location, "metadata")
+            old = load_manifest_list(cur.manifest_list)
+            manifests: List[ManifestFile] = []
+            dropped = 0
+            snap_id = new_snapshot_id()
+            for mf in old:
+                if mf.content == 0:
+                    manifests.append(mf)
+                    continue
+                entries = list(load_manifest(mf.manifest_path))
+                keep = [e for e in entries
+                        if e.data_file.file_path in used]
+                dropped += len(entries) - len(keep)
+                if len(keep) == len(entries):
+                    manifests.append(mf)
+                    continue
+                if not keep:
+                    continue
+                carried = [ManifestEntry(
+                    STATUS_EXISTING, e.snapshot_id, e.sequence_number,
+                    e.file_sequence_number, e.data_file) for e in keep]
+                path = os.path.join(
+                    md_dir, f"manifest-{uuid.uuid4().hex[:16]}.{fmt}")
+                if fmt == "avro":
+                    from .avro_manifest import write_avro_manifest
+                    length = write_avro_manifest(
+                        path, carried, md.schema(),
+                        md.spec(mf.partition_spec_id), md.format_version)
+                else:
+                    length = write_manifest(path, carried)
+                seqs = [e.sequence_number or 0 for e in keep]
+                manifests.append(ManifestFile(
+                    manifest_path=path, manifest_length=length,
+                    partition_spec_id=mf.partition_spec_id,
+                    content=mf.content,
+                    sequence_number=max(seqs), min_sequence_number=min(seqs),
+                    added_snapshot_id=snap_id,
+                    existing_files_count=len(keep),
+                    existing_rows_count=sum(e.data_file.record_count
+                                            for e in keep),
+                    partitions=_field_summaries(
+                        [e.data_file for e in keep])))
+            if dropped == 0:
+                return md
+            seq = md.last_sequence_number + 1
+            ml_path = os.path.join(
+                md_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.{fmt}")
+            if fmt == "avro":
+                from .avro_manifest import write_avro_manifest_list
+                write_avro_manifest_list(ml_path, manifests,
+                                         spec_fields=md.spec().fields,
+                                         schema=md.schema())
+            else:
+                write_manifest_list(ml_path, manifests)
+            snap = Snapshot(
+                snapshot_id=snap_id, sequence_number=seq,
+                timestamp_ms=now_ms(), manifest_list=ml_path,
+                summary={"operation": "replace",
+                         "removed-delete-files": str(dropped)},
+                parent_snapshot_id=cur.snapshot_id,
+                schema_id=md.current_schema_id)
+            md.snapshots.append(snap)
+            md.last_sequence_number = seq
+            md.current_snapshot_id = snap_id
+            md.refs[MAIN_BRANCH] = SnapshotRef(snap_id, "branch")
+            md.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                                    "snapshot-id": snap_id})
+            return md
+
+        return self._commit_retry(update)
+
     def rewrite_position_deletes(self, spark: SparkSession) -> "Table":
         """Compact positional-delete parquet files (Spark's
         rewrite_position_delete_files): read every live pos-delete parquet

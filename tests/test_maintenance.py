@@ -416,3 +416,42 @@ def test_rewrite_table_path_with_deletion_vectors(spark, warehouse,
     got = relocated.to_df(spark)
     assert got.count() == 60
     assert got.where("g = 1").count() == 0
+
+
+def test_remove_dangling_deletes(spark, warehouse):
+    """After compaction rewrites data files past the delete sequence
+    numbers, the old delete FILES reference nothing: the metadata-only
+    sweep drops them; results unchanged; a second run is a no-op."""
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, i % 4) for i in range(80)],
+                               "id long, g long")
+    t = Table.create(warehouse, "db.dangling", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+    assert t.to_df(spark).count() == 60
+
+    def n_delete_entries(tb):
+        plan = tb.scan().plan_files()
+        return len({d.file_path for task in plan.tasks
+                    for d in task.pos_deletes + task.eq_deletes})
+
+    assert n_delete_entries(t) >= 1
+    t = t.compact(spark)          # rewritten data files outrun the deletes
+    assert n_delete_entries(t) == 0  # nothing applies anymore...
+    out = run_sql(spark, warehouse,
+                  "CALL system.remove_dangling_deletes('db.dangling')")
+    assert out.collect()[0]["removed_delete_files_count"] >= 1
+    t = Table.load(warehouse, "db.dangling")
+    assert t.to_df(spark).count() == 60
+    # ...and the manifests carry no delete entries at all now
+    from iceberg_rust_spark.sources.scan import load_manifest_list
+    assert all(mf.content == 0 for mf in
+               load_manifest_list(t.metadata.current_snapshot()
+                                  .manifest_list))
+    # idempotent
+    out2 = run_sql(spark, warehouse,
+                   "CALL system.remove_dangling_deletes('db.dangling')")
+    assert out2.collect()[0]["removed_delete_files_count"] == 0
