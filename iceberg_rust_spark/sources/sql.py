@@ -126,6 +126,8 @@ def _parse_default(tok: Optional[str]):
         return float(tok)
 _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*$",
                          re.IGNORECASE)
+_SHOW_PARTS_RE = re.compile(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*$",
+                            re.IGNORECASE)
 _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS(?:\s+IN\s+([\w.]+))?\s*$",
                             re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
@@ -761,6 +763,11 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         return spark.createDataFrame(
             [(ns,) for ns in catalog.list_namespaces()] or [],
             "namespace string")
+    m = _SHOW_PARTS_RE.match(query)
+    if m:
+        # alias for the partitions metadata table (Spark's SHOW PARTITIONS)
+        t = Table.load(catalog, m.group(1))
+        return t.partitions_df(spark)
     m = _SHOW_VIEWS_RE.match(query)
     if m:
         vc0 = ViewCatalog(catalog)
@@ -1041,6 +1048,29 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
         t = t.rollback_to(int(args[1]))
         return spark.createDataFrame(
             [(prev, int(args[1]))],
+            "previous_snapshot_id long, current_snapshot_id long")
+    if proc == "rollback_to_timestamp":
+        # Spark's procedure: roll main back to the last snapshot at or
+        # before the timestamp (snapshot_as_of resolution)
+        if len(args) < 2:
+            raise ValueError(
+                "rollback_to_timestamp(table, 'YYYY-MM-DD HH:MM:SS' | ms)")
+        raw = args[1]
+        if isinstance(raw, int):
+            ms = raw
+        else:
+            import datetime as _dt
+            ts = _dt.datetime.fromisoformat(str(raw))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ms = int(ts.timestamp() * 1000)
+        snap = t.metadata.snapshot_as_of(ms)
+        if snap is None:
+            raise ValueError(f"no snapshot at or before {raw}")
+        prev = t.metadata.current_snapshot_id
+        t = t.rollback_to(snap.snapshot_id)
+        return spark.createDataFrame(
+            [(prev, snap.snapshot_id)],
             "previous_snapshot_id long, current_snapshot_id long")
     if proc == "add_files":
         if len(args) < 2:

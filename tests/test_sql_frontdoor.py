@@ -1057,3 +1057,34 @@ def test_snapshot_and_compute_table_stats_procedures(spark, warehouse,
         .collect()[0]
     assert st["statistics_file"].endswith(".puffin")
     assert Table.load(warehouse, "db.adopted").metadata.statistics
+
+
+def test_show_partitions_and_rollback_to_timestamp(spark, warehouse):
+    import time
+
+    from iceberg_rust_spark import PartitionField, PartitionSpec, Table
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, "a" if i < 6 else "b")
+                                for i in range(10)], "id long, g string")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.sp", schema, partition_spec=spec)
+    t = t.append(spark, df)
+    parts = {r["partition"]: r["record_count"] for r in
+             run_sql(spark, warehouse, "SHOW PARTITIONS db.sp").collect()}
+    assert sum(parts.values()) == 10 and len(parts) == 2
+
+    cut_ms = t.metadata.current_snapshot().timestamp_ms
+    time.sleep(0.01)
+    t = t.refresh().append(spark, df)          # second snapshot
+    assert Table.load(warehouse, "db.sp").to_df(spark).count() == 20
+    out = run_sql(spark, warehouse,
+                  f"CALL system.rollback_to_timestamp('db.sp', {cut_ms})") \
+        .collect()[0]
+    assert out["current_snapshot_id"] != out["previous_snapshot_id"]
+    assert Table.load(warehouse, "db.sp").to_df(spark).count() == 10
