@@ -917,24 +917,79 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
     return spark.sql(rewritten)
 
 
+# positional signatures for named-argument (`name => value`) calls;
+# names follow Spark-Iceberg's procedure parameters
+_PROC_PARAMS: Dict[str, List[str]] = {
+    "snapshot": ["source_table", "table"],
+    "compute_table_stats": ["table", "columns"],
+    "register_table": ["table", "metadata_file"],
+    "rewrite_data_files": ["table", "strategy"],
+    "rewrite_manifests": ["table", "target_entries"],
+    "convert_equality_deletes": ["table"],
+    "rewrite_position_delete_files": ["table"],
+    "expire_snapshots": ["table", "older_than", "retain_last"],
+    "remove_orphan_files": ["table", "older_than"],
+    "rollback_to_snapshot": ["table", "snapshot_id"],
+    "rollback_to_timestamp": ["table", "timestamp"],
+    "add_files": ["table", "source_table"],
+    "remove_dangling_deletes": ["table"],
+    "rewrite_table_path": ["table", "source_prefix", "target_prefix"],
+    "set_current_snapshot": ["table", "snapshot_id"],
+    "fast_forward": ["table", "branch", "to"],
+    "cherrypick_snapshot": ["table", "snapshot_id"],
+    "publish_changes": ["table", "wap_id"],
+    "ancestors_of": ["table", "snapshot_id"],
+    "create_changelog_view": ["table", "changelog_view", "net_changes"],
+}
+
+
 def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
                    proc: str, raw_args: str) -> DataFrame:
     """Maintenance stored procedures, Spark-Iceberg's `CALL system.*` shape
     (the reference exposes these as transaction actions; a SQL user expects
-    the procedure spelling). Positional args only: strings quoted, ints
-    bare. Each returns a one-row summary DataFrame like Spark's procedures.
+    the procedure spelling). Positional (`'db.t', 5`) or Spark-style named
+    (`table => 'db.t', retain_last => 5`) arguments — named args re-order
+    onto the procedure's positional signature. Each returns a one-row
+    summary DataFrame like Spark's procedures.
     """
     from .table import Table as _Table
 
-    args = []
-    for a in re.findall(r"'[^']*'|[^,\s][^,]*", raw_args):
+    def _parse_val(a: str):
+        return a[1:-1] if a.startswith("'") and a.endswith("'") else int(a)
+
+    args: List[Any] = []
+    named: Dict[str, Any] = {}
+    for a in re.findall(r"\w+\s*=>\s*(?:'[^']*'|[^,\s]+)|'[^']*'|[^,\s][^,]*",
+                        raw_args):
         a = a.strip()
         if not a:
             continue
-        if a.startswith("'") and a.endswith("'"):
-            args.append(a[1:-1])
+        m_kw = re.match(r"(\w+)\s*=>\s*(.*)$", a)
+        if m_kw:
+            named[m_kw.group(1).lower()] = _parse_val(m_kw.group(2).strip())
         else:
-            args.append(int(a))
+            args.append(_parse_val(a))
+    if named:
+        sig = _PROC_PARAMS.get(proc)
+        if sig is None:
+            raise ValueError(
+                f"CALL system.{proc}: named arguments not supported")
+        slots: List[Any] = list(args)
+        for name, val in named.items():
+            if name not in sig:
+                raise ValueError(
+                    f"CALL system.{proc}: unknown argument {name!r} "
+                    f"(takes {', '.join(sig)})")
+            idx = sig.index(name)
+            while len(slots) <= idx:
+                slots.append(None)
+            slots[idx] = val
+        # trim trailing unset optionals; interior None = omitted optional
+        while slots and slots[-1] is None:
+            slots.pop()
+        if slots and slots[0] is None:
+            raise ValueError(f"CALL system.{proc}: {sig[0]} is required")
+        args = slots
     if not args:
         raise ValueError(f"CALL system.{proc}: table identifier required")
     if proc == "snapshot":
@@ -985,7 +1040,8 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
     t = _Table.load(catalog, str(args[0]))
 
     if proc == "rewrite_data_files":
-        strategy = str(args[1]) if len(args) > 1 else "binpack"
+        strategy = str(args[1]) if len(args) > 1 and args[1] is not None \
+            else "binpack"
         zm = re.match(r"zorder\(([\w,\s]+)\)", strategy)
         before = len(list(t.scan().plan_files().tasks))
         if zm:
@@ -1001,7 +1057,8 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             "rewritten_data_files_count int, added_data_files_count int")
     if proc == "rewrite_manifests":
         from .scan import load_manifest_list
-        target = int(args[1]) if len(args) > 1 else 100_000
+        target = int(args[1]) if len(args) > 1 and args[1] is not None \
+            else 100_000
         before = len(load_manifest_list(
             t.metadata.current_snapshot().manifest_list)) \
             if t.metadata.current_snapshot() else 0
@@ -1029,15 +1086,18 @@ def _run_procedure(spark: SparkSession, catalog: FileSystemCatalog,
             [(before, after)],
             "rewritten_delete_files_count int, added_delete_files_count int")
     if proc == "expire_snapshots":
-        older = int(args[1]) if len(args) > 1 else None
-        retain = int(args[2]) if len(args) > 2 else None
+        older = int(args[1]) if len(args) > 1 and args[1] is not None \
+            else None
+        retain = int(args[2]) if len(args) > 2 and args[2] is not None \
+            else None
         n_before = len(t.metadata.snapshots)
         t = t.expire_snapshots(older_than_ms=older, retain_last=retain)
         return spark.createDataFrame(
             [(n_before - len(t.metadata.snapshots),)],
             "deleted_snapshots_count int")
     if proc == "remove_orphan_files":
-        older = int(args[1]) if len(args) > 1 else None
+        older = int(args[1]) if len(args) > 1 and args[1] is not None \
+            else None
         removed = t.remove_orphan_files(older_than_ms=older)
         return spark.createDataFrame(
             [(len(removed),)], "orphan_file_count int")

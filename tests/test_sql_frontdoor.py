@@ -1088,3 +1088,32 @@ def test_show_partitions_and_rollback_to_timestamp(spark, warehouse):
         .collect()[0]
     assert out["current_snapshot_id"] != out["previous_snapshot_id"]
     assert Table.load(warehouse, "db.sp").to_df(spark).count() == 10
+
+
+def test_procedure_named_arguments(spark, warehouse):
+    """Spark-style `name => value` procedure arguments re-order onto the
+    positional signature; unknown names raise with the signature."""
+    import pytest as _pytest
+
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.na", schema_from_spark(df.schema))
+    for _ in range(3):
+        t = t.refresh().append(spark, df)
+    out = run_sql(spark, warehouse,
+                  "CALL system.expire_snapshots(retain_last => 1, "
+                  "table => 'db.na')").collect()[0]
+    assert out["deleted_snapshots_count"] == 2
+    # mixed positional + named
+    out2 = run_sql(spark, warehouse,
+                   "CALL system.rollback_to_snapshot('db.na', "
+                   "snapshot_id => %d)" % Table.load(
+                       warehouse, "db.na").metadata.current_snapshot_id)
+    assert out2.collect()
+    with _pytest.raises(ValueError, match="unknown argument"):
+        run_sql(spark, warehouse,
+                "CALL system.expire_snapshots(table => 'db.na', "
+                "bogus => 1)")
