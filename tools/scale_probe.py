@@ -290,6 +290,25 @@ def _pii_scrub(spark, docs, emb):
         .agg(F.sum("n")).collect()[0][0])
 
 
+def _pack(spark, docs, emb):
+    """sharded sequence packing (r5): 16 packing streams per lang via the
+    md5-prefix shard, so the window parallelism scales with data."""
+    from iceberg_rust_spark.functions.text import token_count
+    from iceberg_rust_spark.operators.sampling import pack_sequences
+    d = docs.select("doc_id", "lang",
+                    token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, 512, group_cols=["lang"], shard_chars=1) \
+        .agg(F.max("seq_no")).collect()[0][0] or docs.count()
+
+
+def _mix(spark, docs, emb):
+    """stratified mix rebalance (r5): md5-rank window + CASE keep-count."""
+    from iceberg_rust_spark.operators.sampling import stratified_mix
+    targets = {"en": 0.6, "de": 0.2, "fr": 0.1, "es": 0.1}
+    return stratified_mix(docs.select("doc_id", "lang"), "lang",
+                          targets, 10_000).count()
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
@@ -298,7 +317,9 @@ OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "decontaminate": _decontaminate,
        "string_bucket": _string_bucket,
        "boilerplate_lines": _boilerplate,
-       "pii_scrub": _pii_scrub}
+       "pii_scrub": _pii_scrub,
+       "pack_sequences": _pack,
+       "stratified_mix": _mix}
 
 # untimed per-decade setup (fixture caches) run before the timed op
 PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
