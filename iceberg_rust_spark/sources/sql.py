@@ -128,6 +128,9 @@ _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*$",
                          re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*$",
                             re.IGNORECASE)
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)(?:\s*\(\s*'([^']+)'\s*\))?\s*$",
+    re.IGNORECASE)
 _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS(?:\s+IN\s+([\w.]+))?\s*$",
                             re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$",
@@ -768,6 +771,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         # alias for the partitions metadata table (Spark's SHOW PARTITIONS)
         t = Table.load(catalog, m.group(1))
         return t.partitions_df(spark)
+    m = _SHOW_PROPS_RE.match(query)
+    if m:
+        t = Table.load(catalog, m.group(1))
+        props = t.metadata.properties
+        if m.group(2):
+            rows = [(m.group(2), props.get(m.group(2)))]
+        else:
+            rows = sorted(props.items()) or []
+        return spark.createDataFrame(rows, "key string, value string")
     m = _SHOW_VIEWS_RE.match(query)
     if m:
         vc0 = ViewCatalog(catalog)

@@ -1117,3 +1117,21 @@ def test_procedure_named_arguments(spark, warehouse):
         run_sql(spark, warehouse,
                 "CALL system.expire_snapshots(table => 'db.na', "
                 "bogus => 1)")
+
+
+def test_show_tblproperties(spark, warehouse):
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(1,)], "id long")
+    Table.create(warehouse, "db.tp", schema_from_spark(df.schema),
+                 properties={"write.target-file-size-bytes": "1048576",
+                             "owner": "pipeline"})
+    got = {r["key"]: r["value"] for r in
+           run_sql(spark, warehouse,
+                   "SHOW TBLPROPERTIES db.tp").collect()}
+    assert got["owner"] == "pipeline"
+    one = run_sql(spark, warehouse,
+                  "SHOW TBLPROPERTIES db.tp ('owner')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("owner", "pipeline")]
