@@ -905,8 +905,11 @@ class Table:
         files, historical metadata, and the staged metadata files
         themselves. Nothing is copied here — the file list drives the
         user's bulk copy (DistCp-style); after the copy, the tree at
-        ``target_prefix`` is self-consistent, including time travel.
-        Metadata-sized driver work only."""
+        ``target_prefix`` is self-consistent, including time travel
+        (every snapshot in the CURRENT metadata is rewritten; files listed
+        in metadata-log copy verbatim, so loading a historical metadata
+        file directly still shows source paths). Metadata-sized driver
+        work only."""
         md = TableMetadata.from_json(self.metadata.to_json())
         fmt = md.properties.get("write.metadata.manifest-format", "parquet")
         staging = staging_dir or os.path.join(
@@ -1014,7 +1017,6 @@ class Table:
             snap.manifest_list = sub(snap.manifest_list)
 
         for sf in md.statistics + md.partition_statistics:
-            p = sf.get("statistics-path") or sf.get("path")
             for key in ("statistics-path", "path"):
                 if sf.get(key):
                     copies.append((sf[key], sub(sf[key])))
