@@ -1182,6 +1182,34 @@ def q_doc_mix(spark, sf_dir):
         F.max("doc_id").alias("max_kept"))
 
 
+def q_doc_pipeline(spark, sf_dir):
+    """END-TO-END training-data pipeline in one plan: scrub PII ->
+    quality gate -> exact dedup (fingerprint, keep first) -> hash split ->
+    sequence packing — every stage an operator graded elsewhere on its
+    own, composed here so the whole chain is verified as ONE dataflow
+    against the composed SQL oracle. Plan: codegen'd scrub/score/
+    fingerprint, one dedup window, zero-shuffle split, one pack window."""
+    from iceberg_rust_spark.operators.sampling import (hash_split,
+                                                       pack_sequences)
+    from pyspark.sql import Window as W
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.scrub_pii(F.col("text")).alias("text"))
+    scored = d.where(TX.quality_score(F.col("text")) >= 0.2)
+    fp = scored.withColumn("fp", TX.fingerprint(F.col("text")))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    dedup = (fp.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1).drop("__rn", "fp"))
+    split = hash_split(dedup, "doc_id", [("train", 0.9), ("val", 0.1)])
+    toks = split.select("doc_id", "split",
+                        TX.token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(toks, 512, group_cols=["split"])
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("seq_no").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"))
+
+
 def q_doc_token_budget(spark, sf_dir):
     """Token-budget stratified sampling: keep docs per source until 20k
     tokens — the training-mix primitive (row quotas skew the mix because
@@ -1412,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "doc_pack": q_doc_pack,
         "doc_mix": q_doc_mix,
+        "doc_pipeline": q_doc_pipeline,
         "iceberg_view_monthly": q_view_monthly,
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         # ns-timestamp events queries (r4-green)
@@ -1477,6 +1506,38 @@ def _sql_doc_pack() -> str:
            MIN(doc_id) AS first_doc,
            CAST(MAX(seq_offset) AS BIGINT) AS last_offset
     FROM ({inner}) q GROUP BY lang, shard, seq_no"""
+
+
+def _sql_doc_pipeline() -> str:
+    from iceberg_rust_spark.functions import text as _TX
+    from iceberg_rust_spark.operators.sampling import (_hex_threshold,
+                                                       sql_pack_sequences)
+    t1 = _hex_threshold(0.9)
+    packed = sql_pack_sequences("toks", 512, group_cols=["split"])
+    return f"""
+    WITH scrubbed AS (
+        SELECT doc_id, {_TX.sql_scrub_pii('text')} AS text FROM documents),
+    scored AS (
+        SELECT * FROM scrubbed
+        WHERE {_TX.sql_quality_score('text')} >= 0.2),
+    dedup AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+                PARTITION BY {_TX.sql_fingerprint('text')}
+                ORDER BY doc_id) AS rn
+            FROM scored) WHERE rn = 1),
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{t1}' THEN 'train' ELSE 'val' END AS split,
+               {_TX.sql_token_count('text')} AS n_tokens
+        FROM dedup),
+    packed AS ({packed})
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT seq_no) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM packed GROUP BY split"""
 
 
 def _sql_doc_mix() -> str:
@@ -2096,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 50 GROUP BY source""",
         "doc_pack": _sql_doc_pack(),
         "doc_mix": _sql_doc_mix(),
+        "doc_pipeline": _sql_doc_pipeline(),
         "doc_token_budget": f"""
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(tc) AS BIGINT) AS total_tokens,

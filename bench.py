@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "doc_scrub", "doc_derep", "doc_boilerplate",
     "doc_sample", "doc_quota", "doc_split", "doc_pack", "doc_mix",
-    "multimodal_audio",
+    "doc_pipeline", "multimodal_audio",
     "multimodal_frames",
     "ann_cosine_topk", "ann_lsh_topk",
 ]
