@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans import expr as E
 from ..plans.evaluators import file_must_match
@@ -1506,20 +1507,50 @@ class Table:
 
     def partitions_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table `partitions`: per-partition record/file/byte totals
-        aggregated from manifest entries — metadata-only, no data IO (the
-        reference's inspect surface exposes the same aggregation)."""
-        agg: Dict[Tuple[str, int], List[int]] = {}
+        aggregated from manifest entries — metadata-only, no data IO.
+
+        The `partition` column is the UNIFIED partition tuple across ALL
+        specs (reference partitioning.rs compute_unified_partition_type):
+        field identity is the partition FIELD ID, name comes from the
+        NEWEST spec that defines the field, and files written under specs
+        lacking a field surface null for it — so spec evolution never
+        splits the table's partition view. Values render in their
+        human-readable partition-path form (string struct fields)."""
+        # newest-spec-wins unified field list, keyed by partition field id
+        chosen: Dict[int, Tuple[str, int]] = {}  # fid -> (name, spec_id)
+        for spec in sorted(self.metadata.partition_specs,
+                           key=lambda s: -s.spec_id):
+            for pf in spec.fields:
+                if repr(pf.transform) == "void":
+                    continue
+                chosen.setdefault(pf.field_id, (pf.name, spec.spec_id))
+        fids = sorted(chosen)
+        names = [chosen[fid][0] for fid in fids]
+
+        agg: Dict[Tuple[Tuple, int], List[int]] = {}
         for t in self.scan().plan_files().tasks:
             f = t.data_file
-            rec = agg.setdefault((str(f.partition), f.spec_id), [0, 0, 0])
+            file_spec = self.metadata.spec(f.spec_id)
+            by_fid = {pf.field_id: f.partition.get(pf.name)
+                      for pf in file_spec.fields} if f.partition else {}
+            key = tuple(None if by_fid.get(fid) is None else str(by_fid[fid])
+                        for fid in fids)
+            rec = agg.setdefault((key, f.spec_id), [0, 0, 0])
             rec[0] += f.record_count
             rec[1] += 1
             rec[2] += f.file_size_in_bytes
-        rows = [(part, spec_id, v[0], v[1], v[2])
-                for (part, spec_id), v in sorted(agg.items())]
-        return spark.createDataFrame(
-            rows, "partition string, spec_id int, record_count long, "
-                  "file_count long, total_size_bytes long")
+        struct_t = T.StructType(
+            [T.StructField(n, T.StringType()) for n in names])
+        schema = T.StructType([
+            T.StructField("partition", struct_t),
+            T.StructField("spec_id", T.IntegerType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("file_count", T.LongType()),
+            T.StructField("total_size_bytes", T.LongType())])
+        rows = [(tuple(key), spec_id, v[0], v[1], v[2])
+                for (key, spec_id), v in sorted(
+                    agg.items(), key=lambda kv: (kv[0][1], kv[0][0]))]
+        return spark.createDataFrame(rows, schema)
 
     # ------------------------------------------------------------ statistics
     def analyze(self, spark: SparkSession,

@@ -1135,3 +1135,37 @@ def test_show_tblproperties(spark, warehouse):
     one = run_sql(spark, warehouse,
                   "SHOW TBLPROPERTIES db.tp ('owner')").collect()
     assert [(r["key"], r["value"]) for r in one] == [("owner", "pipeline")]
+
+
+def test_partitions_table_unified_across_specs(spark, warehouse):
+    """partitioning.rs compute_unified_partition_type parity: after spec
+    evolution adds a field, the partitions table presents ONE struct —
+    newest-spec field names, null for files written before the field
+    existed — instead of splitting per spec."""
+    from iceberg_rust_spark import PartitionField, PartitionSpec, Table
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b", i % 3)
+                                for i in range(30)],
+                               "id long, g string, h long")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.uni", schema, partition_spec=spec)
+    t = t.append(spark, df)
+    # evolve: add a second partition field, write more data under spec 1
+    run_sql(spark, warehouse,
+            "ALTER TABLE db.uni ADD PARTITION FIELD h")
+    t = Table.load(warehouse, "db.uni").append(spark, df)
+
+    rows = run_sql(spark, warehouse, "SHOW PARTITIONS db.uni").collect()
+    # one unified struct: old-spec files have h null, new-spec files set
+    assert set(rows[0]["partition"].__fields__) == {"g", "h"}
+    old_spec = [r for r in rows if r["partition"]["h"] is None]
+    new_spec = [r for r in rows if r["partition"]["h"] is not None]
+    assert {r["partition"]["g"] for r in old_spec} == {"a", "b"}
+    assert len(new_spec) == 6  # 2 g-values x 3 h-values
+    assert sum(r["record_count"] for r in rows) == 60
