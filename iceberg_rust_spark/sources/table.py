@@ -1311,7 +1311,26 @@ class Table:
                           (f.null_value_counts or {}).items()},
                          {k: str(v) for k, v in (f.lower_bounds or {}).items()},
                          {k: str(v) for k, v in (f.upper_bounds or {}).items()},
-                         list(f.split_offsets or [])))
+                         list(f.split_offsets or []),
+                         # readable_metrics (Spark's files-table column):
+                         # one struct PER DATA COLUMN with its stats in
+                         # human-readable form
+                         {col: (
+                             int((f.column_sizes or {}).get(col, 0)) or None,
+                             int((f.value_counts or {}).get(col, 0)) or None,
+                             (None if (f.null_value_counts or {}).get(col)
+                              is None else int(f.null_value_counts[col])),
+                             (None if (f.nan_value_counts or {}).get(col)
+                              is None else int(f.nan_value_counts[col])),
+                             (None if (f.lower_bounds or {}).get(col) is None
+                              else str(f.lower_bounds[col])),
+                             (None if (f.upper_bounds or {}).get(col) is None
+                              else str(f.upper_bounds[col])))
+                          for col in sorted(set(f.value_counts or {})
+                                            | set(f.column_sizes or {}))}))
+        metric_t = ("struct<column_size:long,value_count:long,"
+                    "null_value_count:long,nan_value_count:long,"
+                    "lower_bound:string,upper_bound:string>")
         return spark.createDataFrame(
             rows, "file_path string, file_format string, record_count long, "
                   "file_size_in_bytes long, partition string, spec_id int, "
@@ -1319,7 +1338,8 @@ class Table:
                   "value_counts map<string,long>, "
                   "null_value_counts map<string,long>, "
                   "lower_bounds map<string,string>, "
-                  "upper_bounds map<string,string>, split_offsets array<long>")
+                  "upper_bounds map<string,string>, split_offsets array<long>,"
+                  f" readable_metrics map<string,{metric_t}>")
 
     # ------------------------------------------------------ incremental read
     def entries_df(self, spark: SparkSession) -> DataFrame:

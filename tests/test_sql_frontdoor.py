@@ -485,6 +485,15 @@ def test_files_table_carries_column_stats(spark, warehouse):
     los = [int(r["lower_bounds"]["id"]) for r in rows]
     his = [int(r["upper_bounds"]["id"]) for r in rows]
     assert min(los) == 0 and max(his) == 49
+    # readable_metrics (Spark files-table parity): per-column struct view
+    rm_rows = run_sql(spark, warehouse,
+                      "SELECT readable_metrics FROM db.fstats.files") \
+        .collect()
+    rms = [r["readable_metrics"]["id"] for r in rm_rows]
+    assert sum(m["value_count"] for m in rms) == 50
+    assert min(int(m["lower_bound"]) for m in rms) == 0
+    assert max(int(m["upper_bound"]) for m in rms) == 49
+    assert all(m["null_value_count"] == 0 for m in rms)
 
 
 def test_sql_view_ddl_and_add_files(spark, warehouse, tmp_path):
