@@ -1276,8 +1276,24 @@ class Table:
                   "summary map<string,string>")
 
     def history_df(self, spark: SparkSession) -> DataFrame:
-        rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in self.metadata.snapshot_log]
-        return spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
+        """Metadata table `history` (Spark shape): every time a snapshot
+        was made current, its parent, and whether it is still an ancestor
+        of the CURRENT head — rollbacks leave is_current_ancestor=false
+        rows, which is how orphaned history is audited."""
+        snaps = {s.snapshot_id: s for s in self.metadata.snapshots}
+        ancestors = set()
+        cur = self.metadata.current_snapshot_id
+        while cur is not None and cur in snaps and cur not in ancestors:
+            ancestors.add(cur)
+            cur = snaps[cur].parent_snapshot_id
+        rows = [(e["timestamp-ms"], e["snapshot-id"],
+                 snaps[e["snapshot-id"]].parent_snapshot_id
+                 if e["snapshot-id"] in snaps else None,
+                 e["snapshot-id"] in ancestors)
+                for e in self.metadata.snapshot_log]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, "
+                  "parent_id long, is_current_ancestor boolean")
 
     def manifests_df(self, spark: SparkSession) -> DataFrame:
         snap = self.metadata.current_snapshot()

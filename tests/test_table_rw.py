@@ -309,3 +309,19 @@ def test_nan_counts_collected_and_pruned(spark, warehouse):
     tasks = t2.scan().plan_files().tasks
     assert all(task.data_file.nan_value_counts == {} for task in tasks)
     assert t2.scan(row_filter=E.col("v").is_nan()).to_df(spark).count() == 1
+
+
+def test_history_marks_rolled_back_snapshots(spark, warehouse):
+    """history gains parent_id + is_current_ancestor (Spark shape):
+    a rollback leaves the abandoned head in history flagged false."""
+    df = spark.createDataFrame([(1,)], "id long")
+    t = Table.create(warehouse, "db.hist", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    first = t.metadata.current_snapshot_id
+    t = t.refresh().append(spark, df)
+    second = t.metadata.current_snapshot_id
+    t = t.rollback_to(first)
+    hist = {(r["snapshot_id"]): (r["parent_id"], r["is_current_ancestor"])
+            for r in t.history_df(spark).collect()}
+    assert hist[first] == (None, True)
+    assert hist[second] == (first, False)   # abandoned by the rollback
