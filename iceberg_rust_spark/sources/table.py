@@ -1042,7 +1042,8 @@ class Table:
                 "staged_metadata": staged_md}
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
-                         retain_last: Optional[int] = None) -> "Table":
+                         retain_last: Optional[int] = None,
+                         clean_expired_metadata: bool = False) -> "Table":
         """Metadata-only snapshot expiry (transaction/expire_snapshots.rs:34-86
         semantics): age + retain-last, never expiring ref heads. When the
         arguments are omitted, the standard retention table properties apply:
@@ -1117,6 +1118,26 @@ class Table:
                             if s.snapshot_id in keep_ids or s.timestamp_ms > cutoff]
             valid = {s.snapshot_id for s in md.snapshots}
             md.snapshot_log = [e for e in md.snapshot_log if e["snapshot-id"] in valid]
+            if clean_expired_metadata:
+                # Spark's cleanExpiredMetadata: prune schemas no surviving
+                # snapshot wrote with, and partition specs no surviving
+                # manifest references (current schema / default spec always
+                # stay) — the metadata-side GC that pairs with file GC
+                used_schemas = {md.current_schema_id} | {
+                    s.schema_id for s in md.snapshots
+                    if s.schema_id is not None}
+                md.schemas = [s for s in md.schemas
+                              if s.schema_id in used_schemas]
+                used_specs = {md.default_spec_id}
+                for s in md.snapshots:
+                    try:
+                        for mf in load_manifest_list(s.manifest_list):
+                            used_specs.add(mf.partition_spec_id)
+                    except Exception:  # noqa: BLE001 - missing list = keep
+                        used_specs |= {p.spec_id
+                                       for p in md.partition_specs}
+                md.partition_specs = [p for p in md.partition_specs
+                                      if p.spec_id in used_specs]
             return md
         return self._commit_retry(action)
 

@@ -455,3 +455,30 @@ def test_remove_dangling_deletes(spark, warehouse):
     out2 = run_sql(spark, warehouse,
                    "CALL system.remove_dangling_deletes('db.dangling')")
     assert out2.collect()[0]["removed_delete_files_count"] == 0
+
+
+def test_expire_snapshots_clean_expired_metadata(spark, warehouse):
+    """cleanExpiredMetadata parity: after expiry, schemas no surviving
+    snapshot wrote with and specs no surviving manifest references are
+    pruned; current schema / default spec always stay."""
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = Table.create(warehouse, "db.cem", schema_from_spark(df.schema))
+    t = t.append(spark, df)                     # schema 0
+    run_sql(spark, warehouse, "ALTER TABLE db.cem ADD COLUMN v double")
+    t = Table.load(warehouse, "db.cem")
+    t = t.append(spark, spark.createDataFrame(
+        [(2, "b", 1.5)], "id long, s string, v double"))  # schema 1
+    assert len(t.metadata.schemas) == 2
+
+    t = t.expire_snapshots(older_than_ms=2**62, retain_last=1,
+                           clean_expired_metadata=True)
+    assert len(t.metadata.snapshots) == 1
+    assert [s.schema_id for s in t.metadata.schemas] == \
+        [t.metadata.current_schema_id]
+    assert [p.spec_id for p in t.metadata.partition_specs] == \
+        [t.metadata.default_spec_id]
+    assert Table.load(warehouse, "db.cem").to_df(spark).count() == 2
