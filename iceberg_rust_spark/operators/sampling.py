@@ -202,7 +202,11 @@ def stratified_mix(df: DataFrame, group_col: str, targets: dict,
 
     Scale shape: one window per group partition (rank by hash), keep-count
     folded into a CASE literal — no join, no second shuffle, no driver
-    pass over the data."""
+    pass over the data. The exact-count rank needs one sort per group, so
+    parallelism is capped by the group count; at the scale where that
+    matters, trade exactness for the shuffle-free path:
+    ``deterministic_sample(df.where(group == g), key, frac*total/n_g)``
+    per group gives EXPECTED counts with zero sorts."""
     w = Window.partitionBy(group_col) \
         .orderBy(F.md5(F.col(key_col).cast("string")), key_col)
     keep = None

@@ -545,7 +545,18 @@ class RestCatalog:
     # -- plumbing ----------------------------------------------------------
     def _call(self, method: str, path: str,
               body: Optional[dict]) -> Tuple[int, dict]:
-        status, resp = self._t(method, path, body)
+        # transient gateway failures (502/503/504) retry with backoff —
+        # safe for every route here: GETs are pure, and the commit POST is
+        # requirement-guarded so a replay of an applied commit conflicts
+        # instead of double-applying
+        import time as _time
+        delay = 0.1
+        for attempt in range(4):
+            status, resp = self._t(method, path, body)
+            if status not in (502, 503, 504) or attempt == 3:
+                break
+            _time.sleep(delay)
+            delay *= 2
         if status == 404:
             raise NoSuchTable(resp.get("error", {}).get("message", path))
         if status == 409:
@@ -559,9 +570,9 @@ class RestCatalog:
 
 
 def _version_of(metadata_location: str) -> int:
-    name = metadata_location.rsplit("/", 1)[-1]
-    # vN.metadata.json
-    return int(name.split(".", 1)[0].lstrip("v"))
+    # accepts v1 / 00001-<uuid> / .gz spellings (shared parser)
+    from .catalog import ptr_version
+    return ptr_version(metadata_location)
 
 
 def _urllib_transport(uri: str) -> Transport:

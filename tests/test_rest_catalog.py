@@ -238,3 +238,38 @@ def test_register_table_over_rest(spark, tmp_path):
     assert Table.load(cat, "db.ext").to_df(spark).count() == 4
     with pytest.raises(Exception):
         cat.register_table("db.ext", md_file)
+
+
+def test_rest_client_retries_transient_503(spark, tmp_path):
+    """502/503/504 retry with backoff; the request succeeds once the
+    gateway recovers. Registering a SqlCatalog-style uuid-named pointer
+    also parses (shared pointer-version parser)."""
+    import glob
+
+    from iceberg_rust_spark import FileSystemCatalog, SqlCatalog
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    backing = MemoryCatalog(str(tmp_path / "wh"))
+    backing.create_namespace("db")
+    real = RestCatalogServer(backing)
+    flaky = {"n": 0}
+
+    def transport(method, path, body):
+        flaky["n"] += 1
+        if flaky["n"] <= 2:
+            return 503, {"error": {"message": "gateway warming",
+                                   "type": "ServiceUnavailable"}}
+        return real(method, path, body)
+
+    cat = RestCatalog(transport=transport)
+    assert cat.list_namespaces() == ["db"]   # succeeded on 3rd attempt
+    assert flaky["n"] == 3
+
+    # uuid-named external pointer registers and version-parses
+    sq = SqlCatalog(str(tmp_path / "c.db"), str(tmp_path / "wh_sql"))
+    df = spark.createDataFrame([(1,)], "id long")
+    Table.create(sq, "db.src", schema_from_spark(df.schema)).append(spark, df)
+    ptr = sq._pointer("db.src")
+    md = cat.register_table("db.linked", ptr)
+    assert md.current_snapshot() is not None
+    assert Table.load(cat, "db.linked").to_df(spark).count() == 1
