@@ -26,6 +26,7 @@ Distribution modes (write.distribution-mode table property, like Iceberg's):
 from __future__ import annotations
 
 import os
+import re
 import urllib.parse
 import uuid
 from decimal import Decimal
@@ -157,6 +158,7 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
                 pass
             continue
         partition = _parse_partition_from_path(path, out_dir, pcols)
+        _apply_metrics_modes(st, schema, metadata.properties)
         data_files.append(DataFile(
             file_path=path, file_format="parquet", content=CONTENT_DATA,
             partition=partition,
@@ -282,6 +284,66 @@ def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
         # files as always-might-match (prune loss, never wrong results).
         result.update(_spark_fallback_stats(spark, sorted(errs)))
     return result
+
+
+def _truncate_upper(s: str, width: int) -> Optional[str]:
+    """Spec upper-bound truncation: cut to ``width`` chars, then increment
+    the last incrementable code point so the result still upper-bounds
+    every value with the cut prefix; None if nothing can be incremented."""
+    if len(s) <= width:
+        return s
+    prefix = s[:width]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return "".join(chars[:i + 1])
+    return None
+
+
+def _apply_metrics_modes(st: dict, schema: Schema,
+                         properties: Dict[str, str]) -> None:
+    """Public Iceberg metrics modes (write.metadata.metrics.default /
+    .column.<name>; spec default ``truncate(16)``): ``none`` drops the
+    column's stats, ``counts`` keeps counts but no bounds, ``truncate(N)``
+    cuts STRING bounds to N chars (upper incremented so pruning stays
+    sound), ``full`` keeps exact bounds. Numeric/date bounds are
+    fixed-width and pass through under truncate, like the Java writer."""
+    default = properties.get("write.metadata.metrics.default",
+                             "truncate(16)").strip().lower()
+
+    def mode_for(col: str) -> str:
+        return properties.get(f"write.metadata.metrics.column.{col}",
+                              default).strip().lower()
+
+    for col in list(st["value_counts"].keys()):
+        mode = mode_for(col)
+        if mode == "full":
+            continue
+        if mode == "none":
+            for key in ("value_counts", "null_counts", "lower", "upper",
+                        "column_sizes"):
+                st[key].pop(col, None)
+            continue
+        if mode == "counts":
+            st["lower"].pop(col, None)
+            st["upper"].pop(col, None)
+            continue
+        m = re.match(r"truncate\((\d+)\)", mode)
+        if not m:
+            continue  # unknown mode string: keep full metrics
+        width = int(m.group(1))
+        lo = st["lower"].get(col)
+        if isinstance(lo, str) and len(lo) > width:
+            st["lower"][col] = lo[:width]
+        hi = st["upper"].get(col)
+        if isinstance(hi, str) and len(hi) > width:
+            bumped = _truncate_upper(hi, width)
+            if bumped is None:
+                st["upper"].pop(col, None)
+            else:
+                st["upper"][col] = bumped
 
 
 def collect_nan_counts(spark: SparkSession, out_dir: str, schema: Schema,

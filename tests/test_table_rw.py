@@ -325,3 +325,38 @@ def test_history_marks_rolled_back_snapshots(spark, warehouse):
             for r in t.history_df(spark).collect()}
     assert hist[first] == (None, True)
     assert hist[second] == (first, False)   # abandoned by the rollback
+
+
+def test_metrics_modes(spark, warehouse):
+    """write.metadata.metrics.* (public spec, default truncate(16)):
+    string bounds truncate with a sound incremented upper; counts mode
+    drops bounds; none drops everything; per-column override wins; and a
+    filter past the truncated bound still returns exact rows."""
+    long_a = "a" * 40 + "zzz"
+    long_b = "b" * 40 + "qqq"
+    df = spark.createDataFrame(
+        [(1, long_a, "x"), (2, long_b, "y")],
+        "id long, s string, t string")
+
+    t = Table.create(warehouse, "db.mm", schema_from_spark(df.schema))
+    t = t.append(spark, df.coalesce(1))
+    f = t.scan().plan_files().tasks[0].data_file
+    assert len(f.lower_bounds["s"]) == 16
+    assert f.lower_bounds["s"] == "a" * 16
+    assert f.upper_bounds["s"] == "b" * 15 + "c"   # incremented truncation
+    assert f.upper_bounds["s"] >= long_b           # still an upper bound
+    # exactness: predicate beyond the truncated prefix still exact
+    assert t.scan(row_filter=E.col("s") == long_a).to_df(spark).count() == 1
+    assert t.scan(row_filter=E.col("s") > "c").to_df(spark).count() == 0
+
+    t2 = Table.create(
+        warehouse, "db.mm2", schema_from_spark(df.schema),
+        properties={"write.metadata.metrics.default": "counts",
+                    "write.metadata.metrics.column.t": "none"})
+    t2 = t2.append(spark, df.coalesce(1))
+    f2 = t2.scan().plan_files().tasks[0].data_file
+    assert "s" not in f2.lower_bounds and "s" not in f2.upper_bounds
+    assert f2.value_counts.get("s") == 2        # counts kept
+    assert "t" not in f2.value_counts           # none: no stats at all
+    assert t2.scan(row_filter=E.col("s") == long_a) \
+        .to_df(spark).count() == 1              # conservative, still exact
