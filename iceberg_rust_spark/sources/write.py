@@ -335,7 +335,7 @@ def _apply_metrics_modes(st: dict, schema: Schema,
             continue  # unknown mode string: keep full metrics
         width = int(m.group(1))
         lo = st["lower"].get(col)
-        if isinstance(lo, str) and len(lo) > width:
+        if isinstance(lo, (str, bytes)) and len(lo) > width:
             st["lower"][col] = lo[:width]
         hi = st["upper"].get(col)
         if isinstance(hi, str) and len(hi) > width:
@@ -344,6 +344,16 @@ def _apply_metrics_modes(st: dict, schema: Schema,
                 st["upper"].pop(col, None)
             else:
                 st["upper"][col] = bumped
+        elif isinstance(hi, bytes) and len(hi) > width:
+            # binary upper: truncate + increment last non-0xFF byte
+            b = bytearray(hi[:width])
+            for i in range(len(b) - 1, -1, -1):
+                if b[i] < 0xFF:
+                    b[i] += 1
+                    st["upper"][col] = bytes(b[:i + 1])
+                    break
+            else:
+                st["upper"].pop(col, None)
 
 
 def collect_nan_counts(spark: SparkSession, out_dir: str, schema: Schema,
