@@ -375,8 +375,11 @@ class _IcebergWriter(DataSourceArrowWriter):
         files = self._collect(messages)
         t = _load_table(self.options)
         op = "overwrite" if self.overwrite else "append"
+        # option("branch", ...): commit to the named ref, not main — the
+        # Spark-Iceberg branch-write option (WAP audit shape)
+        branch = self.options.get("branch")
         t._commit_retry(lambda md: t._snapshot_update(
-            md, op, added=files, remove_all=self.overwrite))
+            md, op, added=files, remove_all=self.overwrite, branch=branch))
 
     def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         for f in self._collect(messages):

@@ -297,3 +297,25 @@ def test_stream_datasource_follows_branch(spark, warehouse, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 25
     assert got.agg(F.max("id")).collect()[0][0] == 104
+
+
+def test_batch_datasource_write_to_branch(spark, warehouse):
+    """option('branch') on the batch writer commits to the named ref
+    (WAP audit shape): main stays put, the branch advances, and the
+    branch read sees the write."""
+    t, df = _mk(spark, warehouse, "db.ds_wbr")
+    t.refresh()
+    t.set_ref("audit", t.metadata.current_snapshot_id, ref_type="branch")
+    main_head = t.metadata.current_snapshot_id
+    register(spark)
+    (spark.createDataFrame([(1000, 9)], "id long, g long")
+     .write.format("iceberg_rust")
+     .option("warehouse", warehouse.warehouse)
+     .option("table", "db.ds_wbr")
+     .option("branch", "audit")
+     .mode("append").save())
+    t = Table.load(warehouse, "db.ds_wbr")
+    assert t.metadata.refs["main"].snapshot_id == main_head
+    assert t.metadata.refs["audit"].snapshot_id != main_head
+    assert t.to_df(spark).count() == 60                       # main view
+    assert t.to_df(spark, ref="audit").count() == 61          # branch view
