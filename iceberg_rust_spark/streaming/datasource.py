@@ -424,6 +424,7 @@ class _IcebergStreamWriter(_IcebergWriter, DataSourceStreamArrowWriter):
                 return  # replayed micro-batch of THIS query: already committed
         t._commit_retry(lambda md: t._snapshot_update(
             md, "append", added=files,
+            branch=self.options.get("branch"),
             extra_summary={self.BATCH_KEY: stamp,
                            self.QUERY_KEY: self._query_key}))
 
