@@ -431,6 +431,13 @@ def register_sql_transforms(spark) -> None:
                 if not np.all(arr == np.rint(arr)):
                     raise TypeError("bucket unsupported for non-integral "
                                     "float values")
+                # float64 only holds integers exactly up to 2^53: larger
+                # magnitudes would silently hash a rounded value into the
+                # wrong bucket (the spec leaves bucket undefined for
+                # float/double anyway), so refuse rather than mis-bucket
+                if np.any(np.abs(arr) > 2.0 ** 53):
+                    raise TypeError("bucket value exceeds 2^53: long column "
+                                    "arrived as float64 with precision loss")
                 safe = arr.astype(np.int64)
             else:
                 safe = v.fillna(0).astype(np.int64).to_numpy()

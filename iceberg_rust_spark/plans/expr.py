@@ -21,7 +21,7 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..sources.datum import to_comparable
+from ..sources.datum import coerce_literal, to_comparable
 from ..sources.types import NestedField, Schema
 
 # --- operator names ---------------------------------------------------------
@@ -284,11 +284,16 @@ def bind(p: Predicate, schema: Schema, case_sensitive: bool = True) -> Predicate
         if isinstance(q, UnaryPred):
             return BoundUnaryPred(q.op, _field(q.term))
         if isinstance(q, BinaryPred):
-            return BoundBinaryPred(q.op, _field(q.term), q.literal)
+            f = _field(q.term)
+            return BoundBinaryPred(
+                q.op, f, coerce_literal(q.literal, f.field_type))
         if isinstance(q, SetPred):
             if not q.literals:
                 return ALWAYS_FALSE if q.op == IN else ALWAYS_TRUE
-            return BoundSetPred(q.op, _field(q.term), q.literals)
+            f = _field(q.term)
+            return BoundSetPred(
+                q.op, f,
+                tuple(coerce_literal(v, f.field_type) for v in q.literals))
         if isinstance(q, (BoundUnaryPred, BoundBinaryPred, BoundSetPred)):
             return q
         raise TypeError(str(q))

@@ -61,6 +61,90 @@ def to_comparable(value: Any, ice_type: Optional[IcebergType] = None) -> Any:
     return value
 
 
+def coerce_literal(value: Any, ice_type: Optional[IcebergType] = None) -> Any:
+    """Bind-time literal coercion + type-check, mirroring the reference's
+    typed Datum construction (spec/values/datum.rs:58 — ``Datum`` pairs a
+    value with its Iceberg type and parses ISO strings for temporal types).
+
+    Accepts the natural python literal for each primitive type plus the
+    spec's string spellings (``'1998-09-02'`` for a date column, etc.), so
+    predicates written with plain strings prune and filter identically to
+    ones written with ``datetime`` objects. Raises TypeError for literals
+    that cannot represent a value of the column's type — failing at bind
+    beats failing deep inside transform projection."""
+    if value is None or ice_type is None \
+            or not isinstance(ice_type, PrimitiveType):
+        return value
+    t = ice_type.name
+    try:
+        if t == "date":
+            if isinstance(value, dt.datetime):
+                if value.time() != dt.time(0, 0):
+                    raise TypeError(
+                        f"non-midnight timestamp {value!r} is not a date")
+                return value.date()
+            if isinstance(value, dt.date):
+                return value
+            if isinstance(value, str):
+                return dt.date.fromisoformat(value)
+        elif t.startswith("timestamp"):
+            if isinstance(value, dt.datetime):
+                return value
+            if isinstance(value, dt.date):
+                return dt.datetime.combine(value, dt.time(0, 0))
+            if isinstance(value, str):
+                return dt.datetime.fromisoformat(
+                    value.replace("Z", "+00:00"))
+        elif t == "time":
+            if isinstance(value, dt.time):
+                return value
+            if isinstance(value, str):
+                return dt.time.fromisoformat(value)
+        elif t in ("int", "long"):
+            if isinstance(value, bool):
+                raise TypeError(f"boolean literal for {t} column")
+            if isinstance(value, int):
+                return value
+            if isinstance(value, float):
+                # integral floats normalize; fractional ones stay float —
+                # still orderable against int bounds (col > 5.5 is a valid
+                # range predicate on a long column)
+                return int(value) if value == int(value) else value
+            if isinstance(value, str):
+                return int(value)
+        elif t in ("float", "double"):
+            if isinstance(value, bool):
+                raise TypeError(f"boolean literal for {t} column")
+            if isinstance(value, (int, float)):
+                return value
+            if isinstance(value, str):
+                return float(value)
+        elif t.startswith("decimal"):
+            if isinstance(value, Decimal):
+                return value
+            if isinstance(value, (int, str)):
+                return Decimal(value)
+            if isinstance(value, float):
+                return Decimal(str(value))
+        elif t == "boolean":
+            if isinstance(value, bool):
+                return value
+            if isinstance(value, str) and value.lower() in ("true", "false"):
+                return value.lower() == "true"
+        elif t == "string":
+            # no numeric->string coercion: "5" orders lexicographically,
+            # which silently diverges from Spark's cast-to-numeric compare
+            if isinstance(value, str):
+                return value
+        else:  # uuid / binary / fixed / unknown primitives: pass through
+            return value
+    except (ValueError, ArithmeticError) as e:
+        raise TypeError(
+            f"cannot bind literal {value!r} to {t} column: {e}") from None
+    raise TypeError(f"cannot bind literal {value!r} ({type(value).__name__}) "
+                    f"to {t} column")
+
+
 def ser_value(value: Any, ice_type: Optional[IcebergType] = None) -> Any:
     """JSON-safe encoding, type-tagged only where ambiguous."""
     if value is None:

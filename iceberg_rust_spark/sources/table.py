@@ -1011,7 +1011,7 @@ class Table:
                 from .avro_manifest import write_avro_manifest_list
                 write_avro_manifest_list(
                     staged_ml, manifests, spec_fields=md.spec().fields,
-                    format_version=md.format_version)
+                    schema=md.schema())
             else:
                 write_manifest_list(staged_ml, manifests)
             copies.append((staged_ml, sub(snap.manifest_list)))
@@ -1606,7 +1606,9 @@ class Table:
             T.StructField("total_size_bytes", T.LongType())])
         rows = [(tuple(key), spec_id, v[0], v[1], v[2])
                 for (key, spec_id), v in sorted(
-                    agg.items(), key=lambda kv: (kv[0][1], kv[0][0]))]
+                    agg.items(),
+                    key=lambda kv: (kv[0][1], tuple((v is None, v or "")
+                                                    for v in kv[0][0])))]
         return spark.createDataFrame(rows, schema)
 
     # ------------------------------------------------------------ statistics

@@ -297,7 +297,12 @@ def _truncate_upper(s: str, width: int) -> Optional[str]:
     for i in range(len(chars) - 1, -1, -1):
         cp = ord(chars[i])
         if cp < 0x10FFFF:
-            chars[i] = chr(cp + 1)
+            nxt = cp + 1
+            # D800-DFFF are surrogates: not UTF-8-encodable, so skip the
+            # whole range (Java UnicodeUtil does the same)
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            chars[i] = chr(nxt)
             return "".join(chars[:i + 1])
     return None
 

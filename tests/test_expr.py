@@ -94,3 +94,53 @@ def test_spark_column_equivalence(spark):
 def test_referenced_columns():
     p = (E.col("a") > 1) & (E.col("b").is_null() | E.col("a").isin([1]))
     assert set(E.referenced_columns(p)) == {"a", "b"}
+
+
+def test_bind_coerces_string_literals_to_column_type():
+    """Bind-time literal coercion (reference: Datum typed construction,
+    spec/values/datum.rs:58): ISO strings bind against date/timestamp
+    columns, numeric strings against numeric columns, and impossible
+    literals fail AT BIND with a clear TypeError instead of deep inside
+    transform projection."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+
+    from iceberg_rust_spark import expr as E
+    from iceberg_rust_spark.plans.expr import bind
+    from iceberg_rust_spark.sources import types as ice
+    from iceberg_rust_spark.sources.types import NestedField, Schema
+
+    schema = Schema([
+        NestedField(1, "d", ice.DATE),
+        NestedField(2, "ts", ice.TIMESTAMP),
+        NestedField(3, "n", ice.LONG),
+        NestedField(4, "dec", ice.decimal(10, 2)),
+        NestedField(5, "s", ice.STRING),
+        NestedField(6, "b", ice.BOOLEAN),
+    ])
+
+    bp = bind(E.col("d") >= "1998-01-01", schema)
+    assert bp.literal == dt.date(1998, 1, 1)
+    bp = bind(E.col("d") >= dt.datetime(1998, 1, 1), schema)
+    assert bp.literal == dt.date(1998, 1, 1)
+    bp = bind(E.col("ts") < "2020-06-01T12:30:00", schema)
+    assert bp.literal == dt.datetime(2020, 6, 1, 12, 30)
+    bp = bind(E.col("n") == "42", schema)
+    assert bp.literal == 42 and isinstance(bp.literal, int)
+    bp = bind(E.col("n") > 5.5, schema)          # fractional range: kept
+    assert bp.literal == 5.5
+    bp = bind(E.col("dec") <= 3.14, schema)
+    assert bp.literal == Decimal("3.14")
+    bp = bind(E.col("b") == "true", schema)
+    assert bp.literal is True
+    bp = bind(E.col("d").isin(["1998-01-01", dt.date(1998, 2, 1)]), schema)
+    assert set(bp.literals) == {dt.date(1998, 1, 1), dt.date(1998, 2, 1)}
+
+    with pytest.raises(TypeError, match="cannot bind"):
+        bind(E.col("d") >= "not-a-date", schema)
+    with pytest.raises(TypeError, match="not a date"):
+        bind(E.col("d") >= dt.datetime(1998, 1, 1, 5, 0), schema)
+    with pytest.raises(TypeError, match="cannot bind"):
+        bind(E.col("s") > 5, schema)

@@ -482,3 +482,31 @@ def test_expire_snapshots_clean_expired_metadata(spark, warehouse):
     assert [p.spec_id for p in t.metadata.partition_specs] == \
         [t.metadata.default_spec_id]
     assert Table.load(warehouse, "db.cem").to_df(spark).count() == 2
+
+
+def test_rewrite_table_path_avro_manifest_format(spark, warehouse, tmp_path):
+    """Regression (r5 advice): the avro branch of rewrite_table_path passed
+    a ``format_version`` kwarg that write_avro_manifest_list doesn't take —
+    TypeError on any table with write.metadata.manifest-format=avro. It now
+    passes ``schema=`` like the other call sites; the relocated avro
+    metadata tree reads back end to end."""
+    import shutil
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"),
+                                   (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.mvavro", schema_from_spark(df.schema),
+                     properties={"write.metadata.manifest-format": "avro"})
+    t = t.append(spark, df)
+
+    target_root = str(tmp_path / "avro_target")
+    out = t.rewrite_table_path(warehouse.warehouse, target_root)
+    for line in open(out["file_list_location"]).read().strip().splitlines():
+        src, dst = line.split(",")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+    relocated = Table.from_metadata_path(os.path.join(
+        target_root, "db", "mvavro", "metadata", out["latest_version"]))
+    snap = relocated.metadata.current_snapshot()
+    assert snap.manifest_list.endswith(".avro")
+    assert snap.manifest_list.startswith(target_root)
+    assert relocated.to_df(spark).count() == 50

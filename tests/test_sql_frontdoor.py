@@ -1178,3 +1178,28 @@ def test_partitions_table_unified_across_specs(spark, warehouse):
     assert {r["partition"]["g"] for r in old_spec} == {"a", "b"}
     assert len(new_spec) == 6  # 2 g-values x 3 h-values
     assert sum(r["record_count"] for r in rows) == 60
+
+
+def test_show_partitions_with_null_partition_value(spark, warehouse):
+    """Regression (r5 advice): a null identity-partition value is stored as
+    None (HIVE_NULL path), and partitions_df sorted mixed None/str keys —
+    TypeError. The sort key is None-safe now (nulls last per field);
+    SHOW PARTITIONS and the partitions metadata table both work."""
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, None), (4, None)],
+        "id long, g string")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.sp_null", schema, partition_spec=spec)
+    t = t.append(spark, df)
+
+    rows = run_sql(spark, warehouse,
+                   "SHOW PARTITIONS db.sp_null").collect()
+    counts = {r["partition"]["g"]: r["record_count"] for r in rows}
+    assert counts == {"a": 2, "b": 1, None: 2}
+    # null partition sorts after the concrete values
+    assert [r["partition"]["g"] for r in rows] == ["a", "b", None]
+    # reading the null partition back works too
+    assert t.to_df(spark).where("g IS NULL").count() == 2

@@ -360,3 +360,22 @@ def test_metrics_modes(spark, warehouse):
     assert "t" not in f2.value_counts           # none: no stats at all
     assert t2.scan(row_filter=E.col("s") == long_a) \
         .to_df(spark).count() == 1              # conservative, still exact
+
+
+def test_truncate_upper_skips_surrogate_range():
+    """Regression (r5 advice): incrementing a truncated upper bound whose
+    last code point is U+D7FF must not produce a lone surrogate (U+D800 is
+    not UTF-8-encodable); skip to U+E000 like Java's UnicodeUtil."""
+    from iceberg_rust_spark.sources.write import _truncate_upper
+
+    s = "ab" + "\ud7ff" + "tail"
+    up = _truncate_upper(s, 3)
+    assert up == "ab\ue000"
+    assert up > s[:3] and up > s          # still a sound upper bound
+    up.encode("utf-8")                    # encodable (would raise before)
+
+    # normal path unchanged
+    assert _truncate_upper("abcdef", 3) == "abd"
+    assert _truncate_upper("ab", 3) == "ab"
+    # a string of max code points cannot be incremented -> None
+    assert _truncate_upper("\U0010ffff" * 4, 2) is None

@@ -224,3 +224,27 @@ def test_bytes_vec_murmur3_matches_scalar_and_is_faster():
     t_scalar = (time.time() - t0) * 5             # extrapolate to 300k
     assert (v[:60_000] == np.array(s, dtype=np.int32)).all()
     assert t_vec * 2 < t_scalar, (t_vec, t_scalar)
+
+
+def test_sql_bucket_rejects_precision_lost_floats(spark):
+    """Regression (r5 advice): a long column arriving as float64 loses
+    exactness above 2^53 — hashing the rounded value would silently land
+    in the wrong bucket. The SQL bucket function now raises instead."""
+    import pytest
+
+    from iceberg_rust_spark.functions.transforms import register_sql_transforms
+
+    register_sql_transforms(spark)
+    df = spark.createDataFrame([(1, 10.0 ** 16), (2, None)],
+                               "id long, v double")
+    df.createOrReplaceTempView("sqlfn_bigf_t")
+    with pytest.raises(Exception, match="2\\^53|PythonException"):
+        spark.sql("SELECT iceberg_bucket(8, v) AS b "
+                  "FROM sqlfn_bigf_t").collect()
+    # values at/below the exact-integer limit still hash fine
+    df2 = spark.createDataFrame([(1, float(2 ** 53)), (2, None)],
+                                "id long, v double")
+    df2.createOrReplaceTempView("sqlfn_okf_t")
+    got = spark.sql("SELECT id, iceberg_bucket(8, v) AS b "
+                    "FROM sqlfn_okf_t ORDER BY id").collect()
+    assert got[0]["b"] is not None and got[1]["b"] is None
