@@ -96,6 +96,10 @@ class Snapshot:
     summary: Dict[str, Any]
     parent_snapshot_id: Optional[int] = None
     schema_id: Optional[int] = None
+    # v3 row lineage (snapshot.rs:76-121 SnapshotRowRange): the first row id
+    # this snapshot assigns and how many rows it added; both-or-neither
+    first_row_id: Optional[int] = None
+    added_rows: Optional[int] = None
 
     @property
     def operation(self) -> str:
@@ -109,13 +113,17 @@ class Snapshot:
             d["parent-snapshot-id"] = self.parent_snapshot_id
         if self.schema_id is not None:
             d["schema-id"] = self.schema_id
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
+            d["added-rows"] = self.added_rows or 0
         return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
         return Snapshot(d["snapshot-id"], d.get("sequence-number", 0),
                         d["timestamp-ms"], d["manifest-list"], d.get("summary", {}),
-                        d.get("parent-snapshot-id"), d.get("schema-id"))
+                        d.get("parent-snapshot-id"), d.get("schema-id"),
+                        d.get("first-row-id"), d.get("added-rows"))
 
 
 @dataclass

@@ -1937,6 +1937,7 @@ class Table:
                 added_rows_count=sum(f.record_count for f in files),
                 partitions=_field_summaries(files))
 
+        base_row_id = md.next_row_id
         if added:
             # v3 row lineage: stamp each new data file's first_row_id from
             # the table's next-row-id counter (table_metadata.rs:140)
@@ -2013,7 +2014,13 @@ class Table:
                      **_partition_summaries(md, added),
                      **(extra_summary or {})},
             parent_snapshot_id=(cur.snapshot_id if cur else None),
-            schema_id=md.current_schema_id)
+            schema_id=md.current_schema_id,
+            # v3 snapshots record their assigned row range
+            # (snapshot.rs:76-121; required by the metadata builder,
+            # table_metadata_builder.rs:401-425)
+            first_row_id=(base_row_id if md.format_version >= 3 else None),
+            added_rows=(md.next_row_id - base_row_id
+                        if md.format_version >= 3 else None))
         md.snapshots.append(snap)
         md.last_sequence_number = seq
         if stage_only:

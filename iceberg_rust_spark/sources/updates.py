@@ -289,6 +289,18 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
             raise InvalidUpdate(
                 f"snapshot {snap.snapshot_id} references unknown "
                 f"schema id {snap.schema_id}")
+        if md.format_version >= 3:
+            # v3 row lineage (table_metadata_builder.rs:401-436): every
+            # snapshot must carry its row range; a first-row-id behind the
+            # table's next-row-id would hand out duplicate row ids
+            if snap.first_row_id is None:
+                raise InvalidUpdate(
+                    "first-row-id must be set for format version >= 3")
+            if snap.first_row_id < md.next_row_id:
+                raise InvalidUpdate(
+                    f"first-row-id is behind table next-row-id: "
+                    f"{snap.first_row_id} < {md.next_row_id}")
+            md.next_row_id += snap.added_rows or 0
         md.snapshots.append(snap)
         md.last_sequence_number = max(md.last_sequence_number,
                                       snap.sequence_number)

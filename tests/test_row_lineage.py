@@ -50,3 +50,30 @@ def test_row_ids_survive_rewrites(spark, warehouse):
                  t.scan(include_metadata_columns=True).to_df(spark).collect()}
     assert after_upd[1001] == before[11]         # updated row keeps its id
     assert after_upd[13] == before[13]
+
+
+def test_v3_snapshots_carry_row_range(spark, warehouse):
+    """v3 snapshots record (first-row-id, added-rows) like the reference's
+    SnapshotRowRange (snapshot.rs:76-121, assignment semantics proven by
+    table_metadata_builder.rs test_row_lineage_addition): consecutive
+    appends get contiguous ranges and the fields survive the metadata
+    JSON round-trip; v2 snapshots carry neither."""
+    df = spark.range(0, 30).select(F.col("id"))
+    t = Table.create(warehouse, "db.rl3", schema_from_spark(df.schema))
+    t = t.upgrade_format_version(3)
+    t = t.append(spark, df.where(F.col("id") < 20))
+    t = t.append(spark, df.where(F.col("id") >= 20))
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    assert (snaps[0].first_row_id, snaps[0].added_rows) == (0, 20)
+    assert (snaps[1].first_row_id, snaps[1].added_rows) == (20, 10)
+    assert t.metadata.next_row_id == 30
+    # round-trip through the on-disk metadata JSON
+    t2 = Table.load(warehouse, "db.rl3")
+    s2 = sorted(t2.metadata.snapshots, key=lambda s: s.sequence_number)
+    assert [(s.first_row_id, s.added_rows) for s in s2] == [(0, 20), (20, 10)]
+
+    # v2 table: snapshot row range absent from the JSON
+    tv2 = Table.create(warehouse, "db.rl2", schema_from_spark(df.schema))
+    tv2 = tv2.append(spark, df)
+    assert tv2.metadata.current_snapshot().first_row_id is None
+    assert "first-row-id" not in tv2.metadata.current_snapshot().to_json()

@@ -427,3 +427,42 @@ def test_partition_field_id_reuse_and_compat():
                                            parse_transform("bucket[4]"))])
     with pytest.raises(InvalidUpdate, match="already maps"):
         apply_updates(out, [{"action": "add-spec", "spec": bad}])
+
+
+def test_v3_add_snapshot_validates_row_range():
+    """Row-lineage snapshot validation, ported from the reference
+    (table_metadata_builder.rs:401-436 + test_row_lineage_invalid_snapshot):
+    v3 snapshots must carry first-row-id; a first-row-id behind the table's
+    next-row-id is rejected (would hand out duplicate row ids); a valid
+    add advances next-row-id by added-rows."""
+    md = _md()
+    md.format_version = 3
+    md.next_row_id = 30
+
+    def snap(sid, first, added, seq):
+        return Snapshot(snapshot_id=sid, sequence_number=seq, timestamp_ms=1,
+                        manifest_list="/tmp/ml.avro",
+                        summary={"operation": "append"},
+                        first_row_id=first, added_rows=added)
+
+    # missing first-row-id
+    with pytest.raises(InvalidUpdate, match="first-row-id must be set"):
+        apply_updates(md, [{"action": "add-snapshot",
+                            "snapshot": snap(10, None, None, 1)}])
+    # behind next-row-id
+    with pytest.raises(InvalidUpdate, match="behind table next-row-id"):
+        apply_updates(md, [{"action": "add-snapshot",
+                            "snapshot": snap(10, 29, 5, 1)}])
+    # valid: next-row-id += added-rows (builder semantics)
+    out = apply_updates(md, [{"action": "add-snapshot",
+                              "snapshot": snap(10, 30, 28, 1)}])
+    assert out.next_row_id == 58
+    # serde round-trip keeps the row range
+    j = out.snapshot_by_id(10).to_json()
+    assert j["first-row-id"] == 30 and j["added-rows"] == 28
+    back = Snapshot.from_json(j)
+    assert back.first_row_id == 30 and back.added_rows == 28
+    # v2 metadata: no row-range requirement (lineage is v3-only)
+    md2 = _md()
+    apply_updates(md2, [{"action": "add-snapshot",
+                         "snapshot": snap(11, None, None, 1)}])
