@@ -1099,6 +1099,29 @@ def q_doc_boilerplate(spark, sf_dir):
                       "n_lines_kept", "n_lines_dropped")
 
 
+def q_doc_para_dedup(spark, sf_dir):
+    """r6: corpus-wide exact paragraph dedup (the MassiveText rule —
+    complementing doc_boilerplate's >=N-docs heavy-hitter removal, here
+    even a twice-duplicated paragraph loses its second copy). Constructed
+    paragraphs shared across doc groups + natural text; winners via ONE
+    map-side-combinable min-agg on the span, exchange-reused semi-join,
+    one reassembly shuffle. Short spans (<16 chars) exempt."""
+    from iceberg_rust_spark.operators.chunking import dedup_paragraphs_global
+    d = read_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.concat(F.lit("Shared passage about topic "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.lit("--"),
+            F.substring("text", 31, 50)).alias("text"))
+    out = dedup_paragraphs_global(built, min_chars=16)
+    return out.select("doc_id", F.md5("cleaned_text").alias("clean_hash"),
+                      "n_paras_kept", "n_paras_dropped").orderBy("doc_id")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
                                 threshold=0.5)
@@ -1413,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
         # packing / mixing / composed pipeline (last driver rows r4)
+        "doc_para_dedup": q_doc_para_dedup,
         "doc_pack": q_doc_pack,
         "doc_mix": q_doc_mix,
         "doc_pipeline": q_doc_pipeline,
@@ -1568,6 +1592,18 @@ def _sql_doc_boilerplate() -> str:
     inner = sql_remove_frequent_lines(table=src, min_docs=5)
     return (f"SELECT doc_id, md5(cleaned_text) AS clean_hash, "
             f"n_lines_kept, n_lines_dropped FROM ({inner}) q")
+
+
+def _sql_doc_para_dedup() -> str:
+    from iceberg_rust_spark.operators.chunking import \
+        sql_dedup_paragraphs_global
+    src = ("(SELECT doc_id, substr(text, 1, 60) || chr(10) || "
+           "'Shared passage about topic ' || CAST(doc_id % 7 AS VARCHAR) || "
+           "chr(10) || '--' || chr(10) || substr(text, 31, 50) AS text "
+           "FROM documents) AS src")
+    inner = sql_dedup_paragraphs_global(table=src, min_chars=16)
+    return (f"SELECT doc_id, md5(cleaned_text) AS clean_hash, "
+            f"n_paras_kept, n_paras_dropped FROM ({inner}) q ORDER BY doc_id")
 
 
 def _sql_doc_chunks() -> str:
@@ -2187,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"""
             SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
         "doc_boilerplate": _sql_doc_boilerplate(),
+        "doc_para_dedup": _sql_doc_para_dedup(),
         "doc_scrub": f"""
             WITH p AS (
                 SELECT doc_id,

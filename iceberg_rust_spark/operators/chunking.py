@@ -195,3 +195,98 @@ def sql_remove_frequent_lines(table: str = "documents", min_docs: int = 5,
                AS n_lines_dropped
     FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
     """
+
+
+def dedup_paragraphs_global(docs: DataFrame, sep: str = "\n",
+                            min_chars: int = 16,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """CORPUS-wide exact paragraph dedup: every ``sep``-separated span that
+    appears anywhere else in the corpus keeps only its FIRST occurrence
+    (ordered by (doc_id, position)); later copies are dropped and each
+    document is reassembled from its surviving spans. This is the
+    paragraph-level exact-dedup step of large-scale training-data
+    pipelines, complementing remove_frequent_lines (which drops only
+    heavy-hitter boilerplate) — here even a paragraph duplicated twice
+    loses its second copy.
+
+    Spans shorter than ``min_chars`` characters (blank lines, separators,
+    list bullets) are exempt — deduping those would delete almost all
+    document structure for no dedup value.
+
+    Scale shape: explode -> ONE map-side-combinable min-aggregate keyed on
+    the span (the winner per distinct paragraph), then a semi-join of the
+    span stream against the winners on the same key — Catalyst reuses the
+    hash exchange, so the corpus-sized stream shuffles ONCE on span and
+    once more on doc_id for reassembly. min(struct) beats a row_number
+    window here: hot paragraphs (the whole point of dedup) would pile
+    into one window partition, while partial min folds them map-side.
+    Returns every input doc; all-duplicate docs come back empty.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    dedupable = lines.filter(F.length("para") >= min_chars)
+    winners = (dedupable.groupBy("para")
+               .agg(F.min(F.struct(F.col(id_col), F.col("pos")))
+                    .alias("w"))
+               .select("para", F.col(f"w.{id_col}").alias("__wid"),
+                       F.col("w.pos").alias("__wpos")))
+    kept = (lines.join(winners, "para", "left")
+            .filter((F.length("para") < min_chars)
+                    | ((F.col(id_col) == F.col("__wid"))
+                       & (F.col("pos") == F.col("__wpos")))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("para")))),
+                            lambda s: s["para"]),
+                        sep).alias("cleaned_text"),
+                    F.count("*").cast("long").alias("n_paras_kept")))
+    totals = lines.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("__n_total"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+                    F.coalesce("n_paras_kept", F.lit(0)).cast("long")
+                    .alias("n_paras_kept"),
+                    (F.col("__n_total") - F.coalesce("n_paras_kept", F.lit(0)))
+                    .cast("long").alias("n_paras_dropped")))
+
+
+def sql_dedup_paragraphs_global(table: str = "documents", sep: str = "\n",
+                                min_chars: int = 16, id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    esc = sep.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    WITH lines AS (
+        SELECT {id_col},
+               unnest(string_split({text_col}, '{esc}')) AS para,
+               unnest(range(1, len(string_split({text_col}, '{esc}')) + 1))
+                   AS pos
+        FROM {table}
+    ), ranked AS (
+        SELECT {id_col}, pos, para,
+               CASE WHEN length(para) < {min_chars} THEN 1
+                    ELSE row_number() OVER (PARTITION BY para
+                                            ORDER BY {id_col}, pos)
+               END AS rk
+        FROM lines
+    ), kept AS (
+        SELECT * FROM ranked WHERE rk = 1
+    ), rebuilt AS (
+        SELECT {id_col},
+               string_agg(para, '{esc}' ORDER BY pos) AS cleaned_text,
+               count(*) AS n_paras_kept
+        FROM kept GROUP BY {id_col}
+    ), totals AS (
+        SELECT {id_col}, count(*) AS n_total FROM lines GROUP BY {id_col}
+    )
+    SELECT t.{id_col} AS {id_col},
+           coalesce(r.cleaned_text, '') AS cleaned_text,
+           CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+           CAST(t.n_total - coalesce(r.n_paras_kept, 0) AS BIGINT)
+               AS n_paras_dropped
+    FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+    """

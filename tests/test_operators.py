@@ -558,3 +558,33 @@ def test_stratified_mix(spark):
     ids2 = sorted(r["doc_id"] for r in stratified_mix(
         docs.repartition(7), "lang", {"en": 0.5, "de": 0.5}, 40).collect())
     assert ids1 == ids2
+
+
+def test_dedup_paragraphs_global(spark):
+    """Corpus-wide exact paragraph dedup: later copies of a >=min_chars
+    span drop (first occurrence by (doc_id, pos) wins), short spans are
+    exempt, all-duplicate docs come back empty."""
+    from iceberg_rust_spark.operators.chunking import dedup_paragraphs_global
+
+    shared = "this paragraph is shared across documents"
+    docs = spark.createDataFrame(
+        [(1, f"unique one\n{shared}\n--\nalpha paragraph body here"),
+         (2, f"{shared}\nunique two longer paragraph"),
+         (3, shared),                       # all-duplicate doc -> empty
+         (4, f"--\n{shared}\nalpha paragraph body here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs_global(docs, min_chars=16).collect()}
+    # doc 1 owns the first occurrence of both long spans ("unique one" is
+    # short -> exempt despite being 10 chars)
+    assert out[1]["cleaned_text"] == \
+        f"unique one\n{shared}\n--\nalpha paragraph body here"
+    assert out[1]["n_paras_dropped"] == 0
+    # doc 2 loses the shared span, keeps its unique paragraph
+    assert out[2]["cleaned_text"] == "unique two longer paragraph"
+    assert (out[2]["n_paras_kept"], out[2]["n_paras_dropped"]) == (1, 1)
+    # doc 3 was pure duplicate -> empty but present
+    assert out[3]["cleaned_text"] == "" and out[3]["n_paras_dropped"] == 1
+    # doc 4: short "--" kept, both long spans already owned by doc 1
+    assert out[4]["cleaned_text"] == "--"
+    assert (out[4]["n_paras_kept"], out[4]["n_paras_dropped"]) == (1, 2)
