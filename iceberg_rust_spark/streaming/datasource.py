@@ -5,10 +5,15 @@ table providers (crates/integrations/datafusion/src/table/mod.rs) — here via
 PySpark's DataSource API, so the engine's tables plug into ANY Spark reader
 pipeline, including Structured Streaming with offset tracking/recovery.
 
-- Batch read: plans files with the 4-level pruning pipeline (a pushed-down
-  filter can be given as `option("where", "<sql predicate>")` — parsed by
-  plans/sql_pred.py into metadata pruning; Spark still re-applies its own
-  filters on top, the Inexact contract).
+- Batch read: plans files with the 4-level pruning pipeline. Filters reach
+  the planner TWO ways: Spark 4.1 native filter pushdown (`pushFilters` —
+  DataFrame/SQL predicates prune manifests/partitions/files automatically;
+  all filters are reported back as unhandled so Spark re-applies them, the
+  Inexact contract) and `option("where", "<sql predicate>")` for
+  engines/configs without the pushdown conf. MOR deletes are applied
+  executor-side per file: positional parquet deletes, puffin deletion
+  vectors, and equality deletes (null-keep semantics) filter the Arrow
+  batches before they reach Spark.
 - Stream read: offsets are table sequence numbers; each micro-batch is the
   set of data files appended by snapshots in (start, end] — exactly
   incremental.py's snapshot-diff semantics, but driven by Spark's own
@@ -51,17 +56,92 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: List[str]):
+    def __init__(self, path: str, columns: List[str],
+                 pos_parquet: Optional[List[str]] = None,
+                 dv_blobs: Optional[List[tuple]] = None,
+                 eq_groups: Optional[List[tuple]] = None):
         self.path = path
         self.columns = columns
+        # MOR delete descriptors for THIS data file, applied executor-side:
+        # parquet (file_path, pos) delete files, puffin DV (path, off, len)
+        # blobs, and equality-delete groups ((col, ...), (path, ...))
+        self.pos_parquet = pos_parquet or []
+        self.dv_blobs = dv_blobs or []
+        self.eq_groups = eq_groups or []
+
+
+def _deleted_positions(partition: _FilePartition):
+    """Merge this file's positional deletes (parquet + puffin DV) into one
+    sorted numpy position array — the executor-side counterpart of
+    sources/scan.py _apply_pos_deletes (positional_deletes.rs:35)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    variants = [partition.path, "file:" + partition.path,
+                "file://" + partition.path]
+    pos_parts = []
+    for p in partition.pos_parquet:
+        tb = pq.read_table(p, columns=["file_path", "pos"],
+                           filters=[("file_path", "in", variants)])
+        pos_parts.append(tb.column("pos").to_numpy(zero_copy_only=False))
+    if partition.dv_blobs:
+        from ..sources.puffin import BlobMetadata, deserialize_dv, read_blob
+        for p, off, length in partition.dv_blobs:
+            blob = read_blob(p, BlobMetadata(
+                type="deletion-vector-v1", fields=[], snapshot_id=0,
+                sequence_number=0, offset=off, length=length))
+            pos_parts.append(deserialize_dv(blob).astype("int64"))
+    if not pos_parts:
+        return None
+    return np.unique(np.concatenate(pos_parts))
+
+
+def _eq_delete_sets(partition: _FilePartition):
+    """(cols, set-of-value-tuples) per equality-delete group; rows whose
+    eq columns are all non-null and match a tuple are dropped (null-keep
+    semantics, caching_delete_file_loader.rs:422-426)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for cols, paths in partition.eq_groups:
+        rows = set()
+        for p in paths:
+            tb = pq.read_table(p, columns=list(cols))
+            rows.update(zip(*(tb.column(c).to_pylist() for c in cols)))
+        out.append((list(cols), rows))
+    return out
 
 
 def _read_arrow(partition: _FilePartition):
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(partition.path)
     cols = [c for c in partition.columns if c in pf.schema_arrow.names]
+    deleted = _deleted_positions(partition)
+    eq_sets = _eq_delete_sets(partition)
+    # positional deletes index the FILE's row order, so the position
+    # column must be computed before projection/filtering
+    offset = 0
     for batch in pf.iter_batches(columns=cols or None):
+        n = batch.num_rows
+        if deleted is not None and deleted.size:
+            pos = np.arange(offset, offset + n, dtype=np.int64)
+            idx = np.searchsorted(deleted, pos)
+            idx_c = np.minimum(idx, deleted.size - 1)
+            keep = ~((idx < deleted.size) & (deleted[idx_c] == pos))
+            batch = batch.filter(pa.array(keep))
+        offset += n
+        for cols_k, rows in eq_sets:
+            if not rows or batch.num_rows == 0:
+                continue
+            arrs = [batch.column(c).to_pylist() if c in batch.schema.names
+                    else [None] * batch.num_rows for c in cols_k]
+            keep = pa.array([
+                any(v is None for v in tup) or tup not in rows
+                for tup in zip(*arrs)])
+            batch = batch.filter(keep)
         yield batch
 
 
@@ -75,10 +155,58 @@ def _load_table(options):
                       options["table"])
 
 
+def _filter_to_predicate(f):
+    """Spark DataSource Filter -> our Predicate AST, for metadata pruning.
+    Returns None for shapes we can't prune on (nested columns, unknown
+    filter classes) — dropping is fail-safe because pushFilters declares
+    every filter unhandled (the reference's Inexact contract,
+    expr_to_predicate.rs:45 in the opposite direction)."""
+    from pyspark.sql import datasource as dsf
+
+    from ..plans import expr as E
+
+    if isinstance(f, dsf.Not):
+        inner = _filter_to_predicate(f.child)
+        return None if inner is None else ~inner
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:       # nested paths: skip, Spark filters
+        return None
+    c = E.col(attr[0])
+    if isinstance(f, dsf.EqualTo):
+        return c == f.value
+    if isinstance(f, dsf.GreaterThan):
+        return c > f.value
+    if isinstance(f, dsf.GreaterThanOrEqual):
+        return c >= f.value
+    if isinstance(f, dsf.LessThan):
+        return c < f.value
+    if isinstance(f, dsf.LessThanOrEqual):
+        return c <= f.value
+    if isinstance(f, dsf.In):
+        return c.isin(list(f.value))
+    if isinstance(f, dsf.IsNull):
+        return c.is_null()
+    if isinstance(f, dsf.IsNotNull):
+        return c.not_null()
+    if isinstance(f, dsf.StringStartsWith):
+        return c.starts_with(f.value)
+    return None
+
+
 class _IcebergBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
         self.columns = list(schema.fieldNames())
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown: capture every convertible filter for
+        manifest/partition/metrics pruning, but report ALL filters as
+        still-needed so Spark re-applies them above the scan — pruning can
+        only drop whole files, never individual rows."""
+        self._pushed = [p for p in map(_filter_to_predicate, filters)
+                        if p is not None]
+        return filters
 
     def partitions(self) -> Sequence[InputPartition]:
         from ..plans.sql_pred import sql_to_predicate
@@ -87,6 +215,8 @@ class _IcebergBatchReader(DataSourceReader):
         pred = None
         if self.options.get("where"):
             pred = sql_to_predicate(self.options["where"])
+        for p in self._pushed:
+            pred = p if pred is None else (pred & p)
         snap_id = self.options.get("snapshot_id")
         # Spark-Iceberg read options: branch/tag select a named ref's head
         # (refs map, TableMetadata::snapshot_for_ref counterpart)
@@ -101,8 +231,30 @@ class _IcebergBatchReader(DataSourceReader):
         plan = t.scan(row_filter=pred,
                       snapshot_id=int(snap_id) if snap_id else None
                       ).plan_files()
-        return [_FilePartition(task.data_file.file_path, self.columns)
-                for task in plan.tasks]
+        from ..sources.scan import _eq_cols
+        schema = t.metadata.schema(
+            plan.snapshot.schema_id if plan.snapshot and
+            plan.snapshot.schema_id is not None
+            else t.metadata.current_schema_id)
+        parts = []
+        for task in plan.tasks:
+            pos_parquet = sorted({d.file_path for d in task.pos_deletes
+                                  if d.file_format == "parquet"})
+            dv_blobs = [(d.file_path, int(d.content_offset),
+                         int(d.content_size_in_bytes))
+                        for d in task.pos_deletes
+                        if d.file_format == "puffin"]
+            eq_by_cols: dict = {}
+            for d in task.eq_deletes:
+                cols = tuple(sorted(_eq_cols(d, schema)))
+                eq_by_cols.setdefault(cols, set()).add(d.file_path)
+            eq_groups = [(cols, tuple(sorted(paths)))
+                         for cols, paths in sorted(eq_by_cols.items())]
+            parts.append(_FilePartition(
+                task.data_file.file_path, self.columns,
+                pos_parquet=pos_parquet, dv_blobs=dv_blobs,
+                eq_groups=eq_groups))
+        return parts
 
     def read(self, partition: _FilePartition):
         return _read_arrow(partition)
@@ -454,4 +606,8 @@ class IcebergDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the batch reader implements pushFilters; Spark refuses to plan a
+    # pushdown-capable Python source unless this (runtime-settable) conf
+    # is on, so flip it at registration
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(IcebergDataSource)

@@ -319,3 +319,73 @@ def test_batch_datasource_write_to_branch(spark, warehouse):
     assert t.metadata.refs["audit"].snapshot_id != main_head
     assert t.to_df(spark).count() == 60                       # main view
     assert t.to_df(spark, ref="audit").count() == 61          # branch view
+
+
+def test_batch_datasource_applies_mor_deletes(spark, warehouse):
+    """r6 fix: the batch reader previously streamed data files raw,
+    returning rows that positional/DV/equality delete files had removed.
+    Deletes now apply executor-side over the Arrow batches."""
+    register(spark)
+
+    def ds(name):
+        return (spark.read.format("iceberg_rust")
+                .option("warehouse", warehouse.warehouse)
+                .option("table", name).load())
+
+    # positional (MOR)
+    t, _ = _mk(spark, warehouse, "db.ds_mor", n=100)
+    t = t.delete_where(spark, E.col("id") < 20, mode="mor")
+    assert ds("db.ds_mor").count() == 80
+    assert ds("db.ds_mor").agg(F.min("id")).collect()[0][0] == 20
+    # puffin deletion vectors
+    t2, _ = _mk(spark, warehouse, "db.ds_dv", n=100)
+    t2 = t2.delete_where(spark, E.col("id") >= 90, mode="dv")
+    assert ds("db.ds_dv").count() == 90
+    assert ds("db.ds_dv").agg(F.max("id")).collect()[0][0] == 89
+    # equality deletes, incl. null-keep semantics
+    df = spark.createDataFrame(
+        [(i, i % 5 if i % 7 else None) for i in range(70)],
+        "id long, g long")
+    t3 = Table.create(warehouse, "db.ds_eq", schema_from_spark(df.schema))
+    t3 = t3.append(spark, df)
+    t3 = t3.delete_by_equality(
+        spark, spark.createDataFrame([(1,), (3,)], "g long"), ["g"])
+    expect = t3.to_df(spark).count()
+    got = ds("db.ds_eq")
+    assert got.count() == expect
+    assert got.where("g IS NULL").count() == 10  # null rows kept
+
+
+def test_batch_datasource_native_filter_pushdown(spark, warehouse):
+    """Spark 4.1 pushFilters: DataFrame filters prune partitions at
+    planning time (1 task instead of N) while Spark re-applies the full
+    predicate above the scan (Inexact contract)."""
+    import pyspark.sql.datasource as dsf
+
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.streaming.datasource import _IcebergBatchReader
+
+    df = spark.range(0, 500).selectExpr("id", "CAST(id % 10 AS LONG) AS g")
+    sch = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        sch.field_id_for_name("g"), 1000, "g", parse_transform("identity"))])
+    t = Table.create(warehouse, "db.ds_push", sch, partition_spec=spec)
+    t = t.append(spark, df)
+    register(spark)
+
+    out = (spark.read.format("iceberg_rust")
+           .option("warehouse", warehouse.warehouse)
+           .option("table", "db.ds_push").load().filter("g = 3"))
+    assert out.count() == 50           # exact through the full pipeline
+
+    # planning-level proof, driving the reader directly
+    r = _IcebergBatchReader({"warehouse": warehouse.warehouse,
+                             "table": "db.ds_push"}, out.schema)
+    leftover = r.pushFilters([dsf.EqualTo(("g",), 3),
+                              dsf.IsNotNull(("g",))])
+    assert len(list(leftover)) == 2    # everything handed back to Spark
+    assert len(r.partitions()) == 1    # ... but pruning still happened
+    r_all = _IcebergBatchReader({"warehouse": warehouse.warehouse,
+                                 "table": "db.ds_push"}, out.schema)
+    assert len(r_all.partitions()) == 10
