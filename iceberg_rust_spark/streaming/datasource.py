@@ -59,7 +59,8 @@ class _FilePartition(InputPartition):
     def __init__(self, path: str, columns: List[str],
                  pos_parquet: Optional[List[str]] = None,
                  dv_blobs: Optional[List[tuple]] = None,
-                 eq_groups: Optional[List[tuple]] = None):
+                 eq_groups: Optional[List[tuple]] = None,
+                 projection: Optional[List[tuple]] = None):
         self.path = path
         self.columns = columns
         # MOR delete descriptors for THIS data file, applied executor-side:
@@ -68,6 +69,60 @@ class _FilePartition(InputPartition):
         self.pos_parquet = pos_parquet or []
         self.dv_blobs = dv_blobs or []
         self.eq_groups = eq_groups or []
+        # schema-evolution projection for files written under an older
+        # schema: (out_name, src_name_or_None, iceberg_type_str, default);
+        # src None -> initial_default/null column (4-rule projection,
+        # record_batch_transformer.rs:347-351)
+        self.projection = projection
+
+
+_ARROW_PRIMS = {
+    "boolean": "bool_", "int": "int32", "long": "int64",
+    "float": "float32", "double": "float64", "date": "date32",
+    "string": "string", "binary": "binary", "uuid": "string",
+    "time": "int64", "timestamp": "us", "timestamptz": "us_tz",
+    "timestamp_ns": "us", "timestamptz_ns": "us_tz",
+}
+
+
+def _arrow_type(type_str: str):
+    """Iceberg primitive type name -> pyarrow type (None for nested /
+    unmapped types: those columns pass through uncast)."""
+    import pyarrow as pa
+    if type_str.startswith("decimal("):
+        p, s = type_str[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if type_str.startswith("fixed"):
+        return pa.binary()
+    kind = _ARROW_PRIMS.get(type_str)
+    if kind == "us":
+        return pa.timestamp("us")
+    if kind == "us_tz":
+        return pa.timestamp("us", tz="UTC")
+    return getattr(pa, kind)() if kind else None
+
+
+def _project_batch(batch, projection):
+    """Executor-side RecordBatchTransformer: reorder/rename by field id,
+    promote types, fill added columns with initial_default/null."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    arrays, names = [], []
+    for out_name, src_name, type_str, default in projection:
+        target = _arrow_type(type_str)
+        if src_name is not None and src_name in batch.schema.names:
+            col = batch.column(src_name)
+            if target is not None and col.type != target:
+                col = pc.cast(col, target)
+            arrays.append(col)
+        elif default is not None:
+            arrays.append(pa.array([default] * n, type=target))
+        else:
+            arrays.append(pa.nulls(n, type=target or pa.null()))
+        names.append(out_name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def _deleted_positions(partition: _FilePartition):
@@ -118,7 +173,12 @@ def _read_arrow(partition: _FilePartition):
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(partition.path)
-    cols = [c for c in partition.columns if c in pf.schema_arrow.names]
+    if partition.projection is not None:
+        want = {src for _, src, _, _ in partition.projection
+                if src is not None}
+        cols = [c for c in pf.schema_arrow.names if c in want]
+    else:
+        cols = [c for c in partition.columns if c in pf.schema_arrow.names]
     deleted = _deleted_positions(partition)
     eq_sets = _eq_delete_sets(partition)
     # positional deletes index the FILE's row order, so the position
@@ -133,6 +193,10 @@ def _read_arrow(partition: _FilePartition):
             keep = ~((idx < deleted.size) & (deleted[idx_c] == pos))
             batch = batch.filter(pa.array(keep))
         offset += n
+        if partition.projection is not None:
+            # project to the CURRENT schema before equality filtering —
+            # eq-delete columns are current-schema names
+            batch = _project_batch(batch, partition.projection)
         for cols_k, rows in eq_sets:
             if not rows or batch.num_rows == 0:
                 continue
@@ -236,6 +300,26 @@ class _IcebergBatchReader(DataSourceReader):
             plan.snapshot.schema_id if plan.snapshot and
             plan.snapshot.schema_id is not None
             else t.metadata.current_schema_id)
+        def projection_for(file_schema_id):
+            """4-rule field-id projection spec for files written under an
+            older schema (record_batch_transformer.rs:347-351): same id ->
+            read under its OLD name (rename/promote), absent+default ->
+            constant, absent -> null. Current-schema files skip this."""
+            if file_schema_id is None or file_schema_id == schema.schema_id:
+                return None
+            file_schema = t.metadata.schema(file_schema_id)
+            proj = []
+            for name in self.columns:
+                f = schema.field_by_name(name)
+                if f is None:       # engine-side metadata column
+                    proj.append((name, name, "string", None))
+                    continue
+                old = file_schema.field_by_id(f.field_id)
+                proj.append((name, old.name if old is not None else None,
+                             str(f.field_type),
+                             f.initial_default if old is None else None))
+            return proj
+
         parts = []
         for task in plan.tasks:
             pos_parquet = sorted({d.file_path for d in task.pos_deletes
@@ -253,7 +337,8 @@ class _IcebergBatchReader(DataSourceReader):
             parts.append(_FilePartition(
                 task.data_file.file_path, self.columns,
                 pos_parquet=pos_parquet, dv_blobs=dv_blobs,
-                eq_groups=eq_groups))
+                eq_groups=eq_groups,
+                projection=projection_for(task.data_file.schema_id)))
         return parts
 
     def read(self, partition: _FilePartition):

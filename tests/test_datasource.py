@@ -389,3 +389,34 @@ def test_batch_datasource_native_filter_pushdown(spark, warehouse):
     r_all = _IcebergBatchReader({"warehouse": warehouse.warehouse,
                                  "table": "db.ds_push"}, out.schema)
     assert len(r_all.partitions()) == 10
+
+
+def test_batch_datasource_schema_evolution(spark, warehouse):
+    """r6 fix: files written under an older schema previously broke the
+    batch reader (name-based column selection returned too few columns).
+    The planner now attaches a field-id projection per old-schema file and
+    the executor reorders/renames/promotes/defaults the Arrow batches
+    (record_batch_transformer.rs:347-351 counterpart)."""
+    register(spark)
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                               "id long, v int")
+    t = Table.create(warehouse, "db.ds_evo", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = (t.update_schema().rename_column("v", "val")
+         .promote_column("val", "long")
+         .add_column("w", "string")
+         .add_column("q", "int", initial_default=7).commit())
+    t = t.append(spark, spark.createDataFrame(
+        [(10, 20, "x", 1)], "id long, val long, w string, q int"))
+
+    out = (spark.read.format("iceberg_rust")
+           .option("warehouse", warehouse.warehouse)
+           .option("table", "db.ds_evo").load())
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 11
+    assert rows[0]["val"] == 0 and rows[0]["w"] is None
+    assert rows[0]["q"] == 7            # initial_default fills old files
+    assert rows[10]["val"] == 20 and rows[10]["w"] == "x" and rows[10]["q"] == 1
+    # matches the Table-API read exactly
+    api = {r["id"]: r for r in t.to_df(spark).collect()}
+    assert all(rows[k] == api[k] for k in rows)
