@@ -102,6 +102,27 @@ def _arrow_type(type_str: str):
     return getattr(pa, kind)() if kind else None
 
 
+def _projection_for(metadata, scan_schema, columns, file_schema_id):
+    """4-rule field-id projection spec for files written under a DIFFERENT
+    schema than the scan's (record_batch_transformer.rs:347-351): same id
+    -> read under the file's name (rename/promote), absent+default ->
+    constant, absent -> null. Same-schema files return None (fast path)."""
+    if file_schema_id is None or file_schema_id == scan_schema.schema_id:
+        return None
+    file_schema = metadata.schema(file_schema_id)
+    proj = []
+    for name in columns:
+        f = scan_schema.field_by_name(name)
+        if f is None:               # engine-side metadata column
+            proj.append((name, name, "string", None))
+            continue
+        old = file_schema.field_by_id(f.field_id)
+        proj.append((name, old.name if old is not None else None,
+                     str(f.field_type),
+                     f.initial_default if old is None else None))
+    return proj
+
+
 def _project_batch(batch, projection):
     """Executor-side RecordBatchTransformer: reorder/rename by field id,
     promote types, fill added columns with initial_default/null."""
@@ -300,26 +321,6 @@ class _IcebergBatchReader(DataSourceReader):
             plan.snapshot.schema_id if plan.snapshot and
             plan.snapshot.schema_id is not None
             else t.metadata.current_schema_id)
-        def projection_for(file_schema_id):
-            """4-rule field-id projection spec for files written under an
-            older schema (record_batch_transformer.rs:347-351): same id ->
-            read under its OLD name (rename/promote), absent+default ->
-            constant, absent -> null. Current-schema files skip this."""
-            if file_schema_id is None or file_schema_id == schema.schema_id:
-                return None
-            file_schema = t.metadata.schema(file_schema_id)
-            proj = []
-            for name in self.columns:
-                f = schema.field_by_name(name)
-                if f is None:       # engine-side metadata column
-                    proj.append((name, name, "string", None))
-                    continue
-                old = file_schema.field_by_id(f.field_id)
-                proj.append((name, old.name if old is not None else None,
-                             str(f.field_type),
-                             f.initial_default if old is None else None))
-            return proj
-
         parts = []
         for task in plan.tasks:
             pos_parquet = sorted({d.file_path for d in task.pos_deletes
@@ -338,7 +339,8 @@ class _IcebergBatchReader(DataSourceReader):
                 task.data_file.file_path, self.columns,
                 pos_parquet=pos_parquet, dv_blobs=dv_blobs,
                 eq_groups=eq_groups,
-                projection=projection_for(task.data_file.schema_id)))
+                projection=_projection_for(t.metadata, schema, self.columns,
+                                           task.data_file.schema_id)))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -350,6 +352,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.options = options
         self.columns = list(schema.fieldNames())
         self._table = _load_table(options)
+        # the stream's output schema is FIXED at start; later-committed
+        # files of an evolved schema project back to it by field id
+        self._schema_id = self._table.metadata.current_schema_id
         start = self.options.get("starting_sequence")
         self._last_end = int(start) if start is not None else 0
         # Spark-Iceberg rate limits (streaming-max-files/rows-per-micro-
@@ -421,8 +426,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     if (e.status == STATUS_ADDED
                             and e.data_file.content == CONTENT_DATA
                             and e.snapshot_id == snap.snapshot_id):
-                        out.append(_FilePartition(e.data_file.file_path,
-                                                  self.columns))
+                        # files committed under a schema that evolved
+                        # after the stream started still project to the
+                        # stream's fixed schema by field id
+                        out.append(_FilePartition(
+                            e.data_file.file_path, self.columns,
+                            projection=_projection_for(
+                                md, md.schema(self._schema_id),
+                                self.columns, e.data_file.schema_id)))
         return out
 
     def read(self, partition: _FilePartition):

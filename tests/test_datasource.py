@@ -420,3 +420,41 @@ def test_batch_datasource_schema_evolution(spark, warehouse):
     # matches the Table-API read exactly
     api = {r["id"]: r for r in t.to_df(spark).collect()}
     assert all(rows[k] == api[k] for k in rows)
+
+
+def test_stream_datasource_projects_evolved_files(spark, warehouse,
+                                                  tmp_path):
+    """A LONG-RUNNING stream's schema is fixed at query start; files
+    committed under a schema evolved mid-stream must project back to it by
+    field id (renames resolve, new columns are ignored). Driven at the
+    reader level: the reader is constructed BEFORE the evolution, then
+    admits and reads the post-evolution snapshot."""
+    import pyarrow as pa
+
+    from iceberg_rust_spark.streaming.datasource import _IcebergStreamReader
+
+    register(spark)
+    df = spark.range(0, 20).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    t = Table.create(warehouse, "db.ds_sevo", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+
+    reader = _IcebergStreamReader(
+        {"warehouse": warehouse.warehouse, "table": "db.ds_sevo"},
+        t.metadata.schema().to_spark())
+    start = reader.latestOffset()        # stream caught up to snapshot 1
+
+    # evolve mid-stream: rename g -> grp, add a column; append NEW-schema
+    t = t.update_schema().rename_column("g", "grp") \
+        .add_column("extra", "string").commit()
+    t = t.append(spark, spark.createDataFrame(
+        [(100, 1, "x"), (101, 2, "y")], "id long, grp long, extra string"))
+
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert parts and all(p.projection is not None for p in parts)
+    rows = pa.Table.from_batches(
+        [b for p in parts for b in reader.read(p)]).to_pylist()
+    assert sorted(r["id"] for r in rows) == [100, 101]
+    # grp values arrive under the stream's old column name g
+    assert sorted(r["g"] for r in rows) == [1, 2]
+    assert all(set(r) == {"id", "g"} for r in rows)
