@@ -441,6 +441,23 @@ def q_iceberg_delete_eq(spark, sf_dir):
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
+def q_iceberg_datasource_read(spark, sf_dir):
+    """r6: the Spark 4 Python DataSource read path under the driver's
+    oracle — `spark.read.format("iceberg_rust")` over the MOR-deleted
+    fixture. Positional deletes apply executor-side on the Arrow batches
+    and the DataFrame filter reaches the 4-level pruner via Spark 4.1
+    pushFilters (all filters handed back, the Inexact contract)."""
+    from iceberg_rust_spark.streaming.datasource import register
+    cat = _warehouse(spark, sf_dir)
+    register(spark)
+    df = (spark.read.format("iceberg_rust")
+          .option("warehouse", cat.warehouse)
+          .option("table", "db.orders_delmor").load()
+          .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
 def q_iceberg_compaction(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_compact")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -1450,7 +1467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
-        # ---- 37 stale-grade queries above; r5-green sets fill the rest of
+        # new in r6: DataSource read path under the oracle
+        "iceberg_datasource_read": q_iceberg_datasource_read,
+        # ---- 38 stale-or-new queries above; r5-green sets fill the rest of
         # the 50-row window and the tail (freshest externals, lowest cost
         # if the driver cuts off)
         "iceberg_q1_pricing": q_iceberg_q1,
@@ -1700,6 +1719,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority""",
+        "iceberg_datasource_read": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
+              AND o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus""",
         "iceberg_delete_mor": f"""
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
