@@ -58,7 +58,7 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
-_WH_VERSION = 5  # bump when the fixture set changes to invalidate the cache
+_WH_VERSION = 6  # bump when the fixture set changes to invalidate the cache
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
@@ -209,6 +209,21 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
                COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY date_format(l_shipdate, 'yyyy-MM')""")
+
+    # 12. dynamic partition overwrite: o_orderpriority-partitioned orders;
+    #     the '5-LOW' partition replaced in one snapshot with re-priced
+    #     evens, every other partition untouched (r6)
+    s = schema_from_spark(orders.schema)
+    t = Table.create(cat, "db.orders_dynow", s, PartitionSpec(0, [
+        PartitionField(fid(s, "o_orderpriority"), 1000, "o_orderpriority",
+                       parse_transform("identity"))]))
+    t = t.append(spark, orders)
+    repl = orders.where((F.col("o_orderpriority") == "5-LOW")
+                        & (F.col("o_orderkey") % 2 == 0)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority")
+    t.overwrite_dynamic(spark, repl)
 
     with open(marker, "w") as fh:
         fh.write("ok")
@@ -455,6 +470,15 @@ def q_iceberg_datasource_read(spark, sf_dir):
           .option("table", "db.orders_delmor").load()
           .filter(F.col("o_orderpriority") == "1-URGENT"))
     return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
+def q_iceberg_overwrite_dynamic(spark, sf_dir):
+    """r6: dynamic partition overwrite — the '5-LOW' partition was
+    replaced in ONE snapshot (metadata-only file drops by partition
+    tuple) with re-priced even keys; every other partition untouched."""
+    t = _ice(spark, sf_dir, "orders_dynow")
+    return t.to_df(spark).groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
@@ -1467,8 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
-        # new in r6: DataSource read path under the oracle
+        # new in r6: DataSource read path + dynamic overwrite under the oracle
         "iceberg_datasource_read": q_iceberg_datasource_read,
+        "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
         # ---- 38 stale-or-new queries above; r5-green sets fill the rest of
         # the 50-row window and the tail (freshest externals, lowest cost
         # if the driver cuts off)
@@ -1719,6 +1744,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority""",
+        "iceberg_overwrite_dynamic": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM (
+                SELECT o_orderpriority, o_totalprice FROM orders
+                WHERE o_orderpriority <> '5-LOW'
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice * 3 FROM orders
+                WHERE o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0
+            ) q GROUP BY o_orderpriority""",
         "iceberg_datasource_read": f"""
             SELECT o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}

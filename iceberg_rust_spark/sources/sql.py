@@ -523,7 +523,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         target, select_sql = m.group(1), m.group(2)
         t = _Table.load(catalog, target)
         df = run_sql(spark, catalog, select_sql, scan_filters)
-        t.overwrite_all(spark, df)  # one atomic replace snapshot
+        # Spark's partitionOverwriteMode conf picks the Iceberg semantics:
+        # dynamic replaces only the partitions the rows touch, static (the
+        # default) replaces the whole table — both one atomic snapshot
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static").lower()
+        if mode == "dynamic":
+            t.overwrite_dynamic(spark, df)
+        else:
+            t.overwrite_all(spark, df)
         return df
     m = _INSERT_RE.match(query)
     if m:

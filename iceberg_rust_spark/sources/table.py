@@ -166,6 +166,36 @@ class Table:
         return self._commit_retry(lambda md: self._snapshot_update(
             md, "overwrite", added=data_files, remove_all=True))
 
+    def overwrite_dynamic(self, spark: SparkSession,
+                          df: DataFrame) -> "Table":
+        """Dynamic partition overwrite (Spark-Iceberg INSERT OVERWRITE
+        under partitionOverwriteMode=dynamic / the ReplacePartitions
+        action): ONE atomic snapshot replaces exactly the partitions the
+        incoming rows touch and leaves every other partition untouched.
+        Removal is metadata-only (file drops by partition tuple — no data
+        read of the replaced partitions), so at 100 TB the cost is the new
+        data's write plus a manifest rewrite. Unpartitioned tables degrade
+        to a whole-table overwrite."""
+        if not self.metadata.spec().fields:
+            return self.overwrite_all(spark, df)
+        data_files = write_data_files(spark, df, self.metadata)
+        touched = {tuple(sorted(f.partition.items()))
+                   for f in data_files if f.partition}
+
+        def update(md: TableMetadata) -> TableMetadata:
+            removed = set()
+            for task in TableScan(md).plan_files().tasks:
+                part = tuple(sorted(task.data_file.partition.items())) \
+                    if task.data_file.partition else ()
+                if part in touched:
+                    removed.add(task.data_file.file_path)
+            return self._snapshot_update(
+                md, "overwrite", added=data_files, removed_paths=removed,
+                extra_summary={"replace-partitions":
+                               str(len(touched))})
+
+        return self._commit_retry(update)
+
     def delete_where(self, spark: SparkSession, pred: E.Predicate,
                      mode: str = "cow") -> "Table":
         """Row-level DELETE.

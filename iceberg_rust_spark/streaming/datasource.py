@@ -172,6 +172,13 @@ def _deleted_positions(partition: _FilePartition):
     return np.unique(np.concatenate(pos_parts))
 
 
+# executor-process-local caches: Python DataSource workers are reused
+# across tasks, so an equality-delete set parsed once serves every data
+# file in the worker (the caching delete loader's job,
+# caching_delete_file_loader.rs:265, at worker granularity)
+_EQ_SET_CACHE: dict = {}
+
+
 def _eq_delete_sets(partition: _FilePartition):
     """(cols, set-of-value-tuples) per equality-delete group; rows whose
     eq columns are all non-null and match a tuple are dropped (null-keep
@@ -180,10 +187,16 @@ def _eq_delete_sets(partition: _FilePartition):
 
     out = []
     for cols, paths in partition.eq_groups:
-        rows = set()
-        for p in paths:
-            tb = pq.read_table(p, columns=list(cols))
-            rows.update(zip(*(tb.column(c).to_pylist() for c in cols)))
+        key = (cols, paths)
+        rows = _EQ_SET_CACHE.get(key)
+        if rows is None:
+            rows = set()
+            for p in paths:
+                tb = pq.read_table(p, columns=list(cols))
+                rows.update(zip(*(tb.column(c).to_pylist() for c in cols)))
+            if len(_EQ_SET_CACHE) > 64:     # bounded
+                _EQ_SET_CACHE.clear()
+            _EQ_SET_CACHE[key] = rows
         out.append((list(cols), rows))
     return out
 

@@ -379,3 +379,60 @@ def test_truncate_upper_skips_surrogate_range():
     assert _truncate_upper("ab", 3) == "ab"
     # a string of max code points cannot be incremented -> None
     assert _truncate_upper("\U0010ffff" * 4, 2) is None
+
+
+def test_overwrite_dynamic_replaces_touched_partitions(spark, warehouse):
+    """Dynamic partition overwrite (Spark-Iceberg INSERT OVERWRITE with
+    partitionOverwriteMode=dynamic): one atomic snapshot replaces exactly
+    the partitions the incoming rows touch; untouched partitions keep
+    their files (metadata-only removal, no data read)."""
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "id long, g long, s string")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.dynow", schema, partition_spec=spec)
+    t = t.append(spark, df)
+    before = {task.data_file.file_path: task.data_file.partition
+              for task in t.scan().plan_files().tasks}
+
+    new = spark.createDataFrame(
+        [(100, 1, "new1"), (101, 2, "new2")], "id long, g long, s string")
+    t = t.overwrite_dynamic(spark, new)
+
+    got = t.to_df(spark)
+    # untouched partitions g=0,3 intact; g=1,2 fully replaced
+    assert got.where("g = 0").count() == 10
+    assert got.where("g = 3").count() == 10
+    assert {r["id"] for r in got.where("g = 1").collect()} == {100}
+    assert {r["id"] for r in got.where("g = 2").collect()} == {101}
+    assert t.metadata.current_snapshot().operation == "overwrite"
+    assert t.metadata.current_snapshot().summary["replace-partitions"] == "2"
+    # untouched partitions kept their ORIGINAL files (metadata-only)
+    after = {task.data_file.file_path: task.data_file.partition
+             for task in t.scan().plan_files().tasks}
+    kept = {p for p, part in before.items() if part.get("g") in (0, 3)}
+    assert kept <= set(after)
+
+    # SQL front door honors the Spark conf
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        run_sql(spark, warehouse,
+                "INSERT OVERWRITE db.dynow SELECT 200 AS id, "
+                "CAST(3 AS LONG) AS g, 'sq' AS s")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    t = Table.load(warehouse, "db.dynow")
+    assert {r["id"] for r in t.to_df(spark).where("g = 3").collect()} == {200}
+    assert t.to_df(spark).where("g = 0").count() == 10
+
+    # unpartitioned degrade: overwrite_all
+    u = Table.create(warehouse, "db.dynow_u", schema)
+    u = u.append(spark, df)
+    u = u.overwrite_dynamic(spark, new)
+    assert u.to_df(spark).count() == 2

@@ -309,6 +309,15 @@ def _mix(spark, docs, emb):
                           targets, 10_000).count()
 
 
+def _para_dedup(spark, docs, emb):
+    """corpus-wide exact paragraph dedup (r6): winner min-agg on the span
+    + exchange-reused join; hot duplicate paragraphs fold map-side, so
+    the decade must stay linear even though replicas share spans."""
+    from iceberg_rust_spark.operators.chunking import dedup_paragraphs_global
+    return dedup_paragraphs_global(docs, min_chars=16) \
+        .agg(F.sum("n_paras_dropped")).collect()[0][0] or docs.count()
+
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
@@ -319,7 +328,8 @@ OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "boilerplate_lines": _boilerplate,
        "pii_scrub": _pii_scrub,
        "pack_sequences": _pack,
-       "stratified_mix": _mix}
+       "stratified_mix": _mix,
+       "para_dedup_global": _para_dedup}
 
 # untimed per-decade setup (fixture caches) run before the timed op
 PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
