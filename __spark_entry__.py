@@ -482,6 +482,16 @@ def q_iceberg_overwrite_dynamic(spark, sf_dir):
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
+def q_iceberg_deleted_flag(spark, sf_dir):
+    """r6: the reserved `_deleted` metadata column
+    (metadata_columns.rs:39,75) — scan the MOR-deleted fixture KEEPING
+    deleted rows, flagged true; both populations aggregate in one read."""
+    t = _ice(spark, sf_dir, "orders_delmor")
+    return t.scan(include_deleted=True).to_df(spark) \
+        .groupBy("_deleted").agg(
+            F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
+
+
 def q_iceberg_compaction(spark, sf_dir):
     t = _ice(spark, sf_dir, "orders_compact")
     return t.to_df(spark).groupBy("o_orderstatus").agg(
@@ -1491,9 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
-        # new in r6: DataSource read path + dynamic overwrite under the oracle
+        # new in r6: DataSource read path + dynamic overwrite + _deleted
+        # flag under the oracle
         "iceberg_datasource_read": q_iceberg_datasource_read,
         "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
+        "iceberg_deleted_flag": q_iceberg_deleted_flag,
         # ---- 38 stale-or-new queries above; r5-green sets fill the rest of
         # the 50-row window and the tail (freshest externals, lowest cost
         # if the driver cuts off)
@@ -1765,6 +1777,11 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders WHERE NOT (o_totalprice > {_MOR_PRICE_CUT})
             GROUP BY o_orderstatus""",
+        "iceberg_deleted_flag": f"""
+            SELECT (o_totalprice > {_MOR_PRICE_CUT}) AS _deleted,
+                   COUNT(*) AS n,
+                   {_sql_sum_dec('o_totalprice', 'sum_price')}
+            FROM orders GROUP BY 1""",
         "iceberg_cdc_net": f"""
             SELECT 'insert' AS _change_type, o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}

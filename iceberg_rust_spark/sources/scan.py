@@ -99,7 +99,8 @@ class TableScan:
                  as_of_timestamp_ms: Optional[int] = None,
                  case_sensitive: bool = True,
                  include_metadata_columns: bool = False,
-                 include_row_lineage: bool = False):
+                 include_row_lineage: bool = False,
+                 include_deleted: bool = False):
         self.metadata = metadata
         self.row_filter = row_filter or E.ALWAYS_TRUE
         self.selected_columns = selected_columns
@@ -107,6 +108,10 @@ class TableScan:
         self.as_of_timestamp_ms = as_of_timestamp_ms
         self.case_sensitive = case_sensitive
         self.include_metadata_columns = include_metadata_columns
+        # reserved `_deleted` column (metadata_columns.rs:39,75): keep the
+        # rows MOR deletes would remove, flagged true, instead of dropping
+        # them — the primitive changelog/audit reads build on
+        self.include_deleted = include_deleted
         # lineage-only mode: adds _file/_pos/_row_id WITHOUT the per-(spec,
         # partition) group split the full metadata columns need — rewrites
         # on partitioned tables read one group per delete-set, not one per
@@ -295,7 +300,8 @@ class TableScan:
             schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
             file_schema = self._file_schema(schema_id, schema)
-            need_meta = bool(pos_paths) or self.include_row_lineage
+            need_meta = (bool(pos_paths) or self.include_row_lineage
+                         or self.include_deleted)
             if schema_id is None:
                 # external id-less files (add_files): infer the physical
                 # schema, then rename aliases -> canonical via name mapping
@@ -348,14 +354,26 @@ class TableScan:
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
-                gdf = _apply_pos_deletes(spark, gdf, list(pos_dels.values()),
-                                         del_cache)
+                if self.include_deleted:
+                    gdf = _flag_pos_deletes(spark, gdf,
+                                            list(pos_dels.values()), del_cache)
+                else:
+                    gdf = _apply_pos_deletes(spark, gdf,
+                                             list(pos_dels.values()), del_cache)
+            if self.include_deleted and "_deleted" not in gdf.columns:
+                gdf = gdf.withColumn("_deleted", F.lit(False))
             # project file schema -> current schema by field id
             gdf = _project_to_schema(gdf, file_schema, schema,
-                                     keep_meta=self.include_row_lineage)
+                                     keep_meta=self.include_row_lineage,
+                                     keep_deleted=self.include_deleted)
             if eq_paths:
                 eq_files = [d for t in tasks for d in t.eq_deletes]
-                gdf = _apply_eq_deletes(spark, gdf, eq_files, schema, del_cache)
+                if self.include_deleted:
+                    gdf = _flag_eq_deletes(spark, gdf, eq_files, schema,
+                                           del_cache)
+                else:
+                    gdf = _apply_eq_deletes(spark, gdf, eq_files, schema,
+                                            del_cache)
             parts.append(gdf)
 
         out = parts[0]
@@ -618,6 +636,76 @@ def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
     return joined
 
 
+def _flag_pos_deletes(spark: SparkSession, gdf: DataFrame,
+                      pos_deletes: List["DataFile"],
+                      del_cache: _DeleteDFCache) -> DataFrame:
+    """`_deleted`-mode twin of _apply_pos_deletes: a left OUTER join marks
+    hit rows true instead of dropping them (metadata_columns.rs:39 — the
+    reserved _deleted column). The delete set is deduped on (file, pos)
+    first so the outer join cannot fan rows out when the same position is
+    deleted by several delete files."""
+    parquet_paths = sorted({d.file_path for d in pos_deletes
+                            if d.file_format == "parquet"})
+    dv_files = sorted((d for d in pos_deletes if d.file_format == "puffin"),
+                      key=lambda d: (d.file_path, d.content_offset or 0))
+
+    def build() -> DataFrame:
+        parts = []
+        if parquet_paths:
+            parts.append(spark.read.parquet(*parquet_paths)
+                         .select(F.col("file_path").alias("_del_file"),
+                                 F.col("pos").alias("_del_pos")))
+        if dv_files:
+            parts.append(dv_pairs_df(spark, dv_files))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    key = ("pos", tuple(parquet_paths),
+           tuple((d.file_path, d.content_offset) for d in dv_files))
+    del_df = del_cache.get(key, build) \
+        .dropDuplicates(["_del_file", "_del_pos"]) \
+        .withColumn("_del_hit", F.lit(True))
+    del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(pos_deletes))
+    joined = gdf.join(
+        del_df,
+        on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),
+            gdf["_pos"] == del_df["_del_pos"]],
+        how="left")
+    return joined.withColumn(
+        "_deleted", F.coalesce(F.col("_del_hit"), F.lit(False))) \
+        .drop("_del_file", "_del_pos", "_del_hit")
+
+
+def _flag_eq_deletes(spark: SparkSession, gdf: DataFrame,
+                     eq_deletes: List["DataFile"], schema: Schema,
+                     del_cache: _DeleteDFCache) -> DataFrame:
+    """`_deleted`-mode twin of _apply_eq_deletes: OR each equality-column
+    group's hits into the existing _deleted flag via left outer joins.
+    Null-unsafe join keys preserve Iceberg's null-keep semantics — a data
+    row with NULL in an equality column never matches, so it stays
+    _deleted=false (caching_delete_file_loader.rs:422-426)."""
+    by_cols: Dict[Tuple[str, ...], List["DataFile"]] = {}
+    for d in eq_deletes:
+        cols = tuple(sorted(_eq_cols(d, schema)))
+        by_cols.setdefault(cols, []).append(d)
+    out = gdf
+    for cols, dfiles in by_cols.items():
+        paths = tuple(sorted({d.file_path for d in dfiles}))
+        del_df = del_cache.get(
+            ("eq", cols, paths),
+            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
+        del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles)) \
+            .withColumn("_eq_hit", F.lit(True))
+        out = out.join(del_df, on=list(cols), how="left") \
+            .withColumn("_deleted",
+                        F.col("_deleted")
+                        | F.coalesce(F.col("_eq_hit"), F.lit(False))) \
+            .drop("_eq_hit")
+    return out
+
+
 def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
 
@@ -696,7 +784,8 @@ def _project_nested(expr, old_type, new_type, path: str):
 
 
 def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
-                       keep_meta: bool = False) -> DataFrame:
+                       keep_meta: bool = False,
+                       keep_deleted: bool = False) -> DataFrame:
     """4-rule field-id projection: same id present -> use (rename+promote);
     promotable -> cast; initial_default -> constant; else NULL (error if
     required). Recurses into structs/lists/maps by field id. Mirrors
@@ -720,4 +809,6 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
         for extra in ("_spec_id", "_partition", "_row_id"):
             if extra in gdf.columns:
                 cols.append(F.col(extra))
+    if keep_deleted and "_deleted" in gdf.columns:
+        cols.append(F.col("_deleted"))
     return gdf.select(*cols)

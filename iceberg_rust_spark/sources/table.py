@@ -112,10 +112,13 @@ class Table:
              snapshot_id: Optional[int] = None,
              as_of_timestamp_ms: Optional[int] = None,
              ref: Optional[str] = None,
-             include_metadata_columns: bool = False) -> TableScan:
+             include_metadata_columns: bool = False,
+             include_deleted: bool = False) -> TableScan:
         """``ref`` selects a named branch/tag (spec refs map) — the
         ref-addressable read the reference resolves through
-        TableMetadata::snapshot_for_ref."""
+        TableMetadata::snapshot_for_ref. ``include_deleted`` keeps
+        MOR-deleted rows, flagged by the reserved boolean ``_deleted``
+        column (metadata_columns.rs:39,75)."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass either ref or snapshot_id, not both")
@@ -125,7 +128,8 @@ class Table:
             snapshot_id = r.snapshot_id
         return TableScan(self.metadata, row_filter, selected_columns,
                          snapshot_id, as_of_timestamp_ms,
-                         include_metadata_columns=include_metadata_columns)
+                         include_metadata_columns=include_metadata_columns,
+                         include_deleted=include_deleted)
 
     def to_df(self, spark: SparkSession, **kwargs) -> DataFrame:
         return self.scan(**kwargs).to_df(spark)

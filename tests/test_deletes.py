@@ -204,3 +204,38 @@ def test_dv_positions_lru_reused_across_scans(spark, warehouse):
     info2 = scan_mod._dv_positions.cache_info()
     assert info2.misses == info1.misses
     assert info2.hits > info1.hits
+
+
+def test_deleted_metadata_column(spark, users_table):
+    """scan(include_deleted=True) keeps MOR-deleted rows flagged by the
+    reserved `_deleted` boolean (metadata_columns.rs:39,75) instead of
+    dropping them: pos deletes, eq deletes (null-keep -> flag stays
+    false), and double-deleted positions flag once (no join fan-out)."""
+    t = users_table.delete_where(spark, E.col("id").isin([2, 4]), mode="mor")
+    keys = spark.createDataFrame([("bob",)], "user string")
+    t = t.delete_by_equality(spark, keys, ["user"])
+    # double-delete id=2 again via a second pos-delete file
+    t = t.delete_where(spark, E.col("id") == 2, mode="mor")
+
+    got = t.scan(include_deleted=True).to_df(spark)
+    assert got.schema["_deleted"].dataType.typeName() == "boolean"
+    rows = {r["id"]: r["_deleted"] for r in got.collect()}
+    # every original row is present exactly once
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]
+    # 2,4 pos-deleted; 2,5 eq-deleted ('bob'); NULL-user row 3 kept live
+    assert {i for i, d in rows.items() if d} == {2, 4, 5}
+    # live subset == the default (filtering) scan
+    live = sorted(r["id"] for r in got.where("NOT _deleted").collect())
+    assert live == ids(spark, t)
+
+
+def test_deleted_column_with_dv_deletes(spark, warehouse):
+    """_deleted flags rows hit by Puffin deletion vectors too."""
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    t = Table.create(warehouse, "db.dvflag", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("g") == 1, mode="dv")
+    got = t.scan(include_deleted=True).to_df(spark)
+    assert got.count() == 100
+    flagged = sorted(r["id"] for r in got.where("_deleted").collect())
+    assert flagged == [i for i in range(100) if i % 5 == 1]
