@@ -482,6 +482,19 @@ def q_iceberg_overwrite_dynamic(spark, sf_dir):
         F.count("*").alias("n"), _sum_dec("o_totalprice", "sum_price"))
 
 
+def q_iceberg_fast_count(spark, sf_dir):
+    """r6: metadata-only COUNT(*) pushdown — the partition-aligned count
+    and the whole-table count resolve from manifest record_count stats
+    (StrictMetricsEvaluator proves whole files in), zero data bytes read.
+    Runs over the dynamically-overwritten fixture so the counts also prove
+    the replace-partitions snapshot's bookkeeping."""
+    t = _ice(spark, sf_dir, "orders_dynow")
+    rows = [("1-URGENT",
+             t.count(spark, E.col("o_orderpriority") == "1-URGENT")),
+            ("total", t.count(spark))]
+    return spark.createDataFrame(rows, "k string, n long")
+
+
 def q_iceberg_deleted_flag(spark, sf_dir):
     """r6: the reserved `_deleted` metadata column
     (metadata_columns.rs:39,75) — scan the MOR-deleted fixture KEEPING
@@ -1506,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_read": q_iceberg_datasource_read,
         "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
         "iceberg_deleted_flag": q_iceberg_deleted_flag,
+        "iceberg_fast_count": q_iceberg_fast_count,
         # ---- 38 stale-or-new queries above; r5-green sets fill the rest of
         # the 50-row window and the tail (freshest externals, lowest cost
         # if the driver cuts off)
@@ -1782,6 +1796,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}
             FROM orders GROUP BY 1""",
+        "iceberg_fast_count": """
+            SELECT '1-URGENT' AS k, COUNT(*) AS n FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'total' AS k, COUNT(*) AS n FROM (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority <> '5-LOW'
+                UNION ALL
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0) q""",
         "iceberg_cdc_net": f"""
             SELECT 'insert' AS _change_type, o_orderstatus, COUNT(*) AS n,
                    {_sql_sum_dec('o_totalprice', 'sum_price')}

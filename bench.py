@@ -23,7 +23,8 @@ BENCH_QUERIES = [
     "iceberg_q1_pricing", "iceberg_q6_revenue", "iceberg_partition_prune",
     "iceberg_bucket_prune", "iceberg_delete_mor", "iceberg_delete_dv",
     "iceberg_merge", "iceberg_compaction", "iceberg_datasource_read",
-    "iceberg_overwrite_dynamic", "iceberg_branch_read",
+    "iceberg_overwrite_dynamic", "iceberg_deleted_flag",
+    "iceberg_fast_count", "iceberg_branch_read",
     "iceberg_nested_evolution", "iceberg_cdc_net", "iceberg_join_pruned",
     "iceberg_join_between",
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",

@@ -269,9 +269,48 @@ class TableScan:
             return pa.Table.from_batches(batches)
         return pa.Schema.from_pandas(df.limit(0).toPandas()).empty_table()
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
+    def count_rows(self, spark: Optional[SparkSession] = None) -> int:
+        """Metadata-only COUNT(*) pushdown: files whose manifest stats PROVE
+        every row matches the filter (StrictMetricsEvaluator) and that carry
+        no deletes contribute their manifest `record_count` without any data
+        read; only the residual files are scanned. At 100 TB a
+        partition-aligned count touches zero data bytes — the planner reads
+        manifests, not parquet (the same trick Spark's Iceberg source uses
+        for SELECT COUNT(*)). Raises if residual files need reading and no
+        SparkSession was passed."""
+        from ..plans.evaluators import file_must_match
         md = self.metadata
         plan = self.plan_files()
+        if plan.snapshot is None:
+            return 0
+        schema = self._scan_schema(md, plan.snapshot)
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        total, residual = 0, []
+        for task in plan.tasks:
+            df_ = task.data_file
+            if task.pos_deletes or task.eq_deletes:
+                residual.append(task)
+            elif isinstance(bound, E.AlwaysTrue):
+                total += df_.record_count
+            elif file_must_match(bound, self._metrics_for_file(df_, schema),
+                                 df_.record_count):
+                total += df_.record_count
+            else:
+                residual.append(task)
+        self.last_count_residual_files = len(residual)
+        if residual:
+            if spark is None:
+                raise ValueError(
+                    f"{len(residual)} files need a data read to count "
+                    "exactly; pass a SparkSession")
+            total += self.to_df(spark, _tasks=residual).count()
+        return total
+
+    def to_df(self, spark: SparkSession,
+              _tasks: Optional[List[FileScanTask]] = None) -> DataFrame:
+        md = self.metadata
+        plan = (self.plan_files() if _tasks is None
+                else ScanPlan(tasks=_tasks, snapshot=self._resolve_snapshot()))
         snap = plan.snapshot
         schema = self._scan_schema(md, snap) if snap else md.schema()
         spark_schema = schema.to_spark()

@@ -134,6 +134,11 @@ class Table:
     def to_df(self, spark: SparkSession, **kwargs) -> DataFrame:
         return self.scan(**kwargs).to_df(spark)
 
+    def count(self, spark: Optional[SparkSession] = None,
+              row_filter: Optional[E.Predicate] = None, **scan_kw) -> int:
+        """COUNT(*) with metadata pushdown — see TableScan.count_rows."""
+        return self.scan(row_filter=row_filter, **scan_kw).count_rows(spark)
+
     # ---------------------------------------------------------------- writes
     def append(self, spark: SparkSession, df: DataFrame,
                extra_summary: Optional[Dict[str, str]] = None,

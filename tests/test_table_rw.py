@@ -436,3 +436,44 @@ def test_overwrite_dynamic_replaces_touched_partitions(spark, warehouse):
     u = u.append(spark, df)
     u = u.overwrite_dynamic(spark, new)
     assert u.to_df(spark).count() == 2
+
+
+def test_metadata_only_count(spark, warehouse):
+    """COUNT(*) pushdown: partition-aligned and whole-table counts resolve
+    from manifest record_count stats with ZERO data files read; filters the
+    stats can't prove fall back to reading only the residual files; MOR
+    deletes force the residual path (manifest counts pre-delete)."""
+    from iceberg_rust_spark import PartitionField, PartitionSpec, expr as E
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 1.5) for i in range(400)], "id long, g long, v double")
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_id_for_name("g"), 1000, "g", parse_transform("identity"))])
+    t = Table.create(warehouse, "db.fastcount", schema, partition_spec=spec)
+    t = t.append(spark, df)
+
+    # whole-table: pure metadata (no SparkSession even needed)
+    assert t.count() == 400
+    # partition-aligned filter: per-file g bounds are equal -> strict match
+    s = t.scan(row_filter=E.col("g") == 2)
+    assert s.count_rows() == 100
+    assert s.last_count_residual_files == 0
+    # a filter stats can't decide needs the residual read, and only then
+    # (id >= 200 splits every file's [min,max] id range)
+    s2 = t.scan(row_filter=E.col("id") >= 200)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s2.count_rows()
+    assert s2.count_rows(spark) == 200
+    # range filter fully covering some partitions but splitting none at the
+    # file level: id bounds prove whole files in/out
+    s3 = t.scan(row_filter=E.col("id") < 1000)
+    assert s3.count_rows() == 400
+    assert s3.last_count_residual_files == 0
+
+    # MOR deletes: affected files leave the metadata path but count stays exact
+    t = t.delete_where(spark, E.col("g") == 1, mode="mor")
+    s4 = t.scan()
+    assert s4.count_rows(spark) == 300
+    assert s4.last_count_residual_files > 0
