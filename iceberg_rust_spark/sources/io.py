@@ -99,11 +99,14 @@ class FileIO:
 
     # convenience ----------------------------------------------------------
     def read_text(self, path: str) -> str:
-        """UTF-8 text; `.gz` paths decompress transparently — Iceberg
-        metadata JSON may be gzip-compressed
+        """UTF-8 text; gzip decompresses transparently — detected by the
+        1f8b magic, not the filename, because writers disagree on naming
+        (`v3.metadata.json.gz` here, `v3-uuid.gz.metadata.json` in
+        Java/the reference's metadata_location.rs:93) and Iceberg metadata
+        JSON may be gzip-compressed regardless
         (write.metadata.compression-codec, reference compression.rs)."""
         data = self.read_bytes(path)
-        if path.endswith(".gz"):
+        if data[:2] == b"\x1f\x8b":
             import gzip
             data = gzip.decompress(data)
         return data.decode("utf-8")

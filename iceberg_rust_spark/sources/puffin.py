@@ -191,12 +191,17 @@ class BlobMetadata:
     offset: int
     length: int
     properties: Dict[str, str] = dc_field(default_factory=dict)
+    # puffin spec "compression-codec": none(absent) | lz4 | zstd
+    # (validate_puffin_compression, puffin/mod.rs:31-43)
+    compression_codec: Optional[str] = None
 
     def to_json(self) -> dict:
         d = {"type": self.type, "fields": self.fields,
              "snapshot-id": self.snapshot_id,
              "sequence-number": self.sequence_number,
              "offset": self.offset, "length": self.length}
+        if self.compression_codec:
+            d["compression-codec"] = self.compression_codec
         if self.properties:
             d["properties"] = self.properties
         return d
@@ -205,31 +210,70 @@ class BlobMetadata:
     def from_json(d: dict) -> "BlobMetadata":
         return BlobMetadata(d["type"], d.get("fields", []),
                             d.get("snapshot-id", 0), d.get("sequence-number", 0),
-                            d["offset"], d["length"], d.get("properties", {}))
+                            d["offset"], d["length"], d.get("properties", {}),
+                            d.get("compression-codec"))
+
+
+# puffin codec name -> pyarrow codec; "lz4" in puffin is the LZ4 FRAME
+# format (compression.rs:85 name "lz4" / frame round-trip in its tests)
+_PA_CODEC = {"lz4": "lz4_frame", "zstd": "zstd", "gzip": "gzip"}
+
+
+def _blob_compress(data: bytes, codec: Optional[str]) -> bytes:
+    if not codec or codec == "none":
+        return data
+    import pyarrow as pa
+    if codec not in _PA_CODEC:
+        raise ValueError(f"unsupported puffin compression codec: {codec}")
+    return pa.Codec(_PA_CODEC[codec]).compress(data, asbytes=True)
+
+
+def _blob_decompress(data: bytes, codec: Optional[str]) -> bytes:
+    if not codec or codec == "none":
+        return data
+    import pyarrow as pa
+    if codec not in _PA_CODEC:
+        raise ValueError(f"unsupported puffin compression codec: {codec}")
+    # stream API: frame formats carry their own size, and puffin blob
+    # metadata records only the COMPRESSED length
+    stream_name = {"lz4_frame": "lz4"}.get(_PA_CODEC[codec], _PA_CODEC[codec])
+    with pa.input_stream(pa.BufferReader(data),
+                         compression=stream_name) as s:
+        return s.read()
 
 
 def write_puffin(path: str, blobs: List[Tuple[BlobMetadata, bytes]],
-                 properties: Optional[Dict[str, str]] = None) -> List[BlobMetadata]:
+                 properties: Optional[Dict[str, str]] = None,
+                 compress_footer: bool = False) -> List[BlobMetadata]:
     """Write blobs to a Puffin file; offsets/lengths in the returned metadata
-    are filled in from actual positions."""
+    are filled in from actual positions. A blob whose metadata names a
+    ``compression_codec`` (lz4|zstd, puffin/mod.rs:31-43) is compressed and
+    its stored length is the COMPRESSED length per the spec;
+    ``compress_footer`` sets flag bit 0 and lz4-frames the footer payload
+    (puffin/writer.rs:78,150)."""
     from .io import file_io_for
     import io as _io
     out_meta: List[BlobMetadata] = []
     fh = _io.BytesIO()
     fh.write(MAGIC)
     for meta, data in blobs:
+        stored = _blob_compress(data, meta.compression_codec)
         meta.offset = fh.tell()
-        meta.length = len(data)
-        fh.write(data)
+        meta.length = len(stored)
+        fh.write(stored)
         out_meta.append(meta)
     payload = json.dumps({
         "blobs": [m.to_json() for m in out_meta],
         "properties": properties or {},
     }).encode("utf-8")
+    flags = b"\x00\x00\x00\x00"
+    if compress_footer:
+        payload = _blob_compress(payload, "lz4")
+        flags = b"\x01\x00\x00\x00"  # FooterPayloadCompressed
     fh.write(MAGIC)
     fh.write(payload)
     fh.write(struct.pack("<I", len(payload)))
-    fh.write(b"\x00\x00\x00\x00")  # flags: footer payload uncompressed
+    fh.write(flags)
     fh.write(MAGIC)
     file_io_for(path).write_bytes(path, fh.getvalue())
     return out_meta
@@ -248,19 +292,21 @@ def read_puffin_footer(path: str) -> Tuple[List[BlobMetadata], Dict[str, str]]:
     flags = tail[4:8]
     if tail[8:] != MAGIC:
         raise ValueError("bad puffin trailing magic")
-    if flags[0] & 1:
-        raise ValueError("compressed puffin footers not supported")
     chunk = fio.read_bytes(path, size - 12 - payload_len - 4, 4 + payload_len)
     if chunk[:4] != MAGIC:
         raise ValueError("bad puffin footer magic")
-    payload = json.loads(chunk[4:].decode("utf-8"))
+    raw = chunk[4:]
+    if flags[0] & 1:  # FooterPayloadCompressed: lz4-framed (metadata.rs:266)
+        raw = _blob_decompress(raw, "lz4")
+    payload = json.loads(raw.decode("utf-8"))
     blobs = [BlobMetadata.from_json(b) for b in payload.get("blobs", [])]
     return blobs, payload.get("properties", {})
 
 
 def read_blob(path: str, meta: BlobMetadata) -> bytes:
     from .io import file_io_for
-    return file_io_for(path).read_bytes(path, meta.offset, meta.length)
+    data = file_io_for(path).read_bytes(path, meta.offset, meta.length)
+    return _blob_decompress(data, meta.compression_codec)
 
 
 def read_deletion_vectors(path: str) -> Dict[str, np.ndarray]:

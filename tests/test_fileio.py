@@ -145,3 +145,28 @@ def test_load_catalog_registry(tmp_path, spark):
         load_catalog("nope")
     with pytest.raises(ValueError, match="uri"):
         load_catalog("rest")
+
+
+def test_gzip_metadata_sniffed_by_magic_any_naming(spark, tmp_path):
+    """Gzip metadata detection is content-based (1f8b magic), so a
+    Java-convention `v1-uuid.gz.metadata.json` (no `.gz` FILENAME suffix,
+    reference metadata_location.rs:93) registers and loads fine."""
+    import gzip
+
+    from iceberg_rust_spark import FileSystemCatalog, Table
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    src = FileSystemCatalog(str(tmp_path / "src"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    t = Table.create(src, "db.t", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+
+    # re-encode the current metadata under the Java gzip naming convention
+    java_style = str(tmp_path / "v1-0000-fake-uuid.gz.metadata.json")
+    with open(java_style, "wb") as fh:
+        fh.write(gzip.compress(t.metadata.to_json().encode(), mtime=0))
+
+    dst = FileSystemCatalog(str(tmp_path / "dst"))
+    dst.register_table("db.imported", java_style)
+    got = Table.load(dst, "db.imported").to_df(spark)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]

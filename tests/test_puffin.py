@@ -84,3 +84,48 @@ def test_delete_where_dv_mode(spark, warehouse):
     dv_entries = [e for e in entries if e["file_format"] == "puffin"]
     assert dv_entries and all(e["referenced_data_file"] for e in dv_entries)
     assert any(e["content"] == 0 for e in entries)  # data entries present too
+
+
+def test_puffin_blob_compression_roundtrip(tmp_path):
+    """Per-blob compression-codec (lz4 frame / zstd, puffin/mod.rs:31-43)
+    and the FooterPayloadCompressed flag (metadata.rs:266): stored lengths
+    are the COMPRESSED lengths; read_blob decompresses transparently."""
+    import numpy as np
+
+    from iceberg_rust_spark.sources.puffin import (
+        BlobMetadata, deserialize_dv, read_blob, read_puffin_footer,
+        serialize_dv, write_puffin)
+
+    pos = np.arange(0, 50_000, 3, dtype=np.uint64)
+    dv = serialize_dv(pos)
+    big = b"the quick brown fox " * 500
+    path = str(tmp_path / "compressed.puffin")
+    metas = write_puffin(path, [
+        (BlobMetadata("deletion-vector-v1", [], 1, 1, 0, 0,
+                      {"referenced-data-file": "f1"},
+                      compression_codec="zstd"), dv),
+        (BlobMetadata("apache-datasketches-theta-v1", [1], 1, 1, 0, 0,
+                      compression_codec="lz4"), big),
+        (BlobMetadata("apache-datasketches-theta-v1", [2], 1, 1, 0, 0), big),
+    ], compress_footer=True)
+    # compressed blobs stored shorter than their payloads; plain one exact
+    assert metas[0].length < len(dv)
+    assert metas[1].length < len(big)
+    assert metas[2].length == len(big)
+
+    blobs, _ = read_puffin_footer(path)  # exercises the compressed footer
+    assert [b.compression_codec for b in blobs] == ["zstd", "lz4", None]
+    got = deserialize_dv(read_blob(path, blobs[0]))
+    assert np.array_equal(got, pos)
+    assert read_blob(path, blobs[1]) == big
+    assert read_blob(path, blobs[2]) == big
+
+
+def test_puffin_unknown_codec_rejected(tmp_path):
+    import pytest
+
+    from iceberg_rust_spark.sources.puffin import BlobMetadata, write_puffin
+    with pytest.raises(ValueError, match="unsupported puffin compression"):
+        write_puffin(str(tmp_path / "x.puffin"), [
+            (BlobMetadata("t", [], 1, 1, 0, 0, compression_codec="brotli-9"),
+             b"x")])
