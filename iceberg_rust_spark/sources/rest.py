@@ -449,9 +449,25 @@ def apply_updates_ext(md: TableMetadata,
 # ---------------------------------------------------------------------------
 
 class RestCatalog:
-    def __init__(self, uri: str = "", transport: Optional[Transport] = None):
+    def __init__(self, uri: str = "", transport: Optional[Transport] = None,
+                 token: Optional[str] = None,
+                 credential: Optional[str] = None,
+                 oauth2_server_uri: Optional[str] = None,
+                 scope: str = "catalog",
+                 extra_oauth_params: Optional[Dict[str, str]] = None):
+        """Auth mirrors the reference client (rest/src/client.rs:33-65):
+        ``token`` is a static bearer sent on every request; ``credential``
+        (``client_id:client_secret`` or a bare secret) drives the OAuth2
+        client-credentials flow against ``oauth2_server_uri`` (default
+        ``{uri}/v1/oauth/tokens`` per the REST spec) — fetched lazily and
+        re-fetched once on a 401."""
+        self._token = token
+        self._credential = credential
+        self._oauth_uri = oauth2_server_uri
+        self._scope = scope
+        self._extra_oauth = dict(extra_oauth_params or {})
         if transport is None:
-            transport = _urllib_transport(uri)
+            transport = _urllib_transport(uri, lambda: self._token)
         self.uri = uri
         self._t = transport
         # base metadata per (identifier, version) so commit can diff; entries
@@ -474,6 +490,7 @@ class RestCatalog:
     # -- tables ------------------------------------------------------------
     def table_exists(self, identifier: str) -> bool:
         ns, name = identifier.rsplit(".", 1)
+        self._ensure_token()
         status, _ = self._t("HEAD", f"v1/namespaces/{ns}/tables/{name}", None)
         return status == 204
 
@@ -550,13 +567,22 @@ class RestCatalog:
         # requirement-guarded so a replay of an applied commit conflicts
         # instead of double-applying
         import time as _time
+        self._ensure_token()
         delay = 0.1
         for attempt in range(4):
             status, resp = self._t(method, path, body)
+            if status == 401 and self._credential is not None and attempt == 0:
+                # expired/revoked token: one re-auth then retry
+                # (client.rs token refresh-on-401)
+                self._fetch_token()
+                continue
             if status not in (502, 503, 504) or attempt == 3:
                 break
             _time.sleep(delay)
             delay *= 2
+        if status == 401:
+            raise PermissionError(
+                resp.get("error", {}).get("message", f"unauthorized: {path}"))
         if status == 404:
             raise NoSuchTable(resp.get("error", {}).get("message", path))
         if status == 409:
@@ -568,6 +594,29 @@ class RestCatalog:
             raise RuntimeError(f"{method} {path} -> {status}: {resp}")
         return status, resp
 
+    def _ensure_token(self) -> None:
+        if self._token is None and self._credential is not None:
+            self._fetch_token()
+
+    def _fetch_token(self) -> None:
+        """OAuth2 client-credentials grant (REST spec POST /v1/oauth/tokens,
+        form-encoded; client.rs:36-44). The token endpoint itself is called
+        unauthenticated through the same transport."""
+        cred = self._credential or ""
+        client_id, _, client_secret = cred.rpartition(":")
+        form = {"grant_type": "client_credentials",
+                "client_secret": client_secret,
+                "scope": self._scope, **self._extra_oauth}
+        if client_id:
+            form["client_id"] = client_id
+        path = self._oauth_uri or "v1/oauth/tokens"
+        status, resp = self._t("POST", path, form)
+        if status >= 300 or "access_token" not in resp:
+            raise PermissionError(
+                f"token fetch failed ({status}): "
+                f"{resp.get('error', resp)}")
+        self._token = resp["access_token"]
+
 
 def _version_of(metadata_location: str) -> int:
     # accepts v1 / 00001-<uuid> / .gz spellings (shared parser)
@@ -575,16 +624,30 @@ def _version_of(metadata_location: str) -> int:
     return ptr_version(metadata_location)
 
 
-def _urllib_transport(uri: str) -> Transport:
-    """Real-HTTP binding for deployments; unused in the sandbox (no network)."""
+def _urllib_transport(uri: str,
+                      get_token: Optional[Callable[[], Optional[str]]] = None
+                      ) -> Transport:
+    """Real-HTTP binding (loopback in tests, deployments otherwise).
+    ``get_token`` is read per-request so OAuth refreshes take effect; the
+    token endpoint is form-encoded per the REST spec, everything else
+    JSON."""
     import urllib.error
+    import urllib.parse
     import urllib.request
 
     def transport(method: str, path: str, body: Optional[dict]) -> Tuple[int, dict]:
         url = uri.rstrip("/") + "/" + path
-        data = None if body is None else json.dumps(body).encode()
-        req = urllib.request.Request(url, data=data, method=method, headers={
-            "Content-Type": "application/json"})
+        headers = {"Content-Type": "application/json"}
+        if path.endswith("oauth/tokens") and body is not None:
+            data = urllib.parse.urlencode(body).encode()
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+        else:
+            data = None if body is None else json.dumps(body).encode()
+            token = get_token() if get_token else None
+            if token:
+                headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(url, data=data, method=method,
+                                     headers=headers)
         try:
             with urllib.request.urlopen(req) as r:
                 text = r.read().decode() or "{}"
@@ -599,21 +662,58 @@ def _urllib_transport(uri: str) -> Transport:
 
 
 def serve_http(server: RestCatalogServer, host: str = "127.0.0.1",
-               port: int = 0):
+               port: int = 0,
+               oauth_credential: Optional[Tuple[str, str]] = None):
     """Bind a RestCatalogServer to a real HTTP socket (stdlib
     ThreadingHTTPServer in a daemon thread) so ``RestCatalog(uri=...)``
     exercises the full wire path — the deployment shape of the reference's
-    HTTP client (crates/catalog/rest/src/catalog.rs:372). Returns
-    ``(uri, shutdown)``; call ``shutdown()`` when done."""
+    HTTP client (crates/catalog/rest/src/catalog.rs:372). With
+    ``oauth_credential=(client_id, client_secret)`` the server requires a
+    Bearer token on every catalog route and issues tokens from
+    ``POST /v1/oauth/tokens`` (client-credentials grant) — the auth shape
+    of client.rs:33-65. Returns ``(uri, shutdown)``; call ``shutdown()``
+    when done."""
     import http.server
+    import secrets as _secrets
     import threading
+    import urllib.parse
+
+    issued: set = set()
 
     class _Handler(http.server.BaseHTTPRequestHandler):
         def _handle(self, method: str) -> None:
             length = int(self.headers.get("Content-Length") or 0)
-            body = (json.loads(self.rfile.read(length) or b"{}")
-                    if length else None)
+            raw = self.rfile.read(length) if length else b""
+            if oauth_credential is not None and \
+                    self.path.rstrip("/").endswith("oauth/tokens"):
+                form = dict(urllib.parse.parse_qsl(raw.decode()))
+                cid, csecret = oauth_credential
+                if (form.get("grant_type") == "client_credentials"
+                        and form.get("client_id", cid) == cid
+                        and form.get("client_secret") == csecret):
+                    tok = _secrets.token_hex(16)
+                    issued.add(tok)
+                    status, resp = 200, {"access_token": tok,
+                                         "token_type": "bearer"}
+                else:
+                    status, resp = 401, {"error": {
+                        "message": "invalid client credentials",
+                        "type": "NotAuthorizedException"}}
+                self._reply(method, status, resp)
+                return
+            if oauth_credential is not None:
+                auth = self.headers.get("Authorization", "")
+                if not (auth.startswith("Bearer ")
+                        and auth[len("Bearer "):] in issued):
+                    self._reply(method, 401, {"error": {
+                        "message": "missing or invalid bearer token",
+                        "type": "NotAuthorizedException"}})
+                    return
+            body = json.loads(raw or b"{}") if length else None
             status, resp = server(method, self.path, body)
+            self._reply(method, status, resp)
+
+        def _reply(self, method: str, status: int, resp: dict) -> None:
             data = json.dumps(resp).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

@@ -273,3 +273,38 @@ def test_rest_client_retries_transient_503(spark, tmp_path):
     md = cat.register_table("db.linked", ptr)
     assert md.current_snapshot() is not None
     assert Table.load(cat, "db.linked").to_df(spark).count() == 1
+
+
+def test_oauth2_client_credentials_over_real_http(spark, tmp_path):
+    """OAuth2 client-credentials flow (client.rs:33-65 / REST spec
+    POST /v1/oauth/tokens): the client fetches a bearer token lazily,
+    sends it on every route (incl. the HEAD existence probe), re-auths
+    once on 401, and bad credentials / missing tokens are rejected."""
+    from iceberg_rust_spark.sources.rest import serve_http
+
+    backing = MemoryCatalog(str(tmp_path / f"wh_{uuid.uuid4().hex[:6]}"))
+    uri, shutdown = serve_http(RestCatalogServer(backing),
+                               oauth_credential=("svc", "s3cret"))
+    try:
+        # unauthenticated client: every call 401s
+        anon = RestCatalog(uri=uri)
+        with pytest.raises(PermissionError):
+            anon.create_namespace("db")
+        # bad secret: token fetch itself fails
+        bad = RestCatalog(uri=uri, credential="svc:wrong")
+        with pytest.raises(PermissionError):
+            bad.list_namespaces()
+        # good credential: full table workflow
+        cat = RestCatalog(uri=uri, credential="svc:s3cret")
+        t, df = _make_table(spark, cat, ident="db.oauth_t")
+        t = t.append(spark, df)
+        assert t.to_df(spark).count() == 10
+        assert cat.table_exists("db.oauth_t")
+        # token revocation mid-session: client re-auths once and succeeds
+        cat._token = "revoked-token"
+        assert "db" in cat.list_namespaces()
+        # static pre-issued token path: server only accepts ISSUED tokens
+        static = RestCatalog(uri=uri, token=cat._token)
+        assert static.table_exists("db.oauth_t")
+    finally:
+        shutdown()
