@@ -333,8 +333,15 @@ def guard_requirements(base: TableMetadata,
 # ---------------------------------------------------------------------------
 
 class RestCatalogServer:
-    def __init__(self, backing):
+    def __init__(self, backing, prefix: Optional[str] = None,
+                 page_size: Optional[int] = None):
+        """``prefix`` is advertised via GET /v1/config overrides and then
+        REQUIRED on every catalog route (catalog.rs:185-226 url_prefixed);
+        ``page_size`` turns on list pagination (next-page-token /
+        pageToken, catalog.rs:588)."""
         self.backing = backing
+        self.prefix = prefix
+        self.page_size = page_size
 
     # transport-compatible entry point
     def __call__(self, method: str, path: str,
@@ -353,17 +360,42 @@ class RestCatalogServer:
             return 400, {"error": {"message": str(e), "type": type(e).__name__}}
 
     def _route(self, method: str, path: str, body: dict) -> Tuple[int, dict]:
-        parts = path.split("/")
+        from urllib.parse import parse_qsl, urlsplit
+        split = urlsplit(path)
+        query = dict(parse_qsl(split.query))
+        parts = split.path.strip("/").split("/")
         if parts[:2] == ["v1", "config"]:
-            return 200, {"defaults": {}, "overrides": {}}
+            over = {"prefix": self.prefix} if self.prefix else {}
+            return 200, {"defaults": {}, "overrides": over}
+        # prefix-aware routing: v1/{prefix}/namespaces/... when configured
+        if self.prefix:
+            if len(parts) >= 2 and parts[0] == "v1" and parts[1] == self.prefix:
+                parts = ["v1"] + parts[2:]
+            elif parts[:1] == ["v1"] and parts[1:2] != ["config"]:
+                return 404, {"error": {
+                    "message": f"missing catalog prefix in /{split.path}",
+                    "type": "NotFound"}}
+
+        def page(items: list, key: str) -> Tuple[int, dict]:
+            """REST spec pagination: pageToken is the start offset here."""
+            if not self.page_size:
+                return 200, {key: items}
+            start = int(query.get("pageToken", "0") or 0)
+            chunk = items[start:start + self.page_size]
+            resp = {key: chunk}
+            if start + self.page_size < len(items):
+                resp["next-page-token"] = str(start + self.page_size)
+            return 200, resp
+
         if parts[:2] == ["v1", "namespaces"]:
             if len(parts) == 2:
                 if method == "POST":
                     ns = ".".join(body["namespace"])
                     self.backing.create_namespace(ns)
                     return 200, {"namespace": body["namespace"], "properties": {}}
-                return 200, {"namespaces": [n.split(".") for n in
-                                            self.backing.list_namespaces()]}
+                return page([n.split(".") for n in
+                             sorted(self.backing.list_namespaces())],
+                            "namespaces")
             ns = parts[2]
             if len(parts) == 4 and parts[3] == "register" \
                     and method == "POST":
@@ -377,9 +409,9 @@ class RestCatalogServer:
             if len(parts) == 4 and parts[3] == "tables":
                 if method == "POST":
                     return self._create_table(ns, body)
-                return 200, {"identifiers": [
-                    {"namespace": ns.split("."), "name": t}
-                    for t in self.backing.list_tables(ns)]}
+                return page([{"namespace": ns.split("."), "name": t}
+                             for t in sorted(self.backing.list_tables(ns))],
+                            "identifiers")
             if len(parts) == 5 and parts[3] == "tables":
                 ident = f"{ns}.{parts[4]}"
                 if method == "GET":
@@ -454,7 +486,8 @@ class RestCatalog:
                  credential: Optional[str] = None,
                  oauth2_server_uri: Optional[str] = None,
                  scope: str = "catalog",
-                 extra_oauth_params: Optional[Dict[str, str]] = None):
+                 extra_oauth_params: Optional[Dict[str, str]] = None,
+                 warehouse: Optional[str] = None):
         """Auth mirrors the reference client (rest/src/client.rs:33-65):
         ``token`` is a static bearer sent on every request; ``credential``
         (``client_id:client_secret`` or a bare secret) drives the OAuth2
@@ -470,34 +503,74 @@ class RestCatalog:
             transport = _urllib_transport(uri, lambda: self._token)
         self.uri = uri
         self._t = transport
+        # GET /v1/config bootstrap (catalog.rs:458): server defaults merge
+        # under, overrides win; a returned "prefix" re-roots every catalog
+        # route at v1/{prefix}/... — fetched lazily on the first call
+        self.warehouse = warehouse
+        self.props: Dict[str, str] = {}
+        self._prefix: Optional[str] = None
+        self._configured = False
         # base metadata per (identifier, version) so commit can diff; entries
         # die with the commit or the next refresh — bounded by live handles
         self._bases: Dict[Tuple[str, int], TableMetadata] = {}
 
+    # -- config bootstrap --------------------------------------------------
+    def _ensure_config(self) -> None:
+        if self._configured:
+            return
+        self._configured = True  # set first: _call below recurses into us
+        q = f"?warehouse={self.warehouse}" if self.warehouse else ""
+        try:
+            _, body = self._call("GET", f"v1/config{q}", None)
+        except Exception:
+            return  # pre-config servers: keep unprefixed routes
+        merged = dict(body.get("defaults", {}))
+        merged.update(body.get("overrides", {}))
+        self.props = merged
+        self._prefix = merged.get("prefix") or None
+
+    def _p(self, rest: str) -> str:
+        """Catalog route, re-rooted under the config-advertised prefix
+        (catalog.rs:185-226 url_prefixed)."""
+        self._ensure_config()
+        return f"v1/{self._prefix}/{rest}" if self._prefix else f"v1/{rest}"
+
+    def _paged(self, path: str, key: str) -> List[dict]:
+        """Drain a paginated list route (pageToken / next-page-token,
+        catalog.rs:588)."""
+        items, token = [], None
+        while True:
+            q = f"?pageToken={token}" if token else ""
+            _, body = self._call("GET", path + q, None)
+            items.extend(body.get(key, []))
+            token = body.get("next-page-token")
+            if not token:
+                return items
+
     # -- namespaces --------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:
-        self._call("POST", "v1/namespaces",
+        self._call("POST", self._p("namespaces"),
                    {"namespace": namespace.split(".")})
 
     def list_namespaces(self) -> List[str]:
-        _, body = self._call("GET", "v1/namespaces", None)
-        return [".".join(n) for n in body["namespaces"]]
+        return [".".join(n)
+                for n in self._paged(self._p("namespaces"), "namespaces")]
 
     def list_tables(self, namespace: str) -> List[str]:
-        _, body = self._call("GET", f"v1/namespaces/{namespace}/tables", None)
-        return [i["name"] for i in body["identifiers"]]
+        return [i["name"] for i in self._paged(
+            self._p(f"namespaces/{namespace}/tables"), "identifiers")]
 
     # -- tables ------------------------------------------------------------
     def table_exists(self, identifier: str) -> bool:
         ns, name = identifier.rsplit(".", 1)
         self._ensure_token()
-        status, _ = self._t("HEAD", f"v1/namespaces/{ns}/tables/{name}", None)
+        status, _ = self._t("HEAD", self._p(f"namespaces/{ns}/tables/{name}"), None)
         return status == 204
 
     def create_table(self, identifier: str, metadata: TableMetadata) -> TableMetadata:
         ns, name = identifier.rsplit(".", 1)
         _, body = self._call(
-            "POST", f"v1/namespaces/{ns}/tables",
+            "POST", self._p(f"namespaces/{ns}/tables"),
             {"name": name, "metadata": json.loads(metadata.to_json())})
         md = TableMetadata.from_json(json.dumps(body["metadata"]))
         self._bases[(identifier, 1)] = copy.deepcopy(md)
@@ -505,7 +578,7 @@ class RestCatalog:
 
     def load_table(self, identifier: str) -> Tuple[TableMetadata, int]:
         ns, name = identifier.rsplit(".", 1)
-        _, body = self._call("GET", f"v1/namespaces/{ns}/tables/{name}", None)
+        _, body = self._call("GET", self._p(f"namespaces/{ns}/tables/{name}"), None)
         md = TableMetadata.from_json(json.dumps(body["metadata"]))
         version = _version_of(body["metadata-location"])
         self._bases[(identifier, version)] = copy.deepcopy(md)
@@ -517,7 +590,7 @@ class RestCatalog:
         server adopts existing metadata by path."""
         ns, name = identifier.rsplit(".", 1)
         _, body = self._call(
-            "POST", f"v1/namespaces/{ns}/register",
+            "POST", self._p(f"namespaces/{ns}/register"),
             {"name": name, "metadata-location": metadata_location})
         md = TableMetadata.from_json(json.dumps(body["metadata"]))
         version = _version_of(body["metadata-location"])
@@ -526,12 +599,12 @@ class RestCatalog:
 
     def drop_table(self, identifier: str, purge: bool = True) -> None:
         ns, name = identifier.rsplit(".", 1)
-        self._call("DELETE", f"v1/namespaces/{ns}/tables/{name}", None)
+        self._call("DELETE", self._p(f"namespaces/{ns}/tables/{name}"), None)
 
     def rename_table(self, src: str, dst: str) -> None:
         s_ns, s_name = src.rsplit(".", 1)
         d_ns, d_name = dst.rsplit(".", 1)
-        self._call("POST", "v1/tables/rename", {
+        self._call("POST", self._p("tables/rename"), {
             "source": {"namespace": s_ns.split("."), "name": s_name},
             "destination": {"namespace": d_ns.split("."), "name": d_name}})
 
@@ -546,7 +619,7 @@ class RestCatalog:
         requirements = guard_requirements(base, updates)
         ns, name = identifier.rsplit(".", 1)
         status, body = self._t(
-            "POST", f"v1/namespaces/{ns}/tables/{name}",
+            "POST", self._p(f"namespaces/{ns}/tables/{name}"),
             {"identifier": {"namespace": ns.split("."), "name": name},
              "requirements": requirements, "updates": updates})
         if status == 409:

@@ -262,8 +262,10 @@ def test_rest_client_retries_transient_503(spark, tmp_path):
         return real(method, path, body)
 
     cat = RestCatalog(transport=transport)
-    assert cat.list_namespaces() == ["db"]   # succeeded on 3rd attempt
-    assert flaky["n"] == 3
+    assert cat.list_namespaces() == ["db"]   # survived two 503s
+    # call 1-2: 503s eaten by the retry loop (inside the lazy /v1/config
+    # bootstrap), call 3: config succeeds, call 4: the list itself
+    assert flaky["n"] == 4
 
     # uuid-named external pointer registers and version-parses
     sq = SqlCatalog(str(tmp_path / "c.db"), str(tmp_path / "wh_sql"))
@@ -306,5 +308,36 @@ def test_oauth2_client_credentials_over_real_http(spark, tmp_path):
         # static pre-issued token path: server only accepts ISSUED tokens
         static = RestCatalog(uri=uri, token=cat._token)
         assert static.table_exists("db.oauth_t")
+    finally:
+        shutdown()
+
+
+def test_config_prefix_and_paginated_lists(spark, tmp_path):
+    """GET /v1/config bootstrap (catalog.rs:458): overrides carry a
+    `prefix` that re-roots every catalog route at v1/{prefix}/..., and
+    list routes paginate via pageToken / next-page-token (catalog.rs:588)
+    — the client drains all pages transparently."""
+    from iceberg_rust_spark.sources.rest import serve_http
+
+    backing = MemoryCatalog(str(tmp_path / f"wh_{uuid.uuid4().hex[:6]}"))
+    server = RestCatalogServer(backing, prefix="prod-catalog", page_size=3)
+    uri, shutdown = serve_http(server)
+    try:
+        cat = RestCatalog(uri=uri, warehouse="prod")
+        cat.create_namespace("db")
+        t, df = _make_table(spark, cat, ident="db.t0")
+        t.append(spark, df)
+        for i in range(1, 8):   # 8 tables total: 3 pages at page_size=3
+            _make_table(spark, cat, ident=f"db.t{i}")
+        assert cat._prefix == "prod-catalog"
+        assert cat.list_tables("db") == [f"t{i}" for i in range(8)]
+        assert cat.list_namespaces() == ["db"]
+        # loads/commits work through the prefixed routes too
+        assert cat.table_exists("db.t0")
+        got = Table(cat, "db.t0", *cat.load_table("db.t0")).to_df(spark)
+        assert got.count() == 10
+        # an unprefixed client is rejected by a prefix-requiring server
+        status, _ = server("GET", "v1/namespaces", None)
+        assert status == 404
     finally:
         shutdown()
