@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from .io import file_io_for, posix_join
 from .metadata import TableMetadata
@@ -48,6 +48,15 @@ class TableAlreadyExists(Exception):
     pass
 
 
+class NoSuchNamespace(Exception):
+    """Namespace does not exist (ErrorKind::NamespaceNotFound)."""
+
+
+class NamespaceNotEmpty(Exception):
+    """drop_namespace on a namespace that still holds tables or child
+    namespaces (catalog/sql drop_namespace refusal, sql/catalog.rs:681)."""
+
+
 class FileSystemCatalog:
     def __init__(self, warehouse: str):
         # bare local paths are absolutized; URIs pass through untouched
@@ -64,8 +73,62 @@ class FileSystemCatalog:
         return posix_join(self._table_dir(identifier), "metadata")
 
     # -- namespaces --------------------------------------------------------
-    def create_namespace(self, namespace: str) -> None:
-        self.io.makedirs(posix_join(self.warehouse, *namespace.split(".")))
+    def _ns_dir(self, namespace: str) -> str:
+        return posix_join(self.warehouse, *namespace.split("."))
+
+    def _ns_props_path(self, namespace: str) -> str:
+        return posix_join(self._ns_dir(namespace), ".namespace.json")
+
+    def create_namespace(self, namespace: str,
+                         properties: Optional[dict] = None) -> None:
+        self.io.makedirs(self._ns_dir(namespace))
+        if properties:
+            import json
+            self.io.write_text(self._ns_props_path(namespace),
+                               json.dumps(dict(properties)))
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return self.io.is_dir(self._ns_dir(namespace))
+
+    def namespace_properties(self, namespace: str) -> dict:
+        """Properties of an existing namespace (Catalog::get_namespace,
+        catalog/mod.rs:58 trait surface; hadoop-style catalogs keep them in
+        a dotfile inside the namespace directory)."""
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
+        p = self._ns_props_path(namespace)
+        if not self.io.is_file(p):
+            return {}
+        import json
+        return json.loads(self.io.read_text(p))
+
+    def update_namespace(self, namespace: str,
+                         updates: Optional[dict] = None,
+                         removals: Optional[List[str]] = None) -> dict:
+        """Merge/remove namespace properties (REST spec
+        UpdateNamespacePropertiesRequest semantics: updates win, removals
+        drop keys). Returns the resulting property map."""
+        import json
+        props = self.namespace_properties(namespace)
+        for k in removals or ():
+            props.pop(k, None)
+        props.update(updates or {})
+        self.io.write_text(self._ns_props_path(namespace), json.dumps(props))
+        return props
+
+    def drop_namespace(self, namespace: str) -> None:
+        """Remove an EMPTY namespace; refuses when tables or child
+        namespaces remain (sql/catalog.rs:681-695 refusal semantics —
+        dropping a parent never cascades into nested namespaces)."""
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
+        if self.list_tables(namespace):
+            raise NamespaceNotEmpty(f"{namespace}: tables exist")
+        ns_dir = self._ns_dir(namespace)
+        for name in self.io.list_dir(ns_dir):
+            if self.io.is_dir(posix_join(ns_dir, name)):
+                raise NamespaceNotEmpty(f"{namespace}: child namespace {name}")
+        self.io.delete_prefix(ns_dir)
 
     def list_namespaces(self) -> List[str]:
         out = []

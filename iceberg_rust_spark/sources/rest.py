@@ -30,7 +30,8 @@ import json
 import threading
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-from .catalog import (CommitConflict, NoSuchTable, TableAlreadyExists)
+from .catalog import (CommitConflict, NamespaceNotEmpty, NoSuchNamespace,
+                      NoSuchTable, TableAlreadyExists)
 from .io import file_io_for, posix_join
 from .metadata import TableMetadata
 from .updates import RequirementFailed, apply_updates, check_requirement
@@ -58,13 +59,51 @@ class MemoryCatalog:
         # stored so each load round-trips serialization like a real catalog
         self._tables: Dict[str, Tuple[str, int]] = {}
         self._namespaces: set = set()
+        self._ns_props: Dict[str, dict] = {}
         # externally-registered tables: (ident, version) -> metadata path
         self._registered: Dict[Tuple[str, int], str] = {}
 
     # -- namespaces --------------------------------------------------------
-    def create_namespace(self, namespace: str) -> None:
+    def create_namespace(self, namespace: str,
+                         properties: Optional[dict] = None) -> None:
         with self._lock:
             self._namespaces.add(namespace)
+            if properties:
+                self._ns_props.setdefault(namespace, {}).update(properties)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        with self._lock:
+            return namespace in self._namespaces
+
+    def namespace_properties(self, namespace: str) -> dict:
+        with self._lock:
+            if namespace not in self._namespaces:
+                raise NoSuchNamespace(namespace)
+            return dict(self._ns_props.get(namespace, {}))
+
+    def update_namespace(self, namespace: str,
+                         updates: Optional[dict] = None,
+                         removals: Optional[List[str]] = None) -> dict:
+        with self._lock:
+            if namespace not in self._namespaces:
+                raise NoSuchNamespace(namespace)
+            props = self._ns_props.setdefault(namespace, {})
+            for k in removals or ():
+                props.pop(k, None)
+            props.update(updates or {})
+            return dict(props)
+
+    def drop_namespace(self, namespace: str) -> None:
+        with self._lock:
+            if namespace not in self._namespaces:
+                raise NoSuchNamespace(namespace)
+            prefix = namespace + "."
+            if any(i.startswith(prefix) for i in self._tables):
+                raise NamespaceNotEmpty(f"{namespace}: tables exist")
+            if any(n.startswith(prefix) for n in self._namespaces):
+                raise NamespaceNotEmpty(f"{namespace}: child namespaces exist")
+            self._namespaces.discard(namespace)
+            self._ns_props.pop(namespace, None)
 
     def list_namespaces(self) -> List[str]:
         with self._lock:
@@ -350,6 +389,12 @@ class RestCatalogServer:
             return self._route(method, path.strip("/"), body or {})
         except NoSuchTable as e:
             return 404, {"error": {"message": str(e), "type": "NoSuchTableException"}}
+        except NoSuchNamespace as e:
+            return 404, {"error": {"message": str(e),
+                                   "type": "NoSuchNamespaceException"}}
+        except NamespaceNotEmpty as e:
+            return 409, {"error": {"message": str(e),
+                                   "type": "NamespaceNotEmptyException"}}
         except TableAlreadyExists as e:
             return 409, {"error": {"message": str(e),
                                    "type": "AlreadyExistsException"}}
@@ -391,12 +436,38 @@ class RestCatalogServer:
             if len(parts) == 2:
                 if method == "POST":
                     ns = ".".join(body["namespace"])
-                    self.backing.create_namespace(ns)
-                    return 200, {"namespace": body["namespace"], "properties": {}}
+                    props = body.get("properties") or {}
+                    self.backing.create_namespace(ns, props)
+                    return 200, {"namespace": body["namespace"],
+                                 "properties": props}
                 return page([n.split(".") for n in
                              sorted(self.backing.list_namespaces())],
                             "namespaces")
             ns = parts[2]
+            if len(parts) == 3:
+                # namespace object routes (REST spec loadNamespaceMetadata /
+                # namespaceExists / dropNamespace; catalog.rs:661-740)
+                if method == "GET":
+                    return 200, {"namespace": ns.split("."),
+                                 "properties":
+                                     self.backing.namespace_properties(ns)}
+                if method == "HEAD":
+                    return (204 if self.backing.namespace_exists(ns)
+                            else 404), {}
+                if method == "DELETE":
+                    self.backing.drop_namespace(ns)
+                    return 204, {}
+            if len(parts) == 4 and parts[3] == "properties" \
+                    and method == "POST":
+                # UpdateNamespacePropertiesRequest -> {updated,removed,missing}
+                updates = body.get("updates") or {}
+                removals = body.get("removals") or []
+                before = self.backing.namespace_properties(ns)
+                self.backing.update_namespace(ns, updates, removals)
+                return 200, {
+                    "updated": sorted(updates),
+                    "removed": sorted(k for k in removals if k in before),
+                    "missing": sorted(k for k in removals if k not in before)}
             if len(parts) == 4 and parts[3] == "register" \
                     and method == "POST":
                 # REST spec register route (reference catalog.rs:997-1050)
@@ -548,9 +619,45 @@ class RestCatalog:
                 return items
 
     # -- namespaces --------------------------------------------------------
-    def create_namespace(self, namespace: str) -> None:
+    def create_namespace(self, namespace: str,
+                         properties: Optional[dict] = None) -> None:
         self._call("POST", self._p("namespaces"),
-                   {"namespace": namespace.split(".")})
+                   {"namespace": namespace.split("."),
+                    "properties": dict(properties or {})})
+
+    def namespace_properties(self, namespace: str) -> dict:
+        """loadNamespaceMetadata (catalog.rs:661 get_namespace)."""
+        _, body = self._call("GET", self._p(f"namespaces/{namespace}"), None)
+        return body.get("properties", {})
+
+    def namespace_exists(self, namespace: str) -> bool:
+        """HEAD first; GET fallback for servers without the HEAD route
+        (catalog.rs:689-705 namespace_exists)."""
+        self._ensure_token()
+        status, _ = self._t("HEAD", self._p(f"namespaces/{namespace}"), None)
+        if status in (200, 204):
+            return True
+        if status == 404:
+            return False
+        try:
+            self.namespace_properties(namespace)
+            return True
+        except NoSuchNamespace:
+            return False
+
+    def update_namespace(self, namespace: str,
+                         updates: Optional[dict] = None,
+                         removals: Optional[List[str]] = None) -> dict:
+        """POST .../properties (REST spec updateProperties); returns the
+        {updated, removed, missing} response body."""
+        _, body = self._call(
+            "POST", self._p(f"namespaces/{namespace}/properties"),
+            {"updates": dict(updates or {}),
+             "removals": list(removals or [])})
+        return body
+
+    def drop_namespace(self, namespace: str) -> None:
+        self._call("DELETE", self._p(f"namespaces/{namespace}"), None)
 
     def list_namespaces(self) -> List[str]:
         return [".".join(n)
@@ -657,11 +764,16 @@ class RestCatalog:
             raise PermissionError(
                 resp.get("error", {}).get("message", f"unauthorized: {path}"))
         if status == 404:
-            raise NoSuchTable(resp.get("error", {}).get("message", path))
+            err = resp.get("error", {})
+            if err.get("type") == "NoSuchNamespaceException":
+                raise NoSuchNamespace(err.get("message", path))
+            raise NoSuchTable(err.get("message", path))
         if status == 409:
             err_type = resp.get("error", {}).get("type", "")
             if err_type == "AlreadyExistsException":
                 raise TableAlreadyExists(resp["error"]["message"])
+            if err_type == "NamespaceNotEmptyException":
+                raise NamespaceNotEmpty(resp["error"]["message"])
             raise CommitConflict(resp.get("error", {}).get("message", path))
         if status >= 300:
             raise RuntimeError(f"{method} {path} -> {status}: {resp}")

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import expr as E
-from .catalog import FileSystemCatalog, NoSuchTable
+from .catalog import FileSystemCatalog, NoSuchNamespace, NoSuchTable
 from .table import Table
 from .views import ViewCatalog
 
@@ -124,6 +124,19 @@ def _parse_default(tok: Optional[str]):
         return int(tok)
     except ValueError:
         return float(tok)
+_NS_WORD = r"(?:NAMESPACE|DATABASE|SCHEMA)"
+_CREATE_NS_RE = re.compile(
+    rf"^\s*CREATE\s+{_NS_WORD}\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"(?:\s+WITH\s+(?:DB)?PROPERTIES\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_NS_RE = re.compile(
+    rf"^\s*DROP\s+{_NS_WORD}\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE)
+_ALTER_NS_RE = re.compile(
+    rf"^\s*ALTER\s+{_NS_WORD}\s+([\w.]+)\s+(SET|UNSET)\s+"
+    r"(?:DB)?PROPERTIES\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_DESC_NS_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+{_NS_WORD}\s+([\w.]+)\s*$", re.IGNORECASE)
 _SHOW_NS_RE = re.compile(r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*$",
                          re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*$",
@@ -774,6 +787,51 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         return spark.createDataFrame(
             [(ns,) for ns in catalog.list_namespaces()] or [],
             "namespace string")
+    m = _CREATE_NS_RE.match(query)
+    if m:
+        if_not_exists, ns, props_body = m.groups()
+        props = dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'",
+                                props_body or ""))
+        if catalog.namespace_exists(ns):
+            if not if_not_exists:
+                raise ValueError(f"namespace {ns} already exists")
+            return spark.createDataFrame([(ns, False)],
+                                         "namespace string, created boolean")
+        catalog.create_namespace(ns, props)
+        return spark.createDataFrame([(ns, True)],
+                                     "namespace string, created boolean")
+    m = _DROP_NS_RE.match(query)
+    if m:
+        if_exists, ns = m.groups()
+        if not catalog.namespace_exists(ns):
+            if if_exists:
+                return spark.createDataFrame(
+                    [(ns, False)], "namespace string, dropped boolean")
+            raise NoSuchNamespace(ns)
+        catalog.drop_namespace(ns)  # NamespaceNotEmpty propagates
+        return spark.createDataFrame([(ns, True)],
+                                     "namespace string, dropped boolean")
+    m = _ALTER_NS_RE.match(query)
+    if m:
+        ns, verb, body = m.groups()
+        if verb.upper() == "SET":
+            updates = dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'", body))
+            if not updates:
+                raise ValueError("SET PROPERTIES needs 'key'='value' pairs")
+            catalog.update_namespace(ns, updates=updates)
+        else:
+            removals = re.findall(r"'([^']*)'", body)
+            if not removals:
+                raise ValueError("UNSET PROPERTIES needs 'key' names")
+            catalog.update_namespace(ns, removals=removals)
+        rows = sorted(catalog.namespace_properties(ns).items())
+        return spark.createDataFrame(rows or [], "property string, value string")
+    m = _DESC_NS_RE.match(query)
+    if m:
+        ns = m.group(1)
+        rows = sorted(catalog.namespace_properties(ns).items())
+        return spark.createDataFrame(
+            [("namespace", ns)] + rows, "info_name string, info_value string")
     m = _SHOW_PARTS_RE.match(query)
     if m:
         # alias for the partitions metadata table (Spark's SHOW PARTITIONS)

@@ -25,7 +25,8 @@ from __future__ import annotations
 import sqlite3
 from typing import List, Optional, Tuple
 
-from .catalog import CommitConflict, NoSuchTable, TableAlreadyExists
+from .catalog import (CommitConflict, NamespaceNotEmpty, NoSuchNamespace,
+                      NoSuchTable, TableAlreadyExists)
 from .io import file_io_for, posix_join
 from .metadata import TableMetadata
 
@@ -90,12 +91,52 @@ class SqlCatalog:
                     " VALUES (?, ?, ?, ?)", (self.name, namespace, k, v))
 
     def namespace_properties(self, namespace: str) -> dict:
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
         with self._conn() as c:
             rows = c.execute(
                 "SELECT property_key, property_value FROM "
                 "iceberg_namespace_properties WHERE catalog_name = ? AND "
                 "namespace = ?", (self.name, namespace)).fetchall()
-        return {k: v for k, v in rows}
+        # the "exists" row is the reference's internal existence marker
+        # (sql/catalog.rs:496), not a user property
+        return {k: v for k, v in rows if k != "exists"}
+
+    def namespace_exists(self, namespace: str) -> bool:
+        """Either a properties row or any table in the namespace counts
+        (sql/catalog.rs:572-607 checks both tables)."""
+        with self._conn() as c:
+            a = c.execute(
+                "SELECT 1 FROM iceberg_namespace_properties WHERE "
+                "catalog_name = ? AND namespace = ? LIMIT 1",
+                (self.name, namespace)).fetchone()
+            if a:
+                return True
+            b = c.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND "
+                "table_namespace = ? LIMIT 1",
+                (self.name, namespace)).fetchone()
+        return b is not None
+
+    def update_namespace(self, namespace: str,
+                         updates: Optional[dict] = None,
+                         removals: Optional[List[str]] = None) -> dict:
+        """Upsert + delete property rows in one transaction
+        (sql/catalog.rs:609-668, extended with REST-spec removals)."""
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
+        with self._conn() as c:
+            for k in removals or ():
+                c.execute(
+                    "DELETE FROM iceberg_namespace_properties WHERE "
+                    "catalog_name = ? AND namespace = ? AND property_key = ?",
+                    (self.name, namespace, k))
+            for k, v in (updates or {}).items():
+                c.execute(
+                    "INSERT OR REPLACE INTO iceberg_namespace_properties "
+                    "(catalog_name, namespace, property_key, property_value)"
+                    " VALUES (?, ?, ?, ?)", (self.name, namespace, k, v))
+        return self.namespace_properties(namespace)
 
     def list_namespaces(self) -> List[str]:
         with self._conn() as c:
@@ -108,8 +149,13 @@ class SqlCatalog:
         return sorted({r[0] for r in a} | {r[0] for r in b})
 
     def drop_namespace(self, namespace: str) -> None:
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
         if self.list_tables(namespace):
-            raise ValueError(f"namespace {namespace} is not empty")
+            raise NamespaceNotEmpty(f"{namespace}: tables exist")
+        prefix = namespace + "."
+        if any(n.startswith(prefix) for n in self.list_namespaces()):
+            raise NamespaceNotEmpty(f"{namespace}: child namespaces exist")
         with self._conn() as c:
             c.execute(
                 "DELETE FROM iceberg_namespace_properties WHERE "

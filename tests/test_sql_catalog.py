@@ -9,7 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_rust_spark import FileSystemCatalog, SqlCatalog, Table, expr as E
-from iceberg_rust_spark.sources.catalog import (CommitConflict, NoSuchTable,
+from iceberg_rust_spark.sources.catalog import (CommitConflict,
+                                                NamespaceNotEmpty,
+                                                NoSuchTable,
                                                 TableAlreadyExists)
 from iceberg_rust_spark.sources.metadata import TableMetadata
 from iceberg_rust_spark.sources.types import schema_from_spark
@@ -101,7 +103,7 @@ def test_sql_catalog_namespaces_and_pointer_cas(spark, tmp_path):
     cat.create_namespace("db", {"owner": "me"})
     assert cat.namespace_properties("db")["owner"] == "me"
     assert "db" in cat.list_namespaces()
-    with pytest.raises(ValueError):
+    with pytest.raises(NamespaceNotEmpty):
         # not empty once a table exists
         df = spark.createDataFrame([(1,)], "id long")
         Table.create(cat, "db.t", schema_from_spark(df.schema))
