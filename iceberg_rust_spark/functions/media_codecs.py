@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -202,6 +202,107 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def extract_avi_frames(data: bytes, every_n: int = 1):
+    """AVI (RIFF) bytes -> [(frame_no, encoded_frame_bytes)] for every Nth
+    video frame — the public Microsoft 'AVI RIFF File Reference' layout:
+    LIST/hdrl stream headers name the video stream, LIST/movi holds one
+    '##dc'/'##db' chunk per frame (word-aligned), so frame boundaries come
+    straight from the container with zero codec work. 'rec ' groups are
+    recursed. Sibling of the MP4 demux in isobmff.py."""
+    b = bytes(data)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def chunks(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            if pos + 8 + clen > end:
+                raise ValueError("truncated AVI chunk")
+            yield cid, pos + 8, pos + 8 + clen
+            pos += 8 + clen + (clen % 2)
+
+    # find the video stream's index from the hdrl stream list order
+    video_stream, stream_idx = None, 0
+    movi: Optional[Tuple[int, int]] = None
+    for cid, s, e in chunks(12, len(b)):
+        if cid != b"LIST":
+            continue
+        ltype = b[s:s + 4]
+        if ltype == b"hdrl":
+            for cid2, s2, e2 in chunks(s + 4, e):
+                if cid2 == b"LIST" and b[s2:s2 + 4] == b"strl":
+                    for cid3, s3, e3 in chunks(s2 + 4, e2):
+                        if cid3 == b"strh":
+                            if b[s3:s3 + 4] == b"vids" and video_stream is None:
+                                video_stream = stream_idx
+                            stream_idx += 1
+                            break
+        elif ltype == b"movi":
+            movi = (s + 4, e)
+    if movi is None:
+        raise ValueError("AVI without movi list")
+    prefix = f"{video_stream or 0:02d}".encode()
+
+    frames: List[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for cid, s, e in chunks(start, end):
+            if cid == b"LIST" and b[s:s + 4] == b"rec ":
+                walk(s + 4, e)
+            elif cid[:2] == prefix and cid[2:4] in (b"dc", b"db"):
+                frames.append(b[s:e])
+
+    walk(*movi)
+    return [(i, f) for i, f in enumerate(frames)][::max(1, every_n)]
+
+
+def encode_avi(frames: List[bytes], fps: int = 10, width: int = 64,
+               height: int = 64) -> bytes:
+    """Build a minimal valid single-video-stream AVI holding ``frames`` as
+    '00dc' chunks, with a correct idx1 index — gives extract_avi_frames
+    non-circular structural coverage and the operators a second real
+    container fixture next to encode_mp4."""
+    if not frames:
+        raise ValueError("need at least one frame")
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    n = len(frames)
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack("<14I", 1_000_000 // fps, max_size * fps, 0,
+                       0x10,                    # AVIF_HASINDEX
+                       n, 0, 1, max_size, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + bytes(4)                  # handler unset: raw payload
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n,
+                          max_size, 0, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"\x00" * 4,
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are measured from the 'movi' fourcc position
+        # (first chunk lands at offset 4)
+        idx_entries.append((len(movi_payload), len(f)))
+        movi_payload += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_payload)
+    idx1 = chunk(b"idx1", b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)
+        for off, size in idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -12,11 +12,15 @@ tested. Codec status:
   actual decoded pixels for PNG AND baseline JPEG; ``resize_images`` does
   a real nearest-neighbor resize re-encoded as PNG; ``resample_audio`` is
   fully real for PCM WAV.
+  ``resample_frames`` does REAL container demux for MP4 (ISO-BMFF sample
+  tables, functions/isobmff.py) and AVI (RIFF movi chunk walk,
+  functions/media_codecs.extract_avi_frames) — emitted frames are the
+  actual encoded sample payloads.
 - STUB (clearly marked): feature/resize fallbacks for the remaining
   formats that need codec libraries absent from this container
-  (progressive/arithmetic JPEG, webp/gif, video demux).
-  ``resample_frames`` fabricates frame boundaries. Swapping in
-  PIL/torchaudio/decord touches only the kernel, never the plan.
+  (progressive/arithmetic JPEG, webp/gif), and frame demux for
+  non-MP4/AVI containers (MKV/WebM). Swapping in PIL/torchaudio/decord
+  touches only the kernel, never the plan.
 """
 
 from __future__ import annotations
@@ -175,14 +179,17 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
     """Video frame-sampling: emits (media_id, frame_no, frame_bytes) rows,
     one output row per sampled frame.
 
-    REAL kernel for ISO-BMFF (MP4) payloads: the sample tables (stsz/stsc/
-    stco) give every frame's exact byte range with zero codec work, so the
-    emitted frames are the actual encoded sample payloads
-    (functions/isobmff.py). Non-MP4 payloads keep the marked STUB that
+    REAL kernels for the two dominant containers: ISO-BMFF (MP4) sample
+    tables (stsz/stsc/stco, functions/isobmff.py) and RIFF/AVI movi chunk
+    walks (functions/media_codecs.extract_avi_frames) both give every
+    frame's exact byte range with zero codec work, so the emitted frames
+    are the actual encoded sample payloads. Other containers (MKV/WebM
+    need EBML parsing + codec libs absent here) keep the marked STUB that
     fabricates boundaries from payload length, preserving the 1->N
     mapInPandas shape.
     """
     from ..functions.isobmff import extract_mp4_frames
+    from ..functions.media_codecs import extract_avi_frames
     schema = f"{id_col} long, frame_no int, frame bytes".replace("bytes", "binary")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,15 +199,20 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
                 if p is None:
                     continue
                 b = bytes(p)
-                try:
-                    for fno, fb in extract_mp4_frames(b, every_n=every_n):
+                got = None
+                for demux in (extract_mp4_frames, extract_avi_frames):
+                    try:
+                        got = demux(b, every_n=every_n)
+                        break
+                    except ValueError:
+                        continue
+                if got is not None:
+                    for fno, fb in got:
                         ids.append(mid)
                         frame_nos.append(fno)
                         frames.append(fb)
                     continue
-                except ValueError:
-                    pass
-                # STUB: non-ISO-BMFF containers need codec libs not present
+                # STUB: non-MP4/AVI containers need codec libs not present
                 # here; fabricate fixed-width boundaries
                 n_frames = max(1, len(b) // 32)
                 for fno in range(0, n_frames, every_n):
@@ -332,19 +344,26 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
 
 
 def synthetic_video_df(spark, n: int = 12) -> DataFrame:
-    """Deterministic REAL MP4 containers (functions/isobmff.encode_mp4):
-    per id, 8+(i%5)*4 frames whose payloads are a repeated (i+k)%256 byte
-    of length 20+((i*7+k*3)%40) — formulas the constructed oracle
-    replicates to verify the demuxer extracts the true sample ranges."""
+    """Deterministic REAL video containers: even ids are MP4
+    (functions/isobmff.encode_mp4), odd ids are RIFF/AVI
+    (functions/media_codecs.encode_avi). Per id, 8+(i%5)*4 frames whose
+    payloads are a repeated (i+k)%256 byte of length 20+((i*7+k*3)%40) —
+    formulas the constructed oracle replicates WITHOUT either muxer, so
+    both demuxers are verified to extract the true frame ranges."""
     from ..functions.isobmff import encode_mp4
+    from ..functions.media_codecs import encode_avi
     rows = []
     for i in range(n):
         n_frames = 8 + (i % 5) * 4
         frames = [bytes([(i + k) % 256]) * (20 + ((i * 7 + k * 3) % 40))
                   for k in range(n_frames)]
-        payload = encode_mp4(frames, fps=10, width=32 + i % 8,
-                             height=24 + i % 5)
-        rows.append((i, bytearray(payload), "video/mp4"))
+        if i % 2:
+            payload, mime = encode_avi(frames, fps=10, width=32 + i % 8,
+                                       height=24 + i % 5), "video/x-msvideo"
+        else:
+            payload, mime = encode_mp4(frames, fps=10, width=32 + i % 8,
+                                       height=24 + i % 5), "video/mp4"
+        rows.append((i, bytearray(payload), mime))
     return spark.createDataFrame(
         rows, "media_id long, payload binary, mime string")
 
