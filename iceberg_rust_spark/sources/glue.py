@@ -26,7 +26,8 @@ import uuid
 from typing import Dict, List, Optional, Tuple
 
 from . import sigv4
-from .catalog import CommitConflict, NoSuchTable, TableAlreadyExists
+from .catalog import (CommitConflict, NamespaceNotEmpty, NoSuchNamespace,
+                      NoSuchTable, TableAlreadyExists)
 from .hms import hive_type  # same type-string rules as the Glue builder
 from .io import file_io_for, posix_join
 from .metadata import TableMetadata
@@ -180,7 +181,12 @@ class GlueCatalog:
             raise
 
     def namespace_properties(self, namespace: str) -> Dict[str, str]:
-        db = self._call("GetDatabase", {"Name": namespace})["Database"]
+        try:
+            db = self._call("GetDatabase", {"Name": namespace})["Database"]
+        except GlueError as e:
+            if "EntityNotFound" in e.type:
+                raise NoSuchNamespace(namespace)
+            raise
         props = dict(db.get("Parameters") or {})
         if db.get("Description"):
             props["description"] = db["Description"]
@@ -188,12 +194,41 @@ class GlueCatalog:
             props["location_uri"] = db["LocationUri"]
         return props
 
+    def update_namespace(self, namespace: str,
+                         updates: Optional[Dict[str, str]] = None,
+                         removals: Optional[List[str]] = None
+                         ) -> Dict[str, str]:
+        """Glue UpdateDatabase with the merged property map (description /
+        location_uri route to their DatabaseInput fields like create)."""
+        props = self.namespace_properties(namespace)
+        for k in removals or ():
+            props.pop(k, None)
+        props.update(updates or {})
+        db = {"Name": namespace}
+        if "description" in props:
+            db["Description"] = props.pop("description")
+        if "location_uri" in props:
+            db["LocationUri"] = props.pop("location_uri")
+        if props:
+            db["Parameters"] = dict(props)
+        self._call("UpdateDatabase", {"Name": namespace,
+                                      "DatabaseInput": db})
+        return self.namespace_properties(namespace)
+
     def drop_namespace(self, namespace: str) -> None:
+        # Glue's DeleteDatabase cascades, so check for ANY table first —
+        # not just Iceberg ones (reference catalog.rs:516-546)
+        if not self.namespace_exists(namespace):
+            raise NoSuchNamespace(namespace)
+        resp = self._call("GetTables", {"DatabaseName": namespace,
+                                        "MaxResults": 1})
+        if resp.get("TableList"):
+            raise NamespaceNotEmpty(f"{namespace}: tables exist")
         try:
             self._call("DeleteDatabase", {"Name": namespace})
         except GlueError as e:
             if "EntityNotFound" in e.type:
-                raise NoSuchTable(namespace)
+                raise NoSuchNamespace(namespace)
             raise
 
     # -- tables --------------------------------------------------------------

@@ -31,7 +31,8 @@ import uuid
 from typing import Dict, List, Optional, Tuple
 
 from . import thrift_proto as tp
-from .catalog import CommitConflict, NoSuchTable, TableAlreadyExists
+from .catalog import (CommitConflict, NamespaceNotEmpty, NoSuchNamespace,
+                      NoSuchTable, TableAlreadyExists)
 from .io import file_io_for, posix_join
 from .metadata import TableMetadata, now_ms
 from .types import (IcebergType, ListType, MapType, NestedField,
@@ -216,14 +217,14 @@ class HmsCatalog:
     def namespace_exists(self, namespace: str) -> bool:
         try:
             self._call("get_database", {1: (tp.STRING, namespace)},
-                       exc_map={1: NoSuchTable})
+                       exc_map={1: NoSuchNamespace})
             return True
-        except NoSuchTable:
+        except NoSuchNamespace:
             return False
 
     def namespace_properties(self, namespace: str) -> Dict[str, str]:
         db = self._call("get_database", {1: (tp.STRING, namespace)},
-                        exc_map={1: NoSuchTable})
+                        exc_map={1: NoSuchNamespace})
         props = _map_get(db, 4)
         if _struct_get(db, 2):
             props["comment"] = _struct_get(db, 2)
@@ -231,11 +232,33 @@ class HmsCatalog:
             props["location"] = _struct_get(db, 3)
         return props
 
+    def update_namespace(self, namespace: str,
+                         updates: Optional[Dict[str, str]] = None,
+                         removals: Optional[List[str]] = None
+                         ) -> Dict[str, str]:
+        """alter_database with the merged property map (comment/location
+        route back to their Database struct fields like create)."""
+        props = self.namespace_properties(namespace)
+        for k in removals or ():
+            props.pop(k, None)
+        props.update(updates or {})
+        location = props.pop("location",
+                             posix_join(self.warehouse, f"{namespace}.db"))
+        db = _database(namespace, props.pop("comment", None), location,
+                       props, props.pop("hive.metastore.database.owner",
+                                        None))
+        self._call("alter_database",
+                   {1: (tp.STRING, namespace), 2: (tp.STRUCT, db)},
+                   exc_map={2: NoSuchNamespace})
+        return self.namespace_properties(namespace)
+
     def drop_namespace(self, namespace: str) -> None:
+        # deleteData=False, cascade=False: a non-empty database raises
+        # InvalidOperationException (thrift field 2)
         self._call("drop_database",
                    {1: (tp.STRING, namespace), 2: (tp.BOOL, False),
                     3: (tp.BOOL, False)},
-                   exc_map={1: NoSuchTable})
+                   exc_map={1: NoSuchNamespace, 2: NamespaceNotEmpty})
 
     # -- tables ------------------------------------------------------------
     def list_tables(self, namespace: str) -> List[str]:

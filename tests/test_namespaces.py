@@ -123,3 +123,70 @@ def test_namespace_ddl_through_sql_front_door(spark, tmp_path):
         .collect()[0]["dropped"] is False
     with pytest.raises(NoSuchNamespace):
         run_sql(spark, cat, "DROP DATABASE db")
+
+
+@pytest.fixture
+def remote_catalogs(tmp_path):
+    """Glue / HMS / S3Tables over their in-process wire-protocol fakes
+    (single-level namespaces; S3Tables carries no namespace properties)."""
+    from iceberg_rust_spark.sources.glue import GlueCatalog
+    from iceberg_rust_spark.sources.hms import HmsCatalog
+    from iceberg_rust_spark.sources.s3tables import S3TablesCatalog
+    from tests.fake_aws import ACCESS, SECRET, FakeGlue, FakeS3Tables
+    from tests.fake_hms import FakeHms
+
+    servers = []
+    glue = FakeGlue(); servers.append(glue)
+    cats = {"glue": GlueCatalog(glue.start(), str(tmp_path / "wh_glue"),
+                                region="us-west-2", access_key=ACCESS,
+                                secret_key=SECRET)}
+    hms = FakeHms(); servers.append(hms)
+    cats["hms"] = HmsCatalog(hms.start(), str(tmp_path / "wh_hms"))
+    s3t = FakeS3Tables(str(tmp_path / "buckets")); servers.append(s3t)
+    cats["s3tables"] = S3TablesCatalog(
+        s3t.start(),
+        "arn:aws:s3tables:us-east-1:111122223333:bucket/test-bucket",
+        access_key=ACCESS, secret_key=SECRET)
+    yield cats
+    cats["hms"].close()
+    for s in servers:
+        s.stop()
+
+
+def test_remote_catalog_namespace_lifecycle(remote_catalogs):
+    for kind, cat in remote_catalogs.items():
+        assert not cat.namespace_exists("nsx"), kind
+        with pytest.raises(NoSuchNamespace):
+            cat.namespace_properties("nsx")
+        with pytest.raises(NoSuchNamespace):
+            cat.drop_namespace("nsx")
+        cat.create_namespace("nsx", {} if kind == "s3tables"
+                             else {"owner": "me", "stale": "x"})
+        assert cat.namespace_exists("nsx"), kind
+        assert "nsx" in cat.list_namespaces(), kind
+        if kind == "s3tables":
+            assert cat.namespace_properties("nsx") == {}
+            with pytest.raises(NotImplementedError):
+                cat.update_namespace("nsx", updates={"a": "1"})
+        else:
+            props = cat.namespace_properties("nsx")
+            assert props["owner"] == "me" and props["stale"] == "x", kind
+            cat.update_namespace("nsx", updates={"owner": "you"},
+                                 removals=["stale"])
+            props = cat.namespace_properties("nsx")
+            assert props["owner"] == "you" and "stale" not in props, kind
+        cat.drop_namespace("nsx")
+        assert not cat.namespace_exists("nsx"), kind
+
+
+def test_remote_catalog_drop_refuses_non_empty(remote_catalogs, spark):
+    from iceberg_rust_spark import Table
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    for kind, cat in remote_catalogs.items():
+        cat.create_namespace("db2")
+        Table.create(cat, "db2.t", schema_from_spark(df.schema))
+        with pytest.raises(NamespaceNotEmpty):
+            cat.drop_namespace("db2")
+        cat.drop_table("db2.t")
+        cat.drop_namespace("db2")
+        assert not cat.namespace_exists("db2"), kind

@@ -111,8 +111,8 @@ def test_s3tables_namespaces_and_loader(spark, tmp_path):
         df = spark.createDataFrame([(1,)], "id long")
         Table.create(cat, "db.t", schema_from_spark(df.schema)) \
             .append(spark, df)
-        from iceberg_rust_spark.sources.s3tables import S3TablesError
-        with pytest.raises(S3TablesError, match="Conflict"):
+        from iceberg_rust_spark.sources.catalog import NamespaceNotEmpty
+        with pytest.raises(NamespaceNotEmpty):
             cat.drop_namespace("db")
         # front door runs over s3tables too
         n = run_sql(spark, cat, "SELECT count(*) AS n FROM db.t") \
