@@ -360,6 +360,8 @@ class TableScan:
                     from pyspark.sql.types import LongType, StructField
                     read_schema = read_schema.add(
                         StructField("_row_id", LongType(), True))
+                    read_schema = read_schema.add(StructField(
+                        "_last_updated_sequence_number", LongType(), True))
                 gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta:
                 gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
@@ -375,21 +377,52 @@ class TableScan:
                 # v3 row lineage: materialized `_row_id` wins; NULL entries
                 # inherit first_row_id + position (scan/task.rs:70-76);
                 # per-file base joined in via a tiny broadcast map
-                if "_row_id" not in gdf.columns:  # external id-less files
-                    gdf = gdf.withColumn("_row_id", F.lit(None).cast("long"))
-                frids = [(t.data_file.file_path, t.data_file.first_row_id)
-                         for t in tasks]
-                if any(fr is not None for _, fr in frids):
+                for lineage_col in ("_row_id",
+                                    "_last_updated_sequence_number"):
+                    if lineage_col not in gdf.columns:  # external id-less
+                        gdf = gdf.withColumn(lineage_col,
+                                             F.lit(None).cast("long"))
+                # per-file lineage bases: first_row_id for _row_id, the
+                # file's data sequence number for
+                # _last_updated_sequence_number (metadata_columns.rs:62-66 —
+                # rows not rewritten since the file was added inherit it)
+                frids = [(_norm_path_py(t.data_file.file_path),
+                          t.data_file.first_row_id,
+                          t.sequence_number) for t in tasks]
+                if len(frids) <= 256:
+                    # pure-projection map lookup: stays inside the scan
+                    # stage, no broadcast-join stage on the hot path
+                    nf = _norm_path(F.col("_file"))
+                    seq_map = F.create_map(
+                        *[x for f, _, s in frids
+                          for x in (F.lit(f), F.lit(s))])
+                    gdf = gdf.withColumn(
+                        "_last_updated_sequence_number",
+                        F.coalesce(F.col("_last_updated_sequence_number"),
+                                   seq_map[nf]))
+                    frid_items = [x for f, fr, _ in frids if fr is not None
+                                  for x in (F.lit(f), F.lit(fr))]
+                    if frid_items:
+                        gdf = gdf.withColumn("_row_id", F.coalesce(
+                            F.col("_row_id"),
+                            F.create_map(*frid_items)[nf] + F.col("_pos")))
+                else:
+                    # wide plans: tiny broadcast join instead of a huge
+                    # map literal in the projection
                     frid_df = spark.createDataFrame(
-                        frids, "_frid_file string, _frid long")
+                        frids, "_frid_file string, _frid long, _fseq long")
                     gdf = gdf.join(
                         F.broadcast(frid_df),
-                        _norm_path(gdf["_file"]) == _norm_path(frid_df["_frid_file"]),
+                        _norm_path(gdf["_file"]) == F.col("_frid_file"),
                         "left") \
                         .withColumn("_row_id", F.coalesce(
                             F.col("_row_id"),
                             F.col("_frid") + F.col("_pos"))) \
-                        .drop("_frid_file", "_frid")
+                        .withColumn("_last_updated_sequence_number",
+                                    F.coalesce(
+                                        F.col("_last_updated_sequence_number"),
+                                        F.col("_fseq"))) \
+                        .drop("_frid_file", "_frid", "_fseq")
             if pos_paths:
                 pos_dels = {(d.file_path, d.referenced_data_file): d
                             for t in tasks for d in t.pos_deletes}
@@ -749,6 +782,12 @@ def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
 
 
+def _norm_path_py(p: str) -> str:
+    """Python twin of _norm_path for driver-side map keys."""
+    import re
+    return re.sub(r"^file:/*", "/", p)
+
+
 def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
                       eq_deletes: List[DataFile], schema: Schema,
                       del_cache: _DeleteDFCache) -> DataFrame:
@@ -845,7 +884,8 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
             cols.append(F.lit(None).cast(tgt).alias(f.name))
     if keep_meta:
         cols += [F.col("_file"), F.col("_pos")]
-        for extra in ("_spec_id", "_partition", "_row_id"):
+        for extra in ("_spec_id", "_partition", "_row_id",
+                      "_last_updated_sequence_number"):
             if extra in gdf.columns:
                 cols.append(F.col(extra))
     if keep_deleted and "_deleted" in gdf.columns:

@@ -301,7 +301,8 @@ class Table:
         df = scan.to_df(spark)
         if with_row_id:
             names = [f.name for f in self.metadata.schema().fields]
-            df = df.select(*names, "_row_id")
+            df = df.select(*names, "_row_id",
+                           "_last_updated_sequence_number")
         return df
 
     def _delete_mor_positional(self, spark: SparkSession, pred: E.Predicate) -> "Table":
@@ -518,6 +519,14 @@ class Table:
         cond = E.to_spark_column(bound)
         types = dict(df.dtypes)
         out = df
+        if "_last_updated_sequence_number" in out.columns:
+            # BEFORE assignments rewrite the predicate columns: modified
+            # rows take the NEW file's sequence number (cleared to null ->
+            # read-side inheritance); untouched rows keep theirs
+            out = out.withColumn(
+                "_last_updated_sequence_number",
+                F.when(cond, F.lit(None).cast("long"))
+                .otherwise(F.col("_last_updated_sequence_number")))
         for name, expr in assignments.items():
             if isinstance(expr, SparkColumn):
                 col = expr

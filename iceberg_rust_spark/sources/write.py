@@ -92,11 +92,14 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     z-order rewrite) and the write must not re-shuffle."""
     schema = metadata.schema()
     spec = metadata.spec()
-    # a rewrite that scanned with row lineage carries `_row_id`: keep it as
-    # a MATERIALIZED column in the rewritten parquet (v3 row lineage — row
-    # ids must survive compaction/COW rewrites; the read side prefers the
-    # materialized value over first_row_id + position inheritance)
-    df = align_df_to_schema(df, schema, keep_extra=("_row_id",))
+    # a rewrite that scanned with row lineage carries `_row_id` (and
+    # `_last_updated_sequence_number`): keep them as MATERIALIZED columns
+    # in the rewritten parquet (v3 row lineage — both must survive
+    # compaction/COW rewrites; the read side prefers materialized values
+    # over first_row_id/sequence-number inheritance)
+    df = align_df_to_schema(df, schema,
+                            keep_extra=("_row_id",
+                                        "_last_updated_sequence_number"))
 
     write_id = uuid.uuid4().hex[:16]
     base = data_dir or os.path.join(metadata.location, "data")

@@ -77,3 +77,35 @@ def test_v3_snapshots_carry_row_range(spark, warehouse):
     tv2 = tv2.append(spark, df)
     assert tv2.metadata.current_snapshot().first_row_id is None
     assert "first-row-id" not in tv2.metadata.current_snapshot().to_json()
+
+
+def test_last_updated_sequence_number(spark, warehouse):
+    """Reserved _last_updated_sequence_number (metadata_columns.rs:62-66):
+    rows inherit their data file's sequence number; compaction preserves
+    the materialized value; an UPDATE bumps it for changed rows only."""
+    from iceberg_rust_spark import expr as E
+
+    df = spark.range(0, 20).select(F.col("id"))
+    t = Table.create(warehouse, "db.lusn", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("id") < 10))    # seq 1
+    t = t.append(spark, df.where(F.col("id") >= 10))   # seq 2
+    seqs = {r["id"]: r["_last_updated_sequence_number"] for r in
+            t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert all(v == 1 for k, v in seqs.items() if k < 10)
+    assert all(v == 2 for k, v in seqs.items() if k >= 10)
+
+    # compaction rewrites files but rows were NOT updated: values persist
+    t = t.compact(spark, small_file_bytes=10**9)
+    after = {r["id"]: r["_last_updated_sequence_number"] for r in
+             t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert after == seqs
+
+    # UPDATE: the changed row takes the new snapshot's sequence number,
+    # untouched rows keep theirs
+    t = t.update_where(spark, E.col("id") == 3, {"id": 1003})
+    upd_seq = t.metadata.last_sequence_number
+    after_upd = {r["id"]: r["_last_updated_sequence_number"] for r in
+                 t.scan(include_metadata_columns=True).to_df(spark).collect()}
+    assert after_upd[1003] == upd_seq
+    assert after_upd[5] == seqs[5]
+    assert after_upd[15] == seqs[15]
