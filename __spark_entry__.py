@@ -1186,6 +1186,17 @@ def q_doc_para_dedup(spark, sf_dir):
                       "n_paras_kept", "n_paras_dropped").orderBy("doc_id")
 
 
+def q_doc_substring_dedup(spark, sf_dir):
+    """r6: corpus-global exact-substring duplication (suffix-array-style
+    k-token windows, RefinedWeb/Gopher): window stream explodes once,
+    frequency is ONE map-side-combinable shuffle on the window key with
+    the exchange reused for the count-back join. k=5 over raw documents
+    finds the corpus's natural repeated 5-grams."""
+    from iceberg_rust_spark.operators.chunking import repeated_window_stats
+    d = read_table(spark, sf_dir, "documents")
+    return repeated_window_stats(d, k=5).orderBy("doc_id")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir, 150),
                                 threshold=0.5)
@@ -1501,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # packing / mixing / composed pipeline (last driver rows r4)
         "doc_para_dedup": q_doc_para_dedup,
+        "doc_substring_dedup": q_doc_substring_dedup,
         "doc_pack": q_doc_pack,
         "doc_mix": q_doc_mix,
         "doc_pipeline": q_doc_pipeline,
@@ -1674,6 +1686,13 @@ def _sql_doc_para_dedup() -> str:
     inner = sql_dedup_paragraphs_global(table=src, min_chars=16)
     return (f"SELECT doc_id, md5(cleaned_text) AS clean_hash, "
             f"n_paras_kept, n_paras_dropped FROM ({inner}) q ORDER BY doc_id")
+
+
+def _sql_doc_substring_dedup() -> str:
+    from iceberg_rust_spark.operators.chunking import \
+        sql_repeated_window_stats
+    inner = sql_repeated_window_stats(table="documents", k=5)
+    return f"SELECT * FROM ({inner}) q ORDER BY doc_id"
 
 
 def _sql_doc_chunks() -> str:
@@ -2325,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {TX.sql_lang_guess(t)} AS lang_pred FROM documents""",
         "doc_boilerplate": _sql_doc_boilerplate(),
         "doc_para_dedup": _sql_doc_para_dedup(),
+        "doc_substring_dedup": _sql_doc_substring_dedup(),
         "doc_scrub": f"""
             WITH p AS (
                 SELECT doc_id,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "doc_decontaminate",
     "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "doc_scrub", "doc_derep", "doc_boilerplate", "doc_para_dedup",
+    "doc_substring_dedup",
     "doc_sample", "doc_quota", "doc_split", "doc_pack", "doc_mix",
     "doc_pipeline", "multimodal_audio",
     "multimodal_frames",

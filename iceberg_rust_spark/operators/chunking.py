@@ -290,3 +290,64 @@ def sql_dedup_paragraphs_global(table: str = "documents", sep: str = "\n",
                AS n_paras_dropped
     FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
     """
+
+
+def repeated_window_stats(docs: DataFrame, k: int = 8,
+                          min_repeats: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global EXACT-SUBSTRING duplication detection — the
+    k-token-window reformulation of suffix-array exact-substring dedup
+    (RefinedWeb/Gopher): every k-token window is keyed by its exact text,
+    and windows whose corpus-wide frequency reaches ``min_repeats`` mark
+    duplicated substrings. Returns per-doc (n_windows, n_dup_windows) for
+    docs with at least one window (>= k tokens).
+
+    Scale shape: windows explode 1->n_tokens per doc (inherent to the
+    algorithm — the same stream a suffix array would index); the
+    frequency count is ONE map-side-combinable shuffle on the window key,
+    and Catalyst reuses that exchange for the count-back join, so the
+    corpus-sized window stream shuffles once on `w` plus once on doc_id
+    for the stats — no Python anywhere."""
+    toks = (docs.select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("t"))
+            .filter(F.size("t") >= k))
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k))))
+        .alias("w"))
+    freq = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (wins.join(freq, "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 F.sum(F.when(F.col("c") >= min_repeats, 1).otherwise(0))
+                 .cast("long").alias("n_dup_windows")))
+
+
+def sql_repeated_window_stats(table: str = "documents", k: int = 8,
+                              min_repeats: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB oracle twin: 1-based inclusive list slices rebuild the same
+    exact window strings."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ), eligible AS (
+        SELECT {id_col}, t, len(t) AS n FROM toks WHERE len(t) >= {k}
+    ), wins AS (
+        SELECT {id_col},
+               array_to_string(t[i : i + {k} - 1], ' ') AS w
+        FROM eligible, UNNEST(range(1, n - {k} + 2)) AS u(i)
+    ), freq AS (
+        SELECT w, count(*) AS c FROM wins GROUP BY w
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN c >= {min_repeats} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_windows
+    FROM wins JOIN freq USING (w)
+    GROUP BY {id_col}
+    """

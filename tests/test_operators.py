@@ -588,3 +588,30 @@ def test_dedup_paragraphs_global(spark):
     # doc 4: short "--" kept, both long spans already owned by doc 1
     assert out[4]["cleaned_text"] == "--"
     assert (out[4]["n_paras_kept"], out[4]["n_paras_dropped"]) == (1, 2)
+
+
+def test_repeated_window_stats(spark):
+    """Corpus-global exact-substring windows: a 5-token phrase planted in
+    two docs marks exactly its windows as duplicated; unique text stays
+    clean; docs shorter than k produce no row."""
+    from iceberg_rust_spark.operators.chunking import repeated_window_stats
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma delta"),
+         (2, f"{shared} epsilon zeta eta theta iota"),
+         (3, "completely unrelated words here padding more stuff"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in repeated_window_stats(docs, k=5).collect()}
+    assert 4 not in out                       # 2 tokens < k: no windows
+    # doc 1: 9 tokens -> 5 windows, exactly one equals the shared phrase
+    assert out[1] == (5, 1)
+    # doc 2: 10 tokens -> 6 windows, the first is the shared phrase
+    assert out[2] == (6, 1)
+    assert out[3] == (3, 0)   # 7 tokens -> 3 windows
+    # min_repeats above the plant count: nothing flagged
+    out3 = {r["doc_id"]: r["n_dup_windows"]
+            for r in repeated_window_stats(docs, k=5,
+                                           min_repeats=3).collect()}
+    assert set(out3.values()) == {0}
