@@ -778,6 +778,51 @@ def _flag_eq_deletes(spark: SparkSession, gdf: DataFrame,
     return out
 
 
+def scan_execution_metrics(df: DataFrame) -> Dict[str, int]:
+    """Execution-side scan metrics, the counterpart of the reference's
+    ScanMetrics/CountingFileRead (arrow/scan_metrics.rs:30-73 wraps every
+    FileRead to count bytes fetched): Spark's FileSourceScanExec publishes
+    the same observability as SQLMetrics, so after an action this walks
+    the executed plan (descending into AQE re-plans) and aggregates every
+    scan node into {bytes_scanned, files_scanned, rows_scanned,
+    scan_time_ms}. Call AFTER an action that ran THIS DataFrame's own plan
+    (collect/write/toPandas) — derived plans like df.count() execute a new
+    queryExecution and leave this one's metrics at zero. Driver-side plan
+    traversal only; nothing touches executors."""
+    totals = {"bytes_scanned": 0, "files_scanned": 0,
+              "rows_scanned": 0, "scan_time_ms": 0}
+    seen = set()
+
+    def metric_map(node):
+        out = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return out
+
+    def walk(node):
+        oid = node.id() if hasattr(node, "id") else id(node)
+        if oid in seen:
+            return
+        seen.add(oid)
+        cls = node.getClass().getSimpleName()
+        if cls in ("FileSourceScanExec", "BatchScanExec"):
+            m = metric_map(node)
+            totals["bytes_scanned"] += int(m.get("filesSize", 0))
+            totals["files_scanned"] += int(m.get("numFiles", 0))
+            totals["rows_scanned"] += int(m.get("numOutputRows", 0))
+            totals["scan_time_ms"] += int(m.get("scanTime", 0))
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
+
+
 def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
 

@@ -477,3 +477,25 @@ def test_metadata_only_count(spark, warehouse):
     s4 = t.scan()
     assert s4.count_rows(spark) == 300
     assert s4.last_count_residual_files > 0
+
+
+def test_scan_execution_metrics(spark, warehouse):
+    """scan_execution_metrics (arrow/scan_metrics.rs ScanMetrics parity):
+    bytes/files/rows aggregated from the executed plan's scan nodes."""
+    import pyspark.sql.functions as F
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.scan import scan_execution_metrics
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"))
+    t = Table.create(warehouse, "db.metrics_t", schema_from_spark(df.schema))
+    t = t.append(spark, df.repartition(3))
+    out = t.scan().to_df(spark)
+    assert scan_execution_metrics(out)["files_scanned"] == 0  # pre-action
+    n = len(out.collect())   # an action on THIS plan populates SQLMetrics
+    assert n == 1000
+    m = scan_execution_metrics(out)
+    assert m["files_scanned"] == 3
+    assert m["rows_scanned"] == 1000
+    assert m["bytes_scanned"] > 0
