@@ -318,6 +318,17 @@ def _para_dedup(spark, docs, emb):
         .agg(F.sum("n_paras_dropped")).collect()[0][0] or docs.count()
 
 
+
+
+def _substring_windows(spark, docs, emb):
+    """corpus-global exact-substring windows (r6): the window stream is
+    ~n_tokens rows and shuffles ONCE on the window key (map-side combine);
+    replica salting keeps cross-replica windows distinct so output and
+    wall both must stay ~linear across decades."""
+    from iceberg_rust_spark.operators.chunking import repeated_window_stats
+    return repeated_window_stats(docs, k=5) \
+        .agg(F.sum("n_dup_windows")).collect()[0][0] or docs.count()
+
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
@@ -329,7 +340,8 @@ OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "pii_scrub": _pii_scrub,
        "pack_sequences": _pack,
        "stratified_mix": _mix,
-       "para_dedup_global": _para_dedup}
+       "para_dedup_global": _para_dedup,
+       "substring_windows": _substring_windows}
 
 # untimed per-decade setup (fixture caches) run before the timed op
 PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
