@@ -912,7 +912,31 @@ def _project_to_schema(gdf: DataFrame, file_schema: Schema, current: Schema,
     """4-rule field-id projection: same id present -> use (rename+promote);
     promotable -> cast; initial_default -> constant; else NULL (error if
     required). Recurses into structs/lists/maps by field id. Mirrors
-    record_batch_transformer.rs:697-749 behavior."""
+    record_batch_transformer.rs:697-749 behavior.
+
+    Fast path: when every current field resolves to a same-name, same-type
+    file column (no evolution — the overwhelmingly common scan), the
+    projection is a plain name select. That's ONE py4j call instead of a
+    per-column expression-tree build, which otherwise dominates driver-side
+    planning wall (hundreds of gateway round-trips per scan)."""
+    gcols = set(gdf.columns)
+    identity = True
+    for f in current.fields:
+        old = file_schema.field_by_id(f.field_id)
+        if (old is None or old.name != f.name or old.name not in gcols
+                or old.field_type != f.field_type):
+            identity = False
+            break
+    if identity:
+        names = [f.name for f in current.fields]
+        if keep_meta:
+            names += ["_file", "_pos"]
+            names += [x for x in ("_spec_id", "_partition", "_row_id",
+                                  "_last_updated_sequence_number")
+                      if x in gcols]
+        if keep_deleted and "_deleted" in gcols:
+            names.append("_deleted")
+        return gdf.select(*names)
     cols = []
     for f in current.fields:
         old = file_schema.field_by_id(f.field_id)
