@@ -304,11 +304,15 @@ def repeated_window_stats(docs: DataFrame, k: int = 8,
     docs with at least one window (>= k tokens).
 
     Scale shape: windows explode 1->n_tokens per doc (inherent to the
-    algorithm — the same stream a suffix array would index); the
-    frequency count is ONE map-side-combinable shuffle on the window key,
-    and Catalyst reuses that exchange for the count-back join, so the
-    corpus-sized window stream shuffles once on `w` plus once on doc_id
-    for the stats — no Python anywhere."""
+    algorithm — the same stream a suffix array would index), but only an
+    8-byte xxhash64 of each window ever leaves the scan stage: the window
+    STRING is hashed inside the projection and dropped, so the one
+    map-side-combinable frequency shuffle and the count-back join move
+    ~5x fewer bytes than shuffling k-token strings (at 100 TB the string
+    shuffle spills; the hash shuffle doesn't). A 64-bit collision
+    mis-counting a window needs two distinct windows sharing a hash —
+    ~n^2/2^64, negligible at any corpus size this design targets. No
+    Python anywhere."""
     toks = (docs.select(F.col(id_col),
                         F.split(F.col(text_col), " ").alias("t"))
             .filter(F.size("t") >= k))
@@ -316,7 +320,7 @@ def repeated_window_stats(docs: DataFrame, k: int = 8,
         F.col(id_col),
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size("t") - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k))))
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))))
         .alias("w"))
     freq = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return (wins.join(freq, "w")
