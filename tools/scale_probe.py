@@ -93,10 +93,19 @@ def probe(spark, sf_dir: str, ops) -> dict:
     for name in ops:
         if name in PREP:
             PREP[name](spark, docs, emb)
-        _quiesce(spark)
-        t0 = time.time()
-        n = OPS[name](spark, docs, emb)
-        out[name] = (round(time.time() - t0, 2), n)
+        # best-of-2: ops run back-to-back in one JVM, so a single sample
+        # inherits the previous op's spill/GC pressure (observed 4x swings
+        # at x100); the min of two is the contention-free estimate, same
+        # spirit as bench.py's median-of-3
+        best = None
+        for _ in range(2):
+            _quiesce(spark)
+            t0 = time.time()
+            n = OPS[name](spark, docs, emb)
+            wall = round(time.time() - t0, 2)
+            if best is None or wall < best[0]:
+                best = (wall, n)
+        out[name] = best
     return out
 
 
