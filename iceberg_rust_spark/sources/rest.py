@@ -593,8 +593,16 @@ class RestCatalog:
         q = f"?warehouse={self.warehouse}" if self.warehouse else ""
         try:
             _, body = self._call("GET", f"v1/config{q}", None)
+        except NoSuchTable:
+            # the route 404'd: a pre-config server with no /v1/config at
+            # all — that's a stable answer, keep unprefixed routes
+            return
         except Exception:
-            return  # pre-config servers: keep unprefixed routes
+            # transient failure (gateway exhausted retries, connection
+            # refused): DON'T pin the un-configured state — the next call
+            # re-attempts the bootstrap
+            self._configured = False
+            raise
         merged = dict(body.get("defaults", {}))
         merged.update(body.get("overrides", {}))
         self.props = merged
@@ -642,19 +650,24 @@ class RestCatalog:
         try:
             self.namespace_properties(namespace)
             return True
-        except NoSuchNamespace:
+        except (NoSuchNamespace, NoSuchTable):
+            # servers without typed errors answer a generic 404, which
+            # _call maps to NoSuchTable — still means "absent"
             return False
 
     def update_namespace(self, namespace: str,
                          updates: Optional[dict] = None,
                          removals: Optional[List[str]] = None) -> dict:
-        """POST .../properties (REST spec updateProperties); returns the
-        {updated, removed, missing} response body."""
+        """POST .../properties (REST spec updateProperties). Returns the
+        resulting property map like every other catalog; the spec's
+        {updated, removed, missing} reply is kept on
+        ``last_update_namespace_response`` for callers that want it."""
         _, body = self._call(
             "POST", self._p(f"namespaces/{namespace}/properties"),
             {"updates": dict(updates or {}),
              "removals": list(removals or [])})
-        return body
+        self.last_update_namespace_response = body
+        return self.namespace_properties(namespace)
 
     def drop_namespace(self, namespace: str) -> None:
         self._call("DELETE", self._p(f"namespaces/{namespace}"), None)
@@ -794,8 +807,14 @@ class RestCatalog:
                 "scope": self._scope, **self._extra_oauth}
         if client_id:
             form["client_id"] = client_id
-        path = self._oauth_uri or "v1/oauth/tokens"
-        status, resp = self._t("POST", path, form)
+        if self._oauth_uri and "://" in self._oauth_uri:
+            # absolute token endpoint (external IdP — client.rs full-URI
+            # semantics): POST the form there directly, form-encoded,
+            # unauthenticated, independent of the catalog transport
+            status, resp = _post_form(self._oauth_uri, form)
+        else:
+            path = self._oauth_uri or "v1/oauth/tokens"
+            status, resp = self._t("POST", path, form)
         if status >= 300 or "access_token" not in resp:
             raise PermissionError(
                 f"token fetch failed ({status}): "
@@ -807,6 +826,26 @@ def _version_of(metadata_location: str) -> int:
     # accepts v1 / 00001-<uuid> / .gz spellings (shared parser)
     from .catalog import ptr_version
     return ptr_version(metadata_location)
+
+
+def _post_form(url: str, form: Dict[str, str]) -> Tuple[int, dict]:
+    """Form-encoded POST to an absolute URL (external OAuth2 token
+    endpoints live outside the catalog's URI space)."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+    req = urllib.request.Request(
+        url, data=urllib.parse.urlencode(form).encode(), method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read().decode() or "{}")
+    except urllib.error.HTTPError as e:
+        text = e.read().decode() or "{}"
+        try:
+            return e.code, json.loads(text)
+        except ValueError:
+            return e.code, {"error": {"message": text}}
 
 
 def _urllib_transport(uri: str,

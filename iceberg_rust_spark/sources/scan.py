@@ -670,14 +670,13 @@ def dv_pairs_df(spark: SparkSession, dv_files: List["DataFile"]) -> DataFrame:
     return desc.mapInPandas(decode, "_del_file string, _del_pos long")
 
 
-def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
-                       pos_deletes: List["DataFile"],
-                       del_cache: _DeleteDFCache) -> DataFrame:
-    """Positional deletes: anti-join on (file, pos). Parquet delete files
-    carry (file_path string, pos long) rows per the spec; Puffin
-    deletion-vector blobs decode through dv_pairs_df (size-gated driver LRU
-    vs executor-side). Broadcast only when the manifests prove the set is
-    small."""
+def _pos_delete_df(spark: SparkSession, pos_deletes: List["DataFile"],
+                   del_cache: _DeleteDFCache) -> Tuple[DataFrame, int]:
+    """Shared (file, pos) delete-set builder for the drop and flag paths:
+    parquet delete files carry (file_path string, pos long) rows per the
+    spec; Puffin deletion-vector blobs decode through dv_pairs_df
+    (size-gated driver LRU vs executor-side). Returns (df, on-disk bytes)
+    so callers can size the broadcast decision identically."""
     parquet_paths = sorted({d.file_path for d in pos_deletes
                             if d.file_format == "parquet"})
     dv_files = sorted((d for d in pos_deletes if d.file_format == "puffin"),
@@ -698,14 +697,21 @@ def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
 
     key = ("pos", tuple(parquet_paths),
            tuple((d.file_path, d.content_offset) for d in dv_files))
-    del_df = del_cache.get(key, build)
-    del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(pos_deletes))
-    joined = gdf.join(
+    return del_cache.get(key, build), _delete_set_bytes(pos_deletes)
+
+
+def _apply_pos_deletes(spark: SparkSession, gdf: DataFrame,
+                       pos_deletes: List["DataFile"],
+                       del_cache: _DeleteDFCache) -> DataFrame:
+    """Positional deletes: anti-join on (file, pos). Broadcast only when
+    the manifests prove the set is small."""
+    del_df, nbytes = _pos_delete_df(spark, pos_deletes, del_cache)
+    del_df = _maybe_broadcast(spark, del_df, nbytes)
+    return gdf.join(
         del_df,
         on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),
             gdf["_pos"] == del_df["_del_pos"]],
         how="left_anti")
-    return joined
 
 
 def _flag_pos_deletes(spark: SparkSession, gdf: DataFrame,
@@ -716,30 +722,10 @@ def _flag_pos_deletes(spark: SparkSession, gdf: DataFrame,
     reserved _deleted column). The delete set is deduped on (file, pos)
     first so the outer join cannot fan rows out when the same position is
     deleted by several delete files."""
-    parquet_paths = sorted({d.file_path for d in pos_deletes
-                            if d.file_format == "parquet"})
-    dv_files = sorted((d for d in pos_deletes if d.file_format == "puffin"),
-                      key=lambda d: (d.file_path, d.content_offset or 0))
-
-    def build() -> DataFrame:
-        parts = []
-        if parquet_paths:
-            parts.append(spark.read.parquet(*parquet_paths)
-                         .select(F.col("file_path").alias("_del_file"),
-                                 F.col("pos").alias("_del_pos")))
-        if dv_files:
-            parts.append(dv_pairs_df(spark, dv_files))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    key = ("pos", tuple(parquet_paths),
-           tuple((d.file_path, d.content_offset) for d in dv_files))
-    del_df = del_cache.get(key, build) \
-        .dropDuplicates(["_del_file", "_del_pos"]) \
+    del_df, nbytes = _pos_delete_df(spark, pos_deletes, del_cache)
+    del_df = del_df.dropDuplicates(["_del_file", "_del_pos"]) \
         .withColumn("_del_hit", F.lit(True))
-    del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(pos_deletes))
+    del_df = _maybe_broadcast(spark, del_df, nbytes)
     joined = gdf.join(
         del_df,
         on=[_norm_path(gdf["_file"]) == _norm_path(del_df["_del_file"]),
@@ -758,24 +744,33 @@ def _flag_eq_deletes(spark: SparkSession, gdf: DataFrame,
     Null-unsafe join keys preserve Iceberg's null-keep semantics — a data
     row with NULL in an equality column never matches, so it stays
     _deleted=false (caching_delete_file_loader.rs:422-426)."""
-    by_cols: Dict[Tuple[str, ...], List["DataFile"]] = {}
-    for d in eq_deletes:
-        cols = tuple(sorted(_eq_cols(d, schema)))
-        by_cols.setdefault(cols, []).append(d)
     out = gdf
-    for cols, dfiles in by_cols.items():
-        paths = tuple(sorted({d.file_path for d in dfiles}))
-        del_df = del_cache.get(
-            ("eq", cols, paths),
-            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
-        del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles)) \
-            .withColumn("_eq_hit", F.lit(True))
+    for cols, del_df in _eq_delete_groups(spark, eq_deletes, schema,
+                                          del_cache):
+        del_df = del_df.withColumn("_eq_hit", F.lit(True))
         out = out.join(del_df, on=list(cols), how="left") \
             .withColumn("_deleted",
                         F.col("_deleted")
                         | F.coalesce(F.col("_eq_hit"), F.lit(False))) \
             .drop("_eq_hit")
     return out
+
+
+def _eq_delete_groups(spark: SparkSession, eq_deletes: List["DataFile"],
+                      schema: Schema, del_cache: _DeleteDFCache):
+    """Shared per-equality-column-group delete sets for the drop and flag
+    paths: distinct key tuples per group, broadcast when the manifests
+    prove them small. Yields (cols, del_df)."""
+    by_cols: Dict[Tuple[str, ...], List["DataFile"]] = {}
+    for d in eq_deletes:
+        cols = tuple(sorted(_eq_cols(d, schema)))
+        by_cols.setdefault(cols, []).append(d)
+    for cols, dfiles in by_cols.items():
+        paths = tuple(sorted({d.file_path for d in dfiles}))
+        del_df = del_cache.get(
+            ("eq", cols, paths),
+            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
+        yield cols, _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles))
 
 
 def scan_execution_metrics(df: DataFrame) -> Dict[str, int]:
@@ -839,17 +834,9 @@ def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,
     """Equality deletes as left_anti joins. Spark's null-unsafe join keys keep
     data rows whose equality column is NULL — exactly Iceberg's null-keep
     semantics (caching_delete_file_loader.rs:422-426)."""
-    by_cols: Dict[Tuple[str, ...], List["DataFile"]] = {}
-    for d in eq_deletes:
-        cols = tuple(sorted(_eq_cols(d, schema)))
-        by_cols.setdefault(cols, []).append(d)
     out = gdf
-    for cols, dfiles in by_cols.items():
-        paths = tuple(sorted({d.file_path for d in dfiles}))
-        del_df = del_cache.get(
-            ("eq", cols, paths),
-            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
-        del_df = _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles))
+    for cols, del_df in _eq_delete_groups(spark, eq_deletes, schema,
+                                          del_cache):
         out = out.join(del_df, on=list(cols), how="left_anti")
     return out
 

@@ -300,7 +300,11 @@ def _apply_one(md: TableMetadata, upd: Dict[str, Any], state: dict) -> None:
                 raise InvalidUpdate(
                     f"first-row-id is behind table next-row-id: "
                     f"{snap.first_row_id} < {md.next_row_id}")
-            md.next_row_id += snap.added_rows or 0
+            # advance TO the end of the claimed range, not BY added_rows:
+            # a client that assigned first-row-id ahead of the counter must
+            # not leave next_row_id inside its own range (overlap with the
+            # next snapshot's claim)
+            md.next_row_id = snap.first_row_id + (snap.added_rows or 0)
         md.snapshots.append(snap)
         md.last_sequence_number = max(md.last_sequence_number,
                                       snap.sequence_number)

@@ -146,27 +146,57 @@ def _project_batch(batch, projection):
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def _pos_delete_index(delete_path: str):
+    """Worker-local: one positional-delete parquet parsed ONCE into a
+    {data_file_path: sorted positions} index serving every data file the
+    worker reads (one delete file commonly references thousands of data
+    files — re-reading it per data-file partition would make delete I/O
+    O(data_files x delete_files))."""
+    idx = _POS_INDEX_CACHE.get(delete_path)
+    if idx is None:
+        import pandas as pd
+        import pyarrow.parquet as pq
+        tb = pq.read_table(delete_path, columns=["file_path", "pos"])
+        pdf = tb.to_pandas()
+        # normalize file:/file:// spellings once, index by bare path
+        pdf["file_path"] = pdf["file_path"].str.replace(
+            r"^file:/*", "/", regex=True)
+        idx = {k: g["pos"].to_numpy() for k, g in pdf.groupby("file_path")}
+        if len(_POS_INDEX_CACHE) > 64:      # bounded
+            _POS_INDEX_CACHE.clear()
+        _POS_INDEX_CACHE[delete_path] = idx
+    return idx
+
+
 def _deleted_positions(partition: _FilePartition):
     """Merge this file's positional deletes (parquet + puffin DV) into one
     sorted numpy position array — the executor-side counterpart of
-    sources/scan.py _apply_pos_deletes (positional_deletes.rs:35)."""
+    sources/scan.py _apply_pos_deletes (positional_deletes.rs:35).
+    Delete parquet files and DV blobs are cached worker-locally
+    (caching_delete_file_loader.rs:265 at worker granularity)."""
     import numpy as np
-    import pyarrow.parquet as pq
+    import re
 
-    variants = [partition.path, "file:" + partition.path,
-                "file://" + partition.path]
+    bare = re.sub(r"^file:/*", "/", partition.path)
     pos_parts = []
     for p in partition.pos_parquet:
-        tb = pq.read_table(p, columns=["file_path", "pos"],
-                           filters=[("file_path", "in", variants)])
-        pos_parts.append(tb.column("pos").to_numpy(zero_copy_only=False))
+        hit = _pos_delete_index(p).get(bare)
+        if hit is not None:
+            pos_parts.append(hit)
     if partition.dv_blobs:
         from ..sources.puffin import BlobMetadata, deserialize_dv, read_blob
         for p, off, length in partition.dv_blobs:
-            blob = read_blob(p, BlobMetadata(
-                type="deletion-vector-v1", fields=[], snapshot_id=0,
-                sequence_number=0, offset=off, length=length))
-            pos_parts.append(deserialize_dv(blob).astype("int64"))
+            key = (p, off, length)
+            dv = _DV_CACHE.get(key)
+            if dv is None:
+                blob = read_blob(p, BlobMetadata(
+                    type="deletion-vector-v1", fields=[], snapshot_id=0,
+                    sequence_number=0, offset=off, length=length))
+                dv = deserialize_dv(blob).astype("int64")
+                if len(_DV_CACHE) > 256:    # bounded
+                    _DV_CACHE.clear()
+                _DV_CACHE[key] = dv
+            pos_parts.append(dv)
     if not pos_parts:
         return None
     return np.unique(np.concatenate(pos_parts))
@@ -177,6 +207,8 @@ def _deleted_positions(partition: _FilePartition):
 # file in the worker (the caching delete loader's job,
 # caching_delete_file_loader.rs:265, at worker granularity)
 _EQ_SET_CACHE: dict = {}
+_POS_INDEX_CACHE: dict = {}
+_DV_CACHE: dict = {}
 
 
 def _eq_delete_sets(partition: _FilePartition):

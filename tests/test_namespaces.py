@@ -86,10 +86,13 @@ def test_rest_update_namespace_response(tmp_path):
     """The REST body is the spec's {updated, removed, missing} triple."""
     cat = make_catalog("rest", tmp_path)
     cat.create_namespace("db", {"a": "1", "b": "2"})
-    resp = cat.update_namespace("db", updates={"a": "9", "c": "3"},
-                                removals=["b", "ghost"])
-    assert resp == {"updated": ["a", "c"], "removed": ["b"],
-                    "missing": ["ghost"]}
+    props = cat.update_namespace("db", updates={"a": "9", "c": "3"},
+                                 removals=["b", "ghost"])
+    # cross-catalog parity: the merged property map comes back ...
+    assert props == {"a": "9", "c": "3"}
+    # ... and the spec's wire reply stays inspectable
+    assert cat.last_update_namespace_response == {
+        "updated": ["a", "c"], "removed": ["b"], "missing": ["ghost"]}
     assert cat.namespace_properties("db") == {"a": "9", "c": "3"}
 
 

@@ -466,3 +466,28 @@ def test_v3_add_snapshot_validates_row_range():
     md2 = _md()
     apply_updates(md2, [{"action": "add-snapshot",
                          "snapshot": snap(11, None, None, 1)}])
+
+
+def test_v3_next_row_id_advances_past_gapped_claims():
+    """next-row-id must land at first-row-id + added-rows, not advance BY
+    added-rows: a client that assigned its range ahead of the counter must
+    not leave the counter inside its own claim (a later snapshot could
+    then pass the >= guard while overlapping the first one's rows)."""
+    md = _md()
+    md.format_version = 3
+    md.next_row_id = 0
+
+    def snap(sid, first, added, seq):
+        return Snapshot(snapshot_id=sid, sequence_number=seq, timestamp_ms=1,
+                        manifest_list="/tmp/ml.avro",
+                        summary={"operation": "append"},
+                        first_row_id=first, added_rows=added)
+
+    # claim rows 100-149 while the counter sits at 0 (gap is legal)
+    out = apply_updates(md, [{"action": "add-snapshot",
+                              "snapshot": snap(20, 100, 50, 1)}])
+    assert out.next_row_id == 150          # NOT 50
+    # a snapshot trying to start inside the claimed range is rejected
+    with pytest.raises(InvalidUpdate, match="behind table next-row-id"):
+        apply_updates(out, [{"action": "add-snapshot",
+                             "snapshot": snap(21, 120, 10, 2)}])
