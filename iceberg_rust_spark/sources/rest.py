@@ -581,6 +581,9 @@ class RestCatalog:
         self.props: Dict[str, str] = {}
         self._prefix: Optional[str] = None
         self._configured = False
+        # spec UpdateNamespacePropertiesResponse of the most recent
+        # update_namespace call ({updated, removed, missing})
+        self.last_update_namespace_response: Optional[dict] = None
         # base metadata per (identifier, version) so commit can diff; entries
         # die with the commit or the next refresh — bounded by live handles
         self._bases: Dict[Tuple[str, int], TableMetadata] = {}
