@@ -48,13 +48,28 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     else:
         def _ckpt(df, eager=True):
             return df.localCheckpoint(eager=eager)
-    # EAGER checkpoint, not persist: the edge list is referenced by every
-    # round, and a mere .persist() left the (possibly expensive) upstream
+    # Checkpoint, not persist: the edge list is referenced by every round,
+    # and a mere .persist() left the (possibly expensive) upstream
     # pair-generation pipeline in the lineage — measured re-running under
     # the lazily-checkpointed label joins. Truncating here makes each round
-    # plan against a materialized scan of the (small) edge set.
+    # plan against a materialized scan of the (small) edge set. LAZY (r7):
+    # an eager checkpoint was a whole extra sequential action just to
+    # materialize the pipeline; folding it into round 1's convergence
+    # action lets ReuseExchange collapse the duplicated upstream subtree
+    # inside the one job — one fewer job launch per call, same data read.
+    # repartition("b") BEFORE the checkpoint: every round joins und on "b";
+    # Dataset.checkpoint preserves the hash partitioning in the LogicalRDD,
+    # so the static edge side never re-shuffles inside the loop — only the
+    # (changing) label side moves each round. One extra shuffle up front
+    # buys max_iter saved shuffles of the larger relation.
+    # NO distinct(): min-label propagation is idempotent under duplicate
+    # edges and self-loops — they add rows to the per-round min() aggregate
+    # but never change its value — so the dedup shuffle that used to sit
+    # here bought nothing but wall time. Producers with heavy edge
+    # multiplicity can pre-distinct on their side if the volume warrants.
     und = _ckpt(e.unionByName(e.select(F.col("b").alias("a"),
-                                       F.col("a").alias("b"))).distinct())
+                                       F.col("a").alias("b")))
+                .repartition(F.col("b")), eager=False)
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the
@@ -63,26 +78,37 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # seed labels with round 1 fused in: label = min(self, neighbors) —
     # same shuffle as a plain distinct would cost, one fewer loop round
     # (dense near-dup clusters are cliques and converge immediately)
-    labels = _ckpt(und.groupBy("a").agg(F.min("b").alias("_mb"))
-                   .select("a", F.least("a", "_mb").alias("label")),
-                   eager=False)
+    prev_ckpt = _ckpt(und.groupBy("a").agg(F.min("b").alias("_mb"))
+                      .select("a", F.least("a", "_mb").alias("label")),
+                      eager=False)
+    labels = prev_ckpt
     for _ in range(max_iter):
+        # Thread each node's OLD label through the same union+aggregate that
+        # computes its new label: the self row carries old=label, neighbor
+        # rows carry old=NULL (min ignores nulls; every node has exactly one
+        # self row because labels covers every vertex of the symmetric edge
+        # set). The convergence test is then a plain max() over the aggregate
+        # output — ONE action per round, no separate new-vs-old join (the
+        # old shape cost an extra shuffle join + job every round and was the
+        # wall driver on small graphs where launch overhead dominates).
         nbr = (und.join(labels.select(F.col("a").alias("b"),
                                       F.col("label")), "b")
-               .select("a", "label"))
-        # lazy checkpoint: the convergence count below is the ONE action per
-        # round — it materializes the checkpoint as a side effect (an eager
-        # checkpoint plus a separate count doubled the per-round job count,
-        # and job launch overhead dominates when the graph is small)
-        new_labels = _ckpt(labels.select("a", "label").unionByName(nbr)
-                           .groupBy("a").agg(F.min("label").alias("label")),
-                           eager=False)
-        changed = (new_labels.join(
-            labels.withColumnRenamed("label", "old"), "a")
-            .where(F.col("label") < F.col("old")).limit(1).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+               .select("a", "label",
+                       F.lit(None).cast("long").alias("old")))
+        mine = labels.select("a", "label", F.col("label").alias("old"))
+        # lazy checkpoint: the convergence aggregate below is the one action
+        # per round — it materializes the checkpoint as a side effect
+        new_ckpt = _ckpt(mine.unionByName(nbr).groupBy("a")
+                         .agg(F.min("label").alias("label"),
+                              F.min("old").alias("old")),
+                         eager=False)
+        changed = new_ckpt.select(
+            F.max((F.col("label") < F.col("old")).cast("int"))
+            .alias("c")).first()[0]
+        prev_ckpt.unpersist()
+        prev_ckpt = new_ckpt
+        labels = new_ckpt.select("a", "label")
+        if not changed:
             break
     und.unpersist()
     return labels.select(F.col("a").alias("node"),
@@ -96,9 +122,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     near-duplicate; docs absent from ``pairs`` are singletons by definition
     and are left out (at scale that's the overwhelming majority — emitting
     them would turn a cluster summary into a full-corpus pass)."""
+    from pyspark.sql import Window
     comp = connected_components(pairs, id_a, id_b)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (comp.join(sizes, "component")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("component").alias("cluster_id"),
-                    "cluster_size"))
+    # count() over a component window: ONE shuffle (partition by component)
+    # instead of the groupBy + join-back shape's two — comp has exactly one
+    # row per node, so the window count IS the cluster size.
+    w = Window.partitionBy("component")
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("cluster_id"),
+                       F.count("*").over(w).alias("cluster_size"))
