@@ -1300,10 +1300,15 @@ def q_doc_pipeline(spark, sf_dir):
     split = hash_split(dedup, "doc_id", [("train", 0.9), ("val", 0.1)])
     toks = split.select("doc_id", "split",
                         TX.token_count(F.col("text")).alias("n_tokens"))
-    packed = pack_sequences(toks, 512, group_cols=["split"])
+    # shard_chars=1: 16 independent packing streams per split — with only
+    # train/val groups the per-group window would otherwise cap the pack
+    # stage at 2 tasks regardless of cluster size. Any disjoint partition
+    # of docs into sequences is a valid packing; seq_no is per-shard, so
+    # n_seqs counts distinct (shard, seq_no).
+    packed = pack_sequences(toks, 512, group_cols=["split"], shard_chars=1)
     return packed.groupBy("split").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("seq_no").alias("n_seqs"),
+        F.countDistinct("shard", "seq_no").alias("n_seqs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("id_checksum"))
 
@@ -1622,7 +1627,8 @@ def _sql_doc_pipeline() -> str:
     from iceberg_rust_spark.operators.sampling import (_hex_threshold,
                                                        sql_pack_sequences)
     t1 = _hex_threshold(0.9)
-    packed = sql_pack_sequences("toks", 512, group_cols=["split"])
+    packed = sql_pack_sequences("toks", 512, group_cols=["split"],
+                                shard_chars=1)
     return f"""
     WITH scrubbed AS (
         SELECT doc_id, {_TX.sql_scrub_pii('text')} AS text FROM documents),
@@ -1643,7 +1649,7 @@ def _sql_doc_pipeline() -> str:
         FROM dedup),
     packed AS ({packed})
     SELECT split, COUNT(*) AS n_docs,
-           COUNT(DISTINCT seq_no) AS n_seqs,
+           COUNT(DISTINCT (shard, seq_no)) AS n_seqs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM packed GROUP BY split"""
