@@ -40,6 +40,11 @@ class ViewVersion:
     # (view_metadata.rs:456-458) but only one representation PER dialect
     # (view_metadata_builder.rs:303 require_unique_dialects).
     representations: Optional[List[Dict[str, str]]] = None
+    # schema the view's output rows conform to (view_version.rs:50-51);
+    # -1 = "last added schema" sentinel inside a builder transaction
+    schema_id: int = 0
+    # catalog for unqualified table references (view_version.rs:59-61)
+    default_catalog: Optional[str] = None
 
     def reps(self) -> List[Dict[str, str]]:
         return self.representations or [{"type": "sql", "sql": self.sql,
@@ -58,19 +63,52 @@ class ViewVersion:
         return (self.reps() == other.reps()
                 and self.default_namespace == other.default_namespace)
 
+    def behaves_identical_to(self, other: "ViewVersion") -> bool:
+        """Version identity for id reuse (view_version.rs:142-148): summary,
+        representations, default catalog/namespace, and schema id — NOT the
+        version id or timestamp."""
+        return (self.summary == other.summary
+                and self.reps() == other.reps()
+                and self.default_catalog == other.default_catalog
+                and self.default_namespace == other.default_namespace
+                and self.schema_id == other.schema_id)
+
+    def replaced(self, version_id: Optional[int] = None,
+                 schema_id: Optional[int] = None) -> "ViewVersion":
+        """Copy with a new version/schema id (with_version_id/with_schema_id)."""
+        from dataclasses import replace as _replace
+        out = self
+        if version_id is not None:
+            out = _replace(out, version_id=version_id)
+        if schema_id is not None:
+            out = _replace(out, schema_id=schema_id)
+        return out
+
     def to_json(self) -> dict:
-        return {"version-id": self.version_id, "timestamp-ms": self.timestamp_ms,
-                "summary": self.summary, "default-namespace": self.default_namespace,
-                "representations": self.reps()}
+        # default-namespace is a LIST of levels in the spec JSON
+        # (ViewMetadataV1Valid.json); internally a dotted string
+        d = {"version-id": self.version_id, "timestamp-ms": self.timestamp_ms,
+             "schema-id": self.schema_id,
+             "summary": self.summary,
+             "default-namespace": self.default_namespace.split("."),
+             "representations": self.reps()}
+        if self.default_catalog is not None:
+            d["default-catalog"] = self.default_catalog
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "ViewVersion":
         reps = [r for r in d["representations"] if r["type"] == "sql"]
         rep = reps[0]
+        ns = d.get("default-namespace", "db")
+        if isinstance(ns, list):
+            ns = ".".join(ns)
         return ViewVersion(d["version-id"], d["timestamp-ms"], rep["sql"],
                            rep.get("dialect", "spark"),
-                           d.get("default-namespace", "db"), d.get("summary", {}),
-                           representations=reps)
+                           ns, d.get("summary", {}),
+                           representations=reps,
+                           schema_id=d.get("schema-id", 0),
+                           default_catalog=d.get("default-catalog"))
 
 
 @dataclass
@@ -80,16 +118,34 @@ class ViewMetadata:
     current_version_id: int
     versions: List[ViewVersion]
     properties: Dict[str, str] = dc_field(default_factory=dict)
+    # schemas referenced by versions, spec-shaped dicts
+    # {"schema-id": int, "type": "struct", "fields": [...]}
+    # (view_metadata.rs: schemas map keyed by schema-id)
+    schemas: List[dict] = dc_field(default_factory=list)
+    # [{"version-id": int, "timestamp-ms": int}] — when each version became
+    # current (view_metadata.rs:199 ViewVersionLog)
+    version_log: List[dict] = dc_field(default_factory=list)
+    format_version: int = 1
 
     def current_version(self) -> ViewVersion:
         return next(v for v in self.versions if v.version_id == self.current_version_id)
 
+    def version_by_id(self, version_id: int) -> Optional[ViewVersion]:
+        return next((v for v in self.versions if v.version_id == version_id),
+                    None)
+
+    def schema_by_id(self, schema_id: int) -> Optional[dict]:
+        return next((s for s in self.schemas
+                     if s.get("schema-id", 0) == schema_id), None)
+
     def to_json(self) -> str:
         return json.dumps({
-            "view-uuid": self.view_uuid, "format-version": 1,
+            "view-uuid": self.view_uuid, "format-version": self.format_version,
             "location": self.location,
             "current-version-id": self.current_version_id,
             "versions": [v.to_json() for v in self.versions],
+            "version-log": self.version_log,
+            "schemas": self.schemas,
             "properties": self.properties}, indent=2)
 
     @staticmethod
@@ -97,7 +153,10 @@ class ViewMetadata:
         d = json.loads(text)
         return ViewMetadata(d["view-uuid"], d["location"], d["current-version-id"],
                             [ViewVersion.from_json(v) for v in d["versions"]],
-                            d.get("properties", {}))
+                            d.get("properties", {}),
+                            schemas=d.get("schemas", []),
+                            version_log=d.get("version-log", []),
+                            format_version=d.get("format-version", 1))
 
 
 class ViewCatalog:
@@ -123,12 +182,15 @@ class ViewCatalog:
 
     def create_view(self, identifier: str, sql: str,
                     properties: Optional[Dict[str, str]] = None) -> ViewMetadata:
+        from .view_builder import ViewMetadataBuilder
         path = self._view_path(identifier)
         if self._io.is_file(path):
             raise ValueError(f"view {identifier} exists")
-        md = ViewMetadata(str(uuid.uuid4()), path, 1,
-                          [ViewVersion(1, int(time.time() * 1000), sql)],
-                          properties or {})
+        ns = ".".join(identifier.split(".")[:-1]) or "db"
+        builder = ViewMetadataBuilder.from_view_creation(
+            path, [{"type": "sql", "sql": sql, "dialect": "spark"}], ns,
+            properties=properties)
+        md, _ = builder.build()
         self._io.write_text(path, md.to_json())
         return md
 
@@ -149,38 +211,22 @@ class ViewCatalog:
           `version.history.num-entries` (default 10, must be positive)
           versions plus the current one.
         """
+        from .view_builder import EMPTY_SCHEMA, ViewMetadataBuilder
         md = self.load_view(identifier)
-        new = ViewVersion(0, int(time.time() * 1000), sql, dialect,
-                          representations=representations)
-        dup = {r.get("dialect", "spark").lower() for r in new.reps()}
-        if len(dup) != len(new.reps()):
-            raise ValueError("multiple representations for one dialect")
-        prev = md.current_version()
-        allowed = md.properties.get(PROP_DROP_DIALECT_ALLOWED,
-                                    "false").lower() == "true"
-        if not allowed and not new.dialects() >= prev.dialects():
-            raise ValueError(
-                f"cannot replace view: dialects {sorted(prev.dialects())} "
-                f"would be reduced to {sorted(new.dialects())}; set "
-                f"{PROP_DROP_DIALECT_ALLOWED}=true to allow dropping")
-        # dedup against existing versions
-        same = next((v for v in md.versions if v.same_content(new)), None)
-        if same is not None:
-            md.current_version_id = same.version_id
-        else:
-            new.version_id = max(v.version_id for v in md.versions) + 1
-            md.versions.append(new)
-            md.current_version_id = new.version_id
-        # expire history beyond the retention size (keep current always)
+        # stricter than the builder (which clamps to >=1 like the
+        # reference's expire_versions): a view whose stored property is
+        # explicitly non-positive is a misconfiguration — fail loudly
         raw = md.properties.get(PROP_VERSION_HISTORY_SIZE)
-        keep = int(raw) if raw is not None else VERSION_HISTORY_SIZE_DEFAULT
-        if keep <= 0:
+        if raw is not None and int(raw) <= 0:
             raise ValueError(f"{PROP_VERSION_HISTORY_SIZE} must be positive,"
-                             f" got {keep}")
-        if len(md.versions) > keep:
-            newest = sorted(md.versions, key=lambda v: v.version_id)[-keep:]
-            ids = {v.version_id for v in newest} | {md.current_version_id}
-            md.versions = [v for v in md.versions if v.version_id in ids]
+                             f" got {raw}")
+        prev = md.current_version()
+        new = ViewVersion(0, int(time.time() * 1000), sql, dialect,
+                          default_namespace=prev.default_namespace,
+                          representations=representations)
+        schema = md.schema_by_id(prev.schema_id) or dict(EMPTY_SCHEMA)
+        builder = ViewMetadataBuilder(md).set_current_version(new, schema)
+        md, _ = builder.build()
         self._io.write_text(self._view_path(identifier), md.to_json())
         return md
 
