@@ -48,6 +48,16 @@ def strip_scheme(path: str) -> str:
 class FileIO:
     """Abstract storage interface; see module docstring."""
 
+    #: True when Spark's own (Hadoop) IO layer can read/write this
+    #: backend's paths directly — the distributed fast path. False routes
+    #: the engine through the FileIO data plane instead: staged writes
+    #: uploaded via write_bytes, scans localized via read_bytes, and
+    #: delete/DV assembly kept driver-side (executor Python workers can't
+    #: see dynamically registered backends). Real clusters configure the
+    #: Hadoop connector (s3a://...) and stay on the native path; this
+    #: fallback is for FileIO-only stores (memory://, registered shims).
+    spark_native = True
+
     def read_bytes(self, path: str, offset: Optional[int] = None,
                    length: Optional[int] = None) -> bytes:
         raise NotImplementedError
@@ -191,6 +201,8 @@ _MEM_LOCK = threading.Lock()
 
 
 class MemoryFileIO(FileIO):
+    spark_native = False
+
     def __init__(self, bucket: str):
         self.bucket = bucket
         with _MEM_LOCK:
@@ -270,7 +282,12 @@ class MemoryFileIO(FileIO):
 
 class FsspecFileIO(FileIO):
     """Bridge to fsspec for object-store schemes (s3://, gs://, abfs://...).
-    Import-gated: absent in this container, present on real deployments."""
+    Import-gated: absent in this container, present on real deployments.
+    spark_native=False: a scheme reached via fsspec has, by definition, no
+    Hadoop connector configured in this session (else file_io_for callers
+    would be using s3a://-style paths Spark reads itself)."""
+
+    spark_native = False
 
     def __init__(self, scheme: str):
         import fsspec  # noqa: gated import — raises if unavailable
@@ -333,6 +350,25 @@ class FsspecFileIO(FileIO):
 
 _LOCAL = LocalFileIO()
 
+# scheme -> factory(path) -> FileIO. Pluggable backends, the counterpart of
+# the reference's FileIOBuilder / storage resolver (io/file_io.rs:63,
+# crates/storage/opendal/src/resolving.rs): deployments register their own
+# s3/gcs/... implementations; tests register in-process shims.
+_IO_REGISTRY: Dict[str, "callable"] = {}
+
+
+def register_file_io(scheme: str, factory) -> None:
+    """Register ``factory(path) -> FileIO`` for a URI scheme. Takes
+    precedence over the fsspec fallback (but not the file/memory
+    builtins). Registration is process-local: executor Python workers do
+    NOT inherit it, which is why non-spark_native backends keep data-plane
+    assembly on the driver."""
+    _IO_REGISTRY[scheme] = factory
+
+
+def unregister_file_io(scheme: str) -> None:
+    _IO_REGISTRY.pop(scheme, None)
+
 
 def file_io_for(path: str) -> FileIO:
     """Scheme-dispatched FileIO (io/file_io.rs:63 `FileIO::from_path`)."""
@@ -341,8 +377,61 @@ def file_io_for(path: str) -> FileIO:
         return _LOCAL
     if scheme == "memory":
         return MemoryFileIO(urlparse(path).netloc)
+    if scheme in _IO_REGISTRY:
+        return _IO_REGISTRY[scheme](path)
     try:
         return FsspecFileIO(scheme)
     except ImportError as exc:
         raise ValueError(
             f"no FileIO backend for scheme {scheme!r} (fsspec missing)") from exc
+
+
+# ---------------------------------------------------------------- data plane
+# FileIO-backed data plane for non-spark_native schemes: Spark itself reads
+# and writes only local staging paths; bytes move through FileIO. The
+# localize cache mirrors remote objects under a deterministic local tree so
+# repeated scans of immutable Iceberg files hit disk, not the store.
+
+IO_CACHE_ROOT = os.environ.get("SPARK_GRAFT_IO_CACHE",
+                               "/tmp/iceberg_rust_spark_iocache")
+
+
+def mirror_local_path(path: str) -> str:
+    """s3://bucket/a/b -> <cache>/s3/bucket/a/b (scheme + netloc kept so
+    the inverse mapping in mirror_remap_pattern is mechanical)."""
+    u = urlparse(path)
+    return os.path.join(IO_CACHE_ROOT, u.scheme, u.netloc,
+                        u.path.lstrip("/"))
+
+
+def mirror_remap_pattern() -> Tuple[str, str]:
+    """(regex, replacement) turning a localized file's Spark metadata path
+    (file:///<cache>/<scheme>/<netloc>/rest) back into the remote URI —
+    keeps the `_file` metadata column truthful so positional-delete joins
+    match the paths stored in manifests."""
+    import re as _re
+    pat = ("^file:/*" + _re.escape(IO_CACHE_ROOT.lstrip("/"))
+           + "/([^/]+)/([^/]+)")
+    return pat, "$1://$2"
+
+
+def localize_paths(paths: List[str]) -> List[str]:
+    """Download remote immutable objects into the local mirror (skipped
+    when a same-size copy is already cached) and return the local paths.
+    Driver-side by design — see FileIO.spark_native."""
+    out = []
+    for p in paths:
+        io = file_io_for(p)
+        lp = mirror_local_path(p)
+        if not os.path.isfile(lp) or os.path.getsize(lp) != io.size(p):
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            tmp = lp + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(io.read_bytes(p))
+            os.replace(tmp, lp)
+        out.append(lp)
+    return out
+
+
+def spark_native_path(path: str) -> bool:
+    return file_io_for(path).spark_native

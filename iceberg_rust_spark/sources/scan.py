@@ -32,6 +32,7 @@ from ..plans import expr as E
 from ..plans.evaluators import (ColumnMetrics, FieldSummary, PartitionFieldInfo,
                                 file_might_match, inclusive_projection,
                                 manifest_might_match, partition_might_match)
+from .io import localize_paths, mirror_remap_pattern, spark_native_path
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_DELETED, DataFile,
                        ManifestEntry, ManifestFile, read_manifest,
@@ -338,6 +339,14 @@ class TableScan:
         for sig, tasks in groups.items():
             schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
+            # FileIO data plane (io.py spark_native): localize remote
+            # objects to the mirror cache and remap the _file metadata
+            # column back to the manifest-recorded URIs so delete joins
+            # and lineage lookups still match
+            remap = None
+            if not spark_native_path(files[0]):
+                files = localize_paths(files)
+                remap = mirror_remap_pattern()
             file_schema = self._file_schema(schema_id, schema)
             need_meta = (bool(pos_paths) or self.include_row_lineage
                          or self.include_deleted)
@@ -364,7 +373,10 @@ class TableScan:
                         "_last_updated_sequence_number", LongType(), True))
                 gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta:
-                gdf = gdf.withColumn("_file", F.col("_metadata.file_path")) \
+                fcol = F.col("_metadata.file_path")
+                if remap is not None:
+                    fcol = F.regexp_replace(fcol, remap[0], remap[1])
+                gdf = gdf.withColumn("_file", fcol) \
                          .withColumn("_pos", F.col("_metadata.row_index"))
             if self.include_metadata_columns:
                 # reserved _spec_id/_partition (metadata_columns.rs:33-66);
@@ -631,7 +643,10 @@ def dv_pairs_df(spark: SparkSession, dv_files: List["DataFile"]) -> DataFrame:
     the driver, and decode parallelism scales with executors (the shape a
     1000-executor cluster needs when thousands of files carry DVs)."""
     total = sum(d.content_size_in_bytes or 0 for d in dv_files)
-    if total <= _DV_DRIVER_DECODE_BYTES:
+    # non-spark_native stores always decode on the driver: executor Python
+    # workers can't resolve dynamically registered FileIO backends
+    if (total <= _DV_DRIVER_DECODE_BYTES
+            or not spark_native_path(dv_files[0].file_path)):
         import numpy as np
         import pandas as pd
         refs, parts = [], []
@@ -685,7 +700,10 @@ def _pos_delete_df(spark: SparkSession, pos_deletes: List["DataFile"],
     def build() -> DataFrame:
         parts = []
         if parquet_paths:
-            parts.append(spark.read.parquet(*parquet_paths)
+            read_paths = list(parquet_paths)
+            if not spark_native_path(read_paths[0]):
+                read_paths = localize_paths(read_paths)
+            parts.append(spark.read.parquet(*read_paths)
                          .select(F.col("file_path").alias("_del_file"),
                                  F.col("pos").alias("_del_pos")))
         if dv_files:
@@ -767,9 +785,12 @@ def _eq_delete_groups(spark: SparkSession, eq_deletes: List["DataFile"],
         by_cols.setdefault(cols, []).append(d)
     for cols, dfiles in by_cols.items():
         paths = tuple(sorted({d.file_path for d in dfiles}))
+        read_paths = (paths if spark_native_path(paths[0])
+                      else tuple(localize_paths(list(paths))))
         del_df = del_cache.get(
             ("eq", cols, paths),
-            lambda: spark.read.parquet(*paths).select(*cols).dropDuplicates())
+            lambda rp=read_paths: spark.read.parquet(*rp)
+            .select(*cols).dropDuplicates())
         yield cols, _maybe_broadcast(spark, del_df, _delete_set_bytes(dfiles))
 
 

@@ -39,7 +39,8 @@ from .metadata import (MAIN_BRANCH, PartitionField, PartitionSpec, Snapshot,
 from .scan import TableScan, load_manifest, load_manifest_list
 from .types import (FIELD_ID_KEY, NestedField, Schema, is_promotable,
                     type_to_spark)
-from .write import align_df_to_schema, collect_parquet_stats, write_data_files
+from .write import (align_df_to_schema, collect_parquet_stats,
+                    write_data_files, write_parquet_listing)
 from ..functions.transforms import parse_transform
 
 
@@ -319,17 +320,14 @@ class Table:
         # (per-data-file locality for the read-side anti-join). AQE coalesces
         # the range partitions down to one for small delete sets, so local
         # tests still produce a single file; a billion-row delete fans out.
-        hits.repartitionByRange("file_path", "pos") \
-            .sortWithinPartitions("file_path", "pos") \
-            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [p for p in file_io_for(out).list_files(out)
-                 if p.endswith(".parquet")]
-        stats = collect_parquet_stats(spark, files)
+        entries = write_parquet_listing(
+            spark, hits.repartitionByRange("file_path", "pos")
+                       .sortWithinPartitions("file_path", "pos"), out)
         dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
-                         record_count=stats[p]["num_rows"],
-                         file_size_in_bytes=stats[p]["size"],
+                         record_count=st["num_rows"],
+                         file_size_in_bytes=st["size"],
                          schema_id=schema.schema_id, spec_id=self.spec.spec_id)
-                for p in files]
+                for p, st in entries]
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels))
 
@@ -364,8 +362,12 @@ class Table:
         target = int(self.metadata.properties.get(
             "write.target-file-size-bytes", 32 * 1024 * 1024))
 
-        from urllib.parse import urlparse
-        if urlparse(loc).scheme in ("memory",):
+        # driver-side DV assembly for any non-spark_native store: executor
+        # Python workers can't resolve dynamically registered FileIO
+        # backends (io.py register_file_io), and memory:// stores aren't
+        # visible across processes at all
+        from .io import spark_native_path
+        if not spark_native_path(loc):
             rows = hits.groupBy("fp").applyInPandas(
                 lambda pdf: pd.DataFrame({
                     "fp": [pdf["fp"].iloc[0]],
@@ -481,17 +483,14 @@ class Table:
         # dropDuplicates already hash-shuffles on the key columns; write
         # straight from that distributed partitioning (AQE coalesces small
         # sets to one file) instead of funnelling through a single task.
-        keys_df.select(*eq_column_names).dropDuplicates() \
-            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [p for p in file_io_for(out).list_files(out)
-                 if p.endswith(".parquet")]
-        stats = collect_parquet_stats(spark, files)
+        entries = write_parquet_listing(
+            spark, keys_df.select(*eq_column_names).dropDuplicates(), out)
         dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
-                         record_count=stats[p]["num_rows"],
-                         file_size_in_bytes=stats[p]["size"],
+                         record_count=st["num_rows"],
+                         file_size_in_bytes=st["size"],
                          equality_ids=eq_ids,
                          schema_id=schema.schema_id, spec_id=self.spec.spec_id)
-                for p in files]
+                for p, st in entries]
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels))
 
@@ -574,17 +573,14 @@ class Table:
         # the source have no replacement row but must still be deleted).
         keys_src = (delete_keys_df if delete_keys_df is not None
                     else source_df)
-        keys_src.select(*key_columns).dropDuplicates() \
-            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [p for p in file_io_for(out).list_files(out)
-                 if p.endswith(".parquet")]
-        stats = collect_parquet_stats(spark, files)
+        entries = write_parquet_listing(
+            spark, keys_src.select(*key_columns).dropDuplicates(), out)
         dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
-                         record_count=stats[p]["num_rows"],
-                         file_size_in_bytes=stats[p]["size"],
+                         record_count=st["num_rows"],
+                         file_size_in_bytes=st["size"],
                          equality_ids=eq_ids,
                          schema_id=schema.schema_id, spec_id=self.spec.spec_id)
-                for p in files]
+                for p, st in entries]
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "overwrite", added=data_files, added_deletes=dels,
             extra_summary=extra_summary))
@@ -864,24 +860,25 @@ class Table:
             return self
         live_df = spark.createDataFrame([(p,) for p in live_paths],
                                         "file_path string")
-        hits = (spark.read.parquet(*[f.file_path for f in old_dels])
+        from .io import localize_paths, spark_native_path
+        del_paths = [f.file_path for f in old_dels]
+        if not spark_native_path(del_paths[0]):
+            del_paths = localize_paths(del_paths)
+        hits = (spark.read.parquet(*del_paths)
                 .select("file_path", "pos")
                 .join(F.broadcast(live_df), "file_path", "left_semi"))
         out = os.path.join(self.location, "data",
                            f"pos-del-{uuid.uuid4().hex[:12]}")
-        hits.repartitionByRange("file_path", "pos") \
-            .sortWithinPartitions("file_path", "pos") \
-            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [p for p in file_io_for(out).list_files(out)
-                 if p.endswith(".parquet")]
-        stats = collect_parquet_stats(spark, files)
+        entries = write_parquet_listing(
+            spark, hits.repartitionByRange("file_path", "pos")
+                       .sortWithinPartitions("file_path", "pos"), out)
         schema = self.metadata.schema()
         dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
-                         record_count=stats[p]["num_rows"],
-                         file_size_in_bytes=stats[p]["size"],
+                         record_count=st["num_rows"],
+                         file_size_in_bytes=st["size"],
                          schema_id=schema.schema_id,
                          spec_id=self.spec.spec_id)
-                for p in files if stats[p]["num_rows"] > 0]
+                for p, st in entries if st["num_rows"] > 0]
         removed = {f.file_path for f in old_dels}
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added_deletes=dels, removed_paths=removed,
@@ -926,19 +923,16 @@ class Table:
         hits = base.join(live, ["file_path", "pos"], "left_anti")
         out = os.path.join(self.location, "data",
                            f"pos-del-{uuid.uuid4().hex[:12]}")
-        hits.repartitionByRange("file_path", "pos") \
-            .sortWithinPartitions("file_path", "pos") \
-            .write.option("maxRecordsPerFile", 8_000_000).parquet(out)
-        files = [p for p in file_io_for(out).list_files(out)
-                 if p.endswith(".parquet")]
-        stats = collect_parquet_stats(spark, files)
+        entries = write_parquet_listing(
+            spark, hits.repartitionByRange("file_path", "pos")
+                       .sortWithinPartitions("file_path", "pos"), out)
         schema = self.metadata.schema()
         dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
-                         record_count=stats[p]["num_rows"],
-                         file_size_in_bytes=stats[p]["size"],
+                         record_count=st["num_rows"],
+                         file_size_in_bytes=st["size"],
                          schema_id=schema.schema_id,
                          spec_id=self.spec.spec_id)
-                for p in files if stats[p]["num_rows"] > 0]
+                for p, st in entries if st["num_rows"] > 0]
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "replace", added_deletes=dels, removed_paths=eq_paths,
             extra_summary={"removed-delete-files": str(len(eq_paths))}))

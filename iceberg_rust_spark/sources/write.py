@@ -104,6 +104,9 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     write_id = uuid.uuid4().hex[:16]
     base = data_dir or os.path.join(metadata.location, "data")
     out_dir = os.path.join(base, write_id)
+    # FileIO data plane for non-spark_native locations: Spark writes a
+    # local staging dir, publish() uploads per file (see stage_for)
+    write_root, publish = stage_for(out_dir)
 
     pcols = partition_columns(schema, spec)
     mode = distribution_mode or metadata.properties.get(
@@ -141,11 +144,11 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
         # available, schema heuristic for a first write)
         writer.option("maxRecordsPerFile", _derive_max_records(
             metadata, schema, target_file_bytes))
-    writer.mode("errorifexists").parquet(out_dir)
+    writer.mode("errorifexists").parquet(write_root)
 
-    files = _list_parquet_files(out_dir)
+    files = _list_parquet_files(write_root)
     stats = collect_parquet_stats(spark, files)
-    nan_counts = collect_nan_counts(spark, out_dir, schema,
+    nan_counts = collect_nan_counts(spark, write_root, schema,
                                     metadata.properties)
 
     data_files: List[DataFile] = []
@@ -160,10 +163,11 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             except OSError:
                 pass
             continue
-        partition = _parse_partition_from_path(path, out_dir, pcols)
+        partition = _parse_partition_from_path(path, write_root, pcols)
         _apply_metrics_modes(st, schema, metadata.properties)
         data_files.append(DataFile(
-            file_path=path, file_format="parquet", content=CONTENT_DATA,
+            file_path=publish(path), file_format="parquet",
+            content=CONTENT_DATA,
             partition=partition,
             record_count=st["num_rows"], file_size_in_bytes=st["size"],
             column_sizes=st["column_sizes"], value_counts=st["value_counts"],
@@ -258,6 +262,48 @@ def _list_parquet_files(root: str) -> List[str]:
     from .io import file_io_for
     return [p for p in file_io_for(root).list_files(root)
             if p.endswith(".parquet")]
+
+
+def write_parquet_listing(spark: SparkSession, df: DataFrame,
+                          out: str) -> List[Tuple[str, dict]]:
+    """Write ``df`` as parquet under ``out`` (FileIO-staged when the scheme
+    isn't spark_native) and return [(final_path, stats)] sorted by path —
+    the shared shape of every delete/key-file writer in table.py."""
+    root, publish = stage_for(out)
+    df.write.option("maxRecordsPerFile", 8_000_000).parquet(root)
+    files = _list_parquet_files(root)
+    stats = collect_parquet_stats(spark, files)
+    return [(publish(p), stats[p]) for p in sorted(files)]
+
+
+def stage_for(out_dir: str):
+    """Spark-writable staging for an output directory.
+
+    Native schemes: identity (Spark writes the final location directly,
+    fully distributed). Non-spark_native schemes (memory://, registered
+    FileIO shims): returns a local temp dir for Spark to write, plus a
+    ``publish(local_path) -> final_path`` that uploads one file through
+    FileIO and returns its remote URI. The upload loop is driver-side and
+    bounded by the written file count — the documented FileIO data-plane
+    trade (FileIO.spark_native); production object stores use the cluster's
+    Hadoop connector and never take this branch."""
+    from .io import file_io_for, posix_join
+    io = file_io_for(out_dir)
+    if io.spark_native:
+        return out_dir, (lambda local_path: local_path)
+    import tempfile
+    # unique path only — Spark's errorifexists mode refuses a pre-created dir
+    staging = os.path.join(tempfile.gettempdir(),
+                           f"iceberg_stage_{uuid.uuid4().hex[:16]}")
+
+    def publish(local_path: str) -> str:
+        rel = os.path.relpath(local_path, staging)
+        remote = posix_join(out_dir, *rel.split(os.sep))
+        with open(local_path, "rb") as fh:
+            io.write_bytes(remote, fh.read())
+        return remote
+
+    return staging, publish
 
 
 def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:

@@ -1,0 +1,215 @@
+"""End-to-end s3:// FileIO round-trip.
+
+The reference ships executor-native object-store backends
+(crates/storage/opendal/src/s3.rs, resolved via resolving.rs from the
+FileIO trait at crates/iceberg/src/io/file_io.rs:63). This repo's
+counterpart is the pluggable FileIO registry (sources/io.py
+register_file_io) plus the FileIO data plane for non-spark_native schemes:
+staged writes published through write_bytes, scans localized through
+read_bytes with the `_file` column remapped to manifest URIs.
+
+No S3 endpoint exists in this container (no MinIO, no moto, no fsspec), so
+the s3:// backend here is an in-process shim with OBJECT-STORE semantics —
+flat keys under a bucket, conditional create (If-None-Match) as the CAS
+primitive, copy+delete rename, prefix listing — backed by a local
+directory. Everything above the FileIO interface (catalog commits,
+manifests, data plane, delete paths, GC) runs exactly the code a real
+s3 deployment would run.
+"""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_spark import Table, expr as E
+from iceberg_rust_spark.sources.catalog import (CommitConflict,
+                                                FileSystemCatalog)
+from iceberg_rust_spark.sources.io import (FileIO, file_io_for,
+                                           register_file_io,
+                                           unregister_file_io)
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+
+class S3ShimFileIO(FileIO):
+    """s3:// with object-store semantics over a local backing directory.
+
+    - keys are flat: directories are implicit (list/exists by prefix)
+    - create_exclusive models a conditional PUT (If-None-Match: *)
+    - rename is copy+delete (object stores have no atomic rename; the
+      catalog's CAS safety comes from create_exclusive, not rename)
+    """
+
+    spark_native = False
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _local(self, path: str) -> str:
+        from urllib.parse import urlparse
+        u = urlparse(path)
+        return os.path.join(self.root, u.netloc, u.path.lstrip("/"))
+
+    def _remote(self, local: str) -> str:
+        rel = os.path.relpath(local, self.root)
+        bucket, _, key = rel.partition(os.sep)
+        return f"s3://{bucket}/{key.replace(os.sep, '/')}"
+
+    def read_bytes(self, path, offset=None, length=None):
+        with open(self._local(path), "rb") as fh:
+            if offset is not None:
+                fh.seek(offset)
+                return fh.read(length) if length is not None else fh.read()
+            return fh.read()
+
+    def write_bytes(self, path, data):
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + f".upload{os.getpid()}"
+        with open(tmp, "wb") as fh:     # whole-object PUT: no partial reads
+            fh.write(data)
+        os.replace(tmp, p)
+
+    def create_exclusive(self, path, data):
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+
+    def rename(self, src, dst):
+        self.write_bytes(dst, self.read_bytes(src))
+        self.delete(src)
+
+    def exists(self, path):
+        return self.is_file(path) or self.is_dir(path)
+
+    def is_file(self, path):
+        return os.path.isfile(self._local(path))
+
+    def is_dir(self, path):
+        return os.path.isdir(self._local(path))
+
+    def size(self, path):
+        return os.path.getsize(self._local(path))
+
+    def mtime_ns(self, path):
+        return os.stat(self._local(path)).st_mtime_ns
+
+    def delete(self, path):
+        try:
+            os.remove(self._local(path))
+        except FileNotFoundError:
+            pass
+
+    def delete_prefix(self, prefix):
+        shutil.rmtree(self._local(prefix), ignore_errors=True)
+
+    def list_dir(self, path):
+        p = self._local(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def list_files(self, prefix):
+        root = self._local(prefix)
+        out = []
+        for dirpath, _dirs, names in os.walk(root):
+            for n in names:
+                out.append(self._remote(os.path.join(dirpath, n)))
+        return sorted(out)
+
+    def makedirs(self, path):
+        pass  # object stores have no directories
+
+
+@pytest.fixture()
+def s3(tmp_path):
+    root = str(tmp_path / "s3store")
+    register_file_io("s3", lambda path: S3ShimFileIO(root))
+    yield root
+    unregister_file_io("s3")
+
+
+def test_scheme_resolves_through_registry(s3):
+    io = file_io_for("s3://bkt/a/b")
+    assert isinstance(io, S3ShimFileIO)
+    assert io.spark_native is False
+    io.write_bytes("s3://bkt/a/b.txt", b"x")
+    assert io.list_files("s3://bkt/a") == ["s3://bkt/a/b.txt"]
+    with pytest.raises(FileExistsError):
+        io.create_exclusive("s3://bkt/a/b.txt", b"y")
+
+
+def test_s3_table_lifecycle_end_to_end(spark, s3):
+    """create -> append -> filtered scan -> MOR delete -> DV delete ->
+    eq delete -> time travel -> expire + orphan GC, all on s3:// URIs."""
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    t = Table.create(cat, "db.t", schema_from_spark(df.schema))
+    assert t.location.startswith("s3://")
+
+    # append through the FileIO data plane (staged write + publish)
+    t = t.append(spark, df)
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    assert t.to_df(spark).count() == 1000
+    for f in t.scan().plan_files().tasks:
+        assert f.data_file.file_path.startswith("s3://")
+
+    # filtered scan: values must equal the predicate applied to the input
+    got = sorted(r["k"] for r in
+                 t.scan(row_filter=E.col("k") < 10).to_df(spark).collect())
+    assert got == list(range(10))
+
+    # MOR positional delete: pos-delete parquet on s3://, anti-join read
+    t = t.delete_where(spark, E.col("v") == 0, mode="mor")
+    assert t.to_df(spark).count() == 800
+    assert t.to_df(spark).where(F.col("v") == 0).count() == 0
+
+    # deletion-vector delete (puffin written via FileIO, driver assembly)
+    t = t.delete_where(spark, E.col("v") == 1, mode="dv")
+    assert t.to_df(spark).count() == 600
+
+    # equality delete
+    keys = spark.createDataFrame([(2,)], "v long")
+    t = t.delete_by_equality(spark, keys, ["v"])
+    assert t.to_df(spark).count() == 400
+
+    # _file metadata column reports the MANIFEST path, not the local mirror
+    files_seen = {r["_file"] for r in
+                  t.scan(include_metadata_columns=True).to_df(spark)
+                  .select("_file").distinct().collect()}
+    assert files_seen and all(p.startswith("s3://") for p in files_seen)
+
+    # time travel back to the first append
+    assert t.scan(snapshot_id=snap1).to_df(spark).count() == 1000
+
+    # expire + orphan listing walk the store through FileIO
+    t = t.expire_snapshots(older_than_ms=None, retain_last=1)
+    removed = t.remove_orphan_files(older_than_ms=2**62, dry_run=True)
+    assert isinstance(removed, list)
+    assert t.to_df(spark).count() == 400
+
+    # CAS: a stale commit loses the conditional-PUT race
+    with pytest.raises(CommitConflict):
+        cat.commit_table("db.t", 1, t.metadata)
+
+
+def test_s3_cow_delete_and_compaction(spark, s3):
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v"))
+    t = Table.create(cat, "db.c", schema_from_spark(df.schema))
+    for lo in (0, 100, 200, 300, 400):   # 5 small appends -> 5+ files
+        t = t.append(spark, df.where((F.col("k") >= lo)
+                                     & (F.col("k") < lo + 100)))
+    t = t.delete_where(spark, E.col("v") == 3, mode="cow")
+    assert t.to_df(spark).count() == 375
+    t = t.compact(spark)
+    assert t.to_df(spark).count() == 375
+    assert sorted(r["k"] for r in
+                  t.to_df(spark).where(F.col("k") < 8).collect()) == \
+        [0, 1, 2, 4, 5, 6]
