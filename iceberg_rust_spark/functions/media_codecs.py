@@ -1,14 +1,17 @@
 """Pure-stdlib media codecs backing the multimodal operators.
 
-No external image/audio libraries exist in this environment, but two real
-kernels are achievable from public specs with stdlib only:
+No external image/audio libraries exist in this environment; these kernels
+are implemented from the public specs with stdlib + numpy only:
 
 - PNG (ISO/IEC 15948): full pixel decode — chunk walk, IDAT zlib inflate,
   per-scanline unfilter (None/Sub/Up/Average/Paeth), palette expansion —
   plus a minimal encoder (filter 0 + zlib). 8-bit depth, non-interlaced;
   Adam7/16-bit raise ValueError (callers fall back to their marked stubs).
+- JPEG (ITU-T T.81): baseline AND progressive decode, baseline +
+  progressive encode — see the JPEG section comment below.
 - WAV/RIFF PCM (public RIFF/WAVE layout): fmt/data chunk walk via struct,
   8/16-bit PCM to numpy, linear-interpolation resampling, re-encode.
+- MP4 (ISO-BMFF, functions/isobmff.py) and AVI (RIFF) frame demux.
 
 These run inside Arrow-batched mapInPandas kernels (operators/multimodal.py)
 — per-batch numpy, never per-row Python in the hot loop beyond the
@@ -325,12 +328,15 @@ def resample_linear(samples: np.ndarray, rate_in: int,
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81, public spec): sequential DCT, Huffman coding.
-# Decoder handles 8-bit baseline (SOF0) with any JFIF chroma subsampling and
-# restart intervals; progressive (SOF2) / arithmetic variants raise
-# ValueError and callers keep their marked stub fallback. The encoder emits
-# baseline 4:4:4 with the Annex-K example tables (quality-scaled by the
-# public IJG formula). Entropy coding is per-symbol Python (images here are
+# JPEG (ITU-T T.81, public spec), Huffman coding. Decoder handles 8-bit
+# baseline (SOF0/1: any JFIF chroma subsampling, restart intervals) and
+# progressive (SOF2, Annex G: spectral selection + successive approximation,
+# EOB runs, per-scan table redefinition, restart intervals); arithmetic /
+# lossless / 12-bit variants raise ValueError and callers keep their marked
+# stub fallback. Encoders emit baseline (4:4:4 or 4:2:0, Annex-K example
+# tables quality-scaled by the public IJG formula) and progressive 4:4:4
+# (classic web scan script; a flat custom AC table carries the EOBn symbols
+# Annex-K tables lack). Entropy coding is per-symbol Python (images here are
 # small fixtures); the IDCT/DCT/color math is batched numpy over all blocks.
 # ---------------------------------------------------------------------------
 
@@ -496,9 +502,141 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_segments(b: bytes, j: int):
+    """Entropy-coded data starting at ``j``: unstuff FF00, split at RSTn,
+    skip FF fill bytes; stop at any real marker. Returns (segments,
+    index_of_next_marker)."""
+    n = len(b)
+    segments = []
+    cur = bytearray()
+    while j < n:
+        if b[j] == 0xFF and j + 1 < n:
+            m = b[j + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m <= 0xD7:               # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            if m == 0xFF:                       # fill byte
+                j += 1
+                continue
+            break                               # real marker (EOI/SOS/DHT/..)
+        cur.append(b[j])
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
+def _block_baseline(reader: "_BitReader", coef: np.ndarray, pred: int,
+                    dc_tab: dict, ac_tab: dict) -> int:
+    """Sequential full-block decode (T.81 F.2.2); returns new DC pred."""
+    s = reader.read_symbol(dc_tab)
+    pred += _extend(reader.read_bits(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                         # ZRL
+                k += 16
+                continue
+            break                               # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _block_ac_first(reader: "_BitReader", coef: np.ndarray, ss: int, se: int,
+                    al: int, ac_tab: dict, eobrun: int) -> int:
+    """Progressive AC first pass for one block (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:                         # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16                             # ZRL
+    return eobrun
+
+
+def _block_ac_refine(reader: "_BitReader", coef: np.ndarray, ss: int,
+                     se: int, al: int, ac_tab: dict, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): newly significant coefficients arrive as
+    (run,1) symbols; every nonzero-history coefficient passed over eats
+    one correction bit. Returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:                     # EOBn: rest of band below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with size > 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read_bit():
+                        if (c & p1) == 0:       # not corrected this pass yet
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # whole-band EOB: correction bits for remaining history coeffs
+        while k <= se:
+            c = int(coef[k])
+            if c != 0 and reader.read_bit():
+                if (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 pixels (h, w, 3) RGB, or (h, w, 1) for
-    grayscale. ValueError on progressive/arithmetic/12-bit variants."""
+    """JPEG bytes -> uint8 pixels (h, w, 3) RGB, or (h, w, 1) for
+    grayscale. Handles 8-bit baseline (SOF0/1) AND progressive (SOF2,
+    T.81 Annex G: spectral selection + successive approximation, EOB
+    runs, restart intervals). ValueError on arithmetic/lossless/12-bit
+    variants."""
     b = bytes(data)
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
@@ -508,13 +646,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None       # [(cid, h, v, tq)]
     w = h = None
     restart_interval = 0
+    progressive = False
+    planes = None
+    geom = None        # (hmax, vmax, mcus_x, mcus_y, comp_blocks)
     i = 2
     n = len(b)
-    scan = None
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             raise ValueError("marker expected")
         marker = b[i + 1]
+        if marker == 0xFF:                      # fill byte
+            i += 1
+            continue
         if marker == 0xD9:
             break
         seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
@@ -531,7 +674,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raster[_ZIGZAG] = tbl           # stored in zigzag order
                 qtables[tq] = raster
                 p += 65
-        elif marker == 0xC4:                    # DHT
+        elif marker == 0xC4:                    # DHT (may redefine mid-file)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
@@ -541,7 +684,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tab = _huff_decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
@@ -552,101 +696,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * ci]
                 hv = seg[7 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("arithmetic/lossless JPEG unsupported")
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:                    # SOS
+        elif marker == 0xDA:                    # SOS: decode one scan
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if planes is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                planes = []
+                comp_blocks = []                # non-interleaved grid sizes
+                for cid, ch_, cv, tq in comps:
+                    planes.append(np.zeros((mcus_y * cv, mcus_x * ch_, 64),
+                                           dtype=np.int64))
+                    cw = (w * ch_ + hmax - 1) // hmax
+                    chh = (h * cv + vmax - 1) // vmax
+                    comp_blocks.append(((chh + 7) // 8, (cw + 7) // 8))
+                geom = (hmax, vmax, mcus_x, mcus_y, comp_blocks)
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cs = seg[1 + 2 * si]
                 tt = seg[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            i = i + 2 + seg_len
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            segments, i = _entropy_segments(b, i + 2 + seg_len)
+            _decode_scan(planes, segments, comps, scan, ss, se, ah, al,
+                         dc_tabs, ac_tabs, restart_interval, geom,
+                         progressive)
+            continue
         i += 2 + seg_len
-    if comps is None or scan is None:
+    if planes is None:
         raise ValueError("missing SOF/SOS")
 
-    # entropy-coded data runs from i to EOI; split at restart markers and
-    # unstuff 0xFF00
-    segments = []
-    cur = bytearray()
-    j = i
-    while j < n:
-        if b[j] == 0xFF and j + 1 < n:
-            m = b[j + 1]
-            if m == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= m <= 0xD7:               # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            if m == 0xD9:                       # EOI
-                break
-            j += 1
-            continue
-        cur.append(b[j])
-        j += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    # per-component coefficient planes (block grid)
-    planes = []
-    for cid, ch_, cv, tq in comps:
-        planes.append(np.zeros((mcus_y * cv, mcus_x * ch_, 64),
-                               dtype=np.int64))
-    scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
-
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if (restart_interval and mcu_count
-                    and mcu_count % restart_interval == 0):
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing restart segment")
-                reader = _BitReader(segments[seg_idx])
-                preds = [0] * len(comps)
-            for ci, (cid, ch_, cv, tq) in enumerate(comps):
-                td, ta = scan_by_comp[cid]
-                dc_tab, ac_tab = dc_tabs[td], ac_tabs[ta]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        coeffs = np.zeros(64, dtype=np.int64)
-                        s = reader.read_symbol(dc_tab)
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[ci] += diff
-                        coeffs[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:     # ZRL
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coeffs[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        planes[ci][my * cv + by, mx * ch_ + bx] = coeffs
-            mcu_count += 1
-
+    hmax, vmax = geom[0], geom[1]
     # dequantize + inverse zigzag + batched IDCT per component
     out_planes = []
     for ci, (cid, ch_, cv, tq) in enumerate(comps):
@@ -674,6 +764,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(planes, segments, comps, scan, ss, se, ah, al,
+                 dc_tabs, ac_tabs, restart_interval, geom,
+                 progressive) -> None:
+    """Decode one scan's entropy data into the coefficient planes.
+
+    Sequential scans carry full blocks; progressive scans dispatch on
+    (spectral band, successive-approximation stage) per T.81 G.1.2.
+    Interleaved scans walk the MCU grid; single-component scans walk the
+    component's own block grid (non-interleaved, T.81 A.2.2)."""
+    hmax, vmax, mcus_x, mcus_y, comp_blocks = geom
+    if progressive:
+        # T.81 G.1.1.1: a DC scan is exactly the 0..0 band; AC scans carry
+        # one component. A "baseline-shaped" scan inside SOF2 is malformed.
+        if ss == 0 and se != 0:
+            raise ValueError("invalid progressive scan band (Ss=0, Se!=0)")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("interleaved progressive AC scan")
+    scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+    scan_cis = [ci for ci, c in enumerate(comps) if c[0] in scan_by_comp]
+    if len(scan_cis) != len(scan):
+        raise ValueError("scan references unknown component")
+    interleaved = len(scan) > 1
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = {ci: 0 for ci in scan_cis}
+    eobrun = 0
+    unit_count = 0                              # MCUs, or blocks if ns == 1
+
+    def maybe_restart():
+        nonlocal seg_idx, reader, preds, eobrun
+        if (restart_interval and unit_count
+                and unit_count % restart_interval == 0):
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = {ci: 0 for ci in scan_cis}
+            eobrun = 0
+
+    def decode_block(ci: int, gy: int, gx: int) -> None:
+        nonlocal eobrun
+        coef = planes[ci][gy, gx]
+        td, ta = scan_by_comp[comps[ci][0]]
+        if not progressive:
+            preds[ci] = _block_baseline(reader, coef, preds[ci],
+                                        dc_tabs[td], ac_tabs[ta])
+        elif ss == 0:                           # DC scan (se must be 0)
+            if ah == 0:
+                s = reader.read_symbol(dc_tabs[td])
+                preds[ci] += _extend(reader.read_bits(s), s)
+                coef[0] = preds[ci] << al
+            else:                               # refinement: one raw bit
+                if reader.read_bit():
+                    coef[0] = int(coef[0]) | (1 << al)
+        else:                                   # AC scan
+            if ah == 0:
+                eobrun = _block_ac_first(reader, coef, ss, se, al,
+                                         ac_tabs[ta], eobrun)
+            else:
+                eobrun = _block_ac_refine(reader, coef, ss, se, al,
+                                          ac_tabs[ta], eobrun)
+
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for ci in scan_cis:
+                    _, ch_, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            decode_block(ci, my * cv + by, mx * ch_ + bx)
+                unit_count += 1
+    else:
+        ci = scan_cis[0]
+        bh, bw = comp_blocks[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                decode_block(ci, by, bx)
+                unit_count += 1
 
 
 class _BitWriter:
@@ -867,5 +1040,234 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
     sos += b"\x00\x3F\x00"
     out += seg(0xDA, bytes(sos))
     out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG encoder (T.81 Annex G, Huffman): spectral selection +
+# successive approximation, the scan script shape web encoders emit. AC
+# scans use one flat custom Huffman table that includes the EOBn symbols
+# (the Annex-K example tables define only EOB0/ZRL, so real EOB runs need
+# their own DHT — every progressive encoder ships per-scan tables).
+# ---------------------------------------------------------------------------
+
+# all (run, size) symbols an AC-first/refine scan can emit, plus EOBn for
+# runs up to 2^7-ish and ZRL; one shared canonical table, every code 9 bits
+_AC_PROG_VALS = bytes(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(8)]                # EOB0..EOB7 (run <= 255)
+    + [0xF0])                                   # ZRL
+_AC_PROG_BITS = bytes([0] * 8 + [len(_AC_PROG_VALS)] + [0] * 7)
+
+
+def _emit_eobrun(writer: "_BitWriter", ac_tab: dict, eobrun: int) -> int:
+    """Flush a pending EOB run (T.81 G.1.2.2): EOBn symbol + n extension
+    bits. Returns 0 (the cleared run)."""
+    while eobrun > 0:
+        run = min(eobrun, 255)
+        r = run.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(run - (1 << r), r)
+        eobrun -= run
+    return 0
+
+
+def _emit_ac_first_block(writer: "_BitWriter", zz: np.ndarray, ss: int,
+                         se: int, al: int, ac_tab: dict,
+                         eobrun: int) -> int:
+    """AC first pass for one block; batches all-zero bands into EOB runs."""
+    band = zz[ss:se + 1]
+    sh = np.sign(band) * (np.abs(band) >> al)   # point transform
+    nz = np.flatnonzero(sh)
+    if nz.size == 0:
+        return eobrun + 1
+    eobrun = _emit_eobrun(writer, ac_tab, eobrun)
+    prev = 0
+    for k in nz:
+        run = int(k) - prev
+        prev = int(k) + 1
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _mag_bits(int(sh[k]))
+        code, ln = ac_tab[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+    if prev < len(band):
+        eobrun += 1                             # trailing zeros: EOB run
+    return eobrun
+
+
+def _emit_ac_refine_block(writer: "_BitWriter", zz: np.ndarray, ss: int,
+                          se: int, al: int, ac_tab: dict, eobrun: int,
+                          pending: list) -> int:
+    """AC refinement for one block (T.81 G.1.2.3, libjpeg
+    encode_mcu_AC_refine shape): newly significant coefficients
+    (|c|>>al == 1) as (run,1)+sign symbols; one correction bit per history
+    coefficient passed over, flushed immediately after the symbol that
+    crosses it (the decoder reads them during its position walk). ZRLs are
+    emitted on encountering ANY nonzero — zeros past the last new
+    coefficient fold into the EOB run instead. ``pending`` carries bits
+    owed across an EOB run spanning blocks."""
+    band = zz[ss:se + 1]
+    absv = np.abs(band) >> al
+    new_pos = np.flatnonzero(absv == 1)
+    eob = int(new_pos[-1]) if new_pos.size else -1
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            eobrun = _emit_eobrun(writer, ac_tab, eobrun)
+            for bit in pending:
+                writer.write(bit, 1)
+            pending.clear()
+
+    r = 0
+    br: list = []               # correction bits since the last symbol
+    for k in range(len(band)):
+        t = int(absv[k])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:              # ZRL (not foldable in EOB)
+            flush_eob()
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br.clear()
+        if t > 1:                               # history: buffer its bit
+            br.append(t & 1)
+            continue
+        # newly significant
+        flush_eob()
+        code, ln = ac_tab[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if band[k] > 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br.clear()
+        r = 0
+    if r > 0 or br:
+        eobrun += 1                             # rest of band folds into EOB
+        pending.extend(br)
+    return eobrun
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w)/(h, w, 1) gray -> progressive JPEG
+    (4:4:4; DC first+refine, per-component AC bands 1-5 / 6-63 at Al=2
+    refined to 1 then 0 — the classic web scan script shape). Decodes to
+    bit-identical coefficients vs the baseline encoder at the same
+    quality."""
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:
+        r, g, bch = (a[:, :, c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        channels = [y, cb, cr]
+    elif nc == 1:
+        channels = [a[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(f"cannot encode {nc}-channel image as JPEG")
+
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    plane_zz = [_block_zigzag(c, qy if ci == 0 else qc, mcus_y, mcus_x)
+                for ci, c in enumerate(channels)]
+    ncomp = len(channels)
+
+    dc_enc = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_prog = _huff_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def dc_first_scan(al: int) -> bytes:
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    v = int(plane_zz[ci][my, mx, 0]) >> al
+                    size, bits = _mag_bits(v - preds[ci])
+                    code, ln = dc_enc[0 if ci == 0 else 1][size]
+                    writer.write(code, ln)
+                    if size:
+                        writer.write(bits, size)
+                    preds[ci] = v
+        return writer.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        writer = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    writer.write((int(plane_zz[ci][my, mx, 0]) >> al) & 1, 1)
+        return writer.flush()
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        writer = _BitWriter()
+        eobrun = 0
+        pending: list = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                zz = plane_zz[ci][my, mx]
+                if ah == 0:
+                    eobrun = _emit_ac_first_block(writer, zz, ss, se, al,
+                                                  ac_prog, eobrun)
+                else:
+                    eobrun = _emit_ac_refine_block(writer, zz, ss, se, al,
+                                                   ac_prog, eobrun, pending)
+        if eobrun:
+            _emit_eobrun(writer, ac_prog, eobrun)
+            for bit in pending:
+                writer.write(bit, 1)
+        return writer.flush()
+
+    # scan script: DC Al=1; per-comp AC 1-5 and 6-63 at Al=2; AC refine
+    # 2->1 and 1->0; DC refine last
+    scans = [([*range(ncomp)], 0, 0, 0, 1, dc_first_scan(1))]
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 0, 2, ac_scan(ci, 1, 5, 0, 2)))
+        scans.append(([ci], 6, 63, 0, 2, ac_scan(ci, 6, 63, 0, 2)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 63, 2, 1, ac_scan(ci, 1, 63, 2, 1)))
+    scans.append(([*range(ncomp)], 0, 0, 1, 0, dc_refine_scan(0)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 63, 1, 0, ac_scan(ci, 1, 63, 1, 0)))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy[_ZIGZAG].astype(np.uint8)))
+    if ncomp == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))                # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + _DC_LUMA_BITS + _DC_LUMA_VALS)
+    if ncomp == 3:
+        out += seg(0xC4, bytes([0x01]) + _DC_CHROMA_BITS + _DC_CHROMA_VALS)
+    out += seg(0xC4, bytes([0x10]) + _AC_PROG_BITS + _AC_PROG_VALS)
+    for comp_ids, ss, se, ah, al, entropy in scans:
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            dc_sel = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_sel << 4) | 0])   # AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+        out += entropy
     out += b"\xFF\xD9"
     return bytes(out)

@@ -5,22 +5,24 @@ The Spark-side machinery — schema with typed metadata, Arrow-batched
 tested. Codec status:
 
 - REAL (stdlib, functions/media_codecs.py): PNG pixel decode/encode (zlib
-  IDAT inflate + scanline unfilter), baseline JPEG decode/encode (T.81
-  Huffman + batched-numpy DCT, 4:4:4/4:2:0, restart intervals), PNG/JPEG
-  header dims, WAV/PCM parse + linear resample + re-encode.
+  IDAT inflate + scanline unfilter), JPEG decode for baseline (T.81
+  Huffman + batched-numpy DCT, 4:4:4/4:2:0, restart intervals) AND
+  progressive (SOF2, Annex G spectral selection + successive
+  approximation with EOB runs), JPEG encode baseline + progressive,
+  PNG/JPEG header dims, WAV/PCM parse + linear resample + re-encode.
   ``extract_features`` computes a real 16-bin luminance histogram over
-  actual decoded pixels for PNG AND baseline JPEG; ``resize_images`` does
-  a real nearest-neighbor resize re-encoded as PNG; ``resample_audio`` is
-  fully real for PCM WAV.
+  actual decoded pixels for PNG and baseline/progressive JPEG;
+  ``resize_images`` does a real nearest-neighbor resize re-encoded as
+  PNG; ``resample_audio`` is fully real for PCM WAV.
   ``resample_frames`` does REAL container demux for MP4 (ISO-BMFF sample
   tables, functions/isobmff.py) and AVI (RIFF movi chunk walk,
   functions/media_codecs.extract_avi_frames) — emitted frames are the
   actual encoded sample payloads.
 - STUB (clearly marked): feature/resize fallbacks for the remaining
   formats that need codec libraries absent from this container
-  (progressive/arithmetic JPEG, webp/gif), and frame demux for
-  non-MP4/AVI containers (MKV/WebM). Swapping in PIL/torchaudio/decord
-  touches only the kernel, never the plan.
+  (arithmetic-coded JPEG, webp/gif), and frame demux for non-MP4/AVI
+  containers (MKV/WebM). Swapping in PIL/torchaudio/decord touches only
+  the kernel, never the plan.
 """
 
 from __future__ import annotations
@@ -139,12 +141,12 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """payload -> fixed-dim float feature vector.
 
-    REAL kernel for PNG and baseline JPEG: a FEATURE_DIM-bin normalized
-    luminance histogram over the actual decoded pixels
+    REAL kernel for PNG and baseline/progressive JPEG: a FEATURE_DIM-bin
+    normalized luminance histogram over the actual decoded pixels
     (media_codecs.decode_png / decode_jpeg). For payloads the stdlib codecs
-    can't decode (progressive JPEG, opaque blobs) a deterministic sha1 STUB
-    stands in, keeping the batch shape and schema identical so the plan
-    never changes."""
+    can't decode (arithmetic JPEG, webp/gif, opaque blobs) a deterministic
+    sha1 STUB stands in, keeping the batch shape and schema identical so
+    the plan never changes."""
     from ..functions.media_codecs import grayscale
     schema = f"{id_col} long, features array<float>"
 

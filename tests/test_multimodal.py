@@ -294,10 +294,15 @@ def test_jpeg_grayscale_and_rejections():
     assert np.abs(d[:, :, 0].astype(int) - g.astype(int)).mean() < 8.0
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n" + bytes(16))
-    # progressive (SOF2) is refused, not mis-decoded
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (a DC scan
+    # must be the 0..0 band) — rejected, not mis-decoded
     prog = encode_jpeg(g).replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive scan band"):
         decode_jpeg(prog)
+    # arithmetic coding (SOF9) is refused
+    arith = encode_jpeg(g).replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
 
 
 def test_jpeg_roundtrip_property():
@@ -492,3 +497,80 @@ def test_resample_frames_mixed_containers(spark):
         got = sorted(((r["frame_no"], bytes(r["frame"]))
                       for r in rows if r["media_id"] == mid))
         assert got == [(0, frames[0]), (4, frames[4]), (8, frames[8])]
+
+
+def test_progressive_jpeg_roundtrip_identical_to_baseline():
+    """Progressive (SOF2, T.81 Annex G) decodes to BIT-IDENTICAL pixels vs
+    the baseline encoder at the same quality: both quantize identically, so
+    any coefficient mismatch anywhere in the scan script shows up here."""
+    import numpy as np
+
+    from iceberg_rust_spark.functions.media_codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    rng = np.random.default_rng(3)
+    img = np.zeros((41, 59, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 59, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, 41, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 128
+    img[5:15, 5:25] = rng.integers(0, 256, (10, 20, 3))  # noisy patch
+    for q in (50, 85, 95):
+        base = decode_jpeg(encode_jpeg(img, q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(base, prog), f"quality {q}"
+
+
+def test_progressive_jpeg_eob_runs_and_gray():
+    """Flat images produce multi-block EOB runs (EOBn with extension bits)
+    in every AC scan — the run-skip path plus the refinement correction
+    bits owed across a run; grayscale exercises the 1-component script."""
+    import numpy as np
+
+    from iceberg_rust_spark.functions.media_codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+    flat = np.full((64, 64, 3), 77, dtype=np.uint8)
+    flat[33, 17] = (250, 3, 99)                 # one busy block mid-run
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 85)),
+                          decode_jpeg(encode_jpeg_progressive(flat, 85)))
+    g = (np.outer(np.arange(24), np.arange(40)) % 256).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(g, 90)),
+                          decode_jpeg(encode_jpeg_progressive(g, 90)))
+
+
+def test_progressive_jpeg_property():
+    """Random images, random shapes: progressive == baseline, exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_spark.functions.media_codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+           st.sampled_from([40, 75, 92]))
+    def check(h, w, seed, q):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, q)),
+                              decode_jpeg(encode_jpeg_progressive(img, q)))
+
+    check()
+
+
+def test_progressive_jpeg_feeds_features(spark):
+    """extract_features histograms REAL pixels for progressive JPEG (no
+    stub fallback): identical to the same image's baseline encoding."""
+    import numpy as np
+
+    from iceberg_rust_spark.functions.media_codecs import (
+        encode_jpeg, encode_jpeg_progressive)
+    from iceberg_rust_spark.operators.multimodal import extract_features
+    img = ((np.outer(np.arange(32), np.arange(48))[..., None]
+            % 256).astype(np.uint8).repeat(3, axis=2))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, 90)), "image/jpeg"),
+         (2, bytearray(encode_jpeg_progressive(img, 90)), "image/jpeg")],
+        "media_id long, payload binary, mime string")
+    rows = {r["media_id"]: list(r["features"])
+            for r in extract_features(df).collect()}
+    assert rows[1] == rows[2]
