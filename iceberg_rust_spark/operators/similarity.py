@@ -132,54 +132,161 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
             .limit(k))
 
 
+def _nearest_cell_expr(cents: np.ndarray, vcol):
+    """Vectorized nearest-centroid index: one Arrow batch matmul per
+    partition (||v||^2 term dropped — constant per row for an argmin)."""
+    C = cents.copy()
+    c_norms = (C ** 2).sum(axis=1)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        d = c_norms[np.newaxis, :] - 2.0 * (mat @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+    return _assign(vcol)
+
+
+def _nearest_d2_expr(cents: np.ndarray, vcol):
+    """Squared distance to the nearest of ``cents`` — the k-means|| cost."""
+    C = cents.copy()
+    c_norms = (C ** 2).sum(axis=1)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _d2(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())
+        d = (c_norms[np.newaxis, :] - 2.0 * (mat @ C.T)
+             + (mat ** 2).sum(axis=1)[:, np.newaxis])
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+    return _d2(vcol)
+
+
+def kmeans_parallel_centroids(emb: DataFrame, n_cells: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              rounds: int = 4,
+                              oversample: int = None,
+                              lloyd_iters: int = 5) -> np.ndarray:
+    """Distributed k-means|| initialization (Bahmani et al., VLDB 2012) +
+    weighted refinement: centroid training with NO driver-sample ceiling.
+
+    Per round, every point is kept with probability min(1, l*d2/cost) where
+    d2 is its squared distance to the nearest current candidate — expected
+    l candidates/round regardless of table size, so the driver holds
+    O(rounds * l * dim) floats while the table can be 100 TB. Selection
+    uses a hash of (id, round) instead of RNG, so the same candidate set
+    falls out on any cluster layout. Each round costs two distributed
+    passes (cost aggregate + candidate filter); candidate weighting adds
+    one more. The final weighted k-means++ / Lloyd refinement runs on the
+    tiny candidate set in driver numpy."""
+    v = as_double_array(F.col(vec_col))
+    l = float(oversample or 2 * n_cells)
+    first = (emb.select(F.col(id_col).alias("_id"), v.alias("v"))
+             .orderBy(F.pmod(F.xxhash64("_id"), F.lit(1 << 20)), "_id")
+             .limit(1).collect())
+    if not first:
+        raise ValueError("empty embedding table")
+    cand = np.array([first[0]["v"]], dtype=np.float64)
+    cap = int(16 * l) + 64          # driver-memory guard on a degenerate cost
+    for r in range(rounds):
+        d2 = _nearest_d2_expr(cand, v)
+        cost = emb.select(F.sum(d2).alias("c")).collect()[0]["c"]
+        if not cost:
+            break                    # every point sits on a candidate
+        u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(r)), F.lit(1 << 30))
+             .cast("double") / F.lit(float(1 << 30)))
+        picked = (emb.where(u < F.least(F.lit(1.0),
+                                        F.lit(l) * d2 / F.lit(float(cost))))
+                  .select(v.alias("v")).limit(cap).collect())
+        if picked:
+            cand = np.vstack([cand,
+                              np.array([row["v"] for row in picked])])
+    cand = np.unique(cand, axis=0)
+    if len(cand) <= n_cells:
+        return cand
+    # weight candidates by how many table points they own (one pass), then
+    # reduce to n_cells driver-side: greedy weighted farthest-point seeding
+    # (deterministic k-means++ flavor) + weighted Lloyd
+    wrows = (emb.select(_nearest_cell_expr(cand, v).alias("c"))
+             .groupBy("c").count().collect())
+    weights = np.zeros(len(cand))
+    for row in wrows:
+        weights[row["c"]] = float(row["count"])
+    idx = [int(np.argmax(weights))]
+    d2 = ((cand - cand[idx[0]]) ** 2).sum(axis=1)
+    while len(idx) < n_cells:
+        gain = weights * d2
+        if gain.max() <= 0:
+            break
+        nxt = int(np.argmax(gain))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    centroids = cand[idx].copy()
+    for _ in range(lloyd_iters):
+        d = ((centroids ** 2).sum(axis=1)[np.newaxis, :]
+             - 2.0 * (cand @ centroids.T))
+        cell = np.argmin(d, axis=1)
+        for c in range(len(centroids)):
+            m = cell == c
+            if weights[m].sum() > 0:
+                centroids[c] = np.average(cand[m], axis=0,
+                                          weights=weights[m])
+    return centroids
+
+
 def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
              k: int = 10, n_cells: int = 16, n_probe: int = 4,
              iters: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 11) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 11,
+             init: str = "sample") -> DataFrame:
     """IVF: coarse-quantize vectors into n_cells (mini k-means), probe the
     n_probe nearest cells to the query, exact re-rank inside them.
 
-    Scale design: Lloyd iterations run entirely on a bounded driver-side
-    sample in numpy — centroid quality needs a representative sample, not the
-    full table, so training costs ZERO distributed passes. The only
-    full-table work is the single assignment pass at query time (and at
-    100 TB that assignment would be precomputed once as a stored `_cell`
-    partition/cluster column, turning every later probe into a pruned scan)."""
-    v = as_double_array(F.col(vec_col))
-    # deterministic representative sample: TakeOrdered on a hash of the id
-    # (pseudo-random order, independent of partition layout / parallelism —
-    # a bare limit() samples whichever partitions happen to come first, which
-    # changes with cluster size and would make centroids non-reproducible)
-    sample = (emb.select(F.col(id_col).alias("_id"), v.alias("v"))
-              .orderBy(F.pmod(F.xxhash64("_id"), F.lit(1 << 20)), "_id")
-              .limit(n_cells * 20).collect())
-    if not sample:
-        raise ValueError("empty embedding table")
-    arr = np.array([r["v"] for r in sample])
-    rng = np.random.RandomState(seed)
-    centroids = arr[rng.choice(len(arr), size=min(n_cells, len(arr)), replace=False)]
+    Centroid training, by ``init``:
+    - "sample" (default): Lloyd iterations on a bounded driver-side sample
+      in numpy — zero distributed passes; right when n_cells*20 rows are a
+      representative sample.
+    - "kmeans||": distributed k-means|| (kmeans_parallel_centroids) — no
+      driver-sample ceiling; 2 passes/round + 1 weighting pass. Right when
+      n_cells is large enough that a flat sample under-covers the space.
 
-    for _ in range(iters):
-        # numpy Lloyd step over the sample (argmin via ||v||^2-2vC^T+||C||^2)
-        d = (centroids ** 2).sum(axis=1)[np.newaxis, :] - 2.0 * (arr @ centroids.T)
-        cell = np.argmin(d, axis=1)
-        for c in range(len(centroids)):
-            members = arr[cell == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+    The only other full-table work is the single assignment pass at query
+    time (and at 100 TB that assignment would be precomputed once as a
+    stored `_cell` partition/cluster column, turning every later probe
+    into a pruned scan)."""
+    v = as_double_array(F.col(vec_col))
+    if init == "kmeans||":
+        centroids = kmeans_parallel_centroids(emb, n_cells, id_col, vec_col)
+    elif init == "sample":
+        # deterministic representative sample: TakeOrdered on a hash of the
+        # id (pseudo-random order, independent of partition layout /
+        # parallelism — a bare limit() samples whichever partitions happen
+        # to come first, which changes with cluster size and would make
+        # centroids non-reproducible)
+        sample = (emb.select(F.col(id_col).alias("_id"), v.alias("v"))
+                  .orderBy(F.pmod(F.xxhash64("_id"), F.lit(1 << 20)), "_id")
+                  .limit(n_cells * 20).collect())
+        if not sample:
+            raise ValueError("empty embedding table")
+        arr = np.array([r["v"] for r in sample])
+        rng = np.random.RandomState(seed)
+        centroids = arr[rng.choice(len(arr), size=min(n_cells, len(arr)),
+                                   replace=False)]
+        for _ in range(iters):
+            # numpy Lloyd step (argmin via ||v||^2-2vC^T+||C||^2)
+            d = ((centroids ** 2).sum(axis=1)[np.newaxis, :]
+                 - 2.0 * (arr @ centroids.T))
+            cell = np.argmin(d, axis=1)
+            for c in range(len(centroids)):
+                members = arr[cell == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     def assign_expr(cents: np.ndarray):
-        # vectorized nearest-centroid: one Arrow batch matmul per partition
-        C = cents.copy()
-        c_norms = (C ** 2).sum(axis=1)
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("int")
-        def _assign(col: pd.Series) -> pd.Series:
-            mat = np.stack(col.to_numpy())
-            d = c_norms[np.newaxis, :] - 2.0 * (mat @ C.T)
-            return pd.Series(np.argmin(d, axis=1).astype("int32"))
-        return _assign(v)
+        return _nearest_cell_expr(cents, v)
 
     row = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
     if not row:

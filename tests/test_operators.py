@@ -615,3 +615,22 @@ def test_repeated_window_stats(spark):
             for r in repeated_window_stats(docs, k=5,
                                            min_repeats=3).collect()}
     assert set(out3.values()) == {0}
+
+
+def test_kmeans_parallel_init_recall_and_determinism(spark, emb):
+    """k-means|| centroids (distributed init, no driver-sample ceiling):
+    the planted near-neighbor survives a genuinely PRUNED probe, and the
+    centroid set is identical across partition layouts (hash-derived
+    sampling, not RNG)."""
+    import numpy as np
+
+    from iceberg_rust_spark.operators.similarity import (
+        ivf_topk, kmeans_parallel_centroids)
+    got = [r["vec_id"] for r in
+           ivf_topk(spark, emb, 7, k=5, n_cells=8, n_probe=3,
+                    init="kmeans||").collect()]
+    assert 11 in got             # the planted near-neighbor of vec 7
+    c1 = kmeans_parallel_centroids(emb, 8)
+    c2 = kmeans_parallel_centroids(emb.repartition(13), 8)
+    assert c1.shape[0] <= 8 and c1.shape == c2.shape
+    assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))

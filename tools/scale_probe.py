@@ -157,6 +157,19 @@ def _ann_lsh(spark, docs, emb):
     return lsh_topk(spark, emb, qid, k=10).count()
 
 
+def _ivf_kmeanspp(spark, docs, emb):
+    """Distributed k-means|| centroid training with n_cells scaled to the
+    decade (16 -> ~50 -> ~160): proves the init has no driver-sample
+    ceiling — wall should track the 2-passes-per-round table scans
+    (at-most-linear), with per-cell cost flat-to-falling as cells grow."""
+    from iceberg_rust_spark.operators.similarity import (
+        kmeans_parallel_centroids)
+    n = emb.count()
+    n_cells = max(16, min(256, int(16 * math.sqrt(n / 2000.0))))
+    cents = kmeans_parallel_centroids(emb, n_cells, rounds=3)
+    return len(cents)
+
+
 def _emb_lsh_pairs(spark, docs, emb):
     from iceberg_rust_spark.operators.dedup import embedding_lsh_pairs
     return embedding_lsh_pairs(emb, threshold=0.95).count()
@@ -341,6 +354,7 @@ def _substring_windows(spark, docs, emb):
 OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "simhash": _simhash, "doc_chunks": _chunks, "text_quality": _quality,
        "ann_brute_topk": _ann_brute, "ann_lsh_topk": _ann_lsh,
+       "ivf_kmeanspp_init": _ivf_kmeanspp,
        "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
        "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes,
        "decontaminate": _decontaminate,
