@@ -204,6 +204,54 @@ def _cdc_changes(spark, docs, emb):
     return changes_df(spark, t).count()
 
 
+def _cdc_deep_loc(docs) -> str:
+    return f"/tmp/scale_cdc_deep/x{docs.count()}"
+
+
+def _cdc_deep_prep(spark, docs, emb):
+    """Build a DEEP-HISTORY table per decade, untimed: snapshot count
+    scales with the decade (6 -> 60 -> 240 commits; capped at x4 for the
+    last decade to keep the untimed build bounded — linear-in-depth then
+    reads as e~=1.0 for the first decade and ~0.6 for the second; every
+    5th commit is a MOR delete) over a FIXED 500-row base, so the timed
+    changes_df walk isolates wall-vs-history-depth — the axis the
+    per-snapshot union in the changelog reader scales on."""
+    import shutil
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.catalog import FileSystemCatalog
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    loc = _cdc_deep_loc(docs)
+    if os.path.isfile(os.path.join(loc, "_DONE")):
+        return
+    shutil.rmtree(loc, ignore_errors=True)
+    n_docs = docs.count()
+    n_snaps = max(6, min(240, round(6 * n_docs / 5000)))
+    wh = FileSystemCatalog(loc)
+    base = docs.select("doc_id", "source").limit(500).cache()
+    base.count()
+    t = Table.create(wh, "db.deep", schema_from_spark(base.schema))
+    for i in range(n_snaps):
+        if i % 5 == 4:
+            lo = (i * 37) % 400
+            t = t.delete_where(
+                spark, (E.col("doc_id") >= lo) & (E.col("doc_id") < lo + 40),
+                mode="mor")
+        else:
+            t = t.append(spark, base.where(F.col("doc_id") % 7 == i % 7))
+    base.unpersist()
+    open(os.path.join(loc, "_DONE"), "w").close()
+
+
+def _cdc_deep(spark, docs, emb):
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.catalog import FileSystemCatalog
+    from iceberg_rust_spark.streaming.changes import changes_df
+    t = Table.load(FileSystemCatalog(_cdc_deep_loc(docs)), "db.deep")
+    return changes_df(spark, t).count()
+
+
 def _clusters_pairs_path(docs) -> str:
     n_docs = docs.count()
     return f"/tmp/scale_clusters/x{n_docs}/pairs.parquet"
@@ -357,6 +405,7 @@ OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "ivf_kmeanspp_init": _ivf_kmeanspp,
        "embedding_lsh_pairs": _emb_lsh_pairs, "dedup_clusters": _clusters,
        "dv_delete_wide": _dv_delete, "cdc_changes_df": _cdc_changes,
+       "cdc_deep_history": _cdc_deep,
        "decontaminate": _decontaminate,
        "string_bucket": _string_bucket,
        "boilerplate_lines": _boilerplate,
@@ -367,7 +416,8 @@ OPS = {"exact_dedup": _exact, "minhash_lsh_pairs": _minhash,
        "substring_windows": _substring_windows}
 
 # untimed per-decade setup (fixture caches) run before the timed op
-PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep}
+PREP = {"dedup_clusters": _clusters_prep, "dv_delete_wide": _dv_delete_prep,
+        "cdc_deep_history": _cdc_deep_prep}
 
 # embedding_lsh_pairs ran capped here until the partition-local rewrite
 # (adaptive plane count + salted bucket split) made x100 a bounded job;
