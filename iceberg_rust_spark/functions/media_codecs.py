@@ -1271,3 +1271,344 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 90) -> bytes:
         out += entropy
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, public spec): LZW-compressed indexed color. Decoder
+# handles global/local color tables, interlacing, and transparency-as-index
+# (rendered opaque); returns the FIRST frame as RGB — animation deltas need
+# a compositor, and the training-pipeline consumers (features/resize) want
+# one representative frame. Encoder emits a single-frame GIF89a with a
+# clear-code-refreshed fixed-width LZW stream (the classic "uncompressed
+# GIF" technique — decodes everywhere, zero dictionary bookkeeping).
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    """GIF-flavor LZW: LSB-first bit packing, clear/end codes, 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list = []
+    acc = nbits = 0
+    code_size = min_code_size + 1
+    table = {i: [i] for i in range(clear)}
+    prev = None
+    next_code = end + 1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = {i: [i] for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + [entry[0]]
+                    next_code += 1
+            elif code == next_code:
+                entry = prev + [prev[0]]
+                if next_code < 4096:
+                    table[next_code] = entry
+                    next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if len(out) >= n_pixels:
+                return out
+            prev = entry
+            if (next_code == (1 << code_size) and code_size < 12):
+                code_size += 1
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB of the first frame."""
+    b = bytes(data)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8) \
+            .reshape(-1, 3).copy()
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:                         # trailer
+            break
+        if blk == 0x21:                         # extension: skip sub-blocks
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        x, y, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+        pos += 10
+        ct = gct
+        if iflags & 0x80:                       # local color table
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8) \
+                .reshape(-1, 3).copy()
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame without color table")
+        min_code = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            lzw += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        grid = np.array(idx[:w * h], dtype=np.int64).reshape(h, w)
+        if iflags & 0x40:                       # interlaced: undo 4-pass order
+            deinter = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    deinter[r] = grid[src]
+                    src += 1
+            grid = deinter
+        frame = ct[np.clip(grid, 0, len(ct) - 1)]
+        if (x, y, w, h) != (0, 0, sw, sh):
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                canvas[:, :] = gct[bg]
+            canvas[y:y + h, x:x + w] = frame
+            return canvas
+        return frame
+    raise ValueError("GIF without image data")
+
+
+def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB (<=256 distinct colors) or (h, w)/(h, w, 1)
+    gray -> single-frame GIF89a."""
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        a = a.repeat(3, axis=2)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors > 256 (quantize first)")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((2 << (depth - 1), 3), dtype=np.uint8)
+    table[:len(colors)] = colors
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = [r for start, step in _GIF_INTERLACE_PASSES
+                 for r in range(start, h, step)]
+        idx = idx[order]
+    min_code = max(2, depth)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for i, v in enumerate(idx.reshape(-1)):
+        # re-clear before the dictionary would grow the code width: every
+        # pixel is emitted as a literal root code at a fixed width
+        if i and i % (clear - 2) == 0:
+            put(clear)
+        put(int(v))
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (public EBML + Matroska specs): element-tree demux. The
+# demuxer walks Segment -> Tracks (to find the first video track number)
+# and Segment -> Cluster -> SimpleBlock/BlockGroup, returning the encoded
+# frame payloads — the same zero-codec-work contract as the MP4/AVI
+# demuxers. No-lacing blocks only (the dominant case for video tracks);
+# laced blocks yield their payload region as one frame.
+# ---------------------------------------------------------------------------
+
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_TRACK_TYPE = 0x83
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_id(b: bytes, pos: int):
+    """EBML element id (marker bit KEPT) -> (id, new_pos)."""
+    first = b[pos]
+    for ln in range(1, 5):
+        if first & (0x100 >> ln):
+            v = 0
+            for i in range(ln):
+                v = (v << 8) | b[pos + i]
+            return v, pos + ln
+    raise ValueError("bad EBML id")
+
+
+def _ebml_size(b: bytes, pos: int):
+    """EBML size (marker bit STRIPPED) -> (size | None if unknown, pos)."""
+    first = b[pos]
+    for ln in range(1, 9):
+        if first & (0x100 >> ln):
+            v = first & ((0x100 >> ln) - 1)
+            for i in range(1, ln):
+                v = (v << 8) | b[pos + i]
+            unknown = (1 << (7 * ln)) - 1
+            return (None if v == unknown else v), pos + ln
+    raise ValueError("bad EBML size")
+
+
+def _ebml_children(b: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end) within [pos, end)."""
+    while pos < end:
+        eid, pos = _ebml_id(b, pos)
+        size, pos = _ebml_size(b, pos)
+        pend = end if size is None else min(pos + size, end)
+        yield eid, pos, pend
+        pos = pend
+
+
+def extract_mkv_frames(data: bytes, every_n: int = 1):
+    """Matroska/WebM bytes -> [(frame_no, frame_bytes)] for the first
+    video track (or all blocks when no Tracks element resolves)."""
+    b = bytes(data)
+    if b[:4] != b"\x1A\x45\xDF\xA3":
+        raise ValueError("not an EBML/Matroska file")
+    # skip the EBML header element, find the Segment
+    _eid, pos = _ebml_id(b, 0)
+    size, pos = _ebml_size(b, pos)
+    pos += size or 0
+    eid, pos = _ebml_id(b, pos)
+    if eid != _MKV_SEGMENT:
+        raise ValueError("no Matroska Segment")
+    size, pos = _ebml_size(b, pos)
+    seg_end = len(b) if size is None else min(pos + size, len(b))
+
+    video_track = None
+    for eid, s, e in _ebml_children(b, pos, seg_end):
+        if eid != _MKV_TRACKS:
+            continue
+        for tid, ts, te in _ebml_children(b, s, e):
+            if tid != _MKV_TRACK_ENTRY:
+                continue
+            num = ttype = None
+            for fid, fs, fe in _ebml_children(b, ts, te):
+                if fid == _MKV_TRACK_NUMBER:
+                    num = int.from_bytes(b[fs:fe], "big")
+                elif fid == _MKV_TRACK_TYPE:
+                    ttype = int.from_bytes(b[fs:fe], "big")
+            if ttype == 1 and num is not None:
+                video_track = num
+                break
+        break
+
+    def block_frame(s: int, e: int):
+        track, p = _ebml_size(b, s)             # track number is a vint
+        p += 3                                  # int16 timestamp + flags
+        return track, b[p:e]
+
+    frames = []
+    n = 0
+    for eid, s, e in _ebml_children(b, pos, seg_end):
+        if eid != _MKV_CLUSTER:
+            continue
+        for cid, cs, ce in _ebml_children(b, s, e):
+            payload = None
+            if cid == _MKV_SIMPLE_BLOCK:
+                track, payload = block_frame(cs, ce)
+            elif cid == _MKV_BLOCK_GROUP:
+                for gid, gs, ge in _ebml_children(b, cs, ce):
+                    if gid == _MKV_BLOCK:
+                        track, payload = block_frame(gs, ge)
+                        break
+            if payload is None:
+                continue
+            if video_track is not None and track != video_track:
+                continue
+            if n % every_n == 0:
+                frames.append((n, payload))
+            n += 1
+    if n == 0:
+        raise ValueError("no Matroska block data")
+    return frames
+
+
+def encode_mkv(frames: List[bytes], track: int = 1,
+               with_tracks: bool = True) -> bytes:
+    """Minimal valid Matroska: EBML header + Segment(Tracks?, one Cluster
+    of SimpleBlocks). Synthetic-fixture twin of encode_avi."""
+
+    def vsize(n: int) -> bytes:
+        for ln in range(1, 9):
+            if n < (1 << (7 * ln)) - 1:
+                v = n | (1 << (7 * ln))
+                return v.to_bytes(ln, "big")
+        raise ValueError("size too large")
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        ln = (eid.bit_length() + 7) // 8
+        return eid.to_bytes(ln, "big") + vsize(len(payload)) + payload
+
+    header = elem(0x1A45DFA3,
+                  elem(0x4282, b"matroska") + elem(0x4287, b"\x04")
+                  + elem(0x4285, b"\x02"))
+    tracks = b""
+    if with_tracks:
+        entry = (elem(_MKV_TRACK_NUMBER, bytes([track]))
+                 + elem(_MKV_TRACK_TYPE, b"\x01"))
+        tracks = elem(_MKV_TRACKS, elem(_MKV_TRACK_ENTRY, entry))
+    blocks = b"".join(
+        elem(_MKV_SIMPLE_BLOCK,
+             vsize(track) + struct.pack(">hB", i, 0x80) + f)
+        for i, f in enumerate(frames))
+    cluster = elem(_MKV_CLUSTER, elem(0xE7, b"\x00") + blocks)
+    return header + elem(_MKV_SEGMENT, tracks + cluster)

@@ -18,11 +18,14 @@ tested. Codec status:
   tables, functions/isobmff.py) and AVI (RIFF movi chunk walk,
   functions/media_codecs.extract_avi_frames) — emitted frames are the
   actual encoded sample payloads.
+- REAL also: GIF (LZW decode, interlacing, local color tables — first
+  frame) for features/resize, and Matroska/WebM EBML block demux for
+  frame sampling.
 - STUB (clearly marked): feature/resize fallbacks for the remaining
   formats that need codec libraries absent from this container
-  (arithmetic-coded JPEG, webp/gif), and frame demux for non-MP4/AVI
-  containers (MKV/WebM). Swapping in PIL/torchaudio/decord touches only
-  the kernel, never the plan.
+  (arithmetic-coded JPEG, webp), and frame demux for other containers.
+  Swapping in PIL/torchaudio/decord touches only the kernel, never the
+  plan.
 """
 
 from __future__ import annotations
@@ -109,14 +112,17 @@ def _jpeg_dimensions(b: bytes):
 
 
 def decode_image_meta(payload: bytes, mime: str) -> dict:
-    """Header-only decode: PNG IHDR and JPEG SOFn are REAL parsers (the two
-    dominant formats need no codec libs for dimensions); anything else falls
-    back to a deterministic stub (marked)."""
+    """Header-only decode: PNG IHDR, JPEG SOFn and the GIF logical screen
+    descriptor are REAL parsers (no codec libs needed for dimensions);
+    anything else falls back to a deterministic stub (marked)."""
     if payload is None:
         return {"width": None, "height": None, "n_bytes": 0}
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
+        return {"width": int(w), "height": int(h), "n_bytes": len(b)}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
         return {"width": int(w), "height": int(h), "n_bytes": len(b)}
     jpeg = _jpeg_dimensions(b)
     if jpeg is not None:
@@ -129,11 +135,14 @@ def decode_image_meta(payload: bytes, mime: str) -> dict:
 
 
 def _decode_image(b: bytes) -> "np.ndarray":
-    """PNG or baseline JPEG -> (h, w, c) uint8 pixels; ValueError when
-    neither stdlib codec can decode (callers stub-fallback)."""
-    from ..functions.media_codecs import decode_jpeg, decode_png
+    """PNG, JPEG (baseline + progressive) or GIF -> (h, w, c) uint8
+    pixels; ValueError when no stdlib codec can decode (callers
+    stub-fallback)."""
+    from ..functions.media_codecs import decode_gif, decode_jpeg, decode_png
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     return decode_jpeg(b)
 
 
@@ -144,7 +153,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     REAL kernel for PNG and baseline/progressive JPEG: a FEATURE_DIM-bin
     normalized luminance histogram over the actual decoded pixels
     (media_codecs.decode_png / decode_jpeg). For payloads the stdlib codecs
-    can't decode (arithmetic JPEG, webp/gif, opaque blobs) a deterministic
+    can't decode (arithmetic JPEG, webp, opaque blobs) a deterministic
     sha1 STUB stands in, keeping the batch shape and schema identical so
     the plan never changes."""
     from ..functions.media_codecs import grayscale
@@ -181,17 +190,18 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
     """Video frame-sampling: emits (media_id, frame_no, frame_bytes) rows,
     one output row per sampled frame.
 
-    REAL kernels for the two dominant containers: ISO-BMFF (MP4) sample
-    tables (stsz/stsc/stco, functions/isobmff.py) and RIFF/AVI movi chunk
-    walks (functions/media_codecs.extract_avi_frames) both give every
+    REAL kernels for the three dominant containers: ISO-BMFF (MP4)
+    sample tables (stsz/stsc/stco, functions/isobmff.py), RIFF/AVI movi
+    chunk walks (media_codecs.extract_avi_frames), and Matroska/WebM
+    EBML block walks (media_codecs.extract_mkv_frames) — each gives every
     frame's exact byte range with zero codec work, so the emitted frames
-    are the actual encoded sample payloads. Other containers (MKV/WebM
-    need EBML parsing + codec libs absent here) keep the marked STUB that
-    fabricates boundaries from payload length, preserving the 1->N
-    mapInPandas shape.
+    are the actual encoded sample payloads. Unknown containers keep the
+    marked STUB that fabricates boundaries from payload length,
+    preserving the 1->N mapInPandas shape.
     """
     from ..functions.isobmff import extract_mp4_frames
-    from ..functions.media_codecs import extract_avi_frames
+    from ..functions.media_codecs import (extract_avi_frames,
+                                          extract_mkv_frames)
     schema = f"{id_col} long, frame_no int, frame bytes".replace("bytes", "binary")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,7 +212,8 @@ def resample_frames(df: DataFrame, payload_col: str = "payload",
                     continue
                 b = bytes(p)
                 got = None
-                for demux in (extract_mp4_frames, extract_avi_frames):
+                for demux in (extract_mp4_frames, extract_avi_frames,
+                              extract_mkv_frames):
                     try:
                         got = demux(b, every_n=every_n)
                         break
