@@ -118,10 +118,21 @@ def changes_df(spark: SparkSession, table: Table,
         snaps = [s for s in snaps if s.sequence_number <= to_snap.sequence_number]
 
     def read_files(paths: List[str], with_meta: bool = False) -> DataFrame:
-        df = spark.read.schema(spark_schema).parquet(*paths)
+        from ..sources.io import (localize_paths, mirror_remap_pattern,
+                                  spark_native_path)
+        read_paths, remap = list(paths), None
+        if not spark_native_path(read_paths[0]):
+            # FileIO data plane (io.py spark_native): read the localized
+            # mirror, report manifest URIs in _cf so delete joins match
+            read_paths = localize_paths(read_paths)
+            remap = mirror_remap_pattern()
+        df = spark.read.schema(spark_schema).parquet(*read_paths)
         if with_meta:
+            fcol = F.col("_metadata.file_path")
+            if remap is not None:
+                fcol = F.regexp_replace(fcol, remap[0], remap[1])
             df = df.withColumn("_cf", F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/")) \
+                fcol, "^file:/*", "/")) \
                 .withColumn("_cp", F.col("_metadata.row_index"))
         return df
 
@@ -159,8 +170,9 @@ def changes_df(spark: SparkSession, table: Table,
                         if d.content == CONTENT_POSITION_DELETES]
             eq = [d for d in new_dels if d.content == CONTENT_EQUALITY_DELETES]
             if pos_like:
-                targets = sorted(_pos_delete_targets(spark, pos_like)
-                                 & set(data_prev))
+                refd = _pos_delete_targets(spark, pos_like)
+                targets = sorted(set(data_prev) if refd is None
+                                 else refd & set(data_prev))
                 if targets:
                     pair_df = _pos_delete_df(spark, pos_like)
                     pair_df = _maybe_broadcast(spark, pair_df,
@@ -230,21 +242,31 @@ def _pos_delete_df(spark: SparkSession,
     return out
 
 
+_TARGET_LIST_CAP = 200_000
+
+
 def _pos_delete_targets(spark: SparkSession,
-                        pos_like: List[DataFile]) -> Set[str]:
+                        pos_like: List[DataFile]) -> Optional[Set[str]]:
     """Distinct data files referenced by positional deletes — a
     metadata-sized set (bounded by FILE count, never positions): DV entries
     carry the reference in their manifest entry; parquet pos-deletes need one
-    distinct-aggregate over the (tiny) file_path column."""
+    distinct-aggregate over the (tiny) file_path column. The set exists to
+    PRUNE which previous-state files the delete semi-join reads, so its
+    driver cost must stay below the pruning win: past _TARGET_LIST_CAP
+    distinct files this returns None and the caller reads the full previous
+    state instead (the semi-join still filters correctly — only the
+    metadata-level file pruning is given up)."""
     targets: Set[str] = {d.referenced_data_file for d in pos_like
                          if d.file_format == "puffin"
                          and d.referenced_data_file}
     parquet = sorted({d.file_path for d in pos_like
                       if d.file_format == "parquet"})
     if parquet:
-        targets |= {r["file_path"] for r in
-                    spark.read.parquet(*parquet)
-                    .select("file_path").distinct().collect()}
+        rows = (spark.read.parquet(*parquet).select("file_path").distinct()
+                .limit(_TARGET_LIST_CAP + 1).collect())
+        if len(targets) + len(rows) > _TARGET_LIST_CAP:
+            return None
+        targets |= {r["file_path"] for r in rows}
     return targets
 
 
