@@ -19,13 +19,15 @@ tested. Codec status:
   functions/media_codecs.extract_avi_frames) — emitted frames are the
   actual encoded sample payloads.
 - REAL also: GIF (LZW decode, interlacing, local color tables — first
-  frame) for features/resize, and Matroska/WebM EBML block demux for
-  frame sampling.
-- STUB (clearly marked): feature/resize fallbacks for the remaining
-  formats that need codec libraries absent from this container
-  (arithmetic-coded JPEG, webp), and frame demux for other containers.
-  Swapping in PIL/torchaudio/decord touches only the kernel, never the
-  plan.
+  frame), lossless WebP (full VP8L: prefix codes, color cache, LZ77 with
+  the 2D distance map, all four transforms — functions/webp.py) and WebP
+  header dims for every container flavor (VP8/VP8L/VP8X), plus
+  Matroska/WebM EBML block demux for frame sampling.
+- STUB (clearly marked): feature/resize fallbacks for the two remaining
+  codec families that need real codec libraries (arithmetic-coded JPEG,
+  lossy-VP8 webp — a full video intra codec), and frame demux for
+  unknown containers. Swapping in PIL/torchaudio/decord touches only the
+  kernel, never the plan.
 """
 
 from __future__ import annotations
@@ -124,6 +126,13 @@ def decode_image_meta(payload: bytes, mime: str) -> dict:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return {"width": int(w), "height": int(h), "n_bytes": len(b)}
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from ..functions.webp import webp_dimensions
+        try:
+            w, h = webp_dimensions(b)
+            return {"width": int(w), "height": int(h), "n_bytes": len(b)}
+        except ValueError:
+            pass
     jpeg = _jpeg_dimensions(b)
     if jpeg is not None:
         return {"width": jpeg[0], "height": jpeg[1], "n_bytes": len(b)}
@@ -136,13 +145,16 @@ def decode_image_meta(payload: bytes, mime: str) -> dict:
 
 def _decode_image(b: bytes) -> "np.ndarray":
     """PNG, JPEG (baseline + progressive) or GIF -> (h, w, c) uint8
-    pixels; ValueError when no stdlib codec can decode (callers
-    stub-fallback)."""
+    pixels, or lossless WebP (VP8L) -> RGB; ValueError when no stdlib
+    codec can decode (callers stub-fallback)."""
     from ..functions.media_codecs import decode_gif, decode_jpeg, decode_png
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from ..functions.webp import decode_webp
+        return decode_webp(b)
     return decode_jpeg(b)
 
 
@@ -150,12 +162,12 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """payload -> fixed-dim float feature vector.
 
-    REAL kernel for PNG and baseline/progressive JPEG: a FEATURE_DIM-bin
-    normalized luminance histogram over the actual decoded pixels
-    (media_codecs.decode_png / decode_jpeg). For payloads the stdlib codecs
-    can't decode (arithmetic JPEG, webp, opaque blobs) a deterministic
-    sha1 STUB stands in, keeping the batch shape and schema identical so
-    the plan never changes."""
+    REAL kernel for PNG, baseline/progressive JPEG, GIF and lossless
+    WebP: a FEATURE_DIM-bin normalized luminance histogram over the
+    actual decoded pixels. For payloads the stdlib codecs can't decode
+    (arithmetic JPEG, lossy-VP8 webp, opaque blobs) a deterministic sha1
+    STUB stands in, keeping the batch shape and schema identical so the
+    plan never changes."""
     from ..functions.media_codecs import grayscale
     schema = f"{id_col} long, features array<float>"
 
