@@ -339,31 +339,48 @@ def synthetic_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/demos: REAL decodable RGB
-    PNGs (even ids), REAL baseline JPEGs (i%4==1 ids — both 4:4:4 and
-    4:2:0, pixel values derived from the id so the T.81 decode path runs
-    for real), opaque blobs. Dimensions keep the original (1+i%7, 1+i%5)
-    and (8+i%9, 8+i%11) formulas the constructed oracle replicates."""
-    from ..functions.media_codecs import encode_jpeg, encode_png
+    """Deterministic fake media table for tests/demos, one class per real
+    codec so the graded query exercises every decode path: RGB PNGs (even
+    ids), JPEGs for i%4==1 (4:4:4 + 4:2:0 baseline, PROGRESSIVE for
+    i%16==9), GIFs for i%8==3, lossless WebP for i%8==7 — except i%16==15
+    which stays an opaque blob (the stub path). All dimensions follow id
+    formulas the constructed oracle replicates independently."""
+    from ..functions.media_codecs import (encode_gif, encode_jpeg,
+                                          encode_png)
+    from ..functions.webp import encode_webp_lossless
+
+    def pixels(w, h, a, b):
+        return ((np.arange(h * w * 3, dtype=np.int64) * a + b)
+                % 256).astype(np.uint8).reshape(h, w, 3)
+
     rows = []
     for i in range(n):
         if i % 2 == 0:
             w, h = 1 + i % 7, 1 + i % 5
-            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3) + i)
-                  % 256).astype(np.uint8).reshape(h, w, 3)
-            payload = encode_png(px)
+            payload = encode_png(pixels(w, h, i + 3, i))
             mime = "image/png"
         elif i % 4 == 1:
             w, h = 8 + i % 9, 8 + i % 11
-            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 7) + 2 * i)
-                  % 256).astype(np.uint8).reshape(h, w, 3)
-            payload = encode_jpeg(
-                px, quality=90,
-                subsampling="420" if i % 8 == 5 else "444")
+            px = pixels(w, h, i + 7, 2 * i)
+            if i % 16 == 9:
+                from ..functions.media_codecs import encode_jpeg_progressive
+                payload = encode_jpeg_progressive(px, quality=90)
+            else:
+                payload = encode_jpeg(
+                    px, quality=90,
+                    subsampling="420" if i % 8 == 5 else "444")
             mime = "image/jpeg"
-        else:
+        elif i % 16 == 15:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             mime = "application/octet-stream"
+        elif i % 8 == 3:
+            w, h = 2 + i % 5, 1 + i % 3
+            payload = encode_gif(pixels(w, h, i + 5, 3 * i))
+            mime = "image/gif"
+        else:
+            w, h = 3 + i % 6, 2 + i % 4
+            payload = encode_webp_lossless(pixels(w, h, i + 11, i))
+            mime = "image/webp"
         rows.append((i, bytearray(payload), mime))
     return spark.createDataFrame(rows, "media_id long, payload binary, mime string")
 

@@ -7,8 +7,9 @@ computation (no Spark involved):
   via re.ASCII; hashing is the public XXH64 spec (tools/xxh64.py, verified
   byte-for-byte against Spark's xxhash64 seed 42).
 - multimodal_features: expected (media_id, width, height, feat_dim) of the
-  deterministic synthetic media fixture — PNG IHDR parse for even ids, the
-  documented sha1 stub for odd ids, FEATURE_DIM for every row.
+  deterministic synthetic media fixture — id-formula dimensions for the
+  PNG/JPEG/GIF/WebP classes, the documented sha1 stub for the blob ids,
+  FEATURE_DIM for every row.
 
 Output: tools/generated_oracles.json (checked in; __spark_entry__.oracle_sql
 loads it). Regenerate after changing fixtures: python tools/make_constructed_oracles.py
@@ -86,10 +87,16 @@ def multimodal_oracle(n: int = 64) -> str:
         elif i % 4 == 1:
             # JPEG: fixture stores (8+i%9) x (8+i%11) in the SOF0 marker
             pw, ph = 8 + i % 9, 8 + i % 11
-        else:
+        elif i % 16 == 15:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             digest = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
             pw, ph = 16 + digest % 64, 16 + (digest >> 8) % 64
+        elif i % 8 == 3:
+            # GIF: fixture stores (2+i%5) x (1+i%3) in the screen descriptor
+            pw, ph = 2 + i % 5, 1 + i % 3
+        else:
+            # lossless WebP: (3+i%6) x (2+i%4) in the VP8L header
+            pw, ph = 3 + i % 6, 2 + i % 4
         vals.append(f"({i}, {pw}, {ph}, 16)")
     return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
             "CAST(width AS INTEGER) AS width, "
