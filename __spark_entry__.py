@@ -1481,72 +1481,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries in dict order.
-    # Round-6 rotation: r5 graded the relational tail + iceberg core +
-    # doc_scrub/doc_boilerplate (CORRECTNESS_r05 50/50 green). The blocks
-    # whose newest driver rows are r4 — doc_pack/mix/pipeline, views/meta,
-    # the events block, and the whole LLM-pipeline block (37 queries) — go
-    # FIRST this round so every query's external grade is at most two
-    # rounds old; the r5-green sets ride at the tail.
+    # Round-7 rotation: the 43 rows the r6 window did NOT grade (relational
+    # tail, iceberg delete/merge/compaction/CDC/time-travel core, TPC-H
+    # tail) go first, plus the 7 rows whose behavior or fixtures changed
+    # this round (connected-components restructure, sharded doc_pipeline,
+    # multimodal fixture with progressive-JPEG/GIF/WebP classes, view
+    # builder rewire, ivf with kmeans|| available). Everything is green in
+    # the 93/93 local artifacts at sf0.01 AND sf0.1 on this HEAD.
     return {
-        # LLM-data-pipeline operators (last driver rows r4)
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_minhash": q_dedup_minhash,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_derep": q_doc_derep,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_sample": q_doc_sample,
-        "doc_split": q_doc_split,
-        "doc_quota": q_doc_quota,
-        "doc_token_budget": q_doc_token_budget,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_top_terms": q_text_top_terms,
-        "text_tfidf": q_text_tfidf,
-        "text_fingerprint": q_text_fingerprint,
-        "doc_chunks": q_doc_chunks,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_frames": q_multimodal_frames,
-        # packing / mixing / composed pipeline (last driver rows r4)
-        "doc_para_dedup": q_doc_para_dedup,
-        "doc_substring_dedup": q_doc_substring_dedup,
-        "doc_pack": q_doc_pack,
-        "doc_mix": q_doc_mix,
-        "doc_pipeline": q_doc_pipeline,
-        # views + metadata tables (last driver rows r4)
-        "iceberg_view_monthly": q_view_monthly,
-        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
-        # ns-timestamp events queries (last driver rows r4)
-        "asof_join_events": q_asof_join,
-        "window_lag": q_window_lag,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_percentiles": q_events_percentiles,
-        "events_variant": q_events_variant,
-        # new in r6: DataSource read path + dynamic overwrite + _deleted
-        # flag under the oracle
-        "iceberg_datasource_read": q_iceberg_datasource_read,
-        "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
-        "iceberg_deleted_flag": q_iceberg_deleted_flag,
-        "iceberg_fast_count": q_iceberg_fast_count,
-        # ---- 38 stale-or-new queries above; r5-green sets fill the rest of
-        # the 50-row window and the tail (freshest externals, lowest cost
-        # if the driver cuts off)
         "iceberg_q1_pricing": q_iceberg_q1,
-        "iceberg_q6_revenue": q_iceberg_q6,
-        "iceberg_partition_prune": q_iceberg_partition_prune,
-        "iceberg_join_pruned": q_iceberg_join_pruned,
-        "iceberg_join_between": q_iceberg_join_between,
-        "iceberg_bucket_prune": q_iceberg_bucket_prune,
-        "iceberg_truncate_prune": q_iceberg_truncate_prune,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_pipeline": q_doc_pipeline,
+        "multimodal_features": q_multimodal_features,
+        "iceberg_view_monthly": q_view_monthly,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_pack": q_doc_pack,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
@@ -1562,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_add_files": q_iceberg_add_files,
         "doc_scrub": q_doc_scrub,
         "doc_boilerplate": q_doc_boilerplate,
-        # relational operators (Spark-native; all r5-green)
         "window_topn": q_window_topn,
         "window_running": q_window_running,
         "set_intersect": q_set_intersect,
@@ -1591,6 +1539,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_derep": q_doc_derep,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
+        "doc_quota": q_doc_quota,
+        "doc_token_budget": q_doc_token_budget,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_top_terms": q_text_top_terms,
+        "text_tfidf": q_text_tfidf,
+        "text_fingerprint": q_text_fingerprint,
+        "doc_chunks": q_doc_chunks,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
+        "doc_para_dedup": q_doc_para_dedup,
+        "doc_substring_dedup": q_doc_substring_dedup,
+        "doc_mix": q_doc_mix,
+        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        "asof_join_events": q_asof_join,
+        "window_lag": q_window_lag,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_percentiles": q_events_percentiles,
+        "events_variant": q_events_variant,
+        "iceberg_datasource_read": q_iceberg_datasource_read,
+        "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
+        "iceberg_deleted_flag": q_iceberg_deleted_flag,
+        "iceberg_fast_count": q_iceberg_fast_count,
+        "iceberg_q6_revenue": q_iceberg_q6,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_join_pruned": q_iceberg_join_pruned,
+        "iceberg_join_between": q_iceberg_join_between,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
+        "iceberg_truncate_prune": q_iceberg_truncate_prune,
     }
 
 
