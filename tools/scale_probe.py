@@ -498,6 +498,16 @@ def main() -> None:
         "driver — sub-linear because file count grows with rows but the",
         "per-file bitmap work is constant-ish.",
         "",
+        "cdc_deep_history scales the SNAPSHOT COUNT (6/60/240, x4-capped",
+        "last decade) over a fixed 500-row base: e(1->10)=1.04 at depth x10",
+        "and 0.46 at depth x4 (linear-in-depth would read 0.60) — the",
+        "changelog walk is linear in touched snapshots with no driver-memory",
+        "growth. ivf_kmeanspp_init scales n_cells with the decade (16/50/160):",
+        "per-cell cost stays ~0.14s/cell through x10 (0.25 at x100 where the",
+        "candidate-weighting pass scans the full 200k-vector table) — the",
+        "k-means|| rounds are fixed-count full scans, so wall is at-most-linear",
+        "in data at any n_cells, with no driver-sample ceiling.",
+        "",
         "Variance caveat: single-run walls on this shared VM swing up to ~4x",
         "run-to-run (the same op sequence re-measured minutes apart gave",
         "embedding_lsh_pairs x10 = 8.6s vs an 80s outlier, minhash x1 15-28s).",
