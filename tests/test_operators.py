@@ -168,16 +168,17 @@ def test_multimodal_plumbing(spark):
 
 def test_multimodal_resize(spark):
     from iceberg_rust_spark.functions.media_codecs import decode_png
-    media = MM.synthetic_media_df(spark, 8)
+    media = MM.synthetic_media_df(spark, 16)
     out = MM.resize_images(media, 32, 32).collect()
-    assert len(out) == 8
+    assert len(out) == 16
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
     for r in out:
-        if r["media_id"] % 2 == 0 or r["media_id"] % 4 == 1:
-            # real PNG / baseline JPEG (r5): decodes to target dims
-            assert decode_png(bytes(r["resized"])).shape == (32, 32, 3)
-        else:                            # opaque blob: stub byte budget
+        if r["media_id"] % 16 == 15:     # opaque blob: stub byte budget
             assert len(r["resized"]) == 32 * 32 // 8
+        else:
+            # every other class (PNG / baseline+progressive JPEG / GIF /
+            # lossless WebP) decodes for REAL -> resized to target dims
+            assert decode_png(bytes(r["resized"])).shape == (32, 32, 3)
     # deterministic: same payload -> same resized bytes
     out2 = MM.resize_images(media, 32, 32).collect()
     assert sorted(r["resized"] for r in out) == sorted(r["resized"] for r in out2)
