@@ -1304,7 +1304,12 @@ def q_doc_pipeline(spark, sf_dir):
     # train/val groups the per-group window would otherwise cap the pack
     # stage at 2 tasks regardless of cluster size. Any disjoint partition
     # of docs into sequences is a valid packing; seq_no is per-shard, so
-    # n_seqs counts distinct (shard, seq_no).
+    # n_seqs counts distinct (shard, seq_no). Plan trade (PLAN_AUDIT row
+    # 2 -> 4 shuffles vs r6): the window exchange now keys (split, shard),
+    # so the final per-split aggregate re-shuffles — but those exchanges
+    # move only (split, shard, seq_no, tokens) aggregates, while the pack
+    # window itself (the stage that holds the full corpus) gains 16x
+    # parallelism. At 100 TB the window is the bottleneck, not the tail.
     packed = pack_sequences(toks, 512, group_cols=["split"], shard_chars=1)
     return packed.groupBy("split").agg(
         F.count("*").alias("n_docs"),
