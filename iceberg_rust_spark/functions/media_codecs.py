@@ -1552,7 +1552,19 @@ def extract_mkv_frames(data: bytes, every_n: int = 1):
         break
 
     def block_frame(s: int, e: int):
-        track, p = _ebml_size(b, s)             # track number is a vint
+        # track number is a plain vint WITHOUT the unknown-size sentinel:
+        # _ebml_size maps the all-ones vint to None, but 0xFF here is a
+        # valid track number (127) whose frames must not be dropped
+        first = b[s]
+        for ln in range(1, 9):
+            if first & (0x100 >> ln):
+                track = first & ((0x100 >> ln) - 1)
+                for i in range(1, ln):
+                    track = (track << 8) | b[s + i]
+                p = s + ln
+                break
+        else:
+            raise ValueError("bad Matroska block track vint")
         p += 3                                  # int16 timestamp + flags
         return track, b[p:e]
 

@@ -147,7 +147,15 @@ def _read_prefix_code(r: "_LSBReader", alphabet: int) -> _PrefixCode:
     cl_lengths = [0] * 19
     for i in range(n_cl):
         cl_lengths[_CL_ORDER[i]] = r.read_bits(3)
-    cl_code = _PrefixCode(_canonical_codes(cl_lengths))
+    cl_nz = [ln for ln in cl_lengths if ln]
+    if len(cl_nz) == 1:
+        # a single-symbol code-length code decodes with ZERO bits (libwebp
+        # BuildHuffmanTable's single-symbol path) — a 1-bit canonical table
+        # here would desync on compliant encoder output such as "all 256
+        # literals share one length"
+        cl_code = _PrefixCode({}, single=cl_lengths.index(cl_nz[0]))
+    else:
+        cl_code = _PrefixCode(_canonical_codes(cl_lengths))
     if r.read_bit():                    # explicit max symbol
         length_nbits = 2 + 2 * r.read_bits(3)
         max_symbol = 2 + r.read_bits(length_nbits)
@@ -547,11 +555,17 @@ def _write_code_lengths(wtr: "_LSBWriter", lengths: List[int]) -> None:
     for i in range(n_cl):
         wtr.write(cl_lengths[_CL_ORDER[i]], 3)
     cl_codes = {}
-    for (ln, code), sym in _canonical_codes(cl_lengths).items():
-        cl_codes[sym] = (code, ln)
+    if sum(1 for ln in cl_lengths if ln) > 1:
+        for (ln, code), sym in _canonical_codes(cl_lengths).items():
+            cl_codes[sym] = (code, ln)
+    # else: single-symbol CL code (every symbol shares one length) —
+    # compliant readers consume ZERO bits per symbol length, so emit none
     wtr.write(0, 1)                     # no explicit max symbol
     for ln in lengths:
-        code, cl = cl_codes[ln]
+        entry = cl_codes.get(ln)
+        if entry is None:
+            continue                    # zero-bit single-symbol CL code
+        code, cl = entry
         # prefix codes are written MSB-first (deflate convention)
         for b in range(cl - 1, -1, -1):
             wtr.write((code >> b) & 1, 1)

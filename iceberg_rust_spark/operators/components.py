@@ -82,26 +82,37 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                       .select("a", F.least("a", "_mb").alias("label")),
                       eager=False)
     labels = prev_ckpt
+    # the null threaded through the neighbor rows below must match the label
+    # column's type exactly — deriving it (instead of hard-coding long) keeps
+    # the union well-typed if callers ever feed non-numeric node ids
+    label_type = prev_ckpt.schema["label"].dataType
     for _ in range(max_iter):
         # Thread each node's OLD label through the same union+aggregate that
         # computes its new label: the self row carries old=label, neighbor
         # rows carry old=NULL (min ignores nulls; every node has exactly one
         # self row because labels covers every vertex of the symmetric edge
         # set). The convergence test is then a plain max() over the aggregate
-        # output — ONE action per round, no separate new-vs-old join (the
-        # old shape cost an extra shuffle join + job every round and was the
-        # wall driver on small graphs where launch overhead dominates).
-        nbr = (und.join(labels.select(F.col("a").alias("b"),
-                                      F.col("label")), "b")
-               .select("a", "label",
-                       F.lit(None).cast("long").alias("old")))
-        mine = labels.select("a", "label", F.col("label").alias("old"))
+        # output — ONE action per round, no separate new-vs-old join.
+        # TWO fused propagation hops per action (r8): job-launch overhead,
+        # not shuffle volume, dominates the loop wall at small scale (the r7
+        # bench attributed ~97% of dedup_clusters to per-round launches), so
+        # each round runs hop1 -> hop2 inside ONE job before the single
+        # convergence aggregate. Labels only ever decrease, so "no change
+        # across two hops" is exactly the one-hop convergence criterion;
+        # chain-shaped graphs take ceil(d/2)+1 actions instead of d+1, and
+        # the common clique case stays at one.
+        cur = labels.select("a", "label", F.col("label").alias("old"))
+        for _hop in range(2):
+            nbr = (und.join(cur.select(F.col("a").alias("b"),
+                                       F.col("label")), "b")
+                   .select("a", "label",
+                           F.lit(None).cast(label_type).alias("old")))
+            cur = (cur.unionByName(nbr).groupBy("a")
+                   .agg(F.min("label").alias("label"),
+                        F.min("old").alias("old")))
         # lazy checkpoint: the convergence aggregate below is the one action
         # per round — it materializes the checkpoint as a side effect
-        new_ckpt = _ckpt(mine.unionByName(nbr).groupBy("a")
-                         .agg(F.min("label").alias("label"),
-                              F.min("old").alias("old")),
-                         eager=False)
+        new_ckpt = _ckpt(cur, eager=False)
         changed = new_ckpt.select(
             F.max((F.col("label") < F.col("old")).cast("int"))
             .alias("c")).first()[0]

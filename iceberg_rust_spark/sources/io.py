@@ -415,11 +415,48 @@ def mirror_remap_pattern() -> Tuple[str, str]:
     return pat, "$1://$2"
 
 
+IO_CACHE_CAP_BYTES = int(os.environ.get("SPARK_GRAFT_IO_CACHE_CAP",
+                                        str(8 * 1024 ** 3)))
+
+
+def _evict_mirror_cache(protect: set) -> None:
+    """LRU-evict the localize mirror down to IO_CACHE_CAP_BYTES (mtime is
+    the recency signal — refreshed on every cache hit, so relatime mounts
+    don't matter). ``protect`` paths (the batch just localized) are never
+    evicted. Keeps repeated scans against non-spark_native stores from
+    growing driver temp disk without bound."""
+    entries = []
+    total = 0
+    for root, _dirs, names in os.walk(IO_CACHE_ROOT):
+        for n in names:
+            fp = os.path.join(root, n)
+            try:
+                st = os.stat(fp)
+            except OSError:
+                continue
+            total += st.st_size
+            entries.append((st.st_mtime, st.st_size, fp))
+    if total <= IO_CACHE_CAP_BYTES:
+        return
+    for _mt, sz, fp in sorted(entries):
+        if fp in protect:
+            continue
+        try:
+            os.remove(fp)
+        except OSError:
+            continue
+        total -= sz
+        if total <= IO_CACHE_CAP_BYTES:
+            break
+
+
 def localize_paths(paths: List[str]) -> List[str]:
     """Download remote immutable objects into the local mirror (skipped
     when a same-size copy is already cached) and return the local paths.
-    Driver-side by design — see FileIO.spark_native."""
+    Driver-side by design — see FileIO.spark_native. The mirror is
+    LRU-capped at SPARK_GRAFT_IO_CACHE_CAP bytes (default 8 GiB)."""
     out = []
+    fetched = False
     for p in paths:
         io = file_io_for(p)
         lp = mirror_local_path(p)
@@ -429,7 +466,16 @@ def localize_paths(paths: List[str]) -> List[str]:
             with open(tmp, "wb") as fh:
                 fh.write(io.read_bytes(p))
             os.replace(tmp, lp)
+            fetched = True
+        else:
+            # refresh recency so the LRU eviction below sees live files
+            try:
+                os.utime(lp, None)
+            except OSError:
+                pass
         out.append(lp)
+    if fetched:
+        _evict_mirror_cache(protect=set(out))
     return out
 
 

@@ -106,7 +106,7 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
     out_dir = os.path.join(base, write_id)
     # FileIO data plane for non-spark_native locations: Spark writes a
     # local staging dir, publish() uploads per file (see stage_for)
-    write_root, publish = stage_for(out_dir)
+    write_root, publish, stage_cleanup = stage_for(out_dir)
 
     pcols = partition_columns(schema, spec)
     mode = distribution_mode or metadata.properties.get(
@@ -176,6 +176,7 @@ def write_data_files(spark: SparkSession, df: DataFrame, metadata: TableMetadata
             lower_bounds=st["lower"], upper_bounds=st["upper"],
             split_offsets=st["split_offsets"],
             schema_id=schema.schema_id, spec_id=spec.spec_id))
+    stage_cleanup()
     return data_files
 
 
@@ -269,11 +270,13 @@ def write_parquet_listing(spark: SparkSession, df: DataFrame,
     """Write ``df`` as parquet under ``out`` (FileIO-staged when the scheme
     isn't spark_native) and return [(final_path, stats)] sorted by path —
     the shared shape of every delete/key-file writer in table.py."""
-    root, publish = stage_for(out)
+    root, publish, stage_cleanup = stage_for(out)
     df.write.option("maxRecordsPerFile", 8_000_000).parquet(root)
     files = _list_parquet_files(root)
     stats = collect_parquet_stats(spark, files)
-    return [(publish(p), stats[p]) for p in sorted(files)]
+    out_pairs = [(publish(p), stats[p]) for p in sorted(files)]
+    stage_cleanup()
+    return out_pairs
 
 
 def stage_for(out_dir: str):
@@ -283,14 +286,17 @@ def stage_for(out_dir: str):
     fully distributed). Non-spark_native schemes (memory://, registered
     FileIO shims): returns a local temp dir for Spark to write, plus a
     ``publish(local_path) -> final_path`` that uploads one file through
-    FileIO and returns its remote URI. The upload loop is driver-side and
+    FileIO and returns its remote URI, plus a ``cleanup()`` that removes
+    the staging tree once every file is published (repeated writes must
+    not leak driver temp disk). The upload loop is driver-side and
     bounded by the written file count — the documented FileIO data-plane
     trade (FileIO.spark_native); production object stores use the cluster's
     Hadoop connector and never take this branch."""
     from .io import file_io_for, posix_join
     io = file_io_for(out_dir)
     if io.spark_native:
-        return out_dir, (lambda local_path: local_path)
+        return out_dir, (lambda local_path: local_path), (lambda: None)
+    import shutil
     import tempfile
     # unique path only — Spark's errorifexists mode refuses a pre-created dir
     staging = os.path.join(tempfile.gettempdir(),
@@ -303,7 +309,10 @@ def stage_for(out_dir: str):
             io.write_bytes(remote, fh.read())
         return remote
 
-    return staging, publish
+    def cleanup() -> None:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return staging, publish, cleanup
 
 
 def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:

@@ -35,6 +35,19 @@ INSERT = "insert"
 DELETE = "delete"
 
 
+def _read_parquet_raw(spark: SparkSession, paths: List[str]) -> DataFrame:
+    """Content-only parquet read of manifest-listed URIs through the FileIO
+    data plane: non-spark_native schemes (memory://, registered shims) are
+    localized into the mirror first, so delete-file reads work on any store
+    — no ``_file`` remap is needed because callers never look at file paths
+    of the delete files themselves."""
+    from ..sources.io import localize_paths, spark_native_path
+    read_paths = sorted(paths)
+    if read_paths and not spark_native_path(read_paths[0]):
+        read_paths = localize_paths(read_paths)
+    return spark.read.parquet(*read_paths)
+
+
 def _file_sets(table: Table, snapshot_id: Optional[int],
                exclude_added_in: Optional[int] = None):
     """(data files by path, delete files by path) at a snapshot.
@@ -200,7 +213,7 @@ def changes_df(spark: SparkSession, table: Table,
                         by_cols.setdefault(cols, []).append(d)
                     for cols, dfiles in by_cols.items():
                         paths = sorted({d.file_path for d in dfiles})
-                        keys = spark.read.parquet(*paths) \
+                        keys = _read_parquet_raw(spark, paths) \
                             .select(*cols).dropDuplicates()
                         keys = _maybe_broadcast(spark, keys,
                                                 _delete_set_bytes(dfiles))
@@ -230,7 +243,7 @@ def _pos_delete_df(spark: SparkSession,
     parquet = sorted({d.file_path for d in pos_like
                       if d.file_format == "parquet"})
     if parquet:
-        parts.append(spark.read.parquet(*parquet)
+        parts.append(_read_parquet_raw(spark, parquet)
                      .select(F.col("file_path").alias("_del_file"),
                              F.col("pos").alias("_del_pos")))
     dvs = [d for d in pos_like if d.file_format == "puffin"]
@@ -262,7 +275,8 @@ def _pos_delete_targets(spark: SparkSession,
     parquet = sorted({d.file_path for d in pos_like
                       if d.file_format == "parquet"})
     if parquet:
-        rows = (spark.read.parquet(*parquet).select("file_path").distinct()
+        rows = (_read_parquet_raw(spark, parquet)
+                .select("file_path").distinct()
                 .limit(_TARGET_LIST_CAP + 1).collect())
         if len(targets) + len(rows) > _TARGET_LIST_CAP:
             return None

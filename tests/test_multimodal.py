@@ -644,3 +644,15 @@ def test_mkv_demux_real_payloads(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         extract_mkv_frames(b"RIFF1234AVI ")
+
+
+def test_mkv_track_127_not_dropped():
+    """Track number 127 encodes as the vint byte 0xFF — a plain vint, NOT
+    the EBML unknown-size sentinel. Regression: the block parser used
+    _ebml_size, mapped 0xFF to None, and silently dropped every frame."""
+    from iceberg_rust_spark.functions.media_codecs import (encode_mkv,
+                                                           extract_mkv_frames)
+    frames = [bytes([i]) * 8 for i in range(4)]
+    mkv = encode_mkv(frames, track=127)
+    got = extract_mkv_frames(mkv)
+    assert [f for _n, f in got] == frames

@@ -213,3 +213,46 @@ def test_s3_cow_delete_and_compaction(spark, s3):
     assert sorted(r["k"] for r in
                   t.to_df(spark).where(F.col("k") < 8).collect()) == \
         [0, 1, 2, 4, 5, 6]
+
+
+def test_s3_changes_df_with_mor_and_eq_deletes(spark, s3):
+    """CDC over a non-spark_native store: the delete-side reads
+    (pos-delete parquet pairs, referenced-target listing, eq-delete keys)
+    must route through the FileIO data plane like data reads do.
+    Regression: they called spark.read.parquet on s3:// URIs directly and
+    threw 'No FileSystem for scheme'."""
+    from iceberg_rust_spark.streaming.changes import changes_df
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v"))
+    t = Table.create(cat, "db.cdc", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("v") == 1, mode="mor")
+    keys = spark.createDataFrame([(2,)], "v long")
+    t = t.delete_by_equality(spark, keys, ["v"])
+
+    ch = changes_df(spark, t)
+    counts = {(r["_change_type"], r["_change_ordinal"]): r["n"]
+              for r in ch.groupBy("_change_type", "_change_ordinal")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts == {("insert", 0): 100,
+                      ("delete", 1): 25,   # MOR pos-delete: v==1
+                      ("delete", 2): 25}   # eq delete: v==2
+
+
+def test_s3_staging_dirs_cleaned_up(spark, s3):
+    """Staged FileIO writes must remove their driver temp dirs after
+    publish — repeated appends leaked tempdir disk before r8."""
+    import glob
+    import tempfile
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = Table.create(cat, "db.s", schema_from_spark(df.schema))
+    pattern = os.path.join(tempfile.gettempdir(), "iceberg_stage_*")
+    before = set(glob.glob(pattern))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("k") < 25, mode="mor")
+    assert t.to_df(spark).count() == 25
+    assert set(glob.glob(pattern)) == before

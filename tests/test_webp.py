@@ -285,3 +285,51 @@ def test_webp_feeds_multimodal(spark):
     feats = {r["media_id"]: list(r["features"])
              for r in extract_features(df).collect()}
     assert feats[1] == feats[2]
+
+
+def test_vp8l_golden_single_cl_symbol_zero_bits():
+    """A normal code whose code-length code has ONE live symbol: compliant
+    decoders (libwebp BuildHuffmanTable) read ZERO bits per symbol length,
+    so 'all 256 red values share length 8' costs no header bits at all.
+    Regression: the CL code used to be built as a 1-bit canonical code,
+    desyncing on exactly this spec-valid stream."""
+    from iceberg_rust_spark.functions.webp import _CL_ORDER
+
+    def bits(w):
+        w.write(1, 14)      # width 2
+        w.write(0, 14)      # height 1
+        w.write(0, 1)       # alpha hint
+        w.write(0, 3)       # version
+        w.write(0, 1)       # no transforms
+        w.write(0, 1)       # no color cache
+        w.write(0, 1)       # no meta prefix codes
+        _simple1(w, 7)      # green
+        # red: normal code, CL lengths all zero except symbol 8 -> single
+        w.write(0, 1)       # normal (non-simple) code
+        w.write(13 - 4, 4)  # n_cl = 13 covers order position of symbol 8
+        for i in range(13):
+            w.write(1 if _CL_ORDER[i] == 8 else 0, 3)
+        w.write(0, 1)       # no explicit max symbol
+        # ZERO symbol-length bits follow: every red length becomes 8
+        _simple1(w, 9)      # blue
+        _simple1(w, 255)    # alpha
+        _simple1(w, 0)      # distance
+        # canonical all-length-8 code assigns symbol i the MSB-first code i
+        for v in (17, 250):
+            for b in range(7, -1, -1):
+                w.write((v >> b) & 1, 1)
+    rgba = decode_vp8l(_vp8l(bits))
+    assert rgba.shape == (1, 2, 4)
+    assert rgba[0, 0].tolist() == [17, 7, 9, 255]
+    assert rgba[0, 1].tolist() == [250, 7, 9, 255]
+
+
+def test_webp_roundtrip_uniform_length_channels():
+    """Every channel a permutation of 0..255 (uniform frequency -> all
+    lengths 8 -> single-CL-symbol header) must round-trip; with the golden
+    above pinning the spec's zero-bit read, this proves the ENCODER emits
+    the compliant zero-bit form too."""
+    rng = np.random.default_rng(7)
+    img = np.stack([rng.permutation(256).reshape(16, 16).astype(np.uint8)
+                    for _ in range(3)], axis=2)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
