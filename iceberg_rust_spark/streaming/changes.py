@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                                 CONTENT_POSITION_DELETES, DataFile)
 from ..sources.scan import (_delete_set_bytes, _maybe_broadcast, _norm_path,
-                            load_manifest, load_manifest_list)
+                            _norm_path_py, load_manifest, load_manifest_list)
 from ..sources.table import Table
 
 INSERT = "insert"
@@ -152,14 +152,35 @@ def changes_df(spark: SparkSession, table: Table,
     def stamp(df: DataFrame, change: str, ordinal: int, snap_id: int) -> DataFrame:
         return df.select(*names) \
             .withColumn("_change_type", F.lit(change)) \
-            .withColumn("_change_ordinal", F.lit(ordinal)) \
-            .withColumn("_commit_snapshot_id", F.lit(snap_id))
+            .withColumn("_change_ordinal", F.lit(ordinal).cast("int")) \
+            .withColumn("_commit_snapshot_id", F.lit(snap_id).cast("long"))
 
+    # Deep histories are CDC's real workload, and one Spark scan per
+    # (snapshot, change-kind) made the plan O(snapshots) in scan count (24
+    # scans on the 3-snapshot bench fixture, ~60 on the x10 deep-history
+    # probe). The loop below only DIFFS manifests per ordinal (driver-side
+    # metadata, manifest parses served by the mtime-keyed object cache);
+    # the actual reads are batched across ordinals afterwards:
+    #   - every added/removed file lands in ONE stamped scan, the
+    #     (file -> ordinal/type/snapshot) assignment joined in from a
+    #     broadcast map keyed on _metadata.file_path
+    #   - every pos-delete reconstruction lands in ONE scan of all targeted
+    #     files joined against ordinal-tagged (file, pos) pairs
+    # Assignment maps are metadata-sized (file-churn count, not rows).
     parts: List[DataFrame] = []
+    assigns: List[tuple] = []           # (path, change_type, ordinal, snap)
+    pos_pending: List[dict] = []        # pos-delete ordinals awaiting targets
+    prev_sets = (None, None, None)      # (snapshot_id, data, dels) memo
     for ordinal, snap in enumerate(snaps):
         parent = snap.parent_snapshot_id
         data_now, dels_now = _file_sets(table, snap.snapshot_id)
-        if parent is not None and md.snapshot_by_id(parent) is None:
+        if parent is not None and parent == prev_sets[0]:
+            # consecutive chain walk: the parent's sets are the previous
+            # iteration's data_now/dels_now — reuse instead of re-walking
+            # the parent's manifests (halves driver plan time on deep
+            # histories)
+            data_prev, dels_prev = prev_sets[1], prev_sets[2]
+        elif parent is not None and md.snapshot_by_id(parent) is None:
             # parent expired: rebuild its file sets from THIS snapshot's
             # entries (everything not originally added here) so the batch
             # stays a delta instead of replaying the snapshot's full state
@@ -167,35 +188,29 @@ def changes_df(spark: SparkSession, table: Table,
                 table, snap.snapshot_id, exclude_added_in=snap.snapshot_id)
         else:
             data_prev, dels_prev = _file_sets(table, parent)
+        prev_sets = (snap.snapshot_id, data_now, dels_now)
 
         added = [p for p in data_now if p not in data_prev]
         removed = [p for p in data_prev if p not in data_now]
         new_dels = [d for k, d in dels_now.items() if k not in dels_prev]
 
-        if added:
-            parts.append(stamp(read_files(added), INSERT, ordinal,
-                               snap.snapshot_id))
-        if removed:
-            parts.append(stamp(read_files(removed), DELETE, ordinal,
-                               snap.snapshot_id))
+        for p in added:
+            assigns.append((p, INSERT, ordinal, snap.snapshot_id))
+        for p in removed:
+            assigns.append((p, DELETE, ordinal, snap.snapshot_id))
         if new_dels:
             pos_like = [d for d in new_dels
                         if d.content == CONTENT_POSITION_DELETES]
             eq = [d for d in new_dels if d.content == CONTENT_EQUALITY_DELETES]
             if pos_like:
-                refd = _pos_delete_targets(spark, pos_like)
-                targets = sorted(set(data_prev) if refd is None
-                                 else refd & set(data_prev))
-                if targets:
-                    pair_df = _pos_delete_df(spark, pos_like)
-                    pair_df = _maybe_broadcast(spark, pair_df,
-                                               _delete_set_bytes(pos_like))
-                    hit = read_files(targets, with_meta=True).join(
-                        pair_df,
-                        on=[F.col("_cf") == _norm_path(pair_df["_del_file"]),
-                            F.col("_cp") == pair_df["_del_pos"]],
-                        how="left_semi")
-                    parts.append(stamp(hit, DELETE, ordinal, snap.snapshot_id))
+                # defer: referenced-target resolution batches into ONE job
+                # across every delete ordinal after the loop. data_prev is
+                # kept per delete ordinal for the intersection — memory is
+                # O(delete-ordinals x files), the same order as the
+                # manifests the loop already parses.
+                pos_pending.append({
+                    "ordinal": ordinal, "snap_id": snap.snapshot_id,
+                    "pos_like": pos_like, "data_prev": set(data_prev)})
             if eq:
                 prev_paths = sorted(data_prev)
                 if prev_paths:
@@ -221,6 +236,49 @@ def changes_df(spark: SparkSession, table: Table,
                         parts.append(stamp(hit, DELETE, ordinal,
                                            snap.snapshot_id))
 
+    if assigns:
+        # ONE scan for every plain insert/delete file across all ordinals;
+        # the per-file stamp joins in from a broadcast metadata map
+        paths = sorted({a[0] for a in assigns})
+        base = read_files(paths, with_meta=True)
+        amap = spark.createDataFrame(
+            [(_norm_path_py(p), ct, o, sid) for p, ct, o, sid in assigns],
+            schema="_cf string, _change_type string, _change_ordinal int, "
+                   "_commit_snapshot_id long")
+        parts.append(base.join(F.broadcast(amap), "_cf")
+                     .select(*names, "_change_type", "_change_ordinal",
+                             "_commit_snapshot_id"))
+
+    pos_jobs: List[dict] = []           # merged pos-delete reconstructions
+    if pos_pending:
+        refd_by_ord = _pos_delete_targets_batch(spark, pos_pending)
+        for job in pos_pending:
+            refd = refd_by_ord[job["ordinal"]]
+            if refd is None:
+                # unbounded referenced-file set (_TARGET_LIST_CAP): keep
+                # this ordinal on the per-ordinal path — the merged path
+                # needs the driver-side (ordinal, target) validity map
+                targets = sorted(job["data_prev"])
+                if targets:
+                    pair_df = _pos_delete_df(spark, job["pos_like"])
+                    pair_df = _maybe_broadcast(
+                        spark, pair_df, _delete_set_bytes(job["pos_like"]))
+                    hit = read_files(targets, with_meta=True).join(
+                        pair_df,
+                        on=[F.col("_cf") == _norm_path(pair_df["_del_file"]),
+                            F.col("_cp") == pair_df["_del_pos"]],
+                        how="left_semi")
+                    parts.append(stamp(hit, DELETE, job["ordinal"],
+                                       job["snap_id"]))
+            else:
+                targets = sorted(refd & job["data_prev"])
+                if targets:
+                    pos_jobs.append({
+                        "ordinal": job["ordinal"], "snap_id": job["snap_id"],
+                        "pos_like": job["pos_like"], "targets": targets})
+    if pos_jobs:
+        parts.append(_merged_pos_deletes(spark, pos_jobs, read_files, names))
+
     if not parts:
         empty = spark.createDataFrame([], spark_schema)
         return stamp(empty, INSERT, 0, 0).where(F.lit(False))
@@ -228,6 +286,89 @@ def changes_df(spark: SparkSession, table: Table,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _merged_pos_deletes(spark: SparkSession, jobs: List[dict], read_files,
+                        names: List[str]) -> DataFrame:
+    """ONE scan of every pos-delete-targeted data file across all ordinals,
+    inner-joined against ordinal-tagged (file, pos) delete pairs. Exactly
+    the union of the per-ordinal semi-joins because:
+
+    - each pair row carries its ordinal, so a pair never deletes rows at
+      another ordinal
+    - pairs are deduped per (file, pos, ordinal): two delete files listing
+      the same position in one snapshot still delete the row once
+    - a broadcast (ordinal, target-file) validity join reproduces the
+      per-ordinal ``referenced & data_prev`` restriction (every job here
+      passed the _TARGET_LIST_CAP gate, so the map is metadata-sized)
+    """
+    from ..sources.scan import dv_pairs_df
+    pair_parts: List[DataFrame] = []
+    pq_assign: List[tuple] = []         # (delete_file_path, ordinal, snap)
+    for job in jobs:
+        parquet = sorted({d.file_path for d in job["pos_like"]
+                          if d.file_format == "parquet"})
+        for p in parquet:
+            pq_assign.append((p, job["ordinal"], job["snap_id"]))
+        dvs = [d for d in job["pos_like"] if d.file_format == "puffin"]
+        if dvs:
+            pair_parts.append(
+                dv_pairs_df(spark, dvs)
+                .withColumn("_ord", F.lit(job["ordinal"]).cast("int"))
+                .withColumn("_sid", F.lit(job["snap_id"]).cast("long")))
+    if pq_assign:
+        # all parquet pos-delete files in ONE scan; file -> ordinal joins
+        # in from a broadcast map on _metadata.file_path
+        paths = sorted({p for p, _o, _s in pq_assign})
+        raw = _read_parquet_meta(spark, paths)
+        pmap = spark.createDataFrame(
+            [(_norm_path_py(p), o, s) for p, o, s in pq_assign],
+            schema="_src string, _ord int, _sid long")
+        pair_parts.append(
+            raw.join(F.broadcast(pmap), "_src")
+               .select(F.col("file_path").alias("_del_file"),
+                       F.col("pos").alias("_del_pos"), "_ord", "_sid"))
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["_del_file", "_del_pos", "_ord"])
+    valid = spark.createDataFrame(
+        [(job["ordinal"], _norm_path_py(t))
+         for job in jobs for t in job["targets"]],
+        schema="_vord int, _vcf string")
+    pairs = (pairs.join(F.broadcast(valid),
+                        on=[_norm_path(F.col("_del_file")) == F.col("_vcf"),
+                            F.col("_ord") == F.col("_vord")])
+             .drop("_vcf", "_vord"))
+    total_bytes = sum(_delete_set_bytes(job["pos_like"]) for job in jobs)
+    pairs = _maybe_broadcast(spark, pairs, total_bytes)
+    all_targets = sorted({t for job in jobs for t in job["targets"]})
+    tgt = read_files(all_targets, with_meta=True)
+    hit = tgt.join(pairs,
+                   on=[F.col("_cf") == _norm_path(F.col("_del_file")),
+                       F.col("_cp") == F.col("_del_pos")])
+    return hit.select(*names,
+                      F.lit(DELETE).alias("_change_type"),
+                      F.col("_ord").cast("int").alias("_change_ordinal"),
+                      F.col("_sid").cast("long")
+                      .alias("_commit_snapshot_id"))
+
+
+def _read_parquet_meta(spark: SparkSession, paths: List[str]) -> DataFrame:
+    """_read_parquet_raw plus a ``_src`` column: each row's source file as
+    its manifest URI (localized reads remapped back), for joining per-file
+    assignment maps."""
+    from ..sources.io import (localize_paths, mirror_remap_pattern,
+                              spark_native_path)
+    read_paths, remap = sorted(paths), None
+    if read_paths and not spark_native_path(read_paths[0]):
+        read_paths = localize_paths(read_paths)
+        remap = mirror_remap_pattern()
+    df = spark.read.parquet(*read_paths)
+    fcol = F.col("_metadata.file_path")
+    if remap is not None:
+        fcol = F.regexp_replace(fcol, remap[0], remap[1])
+    return df.withColumn("_src", F.regexp_replace(fcol, "^file:/*", "/"))
 
 
 def _pos_delete_df(spark: SparkSession,
@@ -258,30 +399,52 @@ def _pos_delete_df(spark: SparkSession,
 _TARGET_LIST_CAP = 200_000
 
 
-def _pos_delete_targets(spark: SparkSession,
-                        pos_like: List[DataFile]) -> Optional[Set[str]]:
-    """Distinct data files referenced by positional deletes — a
-    metadata-sized set (bounded by FILE count, never positions): DV entries
-    carry the reference in their manifest entry; parquet pos-deletes need one
-    distinct-aggregate over the (tiny) file_path column. The set exists to
-    PRUNE which previous-state files the delete semi-join reads, so its
-    driver cost must stay below the pruning win: past _TARGET_LIST_CAP
-    distinct files this returns None and the caller reads the full previous
-    state instead (the semi-join still filters correctly — only the
-    metadata-level file pruning is given up)."""
-    targets: Set[str] = {d.referenced_data_file for d in pos_like
-                         if d.file_format == "puffin"
-                         and d.referenced_data_file}
-    parquet = sorted({d.file_path for d in pos_like
-                      if d.file_format == "parquet"})
-    if parquet:
-        rows = (_read_parquet_raw(spark, parquet)
-                .select("file_path").distinct()
-                .limit(_TARGET_LIST_CAP + 1).collect())
-        if len(targets) + len(rows) > _TARGET_LIST_CAP:
-            return None
-        targets |= {r["file_path"] for r in rows}
-    return targets
+def _pos_delete_targets_batch(
+        spark: SparkSession,
+        jobs: List[dict]) -> Dict[int, Optional[Set[str]]]:
+    """ordinal -> distinct data files referenced by that ordinal's
+    positional deletes, resolved in ONE Spark job across every delete
+    ordinal (the former per-ordinal distinct+collect made deep-history
+    planning O(delete-snapshots) in job launches — 12 launches were 3.5 s
+    of the x10 probe's 9.7 s wall).
+
+    The sets are metadata-sized (bounded by FILE count, never positions):
+    DV entries carry the reference in their manifest entry (driver-side,
+    free); parquet pos-delete files are read once, their file -> ordinal
+    assignment joined in from a broadcast map, and one distinct over the
+    (tiny) (_ord, file_path) columns collects. The sets exist to PRUNE
+    which previous-state files the delete join reads, so driver cost must
+    stay below the pruning win: past _TARGET_LIST_CAP combined distinct
+    files every parquet-bearing ordinal maps to None and the caller reads
+    its full previous state instead (the join still filters correctly —
+    only the metadata-level file pruning is given up)."""
+    out: Dict[int, Optional[Set[str]]] = {}
+    pq_assign: List[tuple] = []
+    for job in jobs:
+        o = job["ordinal"]
+        out[o] = {d.referenced_data_file for d in job["pos_like"]
+                  if d.file_format == "puffin" and d.referenced_data_file}
+        for p in sorted({d.file_path for d in job["pos_like"]
+                         if d.file_format == "parquet"}):
+            pq_assign.append((p, o))
+    if not pq_assign:
+        return out
+    paths = sorted({p for p, _o in pq_assign})
+    raw = _read_parquet_meta(spark, paths)
+    pmap = spark.createDataFrame(
+        [(_norm_path_py(p), o) for p, o in pq_assign],
+        schema="_src string, _ord int")
+    rows = (raw.join(F.broadcast(pmap), "_src")
+            .select("_ord", "file_path").distinct()
+            .limit(_TARGET_LIST_CAP + 1).collect())
+    dv_total = sum(len(s) for s in out.values() if s)
+    if len(rows) + dv_total > _TARGET_LIST_CAP:
+        for _p, o in pq_assign:
+            out[o] = None
+        return out
+    for r in rows:
+        out[r["_ord"]].add(r["file_path"])
+    return out
 
 
 def net_changes(changes: DataFrame, keys: List[str]) -> DataFrame:
