@@ -3,18 +3,16 @@ that turns pairwise dedup output (minhash/simhash/embedding LSH) into
 keep-one-per-cluster decisions in a training-data pipeline.
 
 Beyond-reference surface (like operators/dedup.py). Algorithm: iterative
-min-label propagation — every node repeatedly adopts the smallest label seen
-among itself and its neighbors; converges in rounds ~= the cluster diameter.
-Near-duplicate graphs are dense low-diameter blobs (a cluster of N copies is
-close to a clique), so 2-4 rounds settle real corpora; `max_iter` bounds the
-pathological chain case. Each round is one shuffle (edge-label join +
-min-aggregate); labels persist round-over-round and the previous round is
-unpersisted, so lineage stays O(1) and memory O(nodes).
-
-At 100 TB: rounds are sequential but each is a plain shuffled join on the
-label partitioning — the alternating large-star/small-star formulation
-(Kiveris et al., "Connected Components in MapReduce and Beyond") drops round
-count to O(log d) if diameters ever matter; the per-round plan is identical.
+min-label propagation with pointer-jumping compression — every node adopts
+the smallest label among itself and its neighbors, then (from round 2)
+jumps to its label's label, doubling the distance covered per round.
+Near-duplicate graphs are dense low-diameter blobs (a cluster of N copies
+is close to a clique), so round 1 settles real corpora in one join + one
+aggregate; pathological chain shapes converge in O(log diameter) rounds
+(Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds"), so `max_iter`=25 reaches any graph up to diameter
+~2^24. Each round is one action; labels persist round-over-round and the
+previous round is unpersisted, so lineage stays O(1) and memory O(nodes).
 """
 
 from __future__ import annotations
@@ -86,33 +84,42 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # column's type exactly — deriving it (instead of hard-coding long) keeps
     # the union well-typed if callers ever feed non-numeric node ids
     label_type = prev_ckpt.schema["label"].dataType
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # Thread each node's OLD label through the same union+aggregate that
         # computes its new label: the self row carries old=label, neighbor
         # rows carry old=NULL (min ignores nulls; every node has exactly one
         # self row because labels covers every vertex of the symmetric edge
         # set). The convergence test is then a plain max() over the aggregate
-        # output — ONE action per round, no separate new-vs-old join.
-        # TWO fused propagation hops per action (r8): job-launch overhead,
-        # not shuffle volume, dominates the loop wall at small scale (the r7
-        # bench attributed ~97% of dedup_clusters to per-round launches), so
-        # each round runs hop1 -> hop2 inside ONE job before the single
-        # convergence aggregate. Labels only ever decrease, so "no change
-        # across two hops" is exactly the one-hop convergence criterion;
-        # chain-shaped graphs take ceil(d/2)+1 actions instead of d+1, and
-        # the common clique case stays at one.
+        # output — ONE action per round, no separate new-vs-old join (the
+        # old shape cost an extra shuffle join + job every round and was the
+        # wall driver on small graphs where launch overhead dominates).
         cur = labels.select("a", "label", F.col("label").alias("old"))
-        for _hop in range(2):
-            nbr = (und.join(cur.select(F.col("a").alias("b"),
-                                       F.col("label")), "b")
-                   .select("a", "label",
-                           F.lit(None).cast(label_type).alias("old")))
-            cur = (cur.unionByName(nbr).groupBy("a")
-                   .agg(F.min("label").alias("label"),
-                        F.min("old").alias("old")))
+        nbr = (und.join(cur.select(F.col("a").alias("b"),
+                                   F.col("label")), "b")
+               .select("a", "label",
+                       F.lit(None).cast(label_type).alias("old")))
+        prop = (cur.unionByName(nbr).groupBy("a")
+                .agg(F.min("label").alias("label"),
+                     F.min("old").alias("old")))
+        if rnd > 0:
+            # Pointer-jumping compression (r8, Rastogi et al. "Finding
+            # Connected Components in Map-Reduce in Logarithmic Rounds"):
+            # label <- label(label). Every label value is itself a vertex
+            # (labels are min node-ids), so one self-join doubles the
+            # distance already covered — rounds drop from O(diameter) to
+            # O(log diameter), and max_iter=25 now converges any graph up
+            # to diameter ~2^24 instead of silently returning split
+            # components past 25 hops. Round 1 skips it: near-dup graphs
+            # are cliques that converge at the seed hop, and the common
+            # case must stay one join + one aggregate per call.
+            m = prop.select(F.col("a").alias("_ma"),
+                            F.col("label").alias("_ml"))
+            prop = (prop.join(m, prop["label"] == m["_ma"], "left")
+                    .select("a", F.coalesce("_ml", "label").alias("label"),
+                            "old"))
         # lazy checkpoint: the convergence aggregate below is the one action
         # per round — it materializes the checkpoint as a side effect
-        new_ckpt = _ckpt(cur, eager=False)
+        new_ckpt = _ckpt(prop, eager=False)
         changed = new_ckpt.select(
             F.max((F.col("label") < F.col("old")).cast("int"))
             .alias("c")).first()[0]

@@ -325,6 +325,19 @@ def test_connected_components_shapes(spark):
     assert {r["component"] for r in comp2} == {0}
 
 
+def test_connected_components_diameter_beyond_max_iter(spark):
+    """Pointer-jumping compression must converge a diameter-100 chain well
+    inside max_iter=25 (O(log d) rounds). Regression: plain 1-hop
+    propagation silently returned SPLIT components for any graph whose
+    diameter exceeded max_iter."""
+    from iceberg_rust_spark.operators.components import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                  "id_a long, id_b long")
+    comp = connected_components(chain, max_iter=25).collect()
+    assert len(comp) == 101
+    assert {r["component"] for r in comp} == {0}
+
+
 def test_connected_components_property_random_graphs(spark):
     """Property check vs an independent union-find: on random edge lists the
     distributed min-label propagation must produce exactly the union-find
