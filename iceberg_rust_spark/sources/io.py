@@ -58,6 +58,16 @@ class FileIO:
     #: fallback is for FileIO-only stores (memory://, registered shims).
     spark_native = True
 
+    #: True when instances of this FileIO are PICKLABLE and remain valid
+    #: inside executor Python workers (the client carries its own
+    #: credentials/endpoint state, no process-local registry needed).
+    #: Non-spark_native backends that set this read data files
+    #: EXECUTOR-SIDE through executor_io.fileio_parquet_df — whole-object
+    #: GET + pyarrow decode per task — instead of the driver localize
+    #: mirror. memory:// must stay False (its store is a driver-process
+    #: dict); real object-store clients (boto-style) can be True.
+    executor_reads = False
+
     def read_bytes(self, path: str, offset: Optional[int] = None,
                    length: Optional[int] = None) -> bytes:
         raise NotImplementedError

@@ -32,7 +32,8 @@ from ..plans import expr as E
 from ..plans.evaluators import (ColumnMetrics, FieldSummary, PartitionFieldInfo,
                                 file_might_match, inclusive_projection,
                                 manifest_might_match, partition_might_match)
-from .io import localize_paths, mirror_remap_pattern, spark_native_path
+from .io import (file_io_for, localize_paths, mirror_remap_pattern,
+                 spark_native_path)
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_DELETED, DataFile,
                        ManifestEntry, ManifestFile, read_manifest,
@@ -339,14 +340,21 @@ class TableScan:
         for sig, tasks in groups.items():
             schema_id, pos_paths, eq_paths = sig[:3]
             files = [t.data_file.file_path for t in tasks]
-            # FileIO data plane (io.py spark_native): localize remote
-            # objects to the mirror cache and remap the _file metadata
-            # column back to the manifest-recorded URIs so delete joins
-            # and lineage lookups still match
+            # FileIO data plane (io.py spark_native): executor_reads
+            # backends ship the (picklable) FileIO into the tasks and GET
+            # object bytes cluster-side; others localize to the driver
+            # mirror cache with the _file metadata column remapped back to
+            # manifest-recorded URIs so delete joins and lineage lookups
+            # still match
             remap = None
+            exec_io = None
             if not spark_native_path(files[0]):
-                files = localize_paths(files)
-                remap = mirror_remap_pattern()
+                io_impl = file_io_for(files[0])
+                if getattr(io_impl, "executor_reads", False):
+                    exec_io = io_impl
+                else:
+                    files = localize_paths(files)
+                    remap = mirror_remap_pattern()
             file_schema = self._file_schema(schema_id, schema)
             need_meta = (bool(pos_paths) or self.include_row_lineage
                          or self.include_deleted)
@@ -354,7 +362,12 @@ class TableScan:
                 # external id-less files (add_files): infer the physical
                 # schema, then rename aliases -> canonical via name mapping
                 # (spec/name_mapping fallback, arrow/reader/pipeline.rs:160-196)
-                gdf = spark.read.parquet(*files)
+                if exec_io is not None:
+                    from .executor_io import fileio_parquet_df
+                    gdf = fileio_parquet_df(spark, files, None, exec_io,
+                                            with_meta=need_meta)
+                else:
+                    gdf = spark.read.parquet(*files)
                 alias_map = self._alias_map(schema)
                 for alias, canonical in alias_map.items():
                     if alias in gdf.columns and alias != canonical:
@@ -371,8 +384,13 @@ class TableScan:
                         StructField("_row_id", LongType(), True))
                     read_schema = read_schema.add(StructField(
                         "_last_updated_sequence_number", LongType(), True))
-                gdf = spark.read.schema(read_schema).parquet(*files)
-            if need_meta:
+                if exec_io is not None:
+                    from .executor_io import fileio_parquet_df
+                    gdf = fileio_parquet_df(spark, files, read_schema,
+                                            exec_io, with_meta=need_meta)
+                else:
+                    gdf = spark.read.schema(read_schema).parquet(*files)
+            if need_meta and exec_io is None:
                 fcol = F.col("_metadata.file_path")
                 if remap is not None:
                     fcol = F.regexp_replace(fcol, remap[0], remap[1])
