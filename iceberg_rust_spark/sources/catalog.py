@@ -40,6 +40,16 @@ class CommitConflict(Exception):
     """Another writer committed first; refresh and retry."""
 
 
+class ValidationConflict(Exception):
+    """A concurrent commit invalidated this operation's captured state
+    (removed a file it rewrites, or added deletes to a file it replaces).
+    Retrying the SAME action cannot succeed — the caller must refresh the
+    table and re-plan the operation. The counterpart of the reference /
+    Iceberg ValidationException raised by validate_added_data_files /
+    validateDataFilesExist / validateNoNewDeletesForDataFiles
+    (crates/iceberg/src/transaction/snapshot.rs:139-163)."""
+
+
 class NoSuchTable(Exception):
     pass
 

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from ..plans import expr as E
 from ..plans.evaluators import file_must_match
 from .io import file_io_for, posix_join
-from .catalog import CommitConflict, FileSystemCatalog
+from .catalog import CommitConflict, FileSystemCatalog, ValidationConflict
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_ADDED, STATUS_EXISTING,
                        DataFile, FieldSummaryRec, ManifestEntry, ManifestFile,
@@ -269,9 +269,12 @@ class Table:
                 .filter(~E.to_spark_column(bound))
             added = write_data_files(spark, keep_df, md)
             drop_paths += files
+        base_seq = md.last_sequence_number
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete" if not added else "overwrite",
             added=added, removed_paths=set(drop_paths),
+            validate_removed_exist=True,
+            validate_no_new_deletes_since=base_seq,
             extra_summary={"strict-partition-deleted-files":
                            str(strict_partition_drops)}))
 
@@ -328,8 +331,14 @@ class Table:
                          file_size_in_bytes=st["size"],
                          schema_id=schema.schema_id, spec_id=self.spec.spec_id)
                 for p, st in entries]
+        # conflict matrix: positions dangle if a concurrent rewrite removed
+        # a referenced file — validate existence at commit (metadata-sized
+        # distinct: data-FILE paths, never positions)
+        targets = {r["file_path"] for r in
+                   hits.select("file_path").distinct().collect()}
         return self._commit_retry(lambda m: self._snapshot_update(
-            m, "delete", added_deletes=dels))
+            m, "delete", added_deletes=dels,
+            validate_files_exist=targets))
 
     def _delete_mor_dv(self, spark: SparkSession, pred: E.Predicate) -> "Table":
         """Merge-on-read delete as Puffin deletion vectors (v3): one
@@ -465,7 +474,8 @@ class Table:
             schema_id=schema.schema_id, spec_id=self.spec.spec_id)
             for fp, path, card, offset, length, fsize in desc]
         return self._commit_retry(lambda md: self._snapshot_update(
-            md, "delete", added_deletes=dels))
+            md, "delete", added_deletes=dels,
+            validate_files_exist={d.referenced_data_file for d in dels}))
 
     def delete_by_equality(self, spark: SparkSession, keys_df: DataFrame,
                            eq_column_names: List[str]) -> "Table":
@@ -537,7 +547,9 @@ class Table:
                                  .otherwise(F.col(name)))
         added = write_data_files(spark, out, md)
         return self._commit_retry(lambda m: self._snapshot_update(
-            m, "overwrite", added=added, removed_paths=set(files)))
+            m, "overwrite", added=added, removed_paths=set(files),
+            validate_removed_exist=True,
+            validate_no_new_deletes_since=md.last_sequence_number))
 
     def merge(self, spark: SparkSession, source_df: DataFrame,
               key_columns: List[str],
@@ -613,7 +625,9 @@ class Table:
         df = self._live_rows_for_files(spark, rewrite_paths).coalesce(int(n_out))
         added = write_data_files(spark, df, md)
         return self._commit_retry(lambda m: self._snapshot_update(
-            m, "replace", added=added, removed_paths=set(rewrite_paths)))
+            m, "replace", added=added, removed_paths=set(rewrite_paths),
+            validate_removed_exist=True,
+            validate_no_new_deletes_since=md.last_sequence_number))
 
     def rewrite_zorder(self, spark: SparkSession, cols: List[str],
                        n_files: Optional[int] = None) -> "Table":
@@ -660,7 +674,9 @@ class Table:
         added = write_data_files(spark, clustered, md,
                                  distribution_mode="none")
         return self._commit_retry(lambda m: self._snapshot_update(
-            m, "replace", added=added, removed_paths=set(paths)))
+            m, "replace", added=added, removed_paths=set(paths),
+            validate_removed_exist=True,
+            validate_no_new_deletes_since=md.last_sequence_number))
 
     def rewrite_manifests(self, target_entries: int = 100_000) -> "Table":
         """Metadata-only manifest compaction (Spark's rewrite_manifests
@@ -1926,11 +1942,25 @@ class Table:
                          remove_all: bool = False,
                          extra_summary: Optional[Dict[str, str]] = None,
                          branch: Optional[str] = None,
-                         stage_only: bool = False) -> TableMetadata:
+                         stage_only: bool = False,
+                         validate_removed_exist: bool = False,
+                         validate_files_exist: Optional[set] = None,
+                         validate_no_new_deletes_since: Optional[int] = None
+                         ) -> TableMetadata:
         """Build the next snapshot: new manifest(s) for added files, carried
         (possibly rewritten) manifests for survivors, new manifest list.
         With ``branch`` set (non-main), the new snapshot extends and re-points
         that ref only; current_snapshot_id and the snapshot log stay on main.
+
+        The ``validate_*`` knobs are the conflict matrix run INSIDE the
+        commit-retry loop against the refreshed base (Iceberg's
+        OverwriteFiles/RewriteFiles validations): a copy-on-write rewrite
+        whose source files a concurrent commit removed would resurrect
+        deleted rows; a positional delete whose referenced files a
+        concurrent compaction rewrote would silently drop; a rewrite racing
+        a NEW delete file on its inputs would un-delete. Each raises
+        ValidationConflict — NOT retried, because reapplying the same
+        captured files can never become valid; callers refresh + re-plan.
         """
         added = added or []
         added_deletes = added_deletes or []
@@ -1942,6 +1972,56 @@ class Table:
             raise NotImplementedError(
                 "cannot commit to an encrypted table: encrypted writes are "
                 "not supported (encryption.key-id is set)")
+
+        # base snapshot this commit extends (branch head when writing to a
+        # branch; else main) — needed by validation AND carry-forward below
+        on_branch = branch is not None and branch != MAIN_BRANCH
+        if on_branch and branch in md.refs:
+            cur = md.snapshot_by_id(md.refs[branch].snapshot_id)
+        else:
+            cur = md.current_snapshot()
+
+        if (validate_removed_exist or validate_files_exist
+                or validate_no_new_deletes_since is not None):
+            from .scan import _norm_path_py
+            live: set = set()
+            new_dels: List[DataFile] = []
+            if cur is not None:
+                for mf in load_manifest_list(cur.manifest_list):
+                    for e in load_manifest(mf.manifest_path):
+                        f = e.data_file
+                        if f.content == CONTENT_DATA:
+                            live.add(_norm_path_py(f.file_path))
+                        elif (validate_no_new_deletes_since is not None
+                              and e.sequence_number
+                              > validate_no_new_deletes_since):
+                            new_dels.append(f)
+            removed_norm = {_norm_path_py(p) for p in removed_paths}
+            if validate_removed_exist:
+                gone = sorted(removed_norm - live)
+                if gone:
+                    raise ValidationConflict(
+                        f"{len(gone)} file(s) this rewrite replaces were "
+                        f"removed by a concurrent commit (e.g. {gone[0]}); "
+                        "refresh and re-plan")
+            if validate_files_exist:
+                gone = sorted({_norm_path_py(p)
+                               for p in validate_files_exist} - live)
+                if gone:
+                    raise ValidationConflict(
+                        f"{len(gone)} data file(s) referenced by this "
+                        f"delete were rewritten concurrently (e.g. "
+                        f"{gone[0]}); refresh and re-plan")
+            for d in new_dels:
+                ref = d.referenced_data_file
+                # a path-scoped delete on a replaced file, or any broader
+                # (partition/eq) delete, may target rows this rewrite
+                # re-adds from its stale capture — conservative conflict
+                if ref is None or _norm_path_py(ref) in removed_norm:
+                    raise ValidationConflict(
+                        "concurrent commit added delete files applying to "
+                        "files this rewrite replaces; refresh and re-plan")
+
         seq = md.last_sequence_number + 1
         snap_id = new_snapshot_id()
         md_dir = os.path.join(md.location, "metadata")
@@ -1991,13 +2071,7 @@ class Table:
         if added_deletes:
             manifests.append(new_manifest(added_deletes, 1))
 
-        # carry forward previous manifests from the base (branch head if
-        # writing to a branch, else the main current snapshot)
-        on_branch = branch is not None and branch != MAIN_BRANCH
-        if on_branch and branch in md.refs:
-            cur = md.snapshot_by_id(md.refs[branch].snapshot_id)
-        else:
-            cur = md.current_snapshot()
+        # carry forward previous manifests from the base (computed above)
         if cur is not None and not remove_all:
             for mf in load_manifest_list(cur.manifest_list):
                 if not removed_paths:
