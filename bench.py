@@ -147,6 +147,34 @@ def main() -> None:
         print(f"# {name}: min {timings[name]}s (plan {plannings[name]}s) "
               f"median {medians[name]}s ({rows[name]} rows)", file=sys.stderr)
 
+    # Read-path pair: the Spark 4 Python DataSource vs the native
+    # scan.to_df on the SAME table + filter + aggregate, quantifying the
+    # Arrow-batch overhead of the DataSource so the README can tell users
+    # which read path to use when. Recorded in BENCH_DETAIL only.
+    from pyspark.sql import functions as F
+
+    def native_twin(spark_, sf_dir_):
+        from iceberg_rust_spark import Table, expr as IE
+        cat = entry._warehouse(spark_, sf_dir_)
+        t = Table.load(cat, "db.orders_delmor")
+        df = (t.scan(row_filter=IE.col("o_orderpriority") == "1-URGENT")
+              .to_df(spark_))
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            entry._sum_dec("o_totalprice", "sum_price"))
+
+    read_pair = {}
+    for label, fn in (("datasource", qs["iceberg_datasource_read"]),
+                      ("native_scan", native_twin)):
+        fn(spark, sf_dir).count()               # warm
+        pair_runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pair_runs.append(time.time() - t0)
+        read_pair[label + "_sec"] = round(min(pair_runs), 3)
+    print(f"# read_path_pair: {read_pair}", file=sys.stderr)
+
     # stdout line stays COMPACT (per-query headline only): r3's line carried
     # two dicts and the driver's bounded tail window truncated it mid-JSON
     # (BENCH_r03.json parsed: null). Full detail goes to BENCH_DETAIL.json.
@@ -158,7 +186,8 @@ def main() -> None:
     detail = dict(summary, protocol=f"min-of-{reps}-rep-major",
                   queries_median=medians, queries_plan=plannings,
                   reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec,
-                  calibration={"probe_sec": probes, "loadavg_1m": loadavg})
+                  calibration={"probe_sec": probes, "loadavg_1m": loadavg},
+                  read_path_pair=read_pair)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
