@@ -14,8 +14,17 @@ Lossless Bitstream Specification":
   per-channel prefix codes, no transforms) — the fixture twin; its output
   decodes in any compliant reader.
 
-Lossy VP8 pixel decode is a full video intra codec and stays out of scope
-(ValueError -> callers keep their marked stub fallback).
+Lossy VP8: vp8_keyframe_info is a REAL parse of the key-frame first
+partition through the quantizer indices — RFC 6386 boolean entropy decoder
+plus every header field that needs NO probability tables (dims/scale,
+color space, segmentation incl. quantizer/filter deltas and segment tree
+probs, loop filter, partition count, all six quant indices). Pixel decode
+stays out of scope with a precise boundary: the token layer requires the
+RFC's ~2 KB of default/update probability constants
+(coeff_update_probs[4][8][3][11], default coeff probs, kf_bmode[10][10][9])
+which are unavailable in this offline container, and reproducing them from
+memory risks a silently-desynced arithmetic decoder — strictly worse than
+the marked stub fallback callers keep (ValueError -> stub histogram).
 """
 
 from __future__ import annotations
@@ -632,3 +641,225 @@ def encode_webp_lossless(px: np.ndarray) -> bytes:
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+
+# ------------------------------------------------- VP8 (lossy) header layer
+
+class _VP8BoolDecoder:
+    """RFC 6386 section 7 boolean entropy decoder — the table-free core.
+    Every VP8 header field below decodes with explicit probabilities
+    (literals at prob 128), so no spec probability tables are involved."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 2
+        self.value = ((data[0] << 8) | data[1]) if len(data) >= 2 else 0
+        self.range = 255
+        self.bit_count = 0
+
+    def read(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big_split = split << 8
+        if self.value >= big_split:
+            ret = 1
+            self.range -= split
+            self.value -= big_split
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                self.value |= nxt
+                self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read(128)
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.read(128) else v
+
+
+class _VP8BoolEncoder:
+    """Encoder twin (RFC 6386 section 8, carry-propagating) — builds the
+    golden first partitions that pin the decoder's arithmetic in tests."""
+
+    def __init__(self):
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+        self.out = bytearray()
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 0xFF:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def write(self, prob: int, boolean: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if boolean:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write(128, (value >> i) & 1)
+
+    def signed(self, value: int, n: int) -> None:
+        self.literal(abs(value), n)
+        self.write(128, 1 if value < 0 else 0)
+
+    def flush(self) -> bytes:
+        # libvpx vp8_stop_encode: 32 zero bools drain the low register;
+        # decoders never read past their last field, so the padding is inert
+        for _ in range(32):
+            self.write(128, 0)
+        return bytes(self.out)
+
+
+def vp8_keyframe_info(data: bytes) -> dict:
+    """REAL parse of a lossy-WebP / raw-VP8 KEY FRAME's first partition
+    through the quantizer indices (RFC 6386 sections 9.1-9.6) — every
+    field decodable without the spec's probability tables: frame tag,
+    scaled dims, color space, segmentation (modes, quantizer / loop-filter
+    deltas, segment tree probs), loop filter, DCT partition count, and all
+    six quantizer indices. Raises ValueError on non-keyframes / bad magic.
+
+    ``data`` may be a full WebP container or a bare VP8 frame payload."""
+    b = bytes(data)
+    if b[:4] == b"RIFF":
+        body = None
+        for cid, chunk in _webp_chunks(b):
+            if cid == b"VP8 ":
+                body = chunk
+                break
+        if body is None:
+            raise ValueError("no VP8 chunk in WebP container")
+    else:
+        body = b
+    if len(body) < 10:
+        raise ValueError("VP8 frame too short")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise ValueError("not a VP8 key frame")
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    first_part_size = tag >> 5
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 start code")
+    w_raw, h_raw = struct.unpack("<HH", body[6:10])
+    info = {
+        "version": version, "show_frame": bool(show_frame),
+        "first_partition_size": first_part_size,
+        "width": w_raw & 0x3FFF, "horizontal_scale": w_raw >> 14,
+        "height": h_raw & 0x3FFF, "vertical_scale": h_raw >> 14,
+    }
+    part = body[10:10 + first_part_size]
+    if len(part) < first_part_size:
+        raise ValueError("truncated VP8 first partition")
+    d = _VP8BoolDecoder(part)
+    info["color_space"] = d.literal(1)
+    info["clamping_type"] = d.literal(1)
+
+    seg = {"enabled": bool(d.literal(1))}
+    if seg["enabled"]:
+        update_map = d.literal(1)
+        update_data = d.literal(1)
+        if update_data:
+            seg["abs_values"] = bool(d.literal(1))
+            seg["quantizer_deltas"] = [
+                d.signed(7) if d.literal(1) else 0 for _ in range(4)]
+            seg["loop_filter_deltas"] = [
+                d.signed(6) if d.literal(1) else 0 for _ in range(4)]
+        if update_map:
+            seg["tree_probs"] = [
+                d.literal(8) if d.literal(1) else 255 for _ in range(3)]
+    info["segmentation"] = seg
+
+    info["filter_type"] = d.literal(1)
+    info["filter_level"] = d.literal(6)
+    info["sharpness_level"] = d.literal(3)
+    if d.literal(1):                        # loop filter adjustments enabled
+        if d.literal(1):                    # deltas updated this frame
+            info["ref_lf_deltas"] = [
+                d.signed(6) if d.literal(1) else 0 for _ in range(4)]
+            info["mode_lf_deltas"] = [
+                d.signed(6) if d.literal(1) else 0 for _ in range(4)]
+
+    info["dct_partition_count"] = 1 << d.literal(2)
+    info["y_ac_qi"] = d.literal(7)
+    info["y_dc_delta"] = d.signed(4) if d.literal(1) else 0
+    info["y2_dc_delta"] = d.signed(4) if d.literal(1) else 0
+    info["y2_ac_delta"] = d.signed(4) if d.literal(1) else 0
+    info["uv_dc_delta"] = d.signed(4) if d.literal(1) else 0
+    info["uv_ac_delta"] = d.signed(4) if d.literal(1) else 0
+    # the next fields (refresh_entropy_probs, then the token probability
+    # update flags) require coeff_update_probs[4][8][3][11] to stay in
+    # sync — the documented boundary of the table-free parse
+    return info
+
+
+def encode_vp8_keyframe_header(width: int, height: int,
+                               y_ac_qi: int = 32,
+                               filter_level: int = 12,
+                               segmentation_quant_deltas=None) -> bytes:
+    """Minimal VP8 key-frame HEADER bytes (frame tag + start code + dims +
+    a first partition holding the table-free fields) — the fixture twin of
+    vp8_keyframe_info, for tests and synthetic media rows. The result is a
+    spec-layout header, not a decodable picture: the first partition ends
+    at the quantizer/refresh fields (no macroblock data follows)."""
+    e = _VP8BoolEncoder()
+    e.literal(0, 1)                         # color space
+    e.literal(0, 1)                         # clamping
+    if segmentation_quant_deltas is None:
+        e.literal(0, 1)                     # segmentation disabled
+    else:
+        e.literal(1, 1)                     # enabled
+        e.literal(0, 1)                     # no map update
+        e.literal(1, 1)                     # feature data update
+        e.literal(1, 1)                     # absolute values
+        for q in segmentation_quant_deltas:
+            e.literal(1, 1)
+            e.signed(q, 7)
+        for _ in range(4):
+            e.literal(0, 1)                 # no loop-filter deltas
+    e.literal(0, 1)                         # filter type
+    e.literal(filter_level, 6)
+    e.literal(0, 3)                         # sharpness
+    e.literal(0, 1)                         # no lf adjustments
+    e.literal(0, 2)                         # one DCT partition
+    e.literal(y_ac_qi, 7)
+    for _ in range(5):
+        e.literal(0, 1)                     # no quantizer deltas
+    e.literal(1, 1)                         # refresh entropy probs
+    part = e.flush()
+    tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(part) << 5)
+    return (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + part)

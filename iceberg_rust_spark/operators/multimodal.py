@@ -23,11 +23,19 @@ tested. Codec status:
   the 2D distance map, all four transforms — functions/webp.py) and WebP
   header dims for every container flavor (VP8/VP8L/VP8X), plus
   Matroska/WebM EBML block demux for frame sampling.
+- REAL (partial, r8): lossy-VP8 WebP key-frame HEADER layer
+  (functions/webp.py vp8_keyframe_info) — RFC 6386 boolean entropy
+  decoder + every first-partition field that needs no probability tables
+  (dims/scale, segmentation with quantizer/filter deltas, loop filter,
+  partition count, all six quant indices).
 - STUB (clearly marked): feature/resize fallbacks for the two remaining
-  codec families that need real codec libraries (arithmetic-coded JPEG,
-  lossy-VP8 webp — a full video intra codec), and frame demux for
-  unknown containers. Swapping in PIL/torchaudio/decord touches only the
-  kernel, never the plan.
+  codec families whose entropy layers are gated on large spec constant
+  tables or real codec libraries (arithmetic-coded JPEG — T.81 Annex D
+  conditioning; lossy-VP8 PIXELS — the token layer needs the RFC's ~2 KB
+  coeff_update/default/kf_bmode probability tables, unavailable offline,
+  and hand-reproducing them risks a silently desynced arithmetic decoder),
+  and frame demux for unknown containers. Swapping in PIL/torchaudio/
+  decord touches only the kernel, never the plan.
 """
 
 from __future__ import annotations

@@ -333,3 +333,69 @@ def test_webp_roundtrip_uniform_length_channels():
     img = np.stack([rng.permutation(256).reshape(16, 16).astype(np.uint8)
                     for _ in range(3)], axis=2)
     assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+
+
+def test_vp8_bool_decoder_split_arithmetic():
+    """Pin the RFC 6386 split formula (the +1 and (range-1) details) with
+    hand-computed micro-cases: at prob 128 on a fresh decoder the split
+    register is exactly 0x8000, so the first bool is the stream's top bit."""
+    from iceberg_rust_spark.functions.webp import _VP8BoolDecoder
+    d = _VP8BoolDecoder(bytes([0x80, 0x00]))
+    assert d.read(128) == 1          # value 0x8000 >= SPLIT 0x8000
+    d = _VP8BoolDecoder(bytes([0x7F, 0xFF]))
+    assert d.read(128) == 0          # value 0x7FFF < SPLIT 0x8000
+    # prob 0 -> split 1, SPLIT 0x100: only a near-zero value decodes 0
+    d = _VP8BoolDecoder(bytes([0x00, 0xFF]))
+    assert d.read(0) == 0
+    d = _VP8BoolDecoder(bytes([0x01, 0x00]))
+    assert d.read(0) == 1
+
+
+def test_vp8_keyframe_header_roundtrip_and_boundaries():
+    from iceberg_rust_spark.functions.webp import (_VP8BoolDecoder,
+                                                   _VP8BoolEncoder,
+                                                   encode_vp8_keyframe_header,
+                                                   vp8_keyframe_info)
+    hdr = encode_vp8_keyframe_header(1023, 77, y_ac_qi=103, filter_level=33,
+                                     segmentation_quant_deltas=[10, -3, 0, 127])
+    info = vp8_keyframe_info(hdr)
+    assert (info["width"], info["height"]) == (1023, 77)
+    assert info["y_ac_qi"] == 103 and info["filter_level"] == 33
+    assert info["segmentation"]["quantizer_deltas"] == [10, -3, 0, 127]
+    assert info["dct_partition_count"] == 1
+    assert info["first_partition_size"] == len(hdr) - 10
+
+    # non-keyframe and bad magic must raise (stub fallback boundary)
+    import pytest
+    bad = bytearray(hdr)
+    bad[0] |= 1                      # interframe bit
+    with pytest.raises(ValueError):
+        vp8_keyframe_info(bytes(bad))
+    with pytest.raises(ValueError):
+        vp8_keyframe_info(hdr[:3] + b"XXX" + hdr[6:])
+
+    # long random bool sequences roundtrip at arbitrary probs (carry path)
+    import random
+    rng = random.Random(11)
+    probs = [rng.randrange(1, 255) for _ in range(4000)]
+    bits = [rng.randrange(2) for _ in range(4000)]
+    e = _VP8BoolEncoder()
+    for p, b in zip(probs, bits):
+        e.write(p, b)
+    stream = e.flush()
+    d = _VP8BoolDecoder(stream)
+    assert [d.read(p) for p in probs] == bits
+
+
+def test_vp8_info_inside_webp_container():
+    from iceberg_rust_spark.functions.webp import (encode_vp8_keyframe_header,
+                                                   vp8_keyframe_info,
+                                                   webp_dimensions)
+    frame = encode_vp8_keyframe_header(48, 32, y_ac_qi=12)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    webp = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert webp_dimensions(webp) == (48, 32)
+    info = vp8_keyframe_info(webp)
+    assert (info["width"], info["height"], info["y_ac_qi"]) == (48, 32, 12)
