@@ -543,7 +543,11 @@ class _DeleteFileIndex:
             d = de.data_file
             rec = (de.sequence_number, d)
             if d.referenced_data_file is not None:
-                self.by_path.setdefault(d.referenced_data_file, []).append(rec)
+                # normalized keys: referenced paths come from the read
+                # side's normalized _file column, manifest data paths from
+                # the writer — file:-scheme spelling must not split them
+                self.by_path.setdefault(
+                    _norm_path_py(d.referenced_data_file), []).append(rec)
             elif d.partition:
                 self.by_partition.setdefault(_part_key(d.partition), []).append(rec)
             else:
@@ -552,7 +556,7 @@ class _DeleteFileIndex:
     def match(self, entry: ManifestEntry, task: "FileScanTask") -> None:
         df_ = entry.data_file
         candidates = self.global_deletes
-        scoped = self.by_path.get(df_.file_path)
+        scoped = self.by_path.get(_norm_path_py(df_.file_path))
         if scoped:
             candidates = candidates + scoped
         if df_.partition:
@@ -561,6 +565,18 @@ class _DeleteFileIndex:
                 candidates = candidates + part
         for seq, d in candidates:
             if d.content == CONTENT_POSITION_DELETES and seq >= entry.sequence_number:
+                # file_path bounds pruning (delete_file_index.rs
+                # counterpart): a path-position delete only applies to
+                # data files inside its [lower, upper] file_path range —
+                # skipping here keeps petabytes of untouched files from
+                # carrying the delete anti-join at read. Bounds are
+                # format-contract bounds, so truncated stats stay sound.
+                lo = d.lower_bounds.get("file_path")
+                hi = d.upper_bounds.get("file_path")
+                if lo is not None and hi is not None:
+                    p = _norm_path_py(df_.file_path)
+                    if not (lo <= p <= hi):
+                        continue
                 task.pos_deletes.append(d)
             elif d.content == CONTENT_EQUALITY_DELETES and seq > entry.sequence_number:
                 task.eq_deletes.append(d)

@@ -326,16 +326,40 @@ class Table:
         entries = write_parquet_listing(
             spark, hits.repartitionByRange("file_path", "pos")
                        .sortWithinPartitions("file_path", "pos"), out)
-        dels = [DataFile(file_path=p, content=CONTENT_POSITION_DELETES,
-                         record_count=st["num_rows"],
-                         file_size_in_bytes=st["size"],
-                         schema_id=schema.schema_id, spec_id=self.spec.spec_id)
-                for p, st in entries]
+        # Per-delete-file file_path BOUNDS (Iceberg DeleteFileIndex's
+        # pruning signal for path-position deletes): the range write above
+        # makes each output file cover a contiguous file_path range, so the
+        # footer min/max let the scan index skip this delete for every data
+        # file outside [lower, upper] — without them a parquet pos-delete
+        # is a GLOBAL delete every task must consider, which at 100 TB
+        # means broadcasting the delete set to petabytes of untouched
+        # partitions. A single-target file (lower == upper) additionally
+        # gets referenced_data_file for exact-map scoping, like DVs.
+        dels = []
+        for p, st in entries:
+            lo = st["lower"].get("file_path")
+            hi = st["upper"].get("file_path")
+            bounds = {"file_path": lo} if lo is not None else {}
+            dels.append(DataFile(
+                file_path=p, content=CONTENT_POSITION_DELETES,
+                record_count=st["num_rows"],
+                file_size_in_bytes=st["size"],
+                lower_bounds=dict(bounds),
+                upper_bounds={"file_path": hi} if hi is not None else {},
+                referenced_data_file=(lo if lo is not None and lo == hi
+                                      else None),
+                schema_id=schema.schema_id, spec_id=self.spec.spec_id))
         # conflict matrix: positions dangle if a concurrent rewrite removed
         # a referenced file — validate existence at commit (metadata-sized
         # distinct: data-FILE paths, never positions)
         targets = {r["file_path"] for r in
                    hits.select("file_path").distinct().collect()}
+        for d in dels:
+            # exact-map scoping is only safe when the footer bound is the
+            # UNTRUNCATED path (a truncated stat is a bound, not a value)
+            if (d.referenced_data_file is not None
+                    and d.referenced_data_file not in targets):
+                d.referenced_data_file = None
         return self._commit_retry(lambda m: self._snapshot_update(
             m, "delete", added_deletes=dels,
             validate_files_exist=targets))

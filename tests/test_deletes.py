@@ -239,3 +239,43 @@ def test_deleted_column_with_dv_deletes(spark, warehouse):
     assert got.count() == 100
     flagged = sorted(r["id"] for r in got.where("_deleted").collect())
     assert flagged == [i for i in range(100) if i % 5 == 1]
+
+
+def test_pos_delete_path_bounds_prune_untouched_files(spark, warehouse):
+    """A parquet positional delete indexes with its file_path footer
+    bounds (and referenced_data_file when it covers ONE target), so scan
+    planning must not attach it to data files outside the range — at
+    100 TB that keeps untouched partitions from carrying the delete
+    anti-join. Regression: path-position deletes were global."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.manifest import CONTENT_POSITION_DELETES
+    from iceberg_rust_spark.sources.types import schema_from_spark
+    df = spark.range(0, 100).select(F.col("id").alias("k"),
+                                    (F.col("id") % 4).alias("v"))
+    t = Table.create(warehouse, "db.pb", schema_from_spark(df.schema))
+    t = t.append(spark, df.where(F.col("k") < 50).coalesce(1))
+    t = t.append(spark, df.where(F.col("k") >= 50).coalesce(1))
+    # delete rows living ONLY in the first file
+    t = t.delete_where(spark, E.col("k") < 10, mode="mor")
+
+    plan = t.scan().plan_files()
+    by_file = {}
+    for task in plan.tasks:
+        lo = min(r["k"] for r in
+                 spark.read.parquet(task.data_file.file_path)
+                 .select("k").collect())
+        by_file[lo < 50] = task
+    touched, untouched = by_file[True], by_file[False]
+    assert touched.pos_deletes, "delete must attach to its target file"
+    assert not untouched.pos_deletes, \
+        "path-bounds pruning must skip the untouched file"
+    d = touched.pos_deletes[0]
+    assert d.content == CONTENT_POSITION_DELETES
+    assert d.lower_bounds.get("file_path") and d.upper_bounds.get("file_path")
+    # single-target delete also gets exact referenced_data_file scoping
+    assert d.referenced_data_file is not None
+    # correctness unchanged
+    assert t.to_df(spark).count() == 90
+    assert t.to_df(spark).where(F.col("k") < 10).count() == 0
