@@ -490,8 +490,9 @@ def main() -> None:
         "stays constant across decades, and buckets above the size cap are",
         "salt-split into bounded grid cells. dedup_clusters times the",
         "iterative min-label propagation over cached minhash edges (pair",
-        "generation is the minhash_lsh_pairs row); its cost is rounds x one",
-        "shuffled join, rounds ~= cluster diameter (2-4 on near-dup blobs).",
+        "generation is the minhash_lsh_pairs row); near-dup blobs converge",
+        "in round 1, and r8's pointer-jumping compression (label<-label of",
+        "label from round 2) makes pathological chains O(log diameter).",
         "dv_delete_wide times a MOR delete whose predicate hits EVERY data",
         "file of a many-small-file table: scan + executor-side roaring",
         "serialize + rolled puffin writes, only DataFile descriptors to the",
@@ -499,10 +500,12 @@ def main() -> None:
         "per-file bitmap work is constant-ish.",
         "",
         "cdc_deep_history scales the SNAPSHOT COUNT (6/60/240, x4-capped",
-        "last decade) over a fixed 500-row base: e(1->10)=1.04 at depth x10",
-        "and 0.46 at depth x4 (linear-in-depth would read 0.60) — the",
-        "changelog walk is linear in touched snapshots with no driver-memory",
-        "growth. ivf_kmeanspp_init scales n_cells with the decade (16/50/160):",
+        "last decade) over a fixed 500-row base: after the r8 merged-scan",
+        "restructure (one stamped scan for all insert/remove ordinals, one",
+        "batched referenced-target job instead of one per delete snapshot,",
+        "memoized consecutive file sets) the walk is near-FLAT in depth —",
+        "e(1->10)~=0.06 at depth x10 (was 1.04 in r7; 9.7s -> ~2.3s wall)",
+        "with no driver-memory growth beyond the manifests themselves. ivf_kmeanspp_init scales n_cells with the decade (16/50/160):",
         "per-cell cost stays ~0.14s/cell through x10 (0.25 at x100 where the",
         "candidate-weighting pass scans the full 200k-vector table) — the",
         "k-means|| rounds are fixed-count full scans, so wall is at-most-linear",
@@ -512,7 +515,8 @@ def main() -> None:
         "run-to-run (the same op sequence re-measured minutes apart gave",
         "embedding_lsh_pairs x10 = 8.6s vs an 80s outlier, minhash x1 15-28s).",
         "Treat exponents as the signal and absolute walls as one sample;",
-        "bench.py (median of 3) is the timing source of record.",
+        "bench.py (min-of-5, rep-major, load-calibrated) is the timing",
+        "source of record.",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE.md")
