@@ -34,6 +34,12 @@ from ..sources.table import Table
 INSERT = "insert"
 DELETE = "delete"
 
+# changes_df emits one scan per (change-type, ordinal) group up to this
+# many groups (literal stamps, the cheapest shape for shallow histories);
+# past it, reads batch into O(1) merged scans with broadcast stamp maps —
+# the shape that keeps deep-history plans from growing O(snapshots)
+_MERGE_SCAN_GROUPS = 8
+
 
 def _read_parquet_raw(spark: SparkSession, paths: List[str]) -> DataFrame:
     """Content-only parquet read of manifest-listed URIs through the FileIO
@@ -237,24 +243,53 @@ def changes_df(spark: SparkSession, table: Table,
                                            snap.snapshot_id))
 
     if assigns:
-        # ONE scan for every plain insert/delete file across all ordinals;
-        # the per-file stamp joins in from a broadcast metadata map
-        paths = sorted({a[0] for a in assigns})
-        base = read_files(paths, with_meta=True)
-        amap = spark.createDataFrame(
-            [(_norm_path_py(p), ct, o, sid) for p, ct, o, sid in assigns],
-            schema="_cf string, _change_type string, _change_ordinal int, "
-                   "_commit_snapshot_id long")
-        parts.append(base.join(F.broadcast(amap), "_cf")
-                     .select(*names, "_change_type", "_change_ordinal",
-                             "_commit_snapshot_id"))
+        by_stamp: Dict[tuple, List[str]] = {}
+        for p, ct, o, sid in assigns:
+            by_stamp.setdefault((ct, o, sid), []).append(p)
+        if len(by_stamp) <= _MERGE_SCAN_GROUPS:
+            # few (type, ordinal) groups — shallow history, the common
+            # interactive case: one scan per group with LITERAL stamps is
+            # cheaper than a per-row broadcast-stamp join
+            for (ct, o, sid), paths in by_stamp.items():
+                parts.append(stamp(read_files(paths), ct, o, sid))
+        else:
+            # deep history: ONE scan for every plain insert/delete file
+            # across all ordinals; the per-file stamp joins in from a
+            # broadcast metadata map — scan count stays O(1) in snapshots
+            paths = sorted({a[0] for a in assigns})
+            base = read_files(paths, with_meta=True)
+            amap = spark.createDataFrame(
+                [(_norm_path_py(p), ct, o, sid)
+                 for p, ct, o, sid in assigns],
+                schema="_cf string, _change_type string, "
+                       "_change_ordinal int, _commit_snapshot_id long")
+            parts.append(base.join(F.broadcast(amap), "_cf")
+                         .select(*names, "_change_type", "_change_ordinal",
+                                 "_commit_snapshot_id"))
 
     pos_jobs: List[dict] = []           # merged pos-delete reconstructions
     if pos_pending:
         refd_by_ord = _pos_delete_targets_batch(spark, pos_pending)
         for job in pos_pending:
             refd = refd_by_ord[job["ordinal"]]
-            if refd is None:
+            if refd is not None and len(pos_pending) == 1:
+                # single delete ordinal (the common shallow-history case):
+                # the per-ordinal semi-join is strictly cheaper than the
+                # merged shape (no ordinal tags, no pair dedup shuffle, no
+                # validity join) and identical in semantics
+                targets = sorted(refd & job["data_prev"])
+                if targets:
+                    pair_df = _pos_delete_df(spark, job["pos_like"])
+                    pair_df = _maybe_broadcast(
+                        spark, pair_df, _delete_set_bytes(job["pos_like"]))
+                    hit = read_files(targets, with_meta=True).join(
+                        pair_df,
+                        on=[F.col("_cf") == _norm_path(pair_df["_del_file"]),
+                            F.col("_cp") == pair_df["_del_pos"]],
+                        how="left_semi")
+                    parts.append(stamp(hit, DELETE, job["ordinal"],
+                                       job["snap_id"]))
+            elif refd is None:
                 # unbounded referenced-file set (_TARGET_LIST_CAP): keep
                 # this ordinal on the per-ordinal path — the merged path
                 # needs the driver-side (ordinal, target) validity map
@@ -430,13 +465,22 @@ def _pos_delete_targets_batch(
     if not pq_assign:
         return out
     paths = sorted({p for p, _o in pq_assign})
-    raw = _read_parquet_meta(spark, paths)
-    pmap = spark.createDataFrame(
-        [(_norm_path_py(p), o) for p, o in pq_assign],
-        schema="_src string, _ord int")
-    rows = (raw.join(F.broadcast(pmap), "_src")
-            .select("_ord", "file_path").distinct()
-            .limit(_TARGET_LIST_CAP + 1).collect())
+    ords = {o for _p, o in pq_assign}
+    if len(ords) == 1:
+        # one delete ordinal: no file->ordinal mapping needed, plain
+        # distinct over the delete files (the shallow-history fast shape)
+        only = next(iter(ords))
+        rows = (_read_parquet_raw(spark, paths)
+                .select(F.lit(only).alias("_ord"), "file_path").distinct()
+                .limit(_TARGET_LIST_CAP + 1).collect())
+    else:
+        raw = _read_parquet_meta(spark, paths)
+        pmap = spark.createDataFrame(
+            [(_norm_path_py(p), o) for p, o in pq_assign],
+            schema="_src string, _ord int")
+        rows = (raw.join(F.broadcast(pmap), "_src")
+                .select("_ord", "file_path").distinct()
+                .limit(_TARGET_LIST_CAP + 1).collect())
     dv_total = sum(len(s) for s in out.values() if s)
     if len(rows) + dv_total > _TARGET_LIST_CAP:
         for _p, o in pq_assign:
