@@ -170,3 +170,47 @@ def test_gzip_metadata_sniffed_by_magic_any_naming(spark, tmp_path):
     dst.register_table("db.imported", java_style)
     got = Table.load(dst, "db.imported").to_df(spark)
     assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_mirror_cache_lru_eviction(tmp_path, monkeypatch):
+    """The localize mirror is capped: past SPARK_GRAFT_IO_CACHE_CAP the
+    least-recently-used objects are evicted (mtime refreshed on hits), and
+    the just-localized batch is never evicted."""
+    from iceberg_rust_spark.sources import io as iomod
+    store = {}
+
+    class TinyIO(iomod.FileIO):
+        spark_native = False
+
+        def read_bytes(self, path, offset=None, length=None):
+            return store[path]
+
+        def size(self, path):
+            return len(store[path])
+
+    monkeypatch.setattr(iomod, "IO_CACHE_ROOT", str(tmp_path / "mirror"))
+    monkeypatch.setattr(iomod, "IO_CACHE_CAP_BYTES", 3000)
+    iomod.register_file_io("tiny", lambda p: TinyIO())
+    try:
+        import os as _os
+        import time as _time
+        paths = []
+        for i in range(5):
+            p = f"tiny://bkt/obj{i}"
+            store[p] = bytes(1000)
+            paths.append(p)
+        local_old = iomod.localize_paths(paths[:2])     # 2000 bytes cached
+        _time.sleep(0.02)
+        # touch obj0 so obj1 is the LRU victim
+        iomod.localize_paths([paths[0]])
+        _time.sleep(0.02)
+        local_new = iomod.localize_paths(paths[2:])     # +3000 -> evict
+        assert all(_os.path.isfile(p) for p in local_new), \
+            "the just-localized batch must survive eviction"
+        assert not _os.path.isfile(local_old[1]), "LRU object must evict"
+        total = sum(_os.path.getsize(_os.path.join(r, n))
+                    for r, _d, ns in _os.walk(str(tmp_path / "mirror"))
+                    for n in ns)
+        assert total <= 3000
+    finally:
+        iomod.unregister_file_io("tiny")
