@@ -9,7 +9,8 @@ Layout:
   streaming/  incremental snapshot-diff reads
 """
 
-from .sources.catalog import FileSystemCatalog
+from .sources.catalog import (CommitConflict, FileSystemCatalog,
+                              ValidationConflict)
 from .sources.sql_catalog import SqlCatalog
 from .sources.loader import load_catalog, supported_types
 from .sources.metadata import PartitionField, PartitionSpec
@@ -21,5 +22,5 @@ from .plans import expr
 __all__ = ["FileSystemCatalog", "SqlCatalog", "MemoryCatalog", "RestCatalog",
            "RestCatalogServer", "Table", "Schema", "NestedField",
            "PartitionSpec", "PartitionField", "expr", "load_catalog",
-           "supported_types"]
+           "supported_types", "CommitConflict", "ValidationConflict"]
 __version__ = "0.1.0"
