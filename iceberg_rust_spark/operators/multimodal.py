@@ -350,12 +350,18 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/demos, one class per real
     codec so the graded query exercises every decode path: RGB PNGs (even
     ids), JPEGs for i%4==1 (4:4:4 + 4:2:0 baseline, PROGRESSIVE for
-    i%16==9), GIFs for i%8==3, lossless WebP for i%8==7 — except i%16==15
-    which stays an opaque blob (the stub path). All dimensions follow id
-    formulas the constructed oracle replicates independently."""
+    i%16==9), GIFs for i%8==3, lossless WebP for i%8==7 — except
+    i%32==15, a LOSSY-VP8 WebP whose key-frame header carries real
+    dimensions through the table-free RFC 6386 parse (features take the
+    marked stub: pixels need the token layer), and i%32==31, an opaque
+    blob (the full stub path). All dimensions follow id formulas the
+    constructed oracle replicates independently."""
+    import struct as _struct
+
     from ..functions.media_codecs import (encode_gif, encode_jpeg,
                                           encode_png)
-    from ..functions.webp import encode_webp_lossless
+    from ..functions.webp import (encode_vp8_keyframe_header,
+                                  encode_webp_lossless)
 
     def pixels(w, h, a, b):
         return ((np.arange(h * w * 3, dtype=np.int64) * a + b)
@@ -378,7 +384,16 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                     px, quality=90,
                     subsampling="420" if i % 8 == 5 else "444")
             mime = "image/jpeg"
-        elif i % 16 == 15:
+        elif i % 32 == 15:
+            frame = encode_vp8_keyframe_header(16 + i % 13, 9 + i % 11,
+                                               y_ac_qi=i % 128)
+            chunk = b"VP8 " + _struct.pack("<I", len(frame)) + frame
+            if len(frame) & 1:
+                chunk += b"\x00"
+            payload = (b"RIFF" + _struct.pack("<I", 4 + len(chunk))
+                       + b"WEBP" + chunk)
+            mime = "image/webp"
+        elif i % 32 == 31:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             mime = "application/octet-stream"
         elif i % 8 == 3:

@@ -72,8 +72,18 @@ def _file_sets(table: Table, snapshot_id: Optional[int],
     snap = table.metadata.snapshot_by_id(snapshot_id)
     if snap is None:
         return data, dels
-    for mf in load_manifest_list(snap.manifest_list):
-        for e in load_manifest(mf.manifest_path):
+    manifests = load_manifest_list(snap.manifest_list)
+    if len(manifests) > 4:
+        # concurrent manifest fetch, mirroring plan_files: manifest parses
+        # are IO-bound and served by the mtime-keyed object cache on repeat
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(manifests))) as ex:
+            loaded = list(ex.map(lambda m: load_manifest(m.manifest_path),
+                                 manifests))
+    else:
+        loaded = [load_manifest(m.manifest_path) for m in manifests]
+    for entries in loaded:
+        for e in entries:
             if exclude_added_in is not None and \
                     e.snapshot_id == exclude_added_in:
                 continue

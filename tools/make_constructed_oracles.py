@@ -87,7 +87,12 @@ def multimodal_oracle(n: int = 64) -> str:
         elif i % 4 == 1:
             # JPEG: fixture stores (8+i%9) x (8+i%11) in the SOF0 marker
             pw, ph = 8 + i % 9, 8 + i % 11
-        elif i % 16 == 15:
+        elif i % 32 == 15:
+            # lossy-VP8 WebP: fixture stores (16+i%13) x (9+i%11) in the
+            # key-frame header — the parser must recover them from the
+            # real RFC 6386 bitstream
+            pw, ph = 16 + i % 13, 9 + i % 11
+        elif i % 32 == 31:
             payload = hashlib.sha1(f"blob{i}".encode()).digest() * (1 + i % 5)
             digest = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
             pw, ph = 16 + digest % 64, 16 + (digest >> 8) % 64
