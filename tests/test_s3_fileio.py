@@ -396,3 +396,21 @@ def test_executor_side_fileio_reads(spark, s3exec):
     t = t.delete_where(spark, E.col("v") == 0, mode="mor")
     assert t.to_df(spark).count() == 300
     assert t.to_df(spark).where(F.col("v") == 0).count() == 0
+
+
+def test_executor_side_reads_schema_evolution(spark, s3exec):
+    """Old files read through the executor FileIO plane must pad columns
+    added later with NULLs (schema-on-read parity with the native path),
+    and new files written after the evolution read their real values."""
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    t = Table.create(cat, "db.ev", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.update_schema().add_column("w", "long").commit()
+    t = t.append(spark, spark.range(20, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")))
+    rows = {r["k"]: r["w"] for r in t.to_df(spark).collect()}
+    assert len(rows) == 30
+    assert all(rows[k] is None for k in range(20))
+    assert all(rows[k] == k * 10 for k in range(20, 30))
