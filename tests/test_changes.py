@@ -277,3 +277,40 @@ def test_mirror_table_random_histories(spark, warehouse, tmp_path):
         s_rows = {(r["id"], r["v"]) for r in src.to_df(spark).collect()}
         d_rows = {(r["id"], r["v"]) for r in dst.to_df(spark).collect()}
         assert s_rows == d_rows
+
+
+def test_changes_deep_history_merged_scans_exact(spark, warehouse):
+    """Force the merged O(1)-scan path (> _MERGE_SCAN_GROUPS groups: ten
+    appends + three MOR-delete ordinals) and verify the changelog row-for-
+    row against independently computed expectations — the merged broadcast
+    stamp maps, ordinal-tagged pair joins, and validity restriction must
+    reproduce the per-ordinal semantics exactly."""
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("g"))
+    t = Table.create(warehouse, "db.deep", schema_from_spark(df.schema))
+    for lo in range(0, 100, 10):
+        t = t.append(spark, df.where((F.col("id") >= lo)
+                                     & (F.col("id") < lo + 10)))
+    t = t.delete_where(spark, E.col("g") == 3, mode="mor")    # ordinal 10
+    t = t.delete_where(spark, E.col("id") < 5, mode="mor")    # ordinal 11
+    t = t.delete_where(spark, E.col("g") == 7, mode="dv")     # ordinal 12
+
+    ch = changes_df(spark, t)
+    counts = _counts(ch)
+    for o in range(10):
+        assert counts[("insert", o)] == 10
+    assert counts[("delete", 10)] == 10          # g==3
+    assert counts[("delete", 11)] == 4           # id<5 minus already-gone 3
+    assert counts[("delete", 12)] == 10          # g==7 via DV
+    # exact ids per delete ordinal
+    dels = {(r["_change_ordinal"], r["id"]) for r in
+            ch.where(F.col("_change_type") == "delete").collect()}
+    assert {i for o, i in dels if o == 10} == {i for i in range(100)
+                                               if i % 10 == 3}
+    assert {i for o, i in dels if o == 11} == {0, 1, 2, 4}
+    assert {i for o, i in dels if o == 12} == {i for i in range(100)
+                                               if i % 10 == 7}
+    # inserts carry the right ordinals too
+    ins = {(r["_change_ordinal"], r["id"]) for r in
+           ch.where(F.col("_change_type") == "insert").collect()}
+    assert all(o == i // 10 for o, i in ins)
+    assert len(ins) == 100
