@@ -500,12 +500,13 @@ def main() -> None:
         "per-file bitmap work is constant-ish.",
         "",
         "cdc_deep_history scales the SNAPSHOT COUNT (6/60/240, x4-capped",
-        "last decade) over a fixed 500-row base: after the r8 merged-scan",
-        "restructure (one stamped scan for all insert/remove ordinals, one",
-        "batched referenced-target job instead of one per delete snapshot,",
-        "memoized consecutive file sets) the walk is near-FLAT in depth —",
-        "e(1->10)~=0.06 at depth x10 (was 1.04 in r7; 9.7s -> ~2.3s wall)",
-        "with no driver-memory growth beyond the manifests themselves. ivf_kmeanspp_init scales n_cells with the decade (16/50/160):",
+        "last decade) over a fixed 500-row base. r8 made the reader",
+        "regime-adaptive: shallow windows take per-ordinal literal-stamp",
+        "scans, deep windows batch into O(1) merged scans (one stamped scan",
+        "for all insert/remove ordinals, one referenced-target job total,",
+        "memoized consecutive file sets) — x10 ~2.3-3.0s quiet vs 9.7s in",
+        "r7, and x100 at 40x the x1 snapshot depth reads ~7x the wall:",
+        "strongly sublinear with no driver-memory growth beyond manifests. ivf_kmeanspp_init scales n_cells with the decade (16/50/160):",
         "per-cell cost stays ~0.14s/cell through x10 (0.25 at x100 where the",
         "candidate-weighting pass scans the full 200k-vector table) — the",
         "k-means|| rounds are fixed-count full scans, so wall is at-most-linear",
