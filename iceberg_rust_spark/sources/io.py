@@ -428,13 +428,32 @@ def mirror_remap_pattern() -> Tuple[str, str]:
 IO_CACHE_CAP_BYTES = int(os.environ.get("SPARK_GRAFT_IO_CACHE_CAP",
                                         str(8 * 1024 ** 3)))
 
+# every mirror path handed out this session: Spark scans are LAZY, so a
+# DataFrame planned over localized files may execute long after a later
+# localize batch — evicting anything a live plan might still reference
+# would fail its action with FileNotFoundException. Unbounded only in
+# paths (strings), not bytes; a session that legitimately cycles > cap
+# bytes of DISTINCT files keeps them all pinned — crossing the cap then
+# means the cap is undersized for the workload, not that deleting live
+# inputs becomes OK. Cleared only by process exit (the cache root is
+# /tmp-backed).
+_SESSION_MIRROR_PATHS: set = set()
+_TMP_STAGING_RE = None  # compiled lazily (avoid import-time re dependency)
+
 
 def _evict_mirror_cache(protect: set) -> None:
     """LRU-evict the localize mirror down to IO_CACHE_CAP_BYTES (mtime is
     the recency signal — refreshed on every cache hit, so relatime mounts
-    don't matter). ``protect`` paths (the batch just localized) are never
-    evicted. Keeps repeated scans against non-spark_native stores from
-    growing driver temp disk without bound."""
+    don't matter). Never evicts: ``protect`` (the batch just localized),
+    any path handed out earlier THIS session (lazy Spark plans may still
+    read them), or in-flight ``.tmp<pid>`` staging files of a concurrent
+    localize (deleting one makes its os.replace raise). Keeps repeated
+    scans against non-spark_native stores from growing driver temp disk
+    without bound across sessions."""
+    global _TMP_STAGING_RE
+    if _TMP_STAGING_RE is None:
+        import re as _re
+        _TMP_STAGING_RE = _re.compile(r"\.tmp\d+$")
     entries = []
     total = 0
     for root, _dirs, names in os.walk(IO_CACHE_ROOT):
@@ -449,7 +468,8 @@ def _evict_mirror_cache(protect: set) -> None:
     if total <= IO_CACHE_CAP_BYTES:
         return
     for _mt, sz, fp in sorted(entries):
-        if fp in protect:
+        if (fp in protect or fp in _SESSION_MIRROR_PATHS
+                or _TMP_STAGING_RE.search(fp)):
             continue
         try:
             os.remove(fp)
@@ -484,6 +504,7 @@ def localize_paths(paths: List[str]) -> List[str]:
             except OSError:
                 pass
         out.append(lp)
+    _SESSION_MIRROR_PATHS.update(out)
     if fetched:
         _evict_mirror_cache(protect=set(out))
     return out

@@ -364,8 +364,11 @@ class TableScan:
                 # (spec/name_mapping fallback, arrow/reader/pipeline.rs:160-196)
                 if exec_io is not None:
                     from .executor_io import fileio_parquet_df
-                    gdf = fileio_parquet_df(spark, files, None, exec_io,
-                                            with_meta=need_meta)
+                    gdf = fileio_parquet_df(
+                        spark, files, None, exec_io, with_meta=need_meta,
+                        file_sizes={t.data_file.file_path:
+                                    t.data_file.file_size_in_bytes
+                                    for t in tasks})
                 else:
                     gdf = spark.read.parquet(*files)
                 alias_map = self._alias_map(schema)
@@ -386,8 +389,12 @@ class TableScan:
                         "_last_updated_sequence_number", LongType(), True))
                 if exec_io is not None:
                     from .executor_io import fileio_parquet_df
-                    gdf = fileio_parquet_df(spark, files, read_schema,
-                                            exec_io, with_meta=need_meta)
+                    gdf = fileio_parquet_df(
+                        spark, files, read_schema, exec_io,
+                        with_meta=need_meta,
+                        file_sizes={t.data_file.file_path:
+                                    t.data_file.file_size_in_bytes
+                                    for t in tasks})
                 else:
                     gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta and exec_io is None:

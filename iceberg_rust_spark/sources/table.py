@@ -1901,7 +1901,20 @@ class Table:
         else:
             nm = self.name_mapping()
             mapping = nm.alias_to_canonical(schema) if nm else {}
-        stats = collect_parquet_stats(spark, paths)
+        # foreign files may live behind a FileIO-only store: executor_reads
+        # backends footer-scan through range reads; driver-localized
+        # backends (memory://) stat the mirror copies
+        from .io import file_io_for, localize_paths, spark_native_path
+        if paths and not spark_native_path(paths[0]):
+            io_impl = file_io_for(paths[0])
+            if getattr(io_impl, "executor_reads", False):
+                stats = collect_parquet_stats(spark, paths, fileio=io_impl)
+            else:
+                local = localize_paths(paths)
+                lstats = collect_parquet_stats(spark, local)
+                stats = {p: lstats[lp] for p, lp in zip(paths, local)}
+        else:
+            stats = collect_parquet_stats(spark, paths)
         known = {f.name for f in schema.fields}
 
         def canon(stat_map: Dict[str, Any]) -> Dict[str, Any]:
@@ -1921,7 +1934,10 @@ class Table:
             if missing_required:
                 raise ValueError(f"{p}: required columns missing: {missing_required}")
             files.append(DataFile(
-                file_path=os.path.abspath(p), record_count=st["num_rows"],
+                # URIs pass through verbatim (abspath would mangle the
+                # scheme); only bare local paths are absolutized
+                file_path=p if "://" in p else os.path.abspath(p),
+                record_count=st["num_rows"],
                 file_size_in_bytes=st["size"],
                 column_sizes=canon(st["column_sizes"]),
                 value_counts=canon(st["value_counts"]),
@@ -2007,20 +2023,28 @@ class Table:
 
         if (validate_removed_exist or validate_files_exist
                 or validate_no_new_deletes_since is not None):
-            from .scan import _norm_path_py
+            from .scan import _norm_path_py, _part_key
             live: set = set()
+            removed_parts: Dict[str, Dict[str, Any]] = {}
             new_dels: List[DataFile] = []
+            removed_norm = {_norm_path_py(p) for p in removed_paths}
             if cur is not None:
                 for mf in load_manifest_list(cur.manifest_list):
                     for e in load_manifest(mf.manifest_path):
                         f = e.data_file
                         if f.content == CONTENT_DATA:
-                            live.add(_norm_path_py(f.file_path))
+                            np_ = _norm_path_py(f.file_path)
+                            live.add(np_)
+                            if np_ in removed_norm:
+                                # partition of a file this rewrite replaces:
+                                # the scoping evidence for the delete-race
+                                # check below (keyed by path — a file
+                                # carried in >1 manifest counts once)
+                                removed_parts[np_] = f.partition or {}
                         elif (validate_no_new_deletes_since is not None
                               and e.sequence_number
                               > validate_no_new_deletes_since):
                             new_dels.append(f)
-            removed_norm = {_norm_path_py(p) for p in removed_paths}
             if validate_removed_exist:
                 gone = sorted(removed_norm - live)
                 if gone:
@@ -2036,15 +2060,52 @@ class Table:
                         f"{len(gone)} data file(s) referenced by this "
                         f"delete were rewritten concurrently (e.g. "
                         f"{gone[0]}); refresh and re-plan")
+            # partition-scoping evidence is only sound when EVERY removed
+            # file was found live (else an unseen file's partition is
+            # unknown); validate_removed_exist guarantees that, but this
+            # knob can be used alone
+            parts_complete = len(removed_parts) == len(removed_norm)
             for d in new_dels:
                 ref = d.referenced_data_file
-                # a path-scoped delete on a replaced file, or any broader
-                # (partition/eq) delete, may target rows this rewrite
-                # re-adds from its stale capture — conservative conflict
-                if ref is None or _norm_path_py(ref) in removed_norm:
-                    raise ValidationConflict(
-                        "concurrent commit added delete files applying to "
-                        "files this rewrite replaces; refresh and re-plan")
+                if ref is not None:
+                    # path-scoped (DV / single-file pos-delete): conflicts
+                    # iff it targets a file this rewrite replaces
+                    if _norm_path_py(ref) in removed_norm:
+                        raise ValidationConflict(
+                            "concurrent commit added delete files applying "
+                            "to files this rewrite replaces; refresh and "
+                            "re-plan")
+                    continue
+                # ref-less delete (partition-scoped parquet pos-delete or
+                # equality delete): scope before raising — an eq-delete in a
+                # provably disjoint partition cannot target rows this
+                # rewrite re-adds, and aborting every in-flight compaction
+                # for it is availability-hostile (Iceberg's own validation
+                # is partition/bounds-scoped). Two disjointness proofs:
+                #
+                # 1. file_path bounds (pos-deletes carry format-contract
+                #    [lower, upper] on the file_path column): no removed
+                #    path inside the range -> cannot apply to them.
+                if d.content == CONTENT_POSITION_DELETES:
+                    lo = d.lower_bounds.get("file_path")
+                    hi = d.upper_bounds.get("file_path")
+                    if (lo is not None and hi is not None
+                            and not any(lo <= p <= hi for p in removed_norm)):
+                        continue
+                # 2. partition values: a partitioned delete applies only to
+                #    data in its own partition; if every removed file has a
+                #    comparable partition tuple (same keys — same spec
+                #    shape) and none matches, they are disjoint. Mixed or
+                #    evolved specs fall through to the conservative raise.
+                if d.partition and removed_parts and parts_complete:
+                    dk = _part_key(d.partition)
+                    dkeys = set(d.partition)
+                    if all(rp and set(rp) == dkeys and _part_key(rp) != dk
+                           for rp in removed_parts.values()):
+                        continue
+                raise ValidationConflict(
+                    "concurrent commit added delete files applying to "
+                    "files this rewrite replaces; refresh and re-plan")
 
         seq = md.last_sequence_number + 1
         snap_id = new_snapshot_id()

@@ -315,10 +315,13 @@ def stage_for(out_dir: str):
     return staging, publish, cleanup
 
 
-def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, dict]:
+def collect_parquet_stats(spark: SparkSession, files: List[str],
+                          fileio=None) -> Dict[str, dict]:
     """Distributed footer scan: executors read Parquet footers with pyarrow;
     only tiny per-file stat dicts return to the driver. At 100 TB this is one
-    short all-metadata job, never a driver loop over data."""
+    short all-metadata job, never a driver loop over data. With ``fileio``
+    (a picklable executor_reads FileIO) footers come through range reads of
+    the remote objects instead of local opens."""
     if not files:
         return {}
     n_slices = max(1, min(len(files), 256))
@@ -328,7 +331,13 @@ def collect_parquet_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
         import pyarrow.parquet as _pq
         for p in paths:
             try:
-                yield p, _footer_stats(_pq, p[7:] if p.startswith("file://") else p)
+                if fileio is not None:
+                    from .executor_io import FileIORandomFile
+                    f = FileIORandomFile(fileio, p)
+                    yield p, _footer_stats(_pq, f, size=f.size())
+                else:
+                    yield p, _footer_stats(
+                        _pq, p[7:] if p.startswith("file://") else p)
             except Exception as exc:  # surface, don't swallow
                 yield p, {"error": str(exc)}
 
@@ -482,7 +491,9 @@ def _spark_fallback_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
     return out
 
 
-def _footer_stats(_pq, path: str) -> dict:
+def _footer_stats(_pq, path, size: Optional[int] = None) -> dict:
+    """``path`` is a local path OR a seekable file-like (FileIO-backed
+    remote object); pass ``size`` explicitly for the latter."""
     pf = _pq.ParquetFile(path)
     md = pf.metadata
     ncols = md.num_columns
@@ -512,7 +523,8 @@ def _footer_stats(_pq, path: str) -> dict:
                     lower[name] = mn
                 if name not in upper or _cmp_lt(upper[name], mx):
                     upper[name] = mx
-    return {"num_rows": md.num_rows, "size": os.path.getsize(path),
+    return {"num_rows": md.num_rows,
+            "size": os.path.getsize(path) if size is None else size,
             "column_sizes": column_sizes, "value_counts": value_counts,
             "null_counts": null_counts, "lower": lower, "upper": upper,
             "split_offsets": split_offsets}

@@ -376,6 +376,13 @@ def _merged_pos_deletes(spark: SparkSession, jobs: List[dict], read_files,
     pairs = pair_parts[0]
     for p in pair_parts[1:]:
         pairs = pairs.unionByName(p)
+    # normalize BEFORE dedup: DV pairs carry the manifest's referenced URI
+    # spelling while parquet pos-delete pairs carry the writer-normalized
+    # path — the same (file, pos, ordinal) under two spellings (file:/ vs /)
+    # must collapse to one row here, or the inner target join below emits a
+    # duplicate DELETE. Normalizing first makes the dedup key identical to
+    # the join key (the downstream _norm_path calls are idempotent).
+    pairs = pairs.withColumn("_del_file", _norm_path(F.col("_del_file")))
     pairs = pairs.dropDuplicates(["_del_file", "_del_pos", "_ord"])
     valid = spark.createDataFrame(
         [(job["ordinal"], _norm_path_py(t))

@@ -170,3 +170,150 @@ def test_interleaved_schedule_property(spark, warehouse):
             head = s.parent_snapshot_id
         assert len(chain) == commits
         assert len(set(chain)) == len(chain)
+
+
+# ---------------------------------------------------------------------------
+# Scoped delete-race validation: a concurrent ref-less delete file that
+# PROVABLY cannot touch the rewrite's inputs (disjoint partition, or
+# file_path bounds excluding every removed file) must NOT abort the rewrite;
+# only genuinely overlapping deletes raise. (Iceberg's own
+# validateNoNewDeleteFiles is partition/bounds-scoped; blanket-raising on
+# every concurrent eq-delete made unrelated compactions unretryable.)
+# ---------------------------------------------------------------------------
+
+def _commit_eq_delete(spark, t, keys, partition):
+    """A REAL eq-delete parquet (key column k) committed with an explicit
+    partition scope — the shape a partition-aware external writer produces
+    (this repo's own delete_by_equality writes global eq-deletes)."""
+    import os
+    import uuid as _uuid
+
+    from iceberg_rust_spark.sources.manifest import (
+        CONTENT_EQUALITY_DELETES, DataFile)
+    from iceberg_rust_spark.sources.write import write_parquet_listing
+    out = os.path.join(t.location, "data", f"eq-x-{_uuid.uuid4().hex[:8]}")
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    entries = write_parquet_listing(spark, kdf.coalesce(1), out)
+    schema = t.metadata.schema()
+    fid = schema.field_by_name("k").field_id
+    dels = [DataFile(file_path=p, content=CONTENT_EQUALITY_DELETES,
+                     record_count=st["num_rows"],
+                     file_size_in_bytes=st["size"], equality_ids=[fid],
+                     partition=dict(partition),
+                     schema_id=schema.schema_id,
+                     spec_id=t.metadata.default_spec_id)
+            for p, st in entries]
+    return t._commit_retry(lambda m: t._snapshot_update(
+        m, "delete", added_deletes=dels))
+
+
+def _mk_partitioned(spark, warehouse, name, rows):
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    schema = schema_from_spark(df.schema)
+    fid = schema.field_by_name("p").field_id
+    spec = PartitionSpec(0, [PartitionField(fid, 1000, "p",
+                                            parse_transform("identity"))])
+    t = Table.create(warehouse, name, schema, partition_spec=spec)
+    return t.append(spark, df)
+
+
+def test_disjoint_partition_eq_delete_does_not_conflict(spark, warehouse):
+    """Concurrent eq-delete scoped to partition p=1 vs a COW rewrite whose
+    inputs are all in p=0: provably disjoint, must commit cleanly."""
+    rows = [(i, i % 2, i % 4) for i in range(40)]
+    _mk_partitioned(spark, warehouse, "db.sc1", rows)
+    stale = Table.load(warehouse, "db.sc1")
+    # concurrent: delete k=1 (lives in p=1) scoped to partition p=1
+    _commit_eq_delete(spark, Table.load(warehouse, "db.sc1"),
+                      keys=[1], partition={"p": 1})
+    # stale rewrite touches ONLY p=0 files — no conflict
+    stale.delete_where(spark, (E.col("p") == 0) & (E.col("v") == 2),
+                       mode="cow")
+    got = {(r["k"], r["p"], r["v"]) for r in
+           Table.load(warehouse, "db.sc1").to_df(spark).collect()}
+    assert got == {(k, p, v) for k, p, v in rows
+                   if not (p == 0 and v == 2) and k != 1}
+
+
+def test_same_partition_eq_delete_still_conflicts(spark, warehouse):
+    """Concurrent eq-delete in the SAME partition the rewrite touches:
+    the stale rewrite would re-add rows the delete targets — must raise."""
+    rows = [(i, i % 2, i % 4) for i in range(40)]
+    _mk_partitioned(spark, warehouse, "db.sc2", rows)
+    stale = Table.load(warehouse, "db.sc2")
+    _commit_eq_delete(spark, Table.load(warehouse, "db.sc2"),
+                      keys=[2], partition={"p": 0})
+    with pytest.raises(ValidationConflict):
+        stale.delete_where(spark, (E.col("p") == 0) & (E.col("v") == 2),
+                           mode="cow")
+
+
+def test_unscoped_eq_delete_stays_conservative(spark, warehouse):
+    """A GLOBAL (partition-less, ref-less) concurrent eq-delete carries no
+    scoping evidence — the rewrite must still raise (conservative)."""
+    base = [(i, i % 4) for i in range(40)]
+    _mk(spark, warehouse, "db.sc3", base)
+    stale = Table.load(warehouse, "db.sc3")
+    Table.load(warehouse, "db.sc3").delete_by_equality(
+        spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(ValidationConflict):
+        stale.delete_where(spark, E.col("v") == 2, mode="cow")
+
+
+def test_pos_delete_file_path_bounds_scope_conflict(spark, warehouse):
+    """Ref-less pos-delete whose file_path bounds exclude every file the
+    rewrite removes: disjoint, no conflict; bounds that include a removed
+    file: conflict."""
+    import os
+    import uuid as _uuid
+
+    from iceberg_rust_spark.sources.manifest import (
+        CONTENT_POSITION_DELETES, DataFile)
+    from iceberg_rust_spark.sources.write import write_parquet_listing
+    df = [(i, i % 4) for i in range(30)]
+    t = _mk(spark, warehouse, "db.sc4", df[:10])          # file(s) A: k 0-9
+    t.append(spark, spark.createDataFrame(df[10:20], "k long, v long"))
+    t.append(spark, spark.createDataFrame(df[20:], "k long, v long"))
+
+    plan = Table.load(warehouse, "db.sc4").scan().plan_files()
+    file_a = next(x.data_file.file_path for x in plan.tasks
+                  if x.data_file.lower_bounds.get("k") == 0)
+
+    def commit_pos_delete(handle, target_path):
+        out = os.path.join(handle.location, "data",
+                           f"pos-x-{_uuid.uuid4().hex[:8]}")
+        pdf = spark.createDataFrame([(target_path, 0)],
+                                    "file_path string, pos long")
+        entries = write_parquet_listing(spark, pdf.coalesce(1), out)
+        dels = [DataFile(
+            file_path=p, content=CONTENT_POSITION_DELETES,
+            record_count=st["num_rows"], file_size_in_bytes=st["size"],
+            lower_bounds={"file_path": target_path},
+            upper_bounds={"file_path": target_path},
+            referenced_data_file=None,          # truncated-stat shape
+            schema_id=handle.metadata.schema().schema_id,
+            spec_id=handle.metadata.default_spec_id)
+            for p, st in entries]
+        return handle._commit_retry(lambda m: handle._snapshot_update(
+            m, "delete", added_deletes=dels))
+
+    # disjoint: concurrent pos-delete bounded to file A, rewrite removes
+    # only the k>=20 file — must commit cleanly
+    stale = Table.load(warehouse, "db.sc4")
+    commit_pos_delete(Table.load(warehouse, "db.sc4"), file_a)
+    stale.delete_where(spark, E.col("k") == 25, mode="cow")
+    # row 0 of file A is MOR-deleted, k=25 COW-deleted
+    assert Table.load(warehouse, "db.sc4").to_df(spark).count() == 28
+
+    # overlapping: pos-delete bounded to A file the k==27 rewrite removes —
+    # any live file whose k-bounds bracket 27 is in that rewrite's plan
+    plan2 = Table.load(warehouse, "db.sc4").scan().plan_files()
+    file_c = next(x.data_file.file_path for x in plan2.tasks
+                  if x.data_file.lower_bounds.get("k") <= 27
+                  <= x.data_file.upper_bounds.get("k"))
+    stale2 = Table.load(warehouse, "db.sc4")
+    commit_pos_delete(Table.load(warehouse, "db.sc4"), file_c)
+    with pytest.raises(ValidationConflict):
+        stale2.delete_where(spark, E.col("k") == 27, mode="cow")

@@ -174,8 +174,11 @@ def test_gzip_metadata_sniffed_by_magic_any_naming(spark, tmp_path):
 
 def test_mirror_cache_lru_eviction(tmp_path, monkeypatch):
     """The localize mirror is capped: past SPARK_GRAFT_IO_CACHE_CAP the
-    least-recently-used objects are evicted (mtime refreshed on hits), and
-    the just-localized batch is never evicted."""
+    least-recently-used objects LEFT FROM PRIOR SESSIONS are evicted.
+    Anything localized THIS session is pinned — Spark scans are lazy, so a
+    plan built over an earlier localize batch may execute after a later
+    one, and evicting its inputs would fail the action. In-flight .tmp<pid>
+    staging files of a concurrent localize are never victims either."""
     from iceberg_rust_spark.sources import io as iomod
     store = {}
 
@@ -190,27 +193,46 @@ def test_mirror_cache_lru_eviction(tmp_path, monkeypatch):
 
     monkeypatch.setattr(iomod, "IO_CACHE_ROOT", str(tmp_path / "mirror"))
     monkeypatch.setattr(iomod, "IO_CACHE_CAP_BYTES", 3000)
+    monkeypatch.setattr(iomod, "_SESSION_MIRROR_PATHS", set())
     iomod.register_file_io("tiny", lambda p: TinyIO())
     try:
         import os as _os
         import time as _time
         paths = []
-        for i in range(5):
+        for i in range(6):
             p = f"tiny://bkt/obj{i}"
             store[p] = bytes(1000)
             paths.append(p)
-        local_old = iomod.localize_paths(paths[:2])     # 2000 bytes cached
+        # "previous session" leftovers: mirror files NOT handed out via
+        # localize_paths in this session (written directly)
+        stale = []
+        for p in paths[:2]:
+            lp = iomod.mirror_local_path(p)
+            _os.makedirs(_os.path.dirname(lp), exist_ok=True)
+            with open(lp, "wb") as fh:
+                fh.write(store[p])
+            stale.append(lp)
+        # a concurrent localize's in-flight staging file
+        inflight = stale[0] + ".tmp99999"
+        with open(inflight, "wb") as fh:
+            fh.write(bytes(10))
         _time.sleep(0.02)
-        # touch obj0 so obj1 is the LRU victim
-        iomod.localize_paths([paths[0]])
+        # obj0 gets re-localized (cache hit -> pinned + recency refresh);
+        # obj1 stays a stale leftover — the only eligible victim
+        pinned_old = iomod.localize_paths([paths[0]])
         _time.sleep(0.02)
-        local_new = iomod.localize_paths(paths[2:])     # +3000 -> evict
-        assert all(_os.path.isfile(p) for p in local_new), \
+        pinned_new = iomod.localize_paths(paths[2:])    # +4000 -> over cap
+        assert all(_os.path.isfile(p) for p in pinned_new), \
             "the just-localized batch must survive eviction"
-        assert not _os.path.isfile(local_old[1]), "LRU object must evict"
-        total = sum(_os.path.getsize(_os.path.join(r, n))
-                    for r, _d, ns in _os.walk(str(tmp_path / "mirror"))
-                    for n in ns)
-        assert total <= 3000
+        assert all(_os.path.isfile(p) for p in pinned_old), \
+            "session-pinned files must survive even when older"
+        assert not _os.path.isfile(stale[1]), \
+            "prior-session LRU leftover must evict"
+        assert _os.path.isfile(inflight), \
+            "in-flight .tmp staging files are never victims"
+        # lazily-planned scans over EVERYTHING handed out this session
+        # still have their inputs: localize again, all cache hits
+        again = iomod.localize_paths(paths[0:1] + paths[2:])
+        assert all(_os.path.isfile(p) for p in again)
     finally:
         iomod.unregister_file_io("tiny")
