@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
+from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -42,20 +43,64 @@ from .metadata import Snapshot, TableMetadata
 from .types import Schema, type_to_spark
 
 
-@functools.lru_cache(maxsize=4096)
-def _cached_manifest(path: str, mtime_ns: int) -> tuple:
-    if path.endswith(".avro"):
-        # spec-layout manifest written by a real Iceberg implementation
-        # (interop path — avro_manifest.py); self-decoding via embedded schema
-        from .avro_manifest import read_avro_manifest
-        return tuple(read_avro_manifest(path))
-    return tuple(read_manifest(path))
+class _ManifestCache:
+    """ENTRY-weighted LRU over parsed manifests (the reference's
+    byte-weighted object cache, io/object_cache.rs:22-60). Manifests vary
+    1..10k+ entries, so a count-capped lru_cache retains O(files) driver
+    memory in the worst case (4096 manifests x 1000 entries ~ 9 GB);
+    weighting by len() bounds retained ManifestEntry objects (~2.3 KB
+    each measured) regardless of manifest shape. Default budget 512k
+    entries (~1.2 GB), env ICEBERG_SPARK_MANIFEST_CACHE_ENTRIES.
+    Thread-safe for the planner's pool: lookups/inserts lock, the decode
+    itself runs unlocked (a concurrent miss may decode twice — benign,
+    manifests are immutable)."""
+
+    def __init__(self, max_entries: Optional[int] = None):
+        import threading
+        if max_entries is None:
+            max_entries = int(os.environ.get(
+                "ICEBERG_SPARK_MANIFEST_CACHE_ENTRIES", str(512 * 1024)))
+        self.max_entries = max_entries
+        self._lock = threading.Lock()
+        self._data: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._weight = 0
+
+    def get(self, path: str, mtime_ns: int) -> tuple:
+        key = (path, mtime_ns)
+        with self._lock:
+            got = self._data.get(key)
+            if got is not None:
+                self._data.move_to_end(key)
+                return got
+        if path.endswith(".avro"):
+            # spec-layout manifest written by a real Iceberg implementation
+            # (interop path); self-decoding via embedded schema
+            from .avro_manifest import read_avro_manifest
+            val = tuple(read_avro_manifest(path))
+        else:
+            val = tuple(read_manifest(path))
+        with self._lock:
+            if key not in self._data:
+                self._data[key] = val
+                self._weight += max(1, len(val))
+                while self._weight > self.max_entries and len(self._data) > 1:
+                    _, old = self._data.popitem(last=False)
+                    self._weight -= max(1, len(old))
+        return val
+
+    def cache_clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+            self._weight = 0
+
+
+_manifest_cache = _ManifestCache()
 
 
 def load_manifest(path: str) -> Sequence[ManifestEntry]:
     """Manifests are immutable once written; cache keyed by (path, mtime)."""
     from .io import file_io_for
-    return _cached_manifest(path, file_io_for(path).mtime_ns(path))
+    return _manifest_cache.get(path, file_io_for(path).mtime_ns(path))
 
 
 @functools.lru_cache(maxsize=1024)
@@ -148,22 +193,45 @@ class TableScan:
 
     # -- planning ----------------------------------------------------------
     def plan_files(self) -> ScanPlan:
+        """O(metadata) planning, concurrent per manifest (counterpart of the
+        reference's 4-stage concurrent pipeline, scan/mod.rs:381-499):
+
+          manifest list -> FieldSummary pruning (driver, O(manifests))
+          -> per-manifest [fetch + decode + per-entry evaluation] on a
+             thread pool: the parquet/avro decode releases the GIL, so
+             fetch/decode of manifest N overlaps the pure-Python entry
+             evaluation of manifest N-1
+          -> delete-index match over SURVIVORS only.
+
+        Delete manifests stream first (the index must be complete before
+        matching); data manifests then evaluate independently, so peak
+        intermediate state is per-manifest entry tuples + survivors —
+        never an all-files list for selective predicates. Per-entry cost
+        is minimized by an AlwaysTrue fast path and by building metrics
+        only for the predicate's referenced columns (missing metrics are
+        conservative might-match, so the restriction cannot over-prune)."""
         md = self.metadata
         snap = self._resolve_snapshot()
         if snap is None:
             return ScanPlan(tasks=[], snapshot=None)
         schema = self._scan_schema(md, snap)
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        always_true = isinstance(bound, E.AlwaysTrue)
+        ref_cols = (None if always_true
+                    else frozenset(E.referenced_columns(bound)))
 
         manifest_list_path = snap.manifest_list
         manifests = load_manifest_list(manifest_list_path)
         plan = ScanPlan(tasks=[], snapshot=snap, total_manifests=len(manifests))
 
-        # partition predicate per spec id (cached like scan/cache.rs:31)
+        # partition predicate per spec id (cached like scan/cache.rs:31);
+        # benign-race safe under the GIL: concurrent misses recompute the
+        # same immutable value
         part_pred_cache: Dict[int, E.Predicate] = {}
 
         def partition_pred(spec_id: int) -> E.Predicate:
-            if spec_id not in part_pred_cache:
+            got = part_pred_cache.get(spec_id)
+            if got is None:
                 spec = md.spec(spec_id)
                 infos = []
                 for pf in spec.fields:
@@ -172,66 +240,119 @@ class TableScan:
                         continue
                     infos.append(PartitionFieldInfo(src.name, pf.name,
                                                     pf.transform, src.field_type))
-                part_pred_cache[spec_id] = inclusive_projection(bound, infos)
-            return part_pred_cache[spec_id]
+                got = part_pred_cache[spec_id] = inclusive_projection(bound, infos)
+            return got
 
-        # manifest-level pruning, then concurrent manifest fetch (the
-        # reference's num_cpus-concurrency planning pipeline,
-        # scan/mod.rs:419-465 — here a thread pool over cached parquet reads)
-        surviving: List[ManifestFile] = []
+        # manifest-level pruning (both content kinds: a delete manifest
+        # whose partitions cannot match the query prunes safely — its
+        # deletes could only apply to data files that are pruned too)
+        surviving_data: List[ManifestFile] = []
+        surviving_dels: List[ManifestFile] = []
         for mf in manifests:
-            ppred = partition_pred(mf.partition_spec_id)
-            if mf.partitions and not manifest_might_match(
-                    ppred, {k: FieldSummary(v.contains_null, v.contains_nan,
-                                            _cmp(v.lower), _cmp(v.upper))
-                            for k, v in mf.partitions.items()}):
-                plan.skipped_manifests += 1
-                continue
-            surviving.append(mf)
+            if not always_true and mf.partitions:
+                ppred = partition_pred(mf.partition_spec_id)
+                if not manifest_might_match(
+                        ppred, {k: FieldSummary(v.contains_null, v.contains_nan,
+                                                _cmp(v.lower), _cmp(v.upper))
+                                for k, v in mf.partitions.items()}):
+                    plan.skipped_manifests += 1
+                    continue
+            (surviving_dels if mf.content else surviving_data).append(mf)
 
-        if len(surviving) > 4:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(16, len(surviving))) as ex:
-                loaded = list(ex.map(lambda m: load_manifest(m.manifest_path),
-                                     surviving))
-        else:
-            loaded = [load_manifest(m.manifest_path) for m in surviving]
+        def _map_loaded(mfs, fn):
+            if len(mfs) > 4:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=min(16, len(mfs))) as ex:
+                    return list(ex.map(
+                        lambda m: fn(load_manifest(m.manifest_path)), mfs))
+            return [fn(load_manifest(m.manifest_path)) for m in mfs]
 
-        data_entries: List[ManifestEntry] = []
+        name_map_cache: Dict[Optional[int], Dict[str, str]] = {}
+
+        def eval_entries(entries):
+            """(survivors, n_data, skipped_part, skipped_metrics, strays):
+            the per-manifest evaluation unit run on the pool. ``strays``
+            are delete entries found in a data manifest (defensive —
+            external writers could mix content within one manifest)."""
+            survivors: List[ManifestEntry] = []
+            strays: List[ManifestEntry] = []
+            n = sp = sm = 0
+            for entry in entries:
+                if entry.status == STATUS_DELETED:
+                    continue
+                df_ = entry.data_file
+                if df_.content != CONTENT_DATA:
+                    strays.append(entry)
+                    continue
+                n += 1
+                if not always_true:
+                    if df_.partition and not partition_might_match(
+                            partition_pred(df_.spec_id), df_.partition):
+                        sp += 1
+                        continue
+                    metrics = self._metrics_for_file(
+                        df_, schema, ref_cols=ref_cols,
+                        _map_cache=name_map_cache)
+                    if not file_might_match(bound, metrics, df_.record_count):
+                        sm += 1
+                        continue
+                survivors.append(entry)
+            return survivors, n, sp, sm, strays
+
+        # phase A: delete manifests -> complete delete set
         delete_entries: List[ManifestEntry] = []
-        for entries in loaded:
+        stray_data: List[ManifestEntry] = []
+        for entries in _map_loaded(surviving_dels, lambda e: e):
             for entry in entries:
                 if entry.status == STATUS_DELETED:
                     continue
                 if entry.data_file.content == CONTENT_DATA:
-                    data_entries.append(entry)
+                    stray_data.append(entry)
                 else:
                     delete_entries.append(entry)
 
-        plan.total_data_files = len(data_entries)
+        # phase B: data manifests, concurrent load + evaluate
+        results = _map_loaded(surviving_data, eval_entries)
+        if stray_data:
+            results.append(eval_entries(stray_data))
+        survivors: List[ManifestEntry] = []
+        for part, n, sp, sm, strays in results:
+            survivors.extend(part)
+            delete_entries.extend(strays)
+            plan.total_data_files += n
+            plan.skipped_by_partition += sp
+            plan.skipped_by_metrics += sm
 
         delete_index = _DeleteFileIndex(delete_entries)
-
-        for entry in data_entries:
-            df_ = entry.data_file
-            ppred = partition_pred(df_.spec_id)
-            if df_.partition and not partition_might_match(ppred, df_.partition):
-                plan.skipped_by_partition += 1
-                continue
-            metrics = self._metrics_for_file(df_, schema)
-            if not file_might_match(bound, metrics, df_.record_count):
-                plan.skipped_by_metrics += 1
-                continue
-            task = FileScanTask(data_file=df_, sequence_number=entry.sequence_number)
+        for entry in survivors:
+            task = FileScanTask(data_file=entry.data_file,
+                                sequence_number=entry.sequence_number)
             delete_index.match(entry, task)
             plan.tasks.append(task)
         return plan
 
-    def _metrics_for_file(self, df_: DataFile, current_schema: Schema) -> Dict[str, ColumnMetrics]:
-        """Map file-local column stats to CURRENT schema names via field ids."""
-        name_map = self._name_mapping(df_.schema_id, current_schema)
+    def _metrics_for_file(self, df_: DataFile, current_schema: Schema,
+                          ref_cols: Optional[frozenset] = None,
+                          _map_cache: Optional[dict] = None
+                          ) -> Dict[str, ColumnMetrics]:
+        """Map file-local column stats to CURRENT schema names via field
+        ids. ``ref_cols`` restricts the work to the predicate's referenced
+        columns (sound: missing metrics evaluate as might-match); the
+        optional ``_map_cache`` memoizes the per-schema-id name mapping
+        across a plan's files."""
+        if _map_cache is not None:
+            name_map = _map_cache.get(df_.schema_id)
+            if name_map is None:
+                name_map = _map_cache[df_.schema_id] = \
+                    self._name_mapping(df_.schema_id, current_schema)
+        else:
+            name_map = self._name_mapping(df_.schema_id, current_schema)
         out: Dict[str, ColumnMetrics] = {}
-        for cur_name, file_name in name_map.items():
+        names = name_map if ref_cols is None else ref_cols
+        for cur_name in names:
+            file_name = name_map.get(cur_name)
+            if file_name is None:
+                continue
             out[cur_name] = ColumnMetrics(
                 value_count=df_.value_counts.get(file_name),
                 null_count=df_.null_value_counts.get(file_name),

@@ -168,3 +168,89 @@ def test_delete_index_linear_planning_speed():
         idx.match(e, task)
         assert len(task.pos_deletes) == 20
     assert time.time() - t0 < 5.0
+
+
+# ------------------------------------------------------- planning at scale
+def _fab_table(warehouse, n_manifests, files_per_manifest):
+    """Fabricated metadata-only table: planning never opens data files, so
+    the entries can point at paths that do not exist."""
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+    from iceberg_rust_spark.sources.types import LONG, NestedField, Schema
+    schema = Schema([NestedField(1, "k", LONG, True),
+                     NestedField(2, "p", LONG, True),
+                     NestedField(3, "v", LONG, True)], 0)
+    spec = PartitionSpec(0, [PartitionField(2, 1000, "p",
+                                            parse_transform("identity"))])
+    t = Table.create(warehouse, "db.plan_scale", schema, partition_spec=spec)
+    for m in range(n_manifests):
+        files = [DataFile(
+            file_path=f"/nonexistent/m{m}/f{i}.parquet",
+            record_count=100, file_size_in_bytes=1 << 20,
+            partition={"p": m},
+            value_counts={"k": 100, "p": 100, "v": 100},
+            null_value_counts={"k": 0, "p": 0, "v": 0},
+            lower_bounds={"k": 0, "p": m, "v": m * 1000 + i},
+            upper_bounds={"k": 10 ** 9, "p": m, "v": m * 1000 + i},
+            schema_id=0, spec_id=0)
+            for i in range(files_per_manifest)]
+        t = t._commit_retry(lambda md, fs=files: t._snapshot_update(
+            md, "append", added=fs))
+    return t
+
+
+def test_concurrent_plan_prunes_and_counts(warehouse):
+    """The pooled per-manifest evaluation (plan_files phase B) must agree
+    with serial semantics: partition pruning skips whole manifests, metrics
+    pruning walks entries, counters add up across the pool."""
+    t = _fab_table(warehouse, n_manifests=8, files_per_manifest=50)
+    # partition-selective: FieldSummary pruning leaves exactly 1 manifest
+    plan = t.scan(row_filter=E.col("p") == 3).plan_files()
+    assert len(plan.tasks) == 50
+    assert plan.skipped_manifests == 7
+    # metrics-selective: every manifest survives, per-entry metrics prune
+    plan = t.scan(row_filter=E.col("v") > 8 * 50 * 1000).plan_files()
+    assert len(plan.tasks) == 0
+    assert plan.total_data_files == 400
+    assert plan.skipped_by_metrics == 400
+    # AlwaysTrue fast path: all files, nothing skipped
+    plan = t.scan().plan_files()
+    assert len(plan.tasks) == 400
+    assert plan.skipped_manifests == 0
+
+
+def test_manifest_cache_is_entry_weighted():
+    """Driver memory during planning is bounded by the cache's ENTRY
+    budget, not by manifest count (io/object_cache.rs:22-60 counterpart)."""
+    from iceberg_rust_spark.sources.scan import _ManifestCache
+    calls = []
+
+    class _Probe(_ManifestCache):
+        def get(self, path, mtime_ns):  # route decode through a stub
+            key = (path, mtime_ns)
+            with self._lock:
+                got = self._data.get(key)
+                if got is not None:
+                    self._data.move_to_end(key)
+                    return got
+            calls.append(path)
+            val = tuple(range(100))  # "100 entries"
+            with self._lock:
+                if key not in self._data:
+                    self._data[key] = val
+                    self._weight += len(val)
+                    while (self._weight > self.max_entries
+                           and len(self._data) > 1):
+                        _, old = self._data.popitem(last=False)
+                        self._weight -= len(old)
+            return val
+
+    c = _Probe(max_entries=250)
+    for i in range(10):
+        c.get(f"m{i}", 0)
+    assert c._weight <= 250 and len(c._data) == 2
+    c.get("m9", 0)                      # LRU hit, no decode
+    assert calls.count("m9") == 1
+    c.get("m0", 0)                      # evicted long ago -> re-decode
+    assert calls.count("m0") == 2
