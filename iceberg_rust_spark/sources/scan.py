@@ -519,7 +519,7 @@ class TableScan:
                 else:
                     gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta and exec_io is None:
-                fcol = F.col("_metadata.file_path")
+                fcol = _decode_file_uri(F.col("_metadata.file_path"))
                 if remap is not None:
                     fcol = F.regexp_replace(fcol, remap[0], remap[1])
                 gdf = gdf.withColumn("_file", fcol) \
@@ -1003,6 +1003,24 @@ def scan_execution_metrics(df: DataFrame) -> Dict[str, int]:
 
 def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _decode_file_uri(c):
+    """Spark's ``_metadata.file_path`` / ``input_file_name()`` return the
+    URI spelling of a path (space -> %20, %% -> %25, ...); manifests store
+    RAW paths. Every `_file` value is decoded back to the raw spelling at
+    its production site so path equality against manifest-derived strings
+    (delete-index bounds, referenced_data_file maps, row-lineage bases,
+    commit validation targets) holds for paths with special characters.
+    ``+`` is URI-path-legal and arrives literal, so it is pre-escaped to
+    survive url_decode's form-decoding (+ -> space)."""
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
+def _decode_file_uri_py(p: str) -> str:
+    """Driver twin of _decode_file_uri (unquote leaves ``+`` alone)."""
+    from urllib.parse import unquote
+    return unquote(p)
 
 
 def _norm_path_py(p: str) -> str:

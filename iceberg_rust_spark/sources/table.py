@@ -36,7 +36,8 @@ from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        read_manifest_list, write_manifest, write_manifest_list)
 from .metadata import (MAIN_BRANCH, PartitionField, PartitionSpec, Snapshot,
                        SnapshotRef, TableMetadata, new_snapshot_id, now_ms)
-from .scan import TableScan, load_manifest, load_manifest_list
+from .scan import (TableScan, _decode_file_uri, load_manifest,
+                   load_manifest_list)
 from .types import (FIELD_ID_KEY, NestedField, Schema, is_promotable,
                     type_to_spark)
 from .write import (align_df_to_schema, collect_parquet_stats,
@@ -1535,7 +1536,8 @@ class Table:
             parts.append(
                 spark.read.parquet(*pq_paths)
                 .select("file_path", "pos",
-                        F.input_file_name().alias("delete_file_path"),
+                        _decode_file_uri(F.input_file_name())
+                        .alias("delete_file_path"),
                         F.lit("parquet").alias("file_format")))
         if dv_files:
             pairs = dv_pairs_df(spark, dv_files)

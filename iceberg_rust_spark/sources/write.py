@@ -451,6 +451,8 @@ def collect_nan_counts(spark: SparkSession, out_dir: str, schema: Schema,
         return {}
 
     def bare(p: str) -> str:
+        from urllib.parse import unquote
+        p = unquote(p)  # _metadata.file_path is URI-spelled (%20 etc.)
         return p[len("file://"):] if p.startswith("file://") else \
             (p[len("file:"):] if p.startswith("file:") else p)
 
@@ -472,9 +474,11 @@ def _spark_fallback_stats(spark: SparkSession, files: List[str]) -> Dict[str, di
     from .io import file_io_for
 
     def bare_path(p: str) -> str:
-        # Spark's _metadata.file_path spells local files "file:/x"; inputs
-        # may be "/x" or "file:///x" — normalize all three to "/x"
-        return _re.sub(r"^file:/+", "/", p)
+        # Spark's _metadata.file_path spells local files "file:/x" in URI
+        # encoding (%20 etc.); inputs may be raw "/x" or "file:///x" —
+        # normalize all to the raw "/x" spelling
+        from urllib.parse import unquote
+        return _re.sub(r"^file:/+", "/", unquote(p))
 
     per_file = (spark.read.parquet(*files)
                 .groupBy(F.col("_metadata.file_path").alias("p"))

@@ -279,3 +279,32 @@ def test_pos_delete_path_bounds_prune_untouched_files(spark, warehouse):
     # correctness unchanged
     assert t.to_df(spark).count() == 90
     assert t.to_df(spark).where(F.col("k") < 10).count() == 0
+
+
+def test_uri_special_char_paths_mor_and_lineage(spark, warehouse):
+    """Partition values with URI-special characters (space, %, +) put those
+    characters into file PATHS. Spark's _metadata.file_path reports the URI
+    spelling (%20 etc.) while manifests store raw paths; the _file decode
+    must reconcile them or MOR deletes spuriously ValidationConflict and
+    row-lineage/sequence maps silently miss."""
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+    rows = [(1, "NOT SPECIFIED", 1.0), (2, "A+B", 2.0), (3, "100%", 3.0),
+            (4, "NOT SPECIFIED", 4.0), (5, "plain", 5.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, val double")
+    schema = schema_from_spark(df.schema)
+    fid = schema.field_by_name("cat").field_id
+    spec = PartitionSpec(0, [PartitionField(fid, 1000, "cat",
+                                            parse_transform("identity"))])
+    t = Table.create(warehouse, "db.specialchars", schema,
+                     partition_spec=spec)
+    t = t.append(spark, df)
+    # MOR delete across the spaced/encoded partitions: must not raise and
+    # must actually remove the rows at read time (delete-index bounds and
+    # the anti-join key on the same raw spelling)
+    t = t.delete_where(spark, E.col("id").isin([1, 2, 3]), mode="mor")
+    assert ids(spark, t) == [4, 5]
+    # a second MOR delete exercises validate_files_exist against manifests
+    t = t.delete_where(spark, E.col("id") == 4, mode="mor")
+    assert ids(spark, t) == [5]
