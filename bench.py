@@ -63,6 +63,14 @@ BENCH_QUERIES = [
 ]
 
 
+# Probe wall on an IDLE core of the builder machine (min of 10 back-to-back
+# runs, quiet loadavg). Normalized walls = min_wall * (REFERENCE_PROBE_SEC /
+# min(run probes)): a loaded machine shows a larger probe, deflating its
+# walls back to idle-equivalent, so cross-run ratios compare ENGINE cost,
+# not ambient load. tools/bench_compare.py consumes this.
+REFERENCE_PROBE_SEC = 0.0846
+
+
 def _calibration_probe() -> float:
     """Fixed single-thread CPU work (~0.1-0.2 s on an idle core): numpy
     matmuls + a pure-python loop, so both BLAS contention and interpreter
@@ -183,8 +191,17 @@ def main() -> None:
         "value": round(total, 3), "unit": "sec",
         "queries": timings, "sf": sf,
     }
+    # probe-normalized walls: idle-equivalent numbers comparable across
+    # runs taken under different machine load (see REFERENCE_PROBE_SEC)
+    norm_factor = REFERENCE_PROBE_SEC / max(min(probes), 1e-6)
+    normalized = {name: round(t * norm_factor, 3)
+                  for name, t in timings.items()}
     detail = dict(summary, protocol=f"min-of-{reps}-rep-major",
                   queries_median=medians, queries_plan=plannings,
+                  queries_normalized=normalized,
+                  normalization={"reference_probe_sec": REFERENCE_PROBE_SEC,
+                                 "run_probe_sec": min(probes),
+                                 "factor": round(norm_factor, 4)},
                   reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec,
                   calibration={"probe_sec": probes, "loadavg_1m": loadavg},
                   read_path_pair=read_pair)
