@@ -249,10 +249,17 @@ def _docs_with_exact_copies(spark, sf_dir):
 
 
 def _docs_with_near_copies(spark, sf_dir, max_id: int):
+    # single-scan explode, not union: a union's branches are separate
+    # subtrees that each re-scan the table (and re-run everything upstream
+    # in callers that stack more work on top); explode emits the base row
+    # and its truncated near-copy from one pass
     d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_id)
-    noisy = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-                     F.expr("substr(text, 1, greatest(length(text) - 40, 1))").alias("text"))
-    return d.select("doc_id", "text").unionByName(noisy)
+    trunc = F.expr("substr(text, 1, greatest(length(text) - 40, 1))")
+    return (d.select(F.explode(F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                         trunc.alias("text")))).alias("_r"))
+            .select("_r.doc_id", "_r.text"))
 
 
 _SQL_DOCS_EXACT = f"""

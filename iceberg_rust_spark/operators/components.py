@@ -65,8 +65,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # but never change its value — so the dedup shuffle that used to sit
     # here bought nothing but wall time. Producers with heavy edge
     # multiplicity can pre-distinct on their side if the volume warrants.
-    und = _ckpt(e.unionByName(e.select(F.col("b").alias("a"),
-                                       F.col("a").alias("b")))
+    # symmetrize via explode, NOT union: a union's two branches are
+    # separate subtrees, so the (possibly expensive) upstream edge
+    # pipeline — an LSH join for near-dup graphs — executed TWICE inside
+    # the checkpoint job (ReuseExchange only collapses identical
+    # exchanges, and the pipeline's top operator isn't one). explode
+    # emits both directions from ONE computation of each edge row.
+    und = _ckpt(e.select(F.explode(F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"),
+                             F.col("a").alias("b")))).alias("_e"))
+                .select("_e.a", "_e.b")
                 .repartition(F.col("b")), eager=False)
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —

@@ -111,7 +111,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     fully-codegen'd explode+groupBy at sf0.1 (10s vs 2s warm) and no faster
     at 500k docs. The exploded shuffle also buys exchange reuse: both sides
     of the downstream LSH self-join read the same shuffled aggregate."""
-    sh = shingle_df(docs, text_col, id_col, n)
+    return _minhash_from_shingles(shingle_df(docs, text_col, id_col, n),
+                                  id_col)
+
+
+def _minhash_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     aggs = []
     reduced = F.pmod(F.col("shingle"), F.lit(_P))
     for i in range(_N_HASHES):
@@ -128,7 +132,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
     banded-LSH candidate generation + exact shingle-set verification.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n)
+    # grams are consumed THREE times (signatures + both verification
+    # sides); without persist each use re-runs the Arrow n-gram kernel and
+    # the doc scan. persist is the cluster-correct shape too: at scale the
+    # gram table is the expensive intermediate every stage shares.
+    # (MEMORY_AND_DISK default; relies on Spark's LRU eviction rather than
+    # an explicit unpersist, since the caller's action happens later.)
+    grams = _grams_df(docs, text_col, id_col, n, "grams").persist()
+    sh = (grams.select(F.col(id_col), F.explode("grams").alias("_g"))
+          .select(id_col, F.xxhash64("_g").alias("shingle")))
+    sigs = _minhash_from_shingles(sh, id_col)
     band_cols = []
     for b in range(_BANDS):
         cols = [F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
@@ -143,7 +156,6 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
              .dropDuplicates())
-    grams = _grams_df(docs, text_col, id_col, n, "grams")
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     verified = (cands.join(ga, "id_a").join(gb, "id_b")
