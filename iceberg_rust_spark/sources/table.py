@@ -2015,6 +2015,31 @@ class Table:
                 "cannot commit to an encrypted table: encrypted writes are "
                 "not supported (encryption.key-id is set)")
 
+        # metadata-race validation (the reference's TableRequirement set,
+        # catalog/mod.rs:443-495, recast for the retry loop): files were
+        # WRITTEN bound to a schema-id/spec-id captured from the writer's
+        # handle; if a concurrent expire_snapshots(clean_expired_metadata)
+        # or remove-partition-specs/remove-schemas dropped that id from the
+        # refreshed base, committing would produce unreadable lineage (the
+        # scan resolves every file's spec/schema by id). Unretryable — the
+        # same captured files can never become valid; the writer must
+        # refresh and REWRITE under a live spec/schema. Schema/spec
+        # EVOLUTION alone never trips this (ids are append-only), so
+        # append-vs-update_schema stays conflict-free and commutes.
+        known_specs = {s.spec_id for s in md.partition_specs}
+        known_schemas = {s.schema_id for s in md.schemas}
+        for f in added + added_deletes:
+            if f.spec_id is not None and f.spec_id not in known_specs:
+                raise ValidationConflict(
+                    f"added file {f.file_path} was written under partition "
+                    f"spec {f.spec_id}, which a concurrent commit removed; "
+                    "refresh and rewrite under a live spec")
+            if f.schema_id is not None and f.schema_id not in known_schemas:
+                raise ValidationConflict(
+                    f"added file {f.file_path} was written under schema "
+                    f"{f.schema_id}, which a concurrent commit removed; "
+                    "refresh and rewrite under a live schema")
+
         # base snapshot this commit extends (branch head when writing to a
         # branch; else main) — needed by validation AND carry-forward below
         on_branch = branch is not None and branch != MAIN_BRANCH

@@ -124,7 +124,8 @@ def test_interleaved_schedule_property(spark, warehouse):
         for _step in range(10):
             i = rng.randrange(3)
             h = handles[i]
-            op = rng.choice(["append", "cow", "mor", "dv", "compact"])
+            op = rng.choice(["append", "cow", "mor", "dv", "compact",
+                             "evolve"])
             pred_v = rng.randrange(4)
             for _attempt in range(4):
                 ver_before = h.version
@@ -136,6 +137,22 @@ def test_interleaved_schedule_property(spark, warehouse):
                             batch, "k long, v long"))
                     elif op == "compact":
                         h.compact(spark, small_file_bytes=1 << 30)
+                    elif op == "evolve":
+                        # metadata arm: schema evolution must commute with
+                        # every data op (ids are append-only); rename flips
+                        # an extra column back and forth so repeated arms
+                        # stay valid. Row oracle is unaffected.
+                        cols = {f.name for f in
+                                h.metadata.schema().fields}
+                        if "w" not in cols and "w2" not in cols:
+                            h.update_schema().add_column("w", "long") \
+                                .commit()
+                        elif "w" in cols:
+                            h.update_schema().rename_column("w", "w2") \
+                                .commit()
+                        else:
+                            h.update_schema().rename_column("w2", "w") \
+                                .commit()
                     else:
                         h.delete_where(spark, E.col("v") == pred_v,
                                        mode=op if op != "cow" else "cow")
@@ -146,6 +163,12 @@ def test_interleaved_schedule_property(spark, warehouse):
             else:
                 pytest.fail("op kept conflicting after refresh re-plans")
             if h.version != ver_before:            # a commit landed
+                if op == "evolve":
+                    # schema commits don't add snapshots; refresh so later
+                    # data ops on this handle see the evolved schema
+                    handles[i] = Table.load(warehouse, name)
+                    captures[i] = dict(captures[i])
+                    continue
                 commits += 1
                 if op == "append":
                     current.update(batch)
@@ -317,3 +340,113 @@ def test_pos_delete_file_path_bounds_scope_conflict(spark, warehouse):
     commit_pos_delete(Table.load(warehouse, "db.sc4"), file_c)
     with pytest.raises(ValidationConflict):
         stale2.delete_where(spark, E.col("k") == 27, mode="cow")
+
+
+# ----------------------------------------------------- metadata races
+# The reference's TableRequirement set (catalog/mod.rs:443-495) also guards
+# schema/spec/ref races, not just data-file races. Our retry loop re-applies
+# captured DataFiles against the refreshed base, so the matrix must decide
+# per scenario: commute cleanly (ids still resolvable) or ValidationConflict
+# (captured files bind metadata a concurrent commit removed).
+
+def test_stale_append_vs_schema_evolution_commutes(spark, warehouse):
+    """Concurrent UpdateSchema(add column) vs an append captured under the
+    old schema: schema ids are append-only, so the retry lands cleanly and
+    the old-schema files read back NULL-padded under the new current
+    schema — no conflict, both orders give the same table."""
+    a = _mk(spark, warehouse, "db.m1", [(1, 10)])
+    # B evolves the schema while A holds a stale handle
+    Table.load(warehouse, "db.m1").update_schema() \
+        .add_column("w", "long").commit()
+    df = spark.createDataFrame([(2, 20)], "k long, v long")
+    a2 = a.append(spark, df)          # stale handle, retries internally
+    got = {tuple(r) for r in Table.load(warehouse, "db.m1")
+           .to_df(spark).select("k", "v", "w").collect()}
+    assert got == {(1, 10, None), (2, 20, None)}
+    # linear lineage: every snapshot's parent is the previous snapshot
+    snaps = Table.load(warehouse, "db.m1").metadata.snapshots
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_snapshot_id == prev.snapshot_id
+
+
+def test_stale_branch_append_vs_ref_move_lands_on_moved_head(spark, warehouse):
+    """SetSnapshotRef moves a branch while a branch append is in flight:
+    the retry re-parents the append onto the MOVED head (appends commute),
+    so the branch ends with both the moved-to state and the new rows."""
+    t = _mk(spark, warehouse, "db.m2", [(1, 10)])
+    base_id = t.metadata.current_snapshot().snapshot_id
+    t = t.append(spark, spark.createDataFrame([(2, 20)], "k long, v long"))
+    second_id = t.metadata.current_snapshot().snapshot_id
+    t = t.set_ref("dev", base_id)                      # branch at snap 1
+    stale = Table.load(warehouse, "db.m2")
+    # B moves dev forward to snap 2
+    Table.load(warehouse, "db.m2").set_ref("dev", second_id)
+    # A appends to dev from the stale handle
+    stale.append(spark, spark.createDataFrame([(3, 30)], "k long, v long"),
+                 branch="dev")
+    t3 = Table.load(warehouse, "db.m2")
+    dev_rows = {tuple(r) for r in
+                t3.scan(ref="dev").to_df(spark).select("k", "v").collect()}
+    assert dev_rows == {(1, 10), (2, 20), (3, 30)}
+    # dev's head parents onto the moved-to snapshot, not the stale base
+    head = t3.metadata.snapshot_by_id(t3.metadata.refs["dev"].snapshot_id)
+    assert head.parent_snapshot_id == second_id
+
+
+def test_stale_partitioned_write_vs_spec_removal_conflicts(spark, warehouse):
+    """RemovePartitionSpecs (via commit_updates) races a write whose files
+    were laid out under the removed spec: committing them would produce
+    lineage whose spec-id no longer resolves — must ValidationConflict."""
+    t = _mk_partitioned(spark, warehouse, "db.m3",
+                        [(1, 0, 10), (2, 1, 20)])
+    # evolve to a NEW default spec (unpartitioned), orphaning spec 0…
+    t2 = Table.load(warehouse, "db.m3")
+    md = t2.metadata
+    new_spec = {"spec-id": 1, "fields": []}
+    t2 = t2.commit_updates([
+        {"action": "add-spec", "spec": new_spec},
+        {"action": "set-default-spec", "spec-id": 1},
+    ])
+    # A captures a handle that still writes under spec 0
+    stale = Table.load(warehouse, "db.m3")
+    assert stale.metadata.default_spec_id == 1
+    # hand-stage the race: files bound to spec 0, spec 0 removed after the
+    # old snapshots expire (expire first so remove-partition-specs passes
+    # its own in-use guard in a REAL sequence: compact-to-spec1 + expire)
+    from iceberg_rust_spark.sources.manifest import DataFile
+    captured = DataFile(file_path="/tmp/nonexistent-spec0.parquet",
+                        record_count=1, file_size_in_bytes=10,
+                        partition={"p": 0}, schema_id=0, spec_id=0)
+    Table.load(warehouse, "db.m3").commit_updates(
+        [{"action": "remove-partition-specs", "spec-ids": [0]}])
+    with pytest.raises(ValidationConflict, match="partition spec 0"):
+        stale._commit_retry(lambda m, fs=[captured]: stale._snapshot_update(
+            m, "append", added=fs))
+
+
+def test_stale_append_vs_schema_removal_conflicts(spark, warehouse):
+    """remove-schemas drops an old schema id while a writer holds files
+    bound to it: the commit must ValidationConflict, not produce files
+    whose schema-id no longer resolves."""
+    t = _mk(spark, warehouse, "db.m4", [(1, 10)])
+    from iceberg_rust_spark.sources.manifest import DataFile
+    captured = DataFile(file_path="/tmp/nonexistent-schema0.parquet",
+                        record_count=1, file_size_in_bytes=10,
+                        schema_id=0, spec_id=0)
+    # B evolves the schema, expires the only snapshot written with schema
+    # 0, then garbage-collects the schema id
+    t2 = Table.load(warehouse, "db.m4").update_schema() \
+        .add_column("w", "long").commit()
+    t2 = t2.delete_where(spark, E.col("k") >= 0, mode="cow")
+    t2 = t2.expire_snapshots(older_than_ms=now_plus_hour(),
+                             retain_last=1, clean_expired_metadata=True)
+    assert 0 not in {s.schema_id for s in t2.metadata.schemas}
+    stale = Table.load(warehouse, "db.m4")
+    with pytest.raises(ValidationConflict, match="schema 0"):
+        stale._commit_retry(lambda m, fs=[captured]: stale._snapshot_update(
+            m, "append", added=fs))
+
+
+def now_plus_hour():
+    import time
+    return int(time.time() * 1000) + 3_600_000
