@@ -2056,22 +2056,62 @@ class Table:
             new_dels: List[DataFile] = []
             removed_norm = {_norm_path_py(p) for p in removed_paths}
             if cur is not None:
-                for mf in load_manifest_list(cur.manifest_list):
-                    for e in load_manifest(mf.manifest_path):
+                # O(metadata) like plan_files: manifest loads are threaded
+                # (parquet decode releases the GIL, overlapping the Python
+                # entry walk of other manifests), and DELETE manifests whose
+                # manifest-list sequence number is at or below the
+                # validation threshold are skipped WITHOUT loading — a
+                # manifest added at sequence S can only carry entries with
+                # sequence <= S, so it cannot contain a "new" delete.
+                mlist = load_manifest_list(cur.manifest_list)
+                need_live = bool(validate_removed_exist
+                                 or validate_files_exist or removed_norm)
+                to_load = []
+                for mf in mlist:
+                    if mf.content:          # delete manifest
+                        if (validate_no_new_deletes_since is not None
+                                and mf.sequence_number
+                                > validate_no_new_deletes_since):
+                            to_load.append(mf)
+                    elif need_live:
+                        to_load.append(mf)
+
+                def _walk(entries):
+                    found: Dict[str, Dict[str, Any]] = {}
+                    paths: List[str] = []
+                    dels: List[Tuple[int, DataFile]] = []
+                    for e in entries:
                         f = e.data_file
                         if f.content == CONTENT_DATA:
                             np_ = _norm_path_py(f.file_path)
-                            live.add(np_)
+                            paths.append(np_)
                             if np_ in removed_norm:
-                                # partition of a file this rewrite replaces:
-                                # the scoping evidence for the delete-race
-                                # check below (keyed by path — a file
-                                # carried in >1 manifest counts once)
-                                removed_parts[np_] = f.partition or {}
-                        elif (validate_no_new_deletes_since is not None
-                              and e.sequence_number
-                              > validate_no_new_deletes_since):
-                            new_dels.append(f)
+                                # partition of a file this rewrite
+                                # replaces: scoping evidence for the
+                                # delete-race check below (keyed by path —
+                                # a file in >1 manifest counts once)
+                                found[np_] = f.partition or {}
+                        else:
+                            dels.append((e.sequence_number, f))
+                    return paths, found, dels
+
+                if len(to_load) > 4:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(16, len(to_load))) as ex:
+                        parts = list(ex.map(
+                            lambda m: _walk(load_manifest(m.manifest_path)),
+                            to_load))
+                else:
+                    parts = [_walk(load_manifest(m.manifest_path))
+                             for m in to_load]
+                for paths, found, dels in parts:
+                    live.update(paths)
+                    removed_parts.update(found)
+                    if validate_no_new_deletes_since is not None:
+                        new_dels.extend(
+                            f for s, f in dels
+                            if s > validate_no_new_deletes_since)
             if validate_removed_exist:
                 gone = sorted(removed_norm - live)
                 if gone:
