@@ -1493,27 +1493,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries in dict order.
-    # Round-8 rotation: the 7 rows whose behavior or fixture bytes changed
-    # this round go first (CDC merged-scan restructure -> cdc_net +
-    # incremental; pointer-jumping connected components -> dedup_clusters;
-    # commit-path conflict validation -> delete_mor/dv + compaction;
-    # VP8L zero-bit single-symbol codes change the multimodal WebP fixture
-    # bytes -> multimodal_features), then the 43 rows the r7 window did
-    # NOT grade (dedup/text/sampling/ann/multimodal/events tail). The 43
-    # r7-graded-and-unchanged rows rotate to the local-only tail.
-    # Everything is green in the 93/93 local artifacts at sf0.01 AND
-    # sf0.1 on this HEAD.
+    # Round-9 rotation: rows whose BEHAVIOR changed this round go first —
+    # dedup_clusters/minhash/ngram (single-computation edge symmetrize,
+    # shared gram cache, single-scan near-copy fixture), every row that
+    # reads the `_file` metadata column (URI-spelling decode fix:
+    # delete_mor/dv/cow/eq, merge, cdc_net, incremental, deleted_flag,
+    # compaction, add_files), and every iceberg scan row (concurrent
+    # per-manifest plan_files + entry-weighted manifest cache + threaded
+    # commit-validation walk). The window then fills with the rows least
+    # recently driver-graded (setops/window/TPC-H tail from r7). All 93
+    # are green in the local artifacts at sf0.01 AND sf0.1 on this HEAD.
     return {
         "dedup_clusters": q_dedup_clusters,
-        "iceberg_cdc_net": q_iceberg_cdc_net,
-        "iceberg_incremental": q_iceberg_incremental,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_delete_dv": q_iceberg_delete_dv,
+        "iceberg_delete_cow": q_iceberg_delete_cow,
+        "iceberg_delete_eq": q_iceberg_delete_eq,
+        "iceberg_merge": q_iceberg_merge,
+        "iceberg_cdc_net": q_iceberg_cdc_net,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_deleted_flag": q_iceberg_deleted_flag,
         "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_add_files": q_iceberg_add_files,
+        "iceberg_branch_read": q_iceberg_branch_read,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_nested_evolution": q_iceberg_nested_evolution,
+        "iceberg_q1_pricing": q_iceberg_q1,
+        "iceberg_q6_revenue": q_iceberg_q6,
+        "iceberg_fast_count": q_iceberg_fast_count,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
+        "iceberg_truncate_prune": q_iceberg_truncate_prune,
+        "iceberg_join_pruned": q_iceberg_join_pruned,
+        "iceberg_join_between": q_iceberg_join_between,
+        "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
+        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
+        "iceberg_datasource_read": q_iceberg_datasource_read,
+        "iceberg_view_monthly": q_view_monthly,
         "multimodal_features": q_multimodal_features,
+        "doc_pipeline": q_doc_pipeline,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_pack": q_doc_pack,
+        "doc_scrub": q_doc_scrub,
+        "doc_boilerplate": q_doc_boilerplate,
+        "window_topn": q_window_topn,
+        "window_running": q_window_running,
+        "set_intersect": q_set_intersect,
+        "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "set_except": q_set_except,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q9_nation_profit": q9_nation_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        # ---- entries below are outside the driver's 50-row window this
+        # round (graded in recent windows; unchanged or covered by the local
+        # 93/93 artifacts regenerated on this HEAD)
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_minhash": q_dedup_minhash,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_derep": q_doc_derep,
         "dedup_simhash": q_dedup_simhash,
@@ -1537,68 +1581,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_para_dedup": q_doc_para_dedup,
         "doc_substring_dedup": q_doc_substring_dedup,
         "doc_mix": q_doc_mix,
-        "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         "asof_join_events": q_asof_join,
         "window_lag": q_window_lag,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_percentiles": q_events_percentiles,
         "events_variant": q_events_variant,
-        "iceberg_datasource_read": q_iceberg_datasource_read,
-        "iceberg_overwrite_dynamic": q_iceberg_overwrite_dynamic,
-        "iceberg_deleted_flag": q_iceberg_deleted_flag,
-        "iceberg_fast_count": q_iceberg_fast_count,
-        "iceberg_q6_revenue": q_iceberg_q6,
-        "iceberg_partition_prune": q_iceberg_partition_prune,
-        "iceberg_join_pruned": q_iceberg_join_pruned,
-        "iceberg_join_between": q_iceberg_join_between,
-        "iceberg_bucket_prune": q_iceberg_bucket_prune,
-        "iceberg_truncate_prune": q_iceberg_truncate_prune,
-        # ---- entries below are outside the driver's 50-row window this
-        # round (graded green in the r7 window; unchanged since) — still
-        # verified by the local 93/93 artifacts on this HEAD
-        "iceberg_q1_pricing": q_iceberg_q1,
-        "doc_pipeline": q_doc_pipeline,
-        "iceberg_view_monthly": q_view_monthly,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "doc_pack": q_doc_pack,
-        "iceberg_schema_evolution": q_iceberg_schema_evolution,
-        "iceberg_time_travel": q_iceberg_time_travel,
-        "iceberg_branch_read": q_iceberg_branch_read,
-        "iceberg_nested_evolution": q_iceberg_nested_evolution,
-        "iceberg_delete_cow": q_iceberg_delete_cow,
-        "iceberg_delete_eq": q_iceberg_delete_eq,
-        "iceberg_merge": q_iceberg_merge,
-        "iceberg_add_files": q_iceberg_add_files,
-        "doc_scrub": q_doc_scrub,
-        "doc_boilerplate": q_doc_boilerplate,
-        "window_topn": q_window_topn,
-        "window_running": q_window_running,
-        "set_intersect": q_set_intersect,
-        "rollup_orders": q_rollup_orders,
-        "cube_orders": q_cube_orders,
-        "set_except": q_set_except,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "q3_shipping_priority": q3_shipping_priority,
         "q4_order_priority": q4_order_priority,
-        "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
-        "q9_nation_profit": q9_nation_profit,
         "q10_returned_items": q10_returned_items,
         "q11_important_stock": q11_important_stock,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q12_priority_shipping": q12_priority_shipping,
-        "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
         "q16_brand_suppliers": q16_brand_suppliers,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "q19_discounted_revenue": q19_discounted_revenue,
         "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
     }
 
