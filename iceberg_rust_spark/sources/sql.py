@@ -360,8 +360,7 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
             return {m.group(1): sql_to_predicate(m.group(2))}
         except ValueError:
             return {}
-    if re.search(r"\b(LEFT|RIGHT|FULL|OUTER|SEMI|ANTI|CROSS)\s+"
-                 r"(OUTER\s+)?JOIN", query, re.IGNORECASE):
+    if re.search(r"\b(SEMI|ANTI|CROSS)\s+JOIN", query, re.IGNORECASE):
         return {}
     if re.search(r"\(\s*SELECT\b", query, re.IGNORECASE):
         return {}
@@ -369,17 +368,41 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
     if not m:
         return {}
     from_part, where = m.group(1), m.group(2)
+    # Walk the join chain tracking the PRESERVED side (standard outer-join
+    # filter-pushdown rule): a WHERE conjunct on a preserved table filters
+    # result rows 1:1 with that table's rows, so file-pruning its scan is
+    # result-preserving; a conjunct on a null-supplying side is not
+    # (IS NULL would change which rows find matches) and is skipped.
+    #   start: first table preserved
+    #   INNER JOIN t:  t joins the preserved set
+    #   LEFT  JOIN t:  t is null-supplying; prior set unchanged
+    #   RIGHT JOIN t:  everything prior becomes null-supplying; {t} preserved
+    #   FULL  JOIN:    nothing preserved -> bail
+    if re.search(r"\bFULL\s+(OUTER\s+)?JOIN", from_part, re.IGNORECASE):
+        return {}
     refs: Dict[str, str] = {}           # alias -> table identifier
-    for piece in re.split(r"\b(?:INNER\s+)?JOIN\b", from_part,
-                          flags=re.IGNORECASE):
-        piece = re.sub(r"\bON\b.*$", "", piece,
+    preserved: set = set()              # aliases safe to prune
+    join_split = re.split(
+        r"\b(INNER\s+JOIN|LEFT\s+(?:OUTER\s+)?JOIN|"
+        r"RIGHT\s+(?:OUTER\s+)?JOIN|JOIN)\b",
+        from_part, flags=re.IGNORECASE)
+    # join_split = [t0, kw1, t1, kw2, t2, ...]
+    for idx in range(0, len(join_split), 2):
+        piece = re.sub(r"\bON\b.*$", "", join_split[idx],
                        flags=re.IGNORECASE | re.DOTALL).strip()
         tm = re.match(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", piece,
                       re.IGNORECASE)
         if not tm:
             return {}                   # unrecognized ref shape: bail
         tbl = tm.group(1)
-        refs[tm.group(2) or tbl] = tbl
+        alias = tm.group(2) or tbl
+        refs[alias] = tbl
+        kw = "" if idx == 0 else join_split[idx - 1].upper()
+        if idx == 0 or "LEFT" not in kw and "RIGHT" not in kw:
+            preserved.add(alias)        # first table or inner join
+        elif "RIGHT" in kw:
+            preserved = {alias}         # prior side becomes null-supplying
+        # LEFT: alias stays out of preserved, prior set unchanged
     out: Dict[str, "E.Predicate"] = {}
     for conj in _split_top_and(where):
         # tokenize into quoted/unquoted segments: alias detection and
@@ -393,6 +416,8 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
         if len(aliases) != 1:
             continue                    # cross-table / unqualified: skip
         alias = aliases.pop()
+        if alias not in preserved:
+            continue                    # null-supplying side: not prunable
         strip = re.compile(rf"\b{re.escape(alias)}\.")
         bare = "".join(seg if i % 2 else strip.sub("", seg)
                        for i, seg in enumerate(segs))

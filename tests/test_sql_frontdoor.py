@@ -1203,3 +1203,64 @@ def test_show_partitions_with_null_partition_value(spark, warehouse):
     assert [r["partition"]["g"] for r in rows] == ["a", "b", None]
     # reading the null partition back works too
     assert t.to_df(spark).where("g IS NULL").count() == 2
+
+
+def test_auto_scan_filters_outer_join_preserved_side():
+    """Outer joins prune the PRESERVED side only (standard pushdown rule):
+    a conjunct on the null-supplying side would change which rows find
+    matches (IS NULL) and is skipped; FULL joins capture nothing."""
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    # LEFT: left table preserved, right not
+    got = _auto_scan_filters(
+        "SELECT * FROM db.orders o LEFT JOIN db.lineitem l "
+        "ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_total > 100 AND l.l_qty < 3")
+    assert set(got) == {"db.orders"}
+    assert "o_total gt 100" in repr(got["db.orders"])
+
+    # RIGHT: right table preserved, left not
+    got = _auto_scan_filters(
+        "SELECT * FROM db.orders o RIGHT OUTER JOIN db.lineitem l "
+        "ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_total > 100 AND l.l_qty < 3")
+    assert set(got) == {"db.lineitem"}
+
+    # INNER after LEFT: the inner-joined table is preserved too
+    got = _auto_scan_filters(
+        "SELECT * FROM db.a x LEFT JOIN db.b y ON x.k = y.k "
+        "JOIN db.c z ON x.k = z.k "
+        "WHERE x.v = 1 AND y.w = 2 AND z.u = 3")
+    assert set(got) == {"db.a", "db.c"}
+
+    # FULL: nothing is preserved
+    assert _auto_scan_filters(
+        "SELECT * FROM db.a x FULL OUTER JOIN db.b y ON x.k = y.k "
+        "WHERE x.v = 1") == {}
+
+
+def test_run_sql_left_join_prunes_preserved_scan(spark, warehouse):
+    """End-to-end: a LEFT-join front-door query file-prunes the preserved
+    side's scan and returns the same rows as the equivalent DataFrame
+    query (null-extension rows included)."""
+    import pyspark.sql.functions as F
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    od = spark.createDataFrame([(k, k % 3) for k in range(30)],
+                               "k long, g long")
+    li = spark.createDataFrame([(k, f"s{k % 2}") for k in range(0, 30, 2)],
+                               "k long, s string")
+    for name, df in (("db.lo", od), ("db.ll", li)):
+        Table.create(warehouse, name, schema_from_spark(df.schema)) \
+            .append(spark, df)
+    got = run_sql(spark, warehouse, """
+        SELECT o.k AS k, o.g AS g, l.s AS s
+        FROM db.lo o LEFT JOIN db.ll l ON o.k = l.k
+        WHERE o.g = 1""")
+    want = od.filter(F.col("g") == 1).alias("o") \
+        .join(li.alias("l"), on="k", how="left") \
+        .select("k", "g", "s")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
