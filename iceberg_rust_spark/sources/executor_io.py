@@ -116,13 +116,30 @@ def _plan_splits(files: List[str], fileio,
     for Iceberg-written tables is zero."""
     import pyarrow.parquet as pq
 
+    oversized = [p for p in files
+                 if (file_sizes or {}).get(p) is not None
+                 and file_sizes[p] > max_split]
+    metas: Dict[str, object] = {}
+    if oversized:
+        # footer reads are remote range-GETs — thread them so planning
+        # latency is one round-trip, not one per oversized file
+        def _footer(p):
+            return p, pq.ParquetFile(
+                FileIORandomFile(fileio, p, file_sizes[p])).metadata
+        if len(oversized) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(oversized))) as ex:
+                metas = dict(ex.map(_footer, oversized))
+        else:
+            metas = dict([_footer(oversized[0])])
+
     splits: List[tuple] = []
     for path in files:
-        size = (file_sizes or {}).get(path)
-        if size is None or size <= max_split:
+        meta = metas.get(path)
+        if meta is None:
             splits.append((path, -1, 0, 0))
             continue
-        meta = pq.ParquetFile(FileIORandomFile(fileio, path, size)).metadata
         n_rg = meta.num_row_groups
         if n_rg <= 1:
             splits.append((path, -1, 0, 0))
