@@ -254,3 +254,21 @@ def test_manifest_cache_is_entry_weighted():
     assert calls.count("m9") == 1
     c.get("m0", 0)                      # evicted long ago -> re-decode
     assert calls.count("m0") == 2
+
+
+def test_concurrent_plans_share_cache_safely(warehouse):
+    """Multiple threads planning the same table concurrently (the shared
+    entry-weighted manifest cache + pooled per-manifest evaluation) must
+    all see identical results — no torn cache state, no lost counters."""
+    from concurrent.futures import ThreadPoolExecutor
+    t = _fab_table(warehouse, n_manifests=6, files_per_manifest=40)
+
+    def one(_):
+        plan = t.scan(row_filter=E.col("p") <= 2).plan_files()
+        return (len(plan.tasks), plan.skipped_manifests,
+                sorted(x.data_file.file_path for x in plan.tasks)[:3])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    assert len({repr(r) for r in results}) == 1
+    assert results[0][0] == 120 and results[0][1] == 3
