@@ -519,7 +519,9 @@ class TableScan:
                 else:
                     gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta and exec_io is None:
-                fcol = _decode_file_uri(F.col("_metadata.file_path"))
+                fcol = F.col("_metadata.file_path")
+                if _paths_need_decode(files):
+                    fcol = _decode_file_uri(fcol)
                 if remap is not None:
                     fcol = F.regexp_replace(fcol, remap[0], remap[1])
                 gdf = gdf.withColumn("_file", fcol) \
@@ -1003,6 +1005,25 @@ def scan_execution_metrics(df: DataFrame) -> Dict[str, int]:
 
 def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
+
+
+# characters that provably round-trip Spark's URI spelling unchanged
+# (RFC 3986 unreserved + the path/scheme chars Hadoop leaves literal —
+# '=' and '~' verified empirically against _metadata.file_path)
+_URI_PLAIN = None
+
+
+def _paths_need_decode(paths) -> bool:
+    """True if ANY path could be spelled differently by Spark's URI
+    encoding. When all of a scan's file paths are plain (our own writer's
+    layout unless a partition VALUE carries special characters), the
+    per-row url_decode is an identity and is skipped — it measured ~0.2-0.4s
+    per MOR query at sf0.1 because _file feeds the delete anti-join key."""
+    global _URI_PLAIN
+    if _URI_PLAIN is None:
+        import re
+        _URI_PLAIN = re.compile(r"^[A-Za-z0-9/:=.\-_~]*$")
+    return not all(_URI_PLAIN.match(p) for p in paths)
 
 
 def _decode_file_uri(c):

@@ -36,7 +36,8 @@ from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        read_manifest_list, write_manifest, write_manifest_list)
 from .metadata import (MAIN_BRANCH, PartitionField, PartitionSpec, Snapshot,
                        SnapshotRef, TableMetadata, new_snapshot_id, now_ms)
-from .scan import (TableScan, _decode_file_uri, load_manifest,
+from .scan import (TableScan, _decode_file_uri, _paths_need_decode,
+                   load_manifest,
                    load_manifest_list)
 from .types import (FIELD_ID_KEY, NestedField, Schema, is_promotable,
                     type_to_spark)
@@ -1536,7 +1537,9 @@ class Table:
             parts.append(
                 spark.read.parquet(*pq_paths)
                 .select("file_path", "pos",
-                        _decode_file_uri(F.input_file_name())
+                        (_decode_file_uri(F.input_file_name())
+                         if _paths_need_decode(pq_paths)
+                         else F.input_file_name())
                         .alias("delete_file_path"),
                         F.lit("parquet").alias("file_format")))
         if dv_files:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                                 CONTENT_POSITION_DELETES, DataFile)
 from ..sources.scan import (_decode_file_uri, _delete_set_bytes,
+                            _paths_need_decode,
                             _maybe_broadcast, _norm_path,
                             _norm_path_py, load_manifest, load_manifest_list)
 from ..sources.table import Table
@@ -158,7 +159,9 @@ def changes_df(spark: SparkSession, table: Table,
             remap = mirror_remap_pattern()
         df = spark.read.schema(spark_schema).parquet(*read_paths)
         if with_meta:
-            fcol = _decode_file_uri(F.col("_metadata.file_path"))
+            fcol = F.col("_metadata.file_path")
+            if _paths_need_decode(read_paths):
+                fcol = _decode_file_uri(fcol)
             if remap is not None:
                 fcol = F.regexp_replace(fcol, remap[0], remap[1])
             df = df.withColumn("_cf", F.regexp_replace(
@@ -418,7 +421,9 @@ def _read_parquet_meta(spark: SparkSession, paths: List[str]) -> DataFrame:
         read_paths = localize_paths(read_paths)
         remap = mirror_remap_pattern()
     df = spark.read.parquet(*read_paths)
-    fcol = _decode_file_uri(F.col("_metadata.file_path"))
+    fcol = F.col("_metadata.file_path")
+    if _paths_need_decode(read_paths):
+        fcol = _decode_file_uri(fcol)
     if remap is not None:
         fcol = F.regexp_replace(fcol, remap[0], remap[1])
     return df.withColumn("_src", F.regexp_replace(fcol, "^file:/*", "/"))
