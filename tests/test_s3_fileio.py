@@ -524,3 +524,30 @@ def test_oversized_add_files_reads_in_multiple_tasks(spark, s3exec):
         assert got.where(F.col("k") == 3999).collect()[0]["s"] == "doc-03999"
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_s3_mor_delete_with_special_char_partition_paths(spark, s3):
+    """Special-character partition values put spaces into OBJECT KEYS; the
+    localized mirror file inherits them, Spark's _metadata.file_path
+    URI-encodes them (%20), and the remapped `_file` must still equal the
+    manifest URI raw spelling — the decode gate sees the mirror paths and
+    applies the url_decode before the remap."""
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+    wh = f"s3://bucket-{uuid.uuid4().hex[:8]}/warehouse"
+    cat = FileSystemCatalog(wh)
+    rows = [(1, "NOT SPECIFIED", 1.0), (2, "A+B", 2.0),
+            (3, "NOT SPECIFIED", 3.0), (4, "plain", 4.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, val double")
+    schema = schema_from_spark(df.schema)
+    fid = schema.field_by_name("cat").field_id
+    spec = PartitionSpec(0, [PartitionField(fid, 1000, "cat",
+                                            parse_transform("identity"))])
+    t = Table.create(cat, "db.spaced", schema, partition_spec=spec)
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("id").isin([1, 2]), mode="mor")
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [3, 4]
+    # and a second delete re-validates targets against manifests
+    t = t.delete_where(spark, E.col("id") == 3, mode="mor")
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [4]
