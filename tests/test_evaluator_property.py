@@ -126,3 +126,44 @@ def test_strict_never_false_keeps(vals, pred):
     if not all_match:
         assert not file_must_match(bound, mets), \
             f"FALSE MUST-MATCH: {pred} on {vals} with {mets['x']}"
+
+
+# --------------------------------------------------------------------------
+# Compiled-matcher equivalence: the planner's hot-loop matcher
+# (TableScan._compiled_file_matcher) must agree with the interpreted
+# _metrics_for_file + file_might_match pair on every (predicate, stats)
+# combination — they share _eval_bounds, so this pins the lookup parity.
+# --------------------------------------------------------------------------
+
+stat_counts = st.one_of(st.none(), st.integers(0, 20))
+bound_vals = st.one_of(st.none(), st.integers(-60, 60))
+
+
+@given(pred=predicates(), vc=stat_counts, nc=stat_counts,
+       nanc=stat_counts, lo=bound_vals, hi=bound_vals,
+       rec=st.integers(0, 25))
+@settings(max_examples=300, deadline=None)
+def test_compiled_matcher_equals_interpreted(pred, vc, nc, nanc,
+                                             lo, hi, rec):
+    from iceberg_rust_spark.sources.manifest import DataFile
+    from iceberg_rust_spark.sources.metadata import TableMetadata
+    from iceberg_rust_spark.sources.scan import TableScan
+
+    bound = E.bind(pred, S)
+    from iceberg_rust_spark.sources.metadata import PartitionSpec
+    md = TableMetadata(location="/tmp/x", schemas=[S], current_schema_id=0,
+                       partition_specs=[PartitionSpec(0, [])],
+                       default_spec_id=0)
+    scan = TableScan(md, row_filter=pred)
+    df_ = DataFile(
+        file_path="/f.parquet", record_count=rec,
+        value_counts={} if vc is None else {"x": vc},
+        null_value_counts={} if nc is None else {"x": nc},
+        nan_value_counts={} if nanc is None else {"x": nanc},
+        lower_bounds={} if lo is None else {"x": lo},
+        upper_bounds={} if hi is None else {"x": hi},
+        schema_id=0, spec_id=0)
+    interpreted = file_might_match(
+        bound, scan._metrics_for_file(df_, S), df_.record_count)
+    compiled = scan._compiled_file_matcher(bound, S, 0)(df_)
+    assert compiled == interpreted
