@@ -236,3 +236,18 @@ def test_mirror_cache_lru_eviction(tmp_path, monkeypatch):
         assert all(_os.path.isfile(p) for p in again)
     finally:
         iomod.unregister_file_io("tiny")
+
+
+def test_max_split_bytes_parser(spark):
+    """spark.sql.files.maxPartitionBytes spellings → bytes."""
+    from iceberg_rust_spark.sources.executor_io import _max_split_bytes
+    orig = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        for raw, want in (("128m", 128 << 20), ("128mb", 128 << 20),
+                          ("134217728b", 134217728), ("1g", 1 << 30),
+                          ("64k", 64 << 10), ("4194304", 4194304)):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", raw)
+            assert _max_split_bytes(spark) == want, raw
+    finally:
+        if orig is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
