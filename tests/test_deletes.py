@@ -291,7 +291,7 @@ def test_uri_special_char_paths_mor_and_lineage(spark, warehouse):
     from iceberg_rust_spark.sources.metadata import (PartitionField,
                                                      PartitionSpec)
     rows = [(1, "NOT SPECIFIED", 1.0), (2, "A+B", 2.0), (3, "100%", 3.0),
-            (4, "NOT SPECIFIED", 4.0), (5, "plain", 5.0)]
+            (4, "café 日本語", 4.0), (5, "plain", 5.0)]
     df = spark.createDataFrame(rows, "id long, cat string, val double")
     schema = schema_from_spark(df.schema)
     fid = schema.field_by_name("cat").field_id
@@ -300,11 +300,12 @@ def test_uri_special_char_paths_mor_and_lineage(spark, warehouse):
     t = Table.create(warehouse, "db.specialchars", schema,
                      partition_spec=spec)
     t = t.append(spark, df)
-    # MOR delete across the spaced/encoded partitions: must not raise and
-    # must actually remove the rows at read time (delete-index bounds and
-    # the anti-join key on the same raw spelling)
-    t = t.delete_where(spark, E.col("id").isin([1, 2, 3]), mode="mor")
-    assert ids(spark, t) == [4, 5]
+    # MOR delete across the spaced/encoded/multibyte partitions: must not
+    # raise and must actually remove the rows at read time (delete-index
+    # bounds and the anti-join key on the same raw spelling; UTF-8 bytes
+    # arrive %-encoded per byte and must decode back to the same string)
+    t = t.delete_where(spark, E.col("id").isin([1, 2, 4]), mode="mor")
+    assert ids(spark, t) == [3, 5]
     # a second MOR delete exercises validate_files_exist against manifests
-    t = t.delete_where(spark, E.col("id") == 4, mode="mor")
+    t = t.delete_where(spark, E.col("id") == 3, mode="mor")
     assert ids(spark, t) == [5]
