@@ -381,52 +381,76 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
     if re.search(r"\bFULL\s+(OUTER\s+)?JOIN", from_part, re.IGNORECASE):
         return {}
     refs: Dict[str, str] = {}           # alias -> table identifier
-    preserved: set = set()              # aliases safe to prune
+    preserved: set = set()              # aliases WHERE may prune
+    on_parts: List[tuple] = []          # (on_text, aliases ON may prune)
     join_split = re.split(
         r"\b(INNER\s+JOIN|LEFT\s+(?:OUTER\s+)?JOIN|"
         r"RIGHT\s+(?:OUTER\s+)?JOIN|JOIN)\b",
         from_part, flags=re.IGNORECASE)
     # join_split = [t0, kw1, t1, kw2, t2, ...]
     for idx in range(0, len(join_split), 2):
-        piece = re.sub(r"\bON\b.*$", "", join_split[idx],
-                       flags=re.IGNORECASE | re.DOTALL).strip()
+        seg = join_split[idx]
+        om = re.search(r"\bON\b(.*)$", seg, re.IGNORECASE | re.DOTALL)
+        on_text = om.group(1) if om else None
+        piece = (seg[:om.start()] if om else seg).strip()
         tm = re.match(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", piece,
                       re.IGNORECASE)
         if not tm:
             return {}                   # unrecognized ref shape: bail
         tbl = tm.group(1)
         alias = tm.group(2) or tbl
+        prior = set(refs)
         refs[alias] = tbl
         kw = "" if idx == 0 else join_split[idx - 1].upper()
         if idx == 0 or "LEFT" not in kw and "RIGHT" not in kw:
             preserved.add(alias)        # first table or inner join
+            # INNER: ON is conjunctive with WHERE — any single-alias
+            # conjunct prunes that alias
+            if on_text:
+                on_parts.append((on_text, prior | {alias}))
         elif "RIGHT" in kw:
             preserved = {alias}         # prior side becomes null-supplying
-        # LEFT: alias stays out of preserved, prior set unchanged
+            # RIGHT: ON may prune the null-supplying PRIOR side (rows
+            # failing it never match; right rows null-extend regardless)
+            if on_text:
+                on_parts.append((on_text, prior))
+        else:
+            # LEFT: alias stays out of preserved; ON may prune the
+            # null-supplying NEW side only (left rows null-extend, so an
+            # ON conjunct on them must NOT prune their scan)
+            if on_text:
+                on_parts.append((on_text, {alias}))
+
     out: Dict[str, "E.Predicate"] = {}
-    for conj in _split_top_and(where):
-        # tokenize into quoted/unquoted segments: alias detection and
-        # alias-stripping must only see the SQL text, never string-literal
-        # bodies (WHERE a.s = 'x a.b y' would otherwise be captured as
-        # s = 'x b y' and prune files the real predicate keeps)
-        segs = _SQUOTE_RE.split(conj)
-        aliases = {a for i, seg in enumerate(segs) if i % 2 == 0
-                   for a, _c in re.findall(r"\b(\w+)\.(\w+)", seg)
-                   if a in refs}
-        if len(aliases) != 1:
-            continue                    # cross-table / unqualified: skip
-        alias = aliases.pop()
-        if alias not in preserved:
-            continue                    # null-supplying side: not prunable
-        strip = re.compile(rf"\b{re.escape(alias)}\.")
-        bare = "".join(seg if i % 2 else strip.sub("", seg)
-                       for i, seg in enumerate(segs))
-        try:
-            pred = sql_to_predicate(bare)
-        except ValueError:
-            continue
-        tbl = refs[alias]
-        out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+
+    def capture(text: str, allowed: set) -> None:
+        for conj in _split_top_and(text):
+            # tokenize into quoted/unquoted segments: alias detection and
+            # alias-stripping must only see the SQL text, never literal
+            # bodies (WHERE a.s = 'x a.b y' would otherwise be captured
+            # as s = 'x b y' and prune files the real predicate keeps)
+            segs = _SQUOTE_RE.split(conj)
+            aliases = {a for i, sg in enumerate(segs) if i % 2 == 0
+                       for a, _c in re.findall(r"\b(\w+)\.(\w+)", sg)
+                       if a in refs}
+            if len(aliases) != 1:
+                continue                # cross-table / unqualified: skip
+            alias = aliases.pop()
+            if alias not in allowed:
+                continue                # not result-preserving here
+            strip = re.compile(rf"\b{re.escape(alias)}\.")
+            bare = "".join(sg if i % 2 else strip.sub("", sg)
+                           for i, sg in enumerate(segs))
+            try:
+                pred = sql_to_predicate(bare)
+            except ValueError:
+                continue
+            tbl = refs[alias]
+            out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+
+    capture(where, preserved)
+    for on_text, allowed in on_parts:
+        capture(on_text, allowed)
     return out
 
 

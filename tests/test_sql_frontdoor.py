@@ -1264,3 +1264,63 @@ def test_run_sql_left_join_prunes_preserved_scan(spark, warehouse):
         .select("k", "g", "s")
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
+
+
+def test_auto_scan_filters_on_clause_null_supplying_side():
+    """ON-clause conjuncts prune the NULL-SUPPLYING side (complement of
+    the WHERE rule): rows failing the ON predicate never match, and the
+    preserved side null-extends regardless — so pruning those files is
+    result-preserving. ON conjuncts on the preserved side must NOT prune
+    (its rows are emitted via null-extension even when ON fails)."""
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    # LEFT: ON prunes the right (null-supplying) table only
+    got = _auto_scan_filters(
+        "SELECT * FROM db.o o LEFT JOIN db.l l "
+        "ON o.k = l.k AND l.qty > 5 AND o.total > 10 "
+        "WHERE o.g = 1")
+    assert set(got) == {"db.o", "db.l"}
+    assert "qty gt 5" in repr(got["db.l"])
+    assert "total" not in repr(got["db.o"])      # ON conjunct on preserved
+    assert "g eq 1" in repr(got["db.o"])         # WHERE conjunct preserved
+
+    # RIGHT: ON prunes the prior (left, null-supplying) side only
+    got = _auto_scan_filters(
+        "SELECT * FROM db.o o RIGHT JOIN db.l l "
+        "ON o.k = l.k AND o.total > 10 AND l.qty > 5 "
+        "WHERE l.g = 2")
+    assert set(got) == {"db.o", "db.l"}
+    assert "total gt 10" in repr(got["db.o"])
+    assert "qty" not in repr(got["db.l"])
+    assert "g eq 2" in repr(got["db.l"])
+
+    # INNER: ON is conjunctive with WHERE — either side prunes
+    got = _auto_scan_filters(
+        "SELECT * FROM db.a x JOIN db.b y "
+        "ON x.k = y.k AND x.v = 1 AND y.w = 2 WHERE y.u > 0")
+    assert "v eq 1" in repr(got["db.a"])
+    assert "w eq 2" in repr(got["db.b"]) and "u gt 0" in repr(got["db.b"])
+
+
+def test_run_sql_left_join_on_prunes_right_scan(spark, warehouse):
+    """End-to-end: LEFT-join ON conjunct prunes the right scan while
+    null-extension rows survive — equals the DataFrame twin."""
+    import pyspark.sql.functions as F
+    from iceberg_rust_spark import Table
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    od = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    li = spark.createDataFrame([(k, k * 10) for k in range(0, 10, 2)],
+                               "k long, qty long")
+    for name, df in (("db.oo", od), ("db.ol", li)):
+        Table.create(warehouse, name, schema_from_spark(df.schema)) \
+            .append(spark, df)
+    got = run_sql(spark, warehouse, """
+        SELECT o.k AS k, l.qty AS qty
+        FROM db.oo o LEFT JOIN db.ol l ON o.k = l.k AND l.qty >= 40""")
+    want = od.alias("o").join(
+        li.filter(F.col("qty") >= 40).alias("l"), on="k", how="left") \
+        .select("k", "qty")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
