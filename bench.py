@@ -112,6 +112,13 @@ def main() -> None:
     warmup_sec = round(time.time() - t0, 3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY="a,b,c" times a subset with the
+    # identical protocol (the headline artifact always runs the full list)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    global BENCH_QUERIES
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        BENCH_QUERIES = [q for q in BENCH_QUERIES if q in keep]
     runs = {name: [] for name in BENCH_QUERIES}
     plans = {name: [] for name in BENCH_QUERIES}
     rows = {}
@@ -205,8 +212,10 @@ def main() -> None:
                   reps=reps, setup_sec=setup_sec, warmup_sec=warmup_sec,
                   calibration={"probe_sec": probes, "loadavg_1m": loadavg},
                   read_path_pair=read_pair)
+    # subset runs never overwrite the committed full-suite artifact
+    detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(summary, separators=(",", ":")))
     spark.stop()

@@ -7,12 +7,13 @@ runs interpreted (CodegenFallback) and benchmarked 13x slower on the same
 corpus (see _word_ngrams_pandas):
 
 - exact_dedup:     one hash-groupBy shuffle on a fingerprint; map-side combine.
-- minhash_lsh:     shingle -> 64 minhashes (single exploded shuffle with 64
-                   map-side-combinable min() aggregates; the exchange is
-                   reused by both LSH self-join sides) -> banded LSH bucket
-                   join -> exact-verify candidates. At 100 TB the band-bucket join replaces the
-                   O(n^2) cross join with an O(sum bucket^2) join whose skew
-                   AQE handles; verification joins shingle arrays back by id.
+- minhash_lsh:     grams -> 64 minhashes via ONE Arrow kernel pass (murmur3
+                   batch hash + (G,64) affine perms + np.minimum.reduceat —
+                   shuffle-free, the signature is a per-doc function) ->
+                   banded LSH bucket join -> exact-verify candidates. At
+                   100 TB the band-bucket join replaces the O(n^2) cross
+                   join with an O(sum bucket^2) join whose skew AQE
+                   handles; verification joins gram arrays back by id.
 - simhash:         64-bit signature via per-bit +/-1 votes accumulated
                    per-row over the token-hash array (shuffle-free, codegen'd).
 - ngram_jaccard_pairs: brute-force verified word-3-gram Jaccard on a bounded
@@ -102,27 +103,74 @@ def shingle_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """64 minhash values per doc as columns mh_0..mh_63; single shuffle with
-    64 map-side-combinable min() aggregates (no Python UDF).
+    """64 minhash values per doc as columns mh_0..mh_63 — SHUFFLE-FREE.
 
-    NOTE a "shuffle-free" variant (array_min over 64 per-row transform()s)
-    was tried and REVERTED: higher-order-function lambdas evaluate
-    interpreted (not whole-stage-codegen'd), measuring ~5x slower than this
-    fully-codegen'd explode+groupBy at sf0.1 (10s vs 2s warm) and no faster
-    at 500k docs. The exploded shuffle also buys exchange reuse: both sides
-    of the downstream LSH self-join read the same shuffled aggregate."""
-    return _minhash_from_shingles(shingle_df(docs, text_col, id_col, n),
-                                  id_col)
+    The signature is a pure per-doc function of the doc's own shingle set,
+    so it never needed an exchange; it needed a vectorized kernel. History
+    of the three shapes measured at sf0.1:
+    - builtin array_min over 64 transform() lambdas: ~10s warm (higher-order
+      lambdas are CodegenFallback — interpreted per element) — REVERTED.
+    - explode + groupBy(64 map-side min aggs): ~2s warm, fully codegen'd,
+      but shuffles G shingle rows per corpus — the former shape.
+    - THIS shape: one Arrow batch pass; murmur3_32_bytes_vec hashes every
+      gram in the batch in a handful of numpy block rounds, the 64 affine
+      perms are one (G, 64) uint64 matmul-mod, and per-doc mins fall out of
+      np.minimum.reduceat over segment offsets. No exchange, no 64-agg
+      hash table, and the LSH consumer drops a whole shuffle stage.
+    Docs with zero grams produce no row (the explode shape's contract).
+    """
+    sigs = (_grams_df(docs, text_col, id_col, n, "_gs")
+            .where(F.size("_gs") > 0)
+            .select(F.col(id_col), _minhash64_pandas()(F.col("_gs")).alias("_mh")))
+    return sigs.select(F.col(id_col),
+                       *[F.element_at("_mh", i + 1).alias(f"mh_{i}")
+                         for i in range(_N_HASHES)])
 
 
-def _minhash_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
-    aggs = []
-    reduced = F.pmod(F.col("shingle"), F.lit(_P))
-    for i in range(_N_HASHES):
-        a, b = _perm_params(i)
-        h = F.pmod(reduced * F.lit(a) + F.lit(b), F.lit(_P))
-        aggs.append(F.min(h).alias(f"mh_{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+def _minhash64_pandas():
+    """Arrow-batched minhash kernel: array<string> grams -> array<long> of
+    the 64 permutation minima. h_i(g) = (a_i * (m(g) mod p) + b_i) mod p
+    with m = murmur3_x86_32 (our vectorized batch hash) and p = 2^31-1;
+    every intermediate stays < 2^62 in uint64. Empty gram arrays return
+    null (callers filter size()>0 to keep the explode-era contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.murmur3 import murmur3_32_bytes_vec
+
+    a = np.array([_perm_params(i)[0] for i in range(_N_HASHES)],
+                 dtype=np.uint64)
+    b = np.array([_perm_params(i)[1] for i in range(_N_HASHES)],
+                 dtype=np.uint64)
+    p = np.uint64(_P)
+
+    def _mh(gr):
+        counts = np.fromiter((len(g) for g in gr), dtype=np.int64,
+                             count=len(gr))
+        nz = np.flatnonzero(counts)
+        out = [None] * len(gr)
+        if nz.size:
+            flat = [w.encode("utf-8") for g in gr for w in g]
+            h = (murmur3_32_bytes_vec(flat).view(np.uint32)
+                 .astype(np.uint64) % p)
+            # per-doc min via reduceat on the offsets of the NONEMPTY
+            # segments (reduceat mishandles empty ones). Column loop on
+            # 1-D arrays, NOT one (G, 64) matrix: the G x 64 uint64
+            # intermediate is memory-bandwidth bound and measured ~17x
+            # slower than 64 cache-resident 1-D passes (1.7s vs 0.1s on
+            # a 260k-gram batch).
+            offs = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(counts[nz][:-1], out=offs[1:])
+            mins = np.empty((nz.size, _N_HASHES), dtype=np.int64)
+            for i in range(_N_HASHES):
+                mins[:, i] = np.minimum.reduceat(
+                    (h * a[i] + b[i]) % p, offs).astype(np.int64)
+            for row, i in enumerate(nz):
+                out[i] = mins[row]
+        return pd.Series(out)
+
+    return pandas_udf(_mh, "array<long>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -139,12 +187,17 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # (MEMORY_AND_DISK default; relies on Spark's LRU eviction rather than
     # an explicit unpersist, since the caller's action happens later.)
     grams = _grams_df(docs, text_col, id_col, n, "grams").persist()
-    sh = (grams.select(F.col(id_col), F.explode("grams").alias("_g"))
-          .select(id_col, F.xxhash64("_g").alias("shingle")))
-    sigs = _minhash_from_shingles(sh, id_col)
+    # shuffle-free signatures (see minhash_signatures): one Arrow kernel
+    # pass over the persisted gram arrays replaces the old explode ->
+    # groupBy(64 mins) exchange — the LSH pipeline's only shuffles are now
+    # the bucket self-join and the candidate dropDuplicates
+    sigs = (grams.where(F.size("grams") > 0)
+            .select(F.col(id_col),
+                    _minhash64_pandas()(F.col("grams")).alias("_mh")))
     band_cols = []
     for b in range(_BANDS):
-        cols = [F.col(f"mh_{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+        cols = [F.element_at("_mh", b * _ROWS_PER_BAND + r + 1)
+                for r in range(_ROWS_PER_BAND)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   F.xxhash64(*cols).alias("sig")))
     buckets = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
