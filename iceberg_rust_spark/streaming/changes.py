@@ -480,10 +480,15 @@ def _pos_delete_targets_batch(
     pq_assign: List[tuple] = []
     for job in jobs:
         o = job["ordinal"]
+        # referenced_data_file resolves the target driver-side for DV blobs
+        # AND single-target parquet pos-deletes (our writer stamps it when
+        # the file's untruncated file_path bounds collapse to one path) —
+        # only multi-target parquet deletes need the Spark read below
         out[o] = {d.referenced_data_file for d in job["pos_like"]
-                  if d.file_format == "puffin" and d.referenced_data_file}
+                  if d.referenced_data_file}
         for p in sorted({d.file_path for d in job["pos_like"]
-                         if d.file_format == "parquet"}):
+                         if d.file_format == "parquet"
+                         and not d.referenced_data_file}):
             pq_assign.append((p, o))
     if not pq_assign:
         return out
