@@ -46,7 +46,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, normalizing the ns-timestamp events table:
     with nanosAsLong=true the `ts` column arrives as long nanos -> convert to
     micro-precision TIMESTAMP_NTZ (documented lossy, like the reference's
-    INT96 coercion)."""
+    INT96 coercion).
+
+    The analyzed DataFrame is memoized per (session, dir, table): testdata
+    parquet is immutable, so re-resolving the source on every call only
+    repeats driver-side schema inference (footer reads + a py4j round-trip
+    burst) — ~30-60ms per table that multi-table queries paid up to six
+    times over. The cache lives on the session wrapper, so it dies with
+    the session and never crosses JVMs."""
+    cache = getattr(spark, "_irs_read_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._irs_read_table_cache = cache
+    key = (sf_dir, name)
+    got = cache.get(key)
+    if got is not None:
+        return got
+    df = _read_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _read_table_uncached(spark: SparkSession, sf_dir: str,
+                         name: str) -> DataFrame:
     # The driver harness may pass a SparkSession it built itself (without
     # get_spark()'s configs), so the ns-readability conf must be applied in
     # the read path, not only the session factory — same place the reference
