@@ -898,6 +898,39 @@ def dv_pairs_df(spark: SparkSession, dv_files: List["DataFile"]) -> DataFrame:
     return desc.mapInPandas(decode, "_del_file string, _del_pos long")
 
 
+# spec-fixed layout of positional-delete parquet files (field ids
+# 2147483546/2147483545); passing it explicitly skips Spark's per-read
+# footer schema inference, and delete files never carry other columns we
+# read (the optional `row` struct is projected away regardless)
+_POS_DELETE_READ_SCHEMA = "file_path string, pos bigint"
+
+
+def _pos_parquet_pairs_df(spark: SparkSession,
+                          paths: Sequence[str]) -> DataFrame:
+    """(_del_file, _del_pos) DataFrame over parquet pos-delete files,
+    memoized per session keyed by (paths, mtimes): delete files are
+    immutable once written (a rewrite changes mtime, like the manifest
+    caches), so re-resolving the relation on every scan of the same table
+    only repeated driver-side source resolution (~60ms of py4j per scan)."""
+    cache = getattr(spark, "_irs_pos_delete_cache", None)
+    if cache is None:
+        cache = {}
+        spark._irs_pos_delete_cache = cache
+    key = (tuple(paths),
+           tuple(file_io_for(p).mtime_ns(p) for p in paths))
+    got = cache.get(key)
+    if got is not None:
+        return got
+    read_paths = list(paths)
+    if not spark_native_path(read_paths[0]):
+        read_paths = localize_paths(read_paths)
+    df = (spark.read.schema(_POS_DELETE_READ_SCHEMA).parquet(*read_paths)
+          .select(F.col("file_path").alias("_del_file"),
+                  F.col("pos").alias("_del_pos")))
+    cache[key] = df
+    return df
+
+
 def _pos_delete_df(spark: SparkSession, pos_deletes: List["DataFile"],
                    del_cache: _DeleteDFCache) -> Tuple[DataFrame, int]:
     """Shared (file, pos) delete-set builder for the drop and flag paths:
@@ -913,12 +946,7 @@ def _pos_delete_df(spark: SparkSession, pos_deletes: List["DataFile"],
     def build() -> DataFrame:
         parts = []
         if parquet_paths:
-            read_paths = list(parquet_paths)
-            if not spark_native_path(read_paths[0]):
-                read_paths = localize_paths(read_paths)
-            parts.append(spark.read.parquet(*read_paths)
-                         .select(F.col("file_path").alias("_del_file"),
-                                 F.col("pos").alias("_del_pos")))
+            parts.append(_pos_parquet_pairs_df(spark, parquet_paths))
         if dv_files:
             parts.append(dv_pairs_df(spark, dv_files))
         out = parts[0]
