@@ -793,19 +793,27 @@ def q2_min_cost_supplier(spark, sf_dir):
     l = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
+    # brand filter FIRST, semi-joined into lineitem before the heavy agg:
+    # the min-cost subquery only needs costs for parts of the one brand,
+    # but Catalyst cannot push a post-join filter back through two
+    # aggregations on its own — the explicit broadcast semi shrinks the
+    # shuffle-agg input ~1000x (brand selectivity), the shape that matters
+    # when lineitem is the 100 TB fact table
+    bp = p.where(F.col("p_brand") == "Brand#23")
+    lb = l.join(F.broadcast(bp.select("p_partkey")),
+                l.l_partkey == F.col("p_partkey"), "left_semi")
     # MIN of the raw double unit price: IEEE division is bit-identical
     # across engines and MIN has no summation-order sensitivity (ROUND
     # would reintroduce engine-specific half-boundary behavior)
     unit = F.col("l_extendedprice") / F.col("l_quantity")
-    cost = (l.groupBy("l_partkey", "l_suppkey")
+    cost = (lb.groupBy("l_partkey", "l_suppkey")
             .agg(F.min(unit).alias("supply_cost")))
     min_cost = (cost.groupBy("l_partkey")
                 .agg(F.min("supply_cost").alias("min_cost")))
     best = (cost.join(min_cost, "l_partkey")
             .where(F.col("supply_cost") == F.col("min_cost")))
-    return (best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+    return (best.join(F.broadcast(bp), best.l_partkey == bp.p_partkey)
             .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
-            .where(F.col("p_brand") == "Brand#23")
             .select(F.col("p_partkey"), F.col("p_name"), F.col("s_name"),
                     F.col("s_acctbal").cast("double").alias("s_acctbal"),
                     F.col("supply_cost"))
