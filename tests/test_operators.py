@@ -53,6 +53,35 @@ def test_minhash_deterministic(spark, docs):
     assert a == b
 
 
+def test_minhash_kernel_matches_scalar_definition(spark):
+    """The Arrow kernel's output equals a scalar recompute of the
+    documented family h_i(g) = (a_i * (murmur3(g) mod p) + b_i) mod p over
+    the doc's distinct word-3-grams — on unicode text, single-gram docs,
+    and repeated-shingle docs. Empty/whitespace docs emit NO row (the
+    explode-era contract the LSH consumer relies on)."""
+    import re
+
+    from iceberg_rust_spark.functions.murmur3 import murmur3_32
+    rows = [(1, "caffé wörld データ mixed unicode grams here"),
+            (2, "one two three"),                 # exactly one 3-gram
+            (3, "dup dup dup dup dup"),           # one distinct gram
+            (4, ""), (5, "   ")]                  # no grams -> no row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: [r[f"mh_{i}"] for i in range(DD._N_HASHES)]
+           for r in DD.minhash_signatures(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in rows[:3]:
+        tk = re.split(r"\W+", text.strip().lower(), flags=re.ASCII)
+        grams = list(dict.fromkeys(
+            " ".join(tk[i:i + 3]) for i in range(max(0, len(tk) - 2))))
+        hs = [(murmur3_32(g.encode("utf-8")) & 0xFFFFFFFF) % DD._P
+              for g in grams]
+        for i in range(DD._N_HASHES):
+            a, b = DD._perm_params(i)
+            want = min((h * a + b) % DD._P for h in hs)
+            assert got[doc_id][i] == want, (doc_id, i)
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sig = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
     assert sig[1] == sig[4]
