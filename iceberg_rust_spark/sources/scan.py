@@ -914,12 +914,13 @@ def _pos_parquet_pairs_df(spark: SparkSession,
     only repeated driver-side source resolution (~60ms of py4j per scan)."""
     cache = getattr(spark, "_irs_pos_delete_cache", None)
     if cache is None:
-        cache = {}
+        cache = OrderedDict()
         spark._irs_pos_delete_cache = cache
     key = (tuple(paths),
            tuple(file_io_for(p).mtime_ns(p) for p in paths))
     got = cache.get(key)
     if got is not None:
+        cache.move_to_end(key)
         return got
     read_paths = list(paths)
     if not spark_native_path(read_paths[0]):
@@ -928,6 +929,10 @@ def _pos_parquet_pairs_df(spark: SparkSession,
           .select(F.col("file_path").alias("_del_file"),
                   F.col("pos").alias("_del_pos")))
     cache[key] = df
+    # LRU cap: a long session over many delete rewrites would otherwise
+    # pin every historical relation (each holds a JVM logical plan)
+    while len(cache) > 256:
+        cache.popitem(last=False)
     return df
 
 
