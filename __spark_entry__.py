@@ -1308,13 +1308,18 @@ def q_doc_pipeline(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", TX.scrub_pii(F.col("text")).alias("text"))
     scored = d.where(TX.quality_score(F.col("text")) >= 0.2)
-    fp = scored.withColumn("fp", TX.fingerprint(F.col("text")))
+    # token-count BEFORE the dedup window and drop text: every downstream
+    # column is derivable from (doc_id, fp, n_tokens), so the window's
+    # exchange moves three narrow columns instead of full document bodies
+    # — at 100 TB the text payload IS the corpus, and a per-doc count is
+    # identical computed before or after the keep-first dedup
+    fp = scored.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"),
+                       TX.token_count(F.col("text")).alias("n_tokens"))
     w = W.partitionBy("fp").orderBy("doc_id")
     dedup = (fp.withColumn("__rn", F.row_number().over(w))
              .where(F.col("__rn") == 1).drop("__rn", "fp"))
     split = hash_split(dedup, "doc_id", [("train", 0.9), ("val", 0.1)])
-    toks = split.select("doc_id", "split",
-                        TX.token_count(F.col("text")).alias("n_tokens"))
+    toks = split.select("doc_id", "split", "n_tokens")
     # shard_chars=1: 16 independent packing streams per split — with only
     # train/val groups the per-group window would otherwise cap the pack
     # stage at 2 tasks regardless of cluster size. Any disjoint partition
