@@ -292,6 +292,48 @@ def sql_dedup_paragraphs_global(table: str = "documents", sep: str = "\n",
     """
 
 
+def _window_hash64_pandas(k: int):
+    """Arrow kernel: text -> array<long> of 64-bit k-token-window hashes
+    (null when the doc has < k tokens). Tokenization replicates
+    ``split(text, ' ')`` exactly (empty tokens kept). Each distinct token
+    in the batch is hashed once — murmur3_x86_32 under two seeds packed to
+    64 bits — and window hashes are a degree-k polynomial combine, so the
+    kernel is k vectorized passes regardless of document count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.murmur3 import murmur3_32_bytes_vec
+
+    B = np.uint64(0x9E3779B97F4A7C15)   # odd golden-ratio multiplier
+
+    def _wh(texts):
+        # null text -> no tokens -> null output row (the builtin split()
+        # path it replaced propagated null the same way)
+        toks_all = [t.split(" ") if isinstance(t, str) else [] for t in texts]
+        flat = [w.encode("utf-8") for tk in toks_all for w in tk]
+        out = [None] * len(toks_all)
+        if flat:
+            h1 = murmur3_32_bytes_vec(flat).view(np.uint32).astype(np.uint64)
+            h2 = (murmur3_32_bytes_vec(flat, seed=0x85EBCA6B)
+                  .view(np.uint32).astype(np.uint64))
+            th = (h1 << np.uint64(32)) | h2
+            pos = 0
+            for i, tk in enumerate(toks_all):
+                n = len(tk)
+                ht = th[pos:pos + n]
+                pos += n
+                if n < k:
+                    continue
+                acc = ht[:n - k + 1].copy()
+                for j in range(1, k):
+                    acc = acc * B + ht[j:n - k + 1 + j]
+                out[i] = acc.astype(np.int64)
+        return pd.Series(out)
+
+    return pandas_udf(_wh, "array<long>")
+
+
 def repeated_window_stats(docs: DataFrame, k: int = 8,
                           min_repeats: int = 2,
                           text_col: str = "text",
@@ -305,23 +347,27 @@ def repeated_window_stats(docs: DataFrame, k: int = 8,
 
     Scale shape: windows explode 1->n_tokens per doc (inherent to the
     algorithm — the same stream a suffix array would index), but only an
-    8-byte xxhash64 of each window ever leaves the scan stage: the window
-    STRING is hashed inside the projection and dropped, so the one
+    8-byte hash of each window ever leaves the scan stage, so the one
     map-side-combinable frequency shuffle and the count-back join move
     ~5x fewer bytes than shuffling k-token strings (at 100 TB the string
     shuffle spills; the hash shuffle doesn't). A 64-bit collision
     mis-counting a window needs two distinct windows sharing a hash —
-    ~n^2/2^64, negligible at any corpus size this design targets. No
-    Python anywhere."""
-    toks = (docs.select(F.col(id_col),
-                        F.split(F.col(text_col), " ").alias("t"))
-            .filter(F.size("t") >= k))
-    wins = toks.select(
-        F.col(id_col),
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("t") - (k - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))))
-        .alias("w"))
+    ~n^2/2^64, negligible at any corpus size this design targets.
+
+    Window hashes come from an Arrow kernel (r9): each TOKEN is hashed
+    once (vectorized murmur3, two seeds -> 64 bits), and the k-token
+    window hash is a polynomial combine of the token hashes — k numpy
+    passes over the whole batch. The former builtin shape (explode a
+    transform() of xxhash64 over concat_ws slices) re-materialized every
+    window string and ran INTERPRETED (higher-order lambdas are
+    CodegenFallback), measuring ~3x the whole query's wall at sf0.1.
+    Tokens are space-free by construction (split on ' '), so the join
+    string is a bijection of the token sequence and token-level hashing
+    is faithful to string equality."""
+    wins = (docs.select(F.col(id_col),
+                        _window_hash64_pandas(k)(F.col(text_col)).alias("ws"))
+            .where(F.col("ws").isNotNull())
+            .select(F.col(id_col), F.explode("ws").alias("w")))
     freq = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return (wins.join(freq, "w")
             .groupBy(id_col)

@@ -658,6 +658,12 @@ def test_repeated_window_stats(spark):
             for r in repeated_window_stats(docs, k=5,
                                            min_repeats=3).collect()}
     assert set(out3.values()) == {0}
+    # null text drops like a short doc (the kernel must not choke on None)
+    docs_n = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None)], "doc_id long, text string")
+    out_n = {r["doc_id"] for r in
+             repeated_window_stats(docs_n, k=5).collect()}
+    assert out_n == {1}
 
 
 def test_kmeans_parallel_init_recall_and_determinism(spark, emb):
