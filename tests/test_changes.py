@@ -314,3 +314,49 @@ def test_changes_deep_history_merged_scans_exact(spark, warehouse):
            ch.where(F.col("_change_type") == "insert").collect()}
     assert all(o == i // 10 for o, i in ins)
     assert len(ins) == 100
+
+
+def test_net_changes_matches_bruteforce_on_random_changelogs(spark):
+    """Property check of the min_by/max_by aggregate form: for seeded random
+    synthetic changelogs (keys reappearing across ordinals, same-ordinal
+    delete+insert pairs, value churn, multi-column keys), net_changes equals
+    a brute-force Python reference that sorts each key's history and applies
+    the documented first/last rule."""
+    import random
+
+    from iceberg_rust_spark.streaming.changes import net_changes
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        rows = []
+        for key in range(30):
+            # a key's history: per touched ordinal, delete and/or insert
+            for o in sorted(rng.sample(range(6), rng.randint(1, 4))):
+                types = rng.choice([["insert"], ["delete"],
+                                    ["delete", "insert"]])
+                for ct in types:
+                    rows.append((key % 5, key, rng.randint(0, 2), ct, o,
+                                 1000 + o))
+        df = spark.createDataFrame(
+            rows, "part int, k long, v int, _change_type string, "
+                  "_change_ordinal int, _commit_snapshot_id long")
+        got = {(r["part"], r["k"], r["v"], r["_change_type"])
+               for r in net_changes(df, ["part", "k"]).collect()}
+
+        # brute force: first change per key (ordinal asc, delete-first),
+        # last change (ordinal desc, insert-first); emit per the rule
+        hist = {}
+        for part, k, v, ct, o, _s in rows:
+            hist.setdefault((part, k), []).append((o, ct, v))
+        want = set()
+        for (part, k), h in hist.items():
+            first = min(h, key=lambda r: (r[0], r[1]))
+            last = max(h, key=lambda r: (r[0], r[1]))
+            has_d = first[1] == "delete"
+            has_i = last[1] == "insert"
+            changed = (not has_d) or (not has_i) or first[2] != last[2]
+            if has_d and changed:
+                want.add((part, k, first[2], "delete"))
+            if has_i and changed:
+                want.add((part, k, last[2], "insert"))
+        assert got == want, f"seed {seed}: {got ^ want}"
