@@ -311,13 +311,20 @@ def _window_hash64_pandas(k: int):
         # null text -> no tokens -> null output row (the builtin split()
         # path it replaced propagated null the same way)
         toks_all = [t.split(" ") if isinstance(t, str) else [] for t in texts]
-        flat = [w.encode("utf-8") for tk in toks_all for w in tk]
+        flat = [w for tk in toks_all for w in tk]
         out = [None] * len(toks_all)
         if flat:
-            h1 = murmur3_32_bytes_vec(flat).view(np.uint32).astype(np.uint64)
-            h2 = (murmur3_32_bytes_vec(flat, seed=0x85EBCA6B)
+            # hash the VOCABULARY, not the occurrence stream: factorize
+            # maps each occurrence to its first-seen unique (C-speed hash
+            # table), and natural text repeats tokens ~30x, so the two
+            # murmur passes run over thousands of uniques instead of
+            # hundreds of thousands of occurrences
+            codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+            ub = [u.encode("utf-8") for u in uniq]
+            h1 = murmur3_32_bytes_vec(ub).view(np.uint32).astype(np.uint64)
+            h2 = (murmur3_32_bytes_vec(ub, seed=0x85EBCA6B)
                   .view(np.uint32).astype(np.uint64))
-            th = (h1 << np.uint64(32)) | h2
+            th = ((h1 << np.uint64(32)) | h2)[codes]
             pos = 0
             for i, tk in enumerate(toks_all):
                 n = len(tk)
@@ -364,10 +371,14 @@ def repeated_window_stats(docs: DataFrame, k: int = 8,
     Tokens are space-free by construction (split on ' '), so the join
     string is a bijection of the token sequence and token-level hashing
     is faithful to string equality."""
+    # persist: the frequency aggregate AND the count-back join both consume
+    # the window stream, and their exchanges differ (partial-agg vs raw),
+    # so without it the Arrow kernel runs once per side (same pattern as
+    # the grams persist in minhash_lsh_pairs)
     wins = (docs.select(F.col(id_col),
                         _window_hash64_pandas(k)(F.col(text_col)).alias("ws"))
             .where(F.col("ws").isNotNull())
-            .select(F.col(id_col), F.explode("ws").alias("w")))
+            .select(F.col(id_col), F.explode("ws").alias("w"))).persist()
     freq = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return (wins.join(freq, "w")
             .groupBy(id_col)
