@@ -60,45 +60,77 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
             .select(id_col, "dup_count"))
 
 
-def _word_ngrams_pandas(n: int):
-    """Arrow-batched n-gram kernel. The builtin route (transform() over a
-    sequence with element_at concats) runs INTERPRETED — higher-order
-    lambdas are CodegenFallback — and measured ~8s for the sf0.1 corpus's
-    260k grams in an interleaved A/B; this kernel runs the same corpus in
-    ~0.6s warm (13x). Semantics replicate Spark's
-    split(lower(trim(text)), '\\W+') exactly: re.ASCII matches Java's
-    ASCII-classed \\W, empty tokens are KEPT (Spark split keeps them), and
-    dict.fromkeys preserves array_distinct's first-seen order."""
+def _gram_hash64_pandas(n: int):
+    """Arrow-batched n-gram kernel: text -> array<long> of the doc's
+    DISTINCT word-n-gram 64-bit hashes. HASH-NATIVE (r9): every downstream
+    consumer (minhash perms, LSH verify intersect/union, shingle joins)
+    is a set operation, so gram STRINGS never need to exist — the hash
+    array is ~8x narrower to persist/shuffle and compares as longs.
+
+    Semantics lineage: tokenization replicates Spark's
+    split(lower(trim(text)), '\\W+') exactly (re.ASCII matches Java's
+    ASCII-classed \\W, empty tokens KEPT); tokens are \\W-free, so the
+    joined gram string is a bijection of the token tuple and gram-hash
+    distinctness equals gram-string distinctness modulo ~n^2/2^64
+    collisions. Each token hashes once per VOCABULARY entry (factorize
+    maps occurrences to first-seen uniques at C speed; natural text
+    repeats tokens ~30x), murmur3 under two seeds packs to 64 bits, and a
+    gram's hash is a degree-n polynomial combine — n vectorized passes.
+    (History: a builtin higher-order transform() measured ~8s/corpus at
+    sf0.1 — HOF lambdas are CodegenFallback/interpreted; the string-gram
+    Arrow kernel it replaced ran ~0.6s; this one is ~0.1s and shrinks
+    every downstream exchange.)"""
     import re as _re
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _grams(s):
-        out = []
-        for t in s:
-            tk = _re.split(r"\W+", t.strip().lower(), flags=_re.ASCII)
-            out.append(list(dict.fromkeys(
-                " ".join(tk[i:i + n]) for i in range(max(0, len(tk) - n + 1)))))
+    from ..functions.murmur3 import murmur3_32_bytes_vec
+
+    B = np.uint64(0x9E3779B97F4A7C15)   # odd golden-ratio multiplier
+    _empty = np.empty(0, dtype=np.int64)
+
+    def _gh(s):
+        toks_all = [_re.split(r"\W+", t.strip().lower(), flags=_re.ASCII)
+                    if isinstance(t, str) else [] for t in s]
+        flat = [w for tk in toks_all for w in tk]
+        out = [_empty] * len(toks_all)
+        if flat:
+            codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+            ub = [u.encode("utf-8") for u in uniq]
+            h1 = murmur3_32_bytes_vec(ub).view(np.uint32).astype(np.uint64)
+            h2 = (murmur3_32_bytes_vec(ub, seed=0x85EBCA6B)
+                  .view(np.uint32).astype(np.uint64))
+            th = ((h1 << np.uint64(32)) | h2)[codes]
+            pos = 0
+            for i, tk in enumerate(toks_all):
+                m = len(tk)
+                ht = th[pos:pos + m]
+                pos += m
+                if m < n:
+                    continue            # no full window: empty gram set
+                acc = ht[:m - n + 1].copy()
+                for j in range(1, n):
+                    acc = acc * B + ht[j:m - n + 1 + j]
+                out[i] = np.unique(acc).astype(np.int64)
         return pd.Series(out)
-    # lambda-style registration: `from __future__ import annotations` turns
-    # hints into strings pandas_udf can't resolve
-    return pandas_udf(_grams, "array<string>")
+
+    return pandas_udf(_gh, "array<long>")
 
 
 def _grams_df(docs: DataFrame, text_col: str, id_col: str, n: int,
               out: str) -> DataFrame:
-    """(id, distinct word-n-gram array)."""
+    """(id, distinct word-n-gram HASH array) — see _gram_hash64_pandas."""
     return docs.select(F.col(id_col),
-                       _word_ngrams_pandas(n)(F.col(text_col)).alias(out))
+                       _gram_hash64_pandas(n)(F.col(text_col)).alias(out))
 
 
 def shingle_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                n: int = 3) -> DataFrame:
-    """doc -> distinct word-n-gram shingles hashed to int64 (xxhash64)."""
+    """doc -> distinct word-n-gram shingles as int64 hashes."""
     return (_grams_df(docs, text_col, id_col, n, "_gs")
-            .select(F.col(id_col), F.explode("_gs").alias("_g"))
-            .select(id_col, F.xxhash64("_g").alias("shingle")))
+            .select(F.col(id_col), F.explode("_gs").alias("shingle")))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -112,10 +144,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
       lambdas are CodegenFallback — interpreted per element) — REVERTED.
     - explode + groupBy(64 map-side min aggs): ~2s warm, fully codegen'd,
       but shuffles G shingle rows per corpus — the former shape.
-    - THIS shape: one Arrow batch pass; murmur3_32_bytes_vec hashes every
-      gram in the batch in a handful of numpy block rounds, the 64 affine
-      perms are one (G, 64) uint64 matmul-mod, and per-doc mins fall out of
-      np.minimum.reduceat over segment offsets. No exchange, no 64-agg
+    - THIS shape: hash-native gram arrays (_gram_hash64_pandas) feed the
+      affine-perm kernel (_minhash64_pandas): 64 cache-resident 1-D passes
+      plus np.minimum.reduceat per-doc minima. No exchange, no 64-agg
       hash table, and the LSH consumer drops a whole shuffle stage.
     Docs with zero grams produce no row (the explode shape's contract).
     """
@@ -128,16 +159,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def _minhash64_pandas():
-    """Arrow-batched minhash kernel: array<string> grams -> array<long> of
-    the 64 permutation minima. h_i(g) = (a_i * (m(g) mod p) + b_i) mod p
-    with m = murmur3_x86_32 (our vectorized batch hash) and p = 2^31-1;
-    every intermediate stays < 2^62 in uint64. Empty gram arrays return
-    null (callers filter size()>0 to keep the explode-era contract)."""
+    """Arrow-batched minhash kernel: array<long> gram hashes -> array<long>
+    of the 64 permutation minima. h_i(g) = (a_i * (g mod p) + b_i) mod p
+    over the gram's 64-bit hash (as unsigned) with p = 2^31-1; every
+    intermediate stays < 2^62 in uint64. Empty gram arrays return null
+    (callers filter size()>0 to keep the explode-era contract)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-
-    from ..functions.murmur3 import murmur3_32_bytes_vec
 
     a = np.array([_perm_params(i)[0] for i in range(_N_HASHES)],
                  dtype=np.uint64)
@@ -151,9 +180,9 @@ def _minhash64_pandas():
         nz = np.flatnonzero(counts)
         out = [None] * len(gr)
         if nz.size:
-            flat = [w.encode("utf-8") for g in gr for w in g]
-            h = (murmur3_32_bytes_vec(flat).view(np.uint32)
-                 .astype(np.uint64) % p)
+            flat = np.concatenate(
+                [np.asarray(gr.iloc[i], dtype=np.int64) for i in nz])
+            h = flat.view(np.uint64) % p
             # per-doc min via reduceat on the offsets of the NONEMPTY
             # segments (reduceat mishandles empty ones). Column loop on
             # 1-D arrays, NOT one (G, 64) matrix: the G x 64 uint64

@@ -54,11 +54,12 @@ def test_minhash_deterministic(spark, docs):
 
 
 def test_minhash_kernel_matches_scalar_definition(spark):
-    """The Arrow kernel's output equals a scalar recompute of the
-    documented family h_i(g) = (a_i * (murmur3(g) mod p) + b_i) mod p over
-    the doc's distinct word-3-grams — on unicode text, single-gram docs,
-    and repeated-shingle docs. Empty/whitespace docs emit NO row (the
-    explode-era contract the LSH consumer relies on)."""
+    """The Arrow kernels' output equals a scalar recompute of the
+    documented family: gram hash = degree-n polynomial combine of
+    two-seed murmur3 token hashes over the doc's distinct word-3-grams,
+    then h_i(g) = (a_i * (g mod p) + b_i) mod p minima — on unicode text,
+    single-gram docs, and repeated-shingle docs. Empty/whitespace docs
+    emit NO row (the explode-era contract the LSH consumer relies on)."""
     import re
 
     from iceberg_rust_spark.functions.murmur3 import murmur3_32
@@ -70,15 +71,26 @@ def test_minhash_kernel_matches_scalar_definition(spark):
     got = {r["doc_id"]: [r[f"mh_{i}"] for i in range(DD._N_HASHES)]
            for r in DD.minhash_signatures(docs).collect()}
     assert set(got) == {1, 2, 3}
+
+    B = 0x9E3779B97F4A7C15
+    M64 = (1 << 64) - 1
+
+    def token_hash(w):
+        h1 = murmur3_32(w.encode("utf-8")) & 0xFFFFFFFF
+        h2 = murmur3_32(w.encode("utf-8"), seed=0x85EBCA6B) & 0xFFFFFFFF
+        return (h1 << 32) | h2
+
     for doc_id, text in rows[:3]:
         tk = re.split(r"\W+", text.strip().lower(), flags=re.ASCII)
-        grams = list(dict.fromkeys(
-            " ".join(tk[i:i + 3]) for i in range(max(0, len(tk) - 2))))
-        hs = [(murmur3_32(g.encode("utf-8")) & 0xFFFFFFFF) % DD._P
-              for g in grams]
+        ghs = set()
+        for i in range(max(0, len(tk) - 2)):
+            acc = token_hash(tk[i])
+            for j in (1, 2):
+                acc = (acc * B + token_hash(tk[i + j])) & M64
+            ghs.add(acc % DD._P)
         for i in range(DD._N_HASHES):
             a, b = DD._perm_params(i)
-            want = min((h * a + b) % DD._P for h in hs)
+            want = min((h * a + b) % DD._P for h in ghs)
             assert got[doc_id][i] == want, (doc_id, i)
 
 
