@@ -4,7 +4,7 @@ Beyond-reference surface (driver north star). Zero row-at-a-time Python
 anywhere; the one Arrow-batched pandas kernel (word n-gram construction)
 earned its place by measurement — the builtin higher-order-function route
 runs interpreted (CodegenFallback) and benchmarked 13x slower on the same
-corpus (see _word_ngrams_pandas):
+corpus (see _gram_hash64_pandas):
 
 - exact_dedup:     one hash-groupBy shuffle on a fingerprint; map-side combine.
 - minhash_lsh:     grams -> 64 minhashes via ONE Arrow kernel pass (murmur3
@@ -30,7 +30,7 @@ from ..functions.text import fingerprint
 from ..functions.vector import as_double_array, cosine_rounded
 
 # deterministic odd multipliers/offsets for 64 minhash permutations
-# h_i(x) = (a_i * (x mod p) + b_i) mod p  over xxhash64 shingle values.
+# h_i(x) = (a_i * (x mod p) + b_i) mod p  over 64-bit gram hashes.
 # p = 2^31-1 keeps every intermediate < 2^62: safe under ANSI overflow checks.
 _P = (1 << 31) - 1  # Mersenne prime
 _N_HASHES = 64
