@@ -488,9 +488,12 @@ def main() -> None:
         "task, only >=threshold pairs leave); its plane count adapts to n so",
         "expected bucket size — and with it total candidate work per row —",
         "stays constant across decades, and buckets above the size cap are",
-        "salt-split into bounded grid cells. minhash_lsh_pairs persists the",
-        "gram table (r9): signatures and both exact-verify sides share one",
-        "Arrow n-gram pass instead of three (x100 wall 13.4s -> 9.5s).",
+        "salt-split into bounded grid cells. minhash_lsh_pairs (r9) is",
+        "hash-native end to end: ONE Arrow kernel pass factorizes tokens,",
+        "hashes the vocabulary, and emits distinct gram hashes as",
+        "array<long> (persisted; signatures and both exact-verify sides",
+        "share it), so grams never exist as strings past the kernel and",
+        "every downstream exchange moves longs.",
         "dedup_clusters times the iterative min-label propagation over",
         "cached minhash edges (pair generation is the minhash_lsh_pairs",
         "row); edges symmetrize via explode (r9 — one computation of the",
