@@ -1324,3 +1324,66 @@ def test_run_sql_left_join_on_prunes_right_scan(spark, warehouse):
         .select("k", "qty")
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
+
+
+def test_auto_capture_fuzz_join_pruning_is_result_preserving(spark, warehouse):
+    """Randomized soundness check of the WHERE/ON auto-capture rules over
+    inner/left/right join chains on PARTITIONED tables (including null
+    partition values and IS NULL probes on null-supplying sides): for every
+    generated query, run_sql with file-level auto-pruning must return
+    exactly what plain Spark SQL returns on unpruned views of the same
+    rows. Any unsound capture (pruning a null-supplying side on a WHERE
+    conjunct, or a preserved side on an ON conjunct) shows up as missing
+    null-extended rows."""
+    import random
+
+    da = spark.createDataFrame(
+        [(i, ["red", "blue", "green", None][i % 4], float(i % 7))
+         for i in range(60)],
+        "id long, cat string, amount double")
+    db = spark.createDataFrame(
+        [(i * 2, ["red", "blue", None][i % 3], i % 5) for i in range(40)],
+        "id long, grp string, score long")
+
+    def make(name, df, part_col):
+        s = schema_from_spark(df.schema)
+        fid = s.field_by_name(part_col).field_id
+        spec = PartitionSpec(0, [PartitionField(
+            fid, 1000, part_col, parse_transform("identity"))])
+        t = Table.create(warehouse, name, s, spec)
+        t.append(spark, df)
+
+    make("db.fa", da, "cat")
+    make("db.fb", db, "grp")
+    da.createOrReplaceTempView("fa_raw")
+    db.createOrReplaceTempView("fb_raw")
+
+    conj_a = ["a.cat = 'red'", "a.cat IS NULL", "a.cat IS NOT NULL",
+              "a.id < 30", "a.amount > 3.0",
+              "a.cat IN ('red', 'blue')", "a.id >= 10 AND a.id < 50"]
+    conj_b = ["b.grp = 'blue'", "b.grp IS NULL", "b.score >= 2",
+              "b.id < 40", "b.grp IN ('red',)".replace(",)", ")"),
+              "b.grp <> 'red'"]
+    rng = random.Random(20260816)
+    for trial in range(24):
+        jt = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN"])
+        on = ["a.id = b.id"]
+        if rng.random() < 0.5:
+            on.append(rng.choice(conj_a if rng.random() < 0.5 else conj_b))
+        where = []
+        for pool in (conj_a, conj_b):
+            if rng.random() < 0.7:
+                where.append(rng.choice(pool))
+        body = (f"FROM {{A}} a {jt} {{B}} b ON {' AND '.join(on)}"
+                + (f" WHERE {' AND '.join(where)}" if where else ""))
+        sel = ("SELECT a.id AS aid, a.cat, a.amount, "
+               "b.id AS bid, b.grp, b.score ")
+        got = run_sql(spark, warehouse,
+                      sel + body.format(A="db.fa", B="db.fb"))
+        want = spark.sql(sel + body.format(A="fa_raw", B="fb_raw"))
+        def key(t):
+            return tuple((v is None, v) for v in t)
+        g = sorted((tuple(r) for r in got.collect()), key=key)
+        w = sorted((tuple(r) for r in want.collect()), key=key)
+        assert g == w, (trial, jt, on, where,
+                        len(g), len(w))
