@@ -153,9 +153,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     sigs = (_grams_df(docs, text_col, id_col, n, "_gs")
             .where(F.size("_gs") > 0)
             .select(F.col(id_col), _minhash64_pandas()(F.col("_gs")).alias("_mh")))
-    return sigs.select(F.col(id_col),
-                       *[F.element_at("_mh", i + 1).alias(f"mh_{i}")
-                         for i in range(_N_HASHES)])
+    # one selectExpr (0-based _mh[i]): 64 element_at Column objects were
+    # 64 py4j round-trips of pure driver chatter
+    return sigs.selectExpr(id_col, *[f"_mh[{i}] AS mh_{i}"
+                                     for i in range(_N_HASHES)])
 
 
 def _minhash64_pandas():
@@ -223,27 +224,30 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     sigs = (grams.where(F.size("grams") > 0)
             .select(F.col(id_col),
                     _minhash64_pandas()(F.col("grams")).alias("_mh")))
-    band_cols = []
-    for b in range(_BANDS):
-        cols = [F.element_at("_mh", b * _ROWS_PER_BAND + r + 1)
-                for r in range(_ROWS_PER_BAND)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(*cols).alias("sig")))
-    buckets = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
-               .select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")))
+    # SQL-string band construction (one selectExpr, 0-based _mh[i]): the
+    # Column-object form built 64 element_at + 32 struct objects, each a
+    # py4j round-trip — ~0.3s of pure driver chatter per call
+    band_exprs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS sig)".format(
+            b=b, cols=", ".join(f"_mh[{b * _ROWS_PER_BAND + r}]"
+                                for r in range(_ROWS_PER_BAND)))
+        for b in range(_BANDS))
+    buckets = (sigs.selectExpr(id_col,
+                               f"explode(array({band_exprs})) AS bk")
+               .selectExpr(id_col, "bk.band AS band", "bk.sig AS sig"))
     left = buckets.alias("l")
     right = buckets.alias("r")
     cands = (left.join(right, on=["band", "sig"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"))
+             .selectExpr(f"l.{id_col} AS id_a", f"r.{id_col} AS id_b")
              .dropDuplicates())
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    ga = grams.selectExpr(f"{id_col} AS id_a", "grams AS g_a")
+    gb = grams.selectExpr(f"{id_col} AS id_b", "grams AS g_b")
     verified = (cands.join(ga, "id_a").join(gb, "id_b")
-                .withColumn("jaccard", F.round(
-                    F.size(F.array_intersect("g_a", "g_b")) /
-                    F.size(F.array_union("g_a", "g_b")), 6))
+                .selectExpr(
+                    "id_a", "id_b",
+                    "round(size(array_intersect(g_a, g_b)) / "
+                    "size(array_union(g_a, g_b)), 6) AS jaccard")
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
     return verified
