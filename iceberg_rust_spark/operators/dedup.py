@@ -364,12 +364,15 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     # executor-loss recovery would argue for reliable checkpoint instead).
     base = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
     base = base.localCheckpoint()
-    first = base.select("_v").first()
-    if first is None:
+    # ONE action for both probes (row count + dimensionality) — first()
+    # and count() each launched a job against the checkpoint
+    probe = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.first("_v").alias("v")).first()
+    n = probe["n"]
+    if n == 0 or probe["v"] is None:
         base.unpersist()
         return embedding_cosine_pairs(emb, threshold, id_col, vec_col)
-    dim = len(first[0])
-    n = base.count()
+    dim = len(probe["v"])
     if n_planes is None:
         import math
         n_planes = min(24, max(8, math.ceil(math.log2(max(n, 2) / max(target_bucket, 1)))))
