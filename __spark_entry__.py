@@ -58,7 +58,7 @@ def _sql_sum_dec(col: str, alias: str, scale: int = 4) -> str:
 _MOR_PRICE_CUT = 300000.0
 
 
-_WH_VERSION = 6  # bump when the fixture set changes to invalidate the cache
+_WH_VERSION = 7  # bump when the fixture set changes to invalidate the cache
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
@@ -161,24 +161,32 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
                  (F.col("o_totalprice") * 0.1).alias("disc")).alias("info"))
     t.append(spark, v2df)
 
+    # Unpartitioned orders-based fixtures write MULTI-FILE tables (8-way
+    # round-robin): a one-file table makes every scan a single task, which
+    # is neither how a real table looks nor how the MOR/CDC paths are
+    # exercised at scale (deletes referencing several files, multi-file
+    # compaction inputs, parallel scans). Values are unchanged; oracles
+    # are order-insensitive.
+    orders8 = orders.repartition(8)
+
     # 6. copy-on-write delete of o_orderstatus = 'F'
     t = Table.create(cat, "db.orders_delcow", schema_from_spark(orders.schema))
-    t.append(spark, orders)
+    t.append(spark, orders8)
     t.delete_where(spark, E.col("o_orderstatus") == "F", mode="cow")
 
     # 7. merge-on-read positional delete of o_totalprice > cut
     t = Table.create(cat, "db.orders_delmor", schema_from_spark(orders.schema))
-    t.append(spark, orders)
+    t.append(spark, orders8)
     t.delete_where(spark, E.col("o_totalprice") > _MOR_PRICE_CUT, mode="mor")
 
     # 7b. merge-on-read delete via Puffin deletion vectors (v3 DV path)
     t = Table.create(cat, "db.orders_deldv", schema_from_spark(orders.schema))
-    t.append(spark, orders)
+    t.append(spark, orders8)
     t.delete_where(spark, E.col("o_orderpriority") == "2-HIGH", mode="dv")
 
     # 8. merge-on-read equality delete of o_orderpriority = '1-URGENT'
     t = Table.create(cat, "db.orders_deleq", schema_from_spark(orders.schema))
-    t.append(spark, orders)
+    t.append(spark, orders8)
     t.delete_by_equality(
         spark, spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
         ["o_orderpriority"])
@@ -191,7 +199,7 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> FileSystemCatalog:
 
     # 9b. single-snapshot MERGE upsert: keys %10==0 re-priced + re-prioritized
     t = Table.create(cat, "db.orders_merge", schema_from_spark(orders.schema))
-    t = t.append(spark, orders)
+    t = t.append(spark, orders8)
     src = orders.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
