@@ -2159,8 +2159,17 @@ class Table:
                 if d.content == CONTENT_POSITION_DELETES:
                     lo = d.lower_bounds.get("file_path")
                     hi = d.upper_bounds.get("file_path")
+                    # normalize the bounds into removed_norm's spelling: a
+                    # foreign table's URI-spelled bounds ("file:/...") would
+                    # otherwise compare lexically BELOW every normalized
+                    # "/..." path and unsoundly skip the conflict. The strip
+                    # is order-preserving (one table shares one scheme
+                    # prefix, and truncate(16) keeps the prefix intact), so
+                    # truncated bounds stay valid bounds after it.
                     if (lo is not None and hi is not None
-                            and not any(lo <= p <= hi for p in removed_norm)):
+                            and not any(_norm_path_py(lo) <= p
+                                        <= _norm_path_py(hi)
+                                        for p in removed_norm)):
                         continue
                 # 2. partition values: a partitioned delete applies only to
                 #    data in its own partition; if every removed file has a

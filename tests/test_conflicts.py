@@ -341,6 +341,19 @@ def test_pos_delete_file_path_bounds_scope_conflict(spark, warehouse):
     with pytest.raises(ValidationConflict):
         stale2.delete_where(spark, E.col("k") == 27, mode="cow")
 
+    # URI-spelled bounds (foreign writer): "file:/..." sorts lexically
+    # below every normalized "/..." path, so an unnormalized range compare
+    # would silently SKIP this genuinely overlapping conflict
+    plan3 = Table.load(warehouse, "db.sc4").scan().plan_files()
+    file_d = next(x.data_file.file_path for x in plan3.tasks
+                  if x.data_file.lower_bounds.get("k", 99) <= 13
+                  <= x.data_file.upper_bounds.get("k", -1))
+    stale3 = Table.load(warehouse, "db.sc4")
+    commit_pos_delete(Table.load(warehouse, "db.sc4"),
+                      "file:" + file_d)
+    with pytest.raises(ValidationConflict):
+        stale3.delete_where(spark, E.col("k") == 13, mode="cow")
+
 
 # ----------------------------------------------------- metadata races
 # The reference's TableRequirement set (catalog/mod.rs:443-495) also guards
