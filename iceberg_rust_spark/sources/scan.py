@@ -753,8 +753,14 @@ class _DeleteFileIndex:
                 lo = d.lower_bounds.get("file_path")
                 hi = d.upper_bounds.get("file_path")
                 if lo is not None and hi is not None:
+                    # bounds normalized into the same spelling as the data
+                    # path: a foreign writer's URI-spelled bounds would
+                    # otherwise sort below every normalized path and SKIP a
+                    # delete that applies — silent row resurrection. The
+                    # scheme strip is order-preserving within one table
+                    # (shared prefix survives truncation).
                     p = _norm_path_py(df_.file_path)
-                    if not (lo <= p <= hi):
+                    if not (_norm_path_py(lo) <= p <= _norm_path_py(hi)):
                         continue
                 task.pos_deletes.append(d)
             elif d.content == CONTENT_EQUALITY_DELETES and seq > entry.sequence_number:

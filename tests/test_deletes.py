@@ -309,3 +309,39 @@ def test_uri_special_char_paths_mor_and_lineage(spark, warehouse):
     # a second MOR delete exercises validate_files_exist against manifests
     t = t.delete_where(spark, E.col("id") == 3, mode="mor")
     assert ids(spark, t) == [5]
+
+
+def test_delete_index_normalizes_uri_spelled_path_bounds():
+    """A foreign writer's URI-spelled file_path bounds ("file:/...") must
+    still attach the delete to its normalized-path target: unnormalized
+    bounds sort lexically below every "/..." path, so the range check would
+    silently skip a delete that applies — row resurrection at read."""
+    from iceberg_rust_spark.sources.manifest import (
+        CONTENT_DATA, CONTENT_POSITION_DELETES, DataFile, ManifestEntry)
+    from iceberg_rust_spark.sources.scan import FileScanTask, _DeleteFileIndex
+
+    data = DataFile(file_path="/tmp/wh/db/t/data/a.parquet",
+                    content=CONTENT_DATA, record_count=10,
+                    file_size_in_bytes=100)
+    de = DataFile(file_path="/tmp/wh/db/t/data/del.parquet",
+                  content=CONTENT_POSITION_DELETES, record_count=1,
+                  file_size_in_bytes=10,
+                  lower_bounds={"file_path": "file:/tmp/wh/db/t/data/a.parquet"},
+                  upper_bounds={"file_path": "file:/tmp/wh/db/t/data/a.parquet"})
+    idx = _DeleteFileIndex([ManifestEntry(status=1, snapshot_id=1,
+                                          sequence_number=2,
+                                          file_sequence_number=2,
+                                          data_file=de)])
+    task = FileScanTask(data_file=data, sequence_number=1)
+    idx.match(ManifestEntry(status=1, snapshot_id=1, sequence_number=1,
+                            file_sequence_number=1, data_file=data), task)
+    assert task.pos_deletes == [de], \
+        "URI-spelled bounds must normalize to the target's spelling"
+    # and genuinely out-of-range bounds still prune
+    far = DataFile(file_path="/tmp/wh/db/t/data/zzz.parquet",
+                   content=CONTENT_DATA, record_count=10,
+                   file_size_in_bytes=100)
+    task2 = FileScanTask(data_file=far, sequence_number=1)
+    idx.match(ManifestEntry(status=1, snapshot_id=1, sequence_number=1,
+                            file_sequence_number=1, data_file=far), task2)
+    assert task2.pos_deletes == []
