@@ -286,6 +286,16 @@ def changes_df(spark: SparkSession, table: Table,
         refd_by_ord = _pos_delete_targets_batch(spark, pos_pending)
         for job in pos_pending:
             refd = refd_by_ord[job["ordinal"]]
+            if refd is not None:
+                # spelling-insensitive intersection: referenced targets may
+                # carry a URI spelling (foreign DV manifests) while
+                # data_prev holds this table's raw manifest paths — a raw
+                # set intersection would come up empty and silently DROP
+                # the ordinal's delete rows from the changelog. Targets
+                # keep the data_prev (readable) spelling.
+                refd_n = {_norm_path_py(x) for x in refd}
+                refd = {p for p in job["data_prev"]
+                        if _norm_path_py(p) in refd_n}
             if refd is not None and len(pos_pending) == 1:
                 # single delete ordinal (the common shallow-history case):
                 # the per-ordinal semi-join is strictly cheaper than the
