@@ -221,19 +221,41 @@ def fileio_parquet_df(spark: SparkSession, files: List[str],
                 out["_pos"] = row0 + np.arange(len(out), dtype="int64")
             return out
 
+        want = set(col_names)
+
+        def pruned_read(pf, rgs):
+            # COLUMN PRUNING at the FileIO read: only the projected
+            # columns' chunks are decoded — and for range reads, only
+            # their byte ranges are fetched (a 2-of-20-column projection
+            # over a wide foreign table stops paying for the other 18).
+            # Absent columns null-pad in project(); a projection with NO
+            # file-backed columns still needs the row count, so read a
+            # zero-column selection via the metadata row count.
+            cols = [n for n in pf.schema_arrow.names if n in want]
+            if not cols:
+                n_rows = sum(pf.metadata.row_group(i).num_rows
+                             for i in rgs) if rgs is not None \
+                    else pf.metadata.num_rows
+                return pa.table(
+                    {"_dummy": pa.nulls(n_rows, type=pa.int8())})
+            if rgs is None:
+                return pf.read(columns=cols)
+            return pf.read_row_groups(rgs, columns=cols)
+
         for pdf in batches:
             for path, rg_lo, rg_n, row0 in zip(pdf["path"], pdf["rg_lo"],
                                                pdf["rg_n"], pdf["row0"]):
                 if rg_lo < 0:
-                    # whole object: one GET, decode from memory
-                    tab = pq.read_table(
+                    # whole object: one GET, decode (pruned) from memory
+                    pf = pq.ParquetFile(
                         _io.BytesIO(fileio.read_bytes(path)))
+                    tab = pruned_read(pf, None)
                 else:
                     # row-group run of an oversized file: range-GETs for
-                    # exactly this run's column chunks
+                    # exactly this run's projected column chunks
                     pf = pq.ParquetFile(FileIORandomFile(fileio, path))
-                    tab = pf.read_row_groups(
-                        list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
+                    tab = pruned_read(
+                        pf, list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
                 yield project(tab, path, int(row0))
 
     paths_df = spark.createDataFrame(
