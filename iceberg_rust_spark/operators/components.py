@@ -23,10 +23,23 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25,
                          reliable: bool = False,
-                         checkpoint_dir: str = None) -> DataFrame:
+                         checkpoint_dir: str = None,
+                         small_graph_cap: int = 100_000) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the component
     id is the smallest node id in the component (deterministic canonical
     representative).
+
+    ``small_graph_cap``: near-dup pair graphs are usually TINY relative to
+    the corpus (most docs have no near-duplicate), while each distributed
+    propagation round costs fixed job-launch latency. When the symmetrized
+    edge list fits under the cap (default 100k edges ≈ a few MB), a
+    driver-side union-find (union-by-min + path compression) computes the
+    identical labels in microseconds — the bounded-collect pattern used
+    elsewhere (CDC target lists). The probing collect doubles as the edge
+    checkpoint's materialization, so an over-cap graph pays nothing extra:
+    the loop starts against already-persisted blocks. Pass 0 to force the
+    distributed loop (the SCALE probe does, so the iterative path keeps
+    its measured evidence).
 
     ``reliable=True`` swaps the per-round localCheckpoint for a RELIABLE
     checkpoint (written to ``checkpoint_dir`` / the session's configured
@@ -77,6 +90,38 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                              F.col("a").alias("b")))).alias("_e"))
                 .select("_e.a", "_e.b")
                 .repartition(F.col("b")), eager=False)
+    if small_graph_cap:
+        # bounded probe: materializes the lazy checkpoint as its action
+        # (over-cap graphs lose nothing — the loop reads persisted blocks)
+        sym_cap = 2 * small_graph_cap
+        probe = und.limit(sym_cap + 1).collect()
+        if len(probe) <= sym_cap:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                pa_, pb_ = r["a"], r["b"]
+                if pa_ not in parent:
+                    parent[pa_] = pa_
+                if pb_ not in parent:
+                    parent[pb_] = pb_
+                ra, rb = find(pa_), find(pb_)
+                if ra != rb:
+                    # union-by-min: the root of every set stays its
+                    # smallest member, so root == the distributed loop's
+                    # min-label component id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(v, find(v)) for v in parent]
+            und.unpersist()
+            return spark.createDataFrame(
+                rows, schema="node long, component long")
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the
@@ -143,14 +188,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b") -> DataFrame:
+                   id_b: str = "id_b",
+                   small_graph_cap: int = 100_000) -> DataFrame:
     """Near-dup pairs -> (doc_id, cluster_id, cluster_size), cluster_id =
     min doc id in the cluster. Rows = every doc that had at least one
     near-duplicate; docs absent from ``pairs`` are singletons by definition
     and are left out (at scale that's the overwhelming majority — emitting
-    them would turn a cluster summary into a full-corpus pass)."""
+    them would turn a cluster summary into a full-corpus pass).
+    ``small_graph_cap`` forwards to connected_components (0 = always run
+    the distributed loop)."""
     from pyspark.sql import Window
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b,
+                                small_graph_cap=small_graph_cap)
     # count() over a component window: ONE shuffle (partition by component)
     # instead of the groupBy + join-back shape's two — comp has exactly one
     # row per node, so the window count IS the cluster size.

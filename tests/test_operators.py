@@ -374,7 +374,10 @@ def test_connected_components_diameter_beyond_max_iter(spark):
     from iceberg_rust_spark.operators.components import connected_components
     chain = spark.createDataFrame([(i, i + 1) for i in range(100)],
                                   "id_a long, id_b long")
-    comp = connected_components(chain, max_iter=25).collect()
+    # cap=0: the DISTRIBUTED pointer-jumping loop is the code under test
+    # (the default small-graph fast path would bypass it on a toy chain)
+    comp = connected_components(chain, max_iter=25,
+                                small_graph_cap=0).collect()
     assert len(comp) == 101
     assert {r["component"] for r in comp} == {0}
 
@@ -415,9 +418,15 @@ def test_connected_components_property_random_graphs(spark):
         if not edges:
             continue
         expected = uf_components(edges)
-        got = {r["node"]: r["component"] for r in connected_components(
-            spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
-        assert got == expected, f"trial {trial}: {got} != {expected}"
+        df_e = spark.createDataFrame(edges, "id_a long, id_b long")
+        # both paths must agree with the reference union-find: the
+        # distributed propagation loop (cap=0) AND the driver fast path
+        for cap in (0, 100_000):
+            got = {r["node"]: r["component"]
+                   for r in connected_components(
+                       df_e, small_graph_cap=cap).collect()}
+            assert got == expected, \
+                f"trial {trial} cap={cap}: {got} != {expected}"
 
 
 def test_token_budget_per_group(spark):

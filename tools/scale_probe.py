@@ -271,7 +271,9 @@ def _clusters_prep(spark, docs, emb):
 def _clusters(spark, docs, emb):
     from iceberg_rust_spark.operators.components import dedup_clusters
     pairs = spark.read.parquet(_clusters_pairs_path(docs))
-    return dedup_clusters(pairs).count()
+    # cap=0 forces the distributed propagation loop: the probe's job is
+    # to evidence the ITERATIVE path's scaling, not the driver fast path
+    return dedup_clusters(pairs, small_graph_cap=0).count()
 
 
 def _dv_table_loc(docs) -> str:
