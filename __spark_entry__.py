@@ -1561,13 +1561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub": q_doc_scrub,
         "doc_boilerplate": q_doc_boilerplate,
         "window_topn": q_window_topn,
-        "window_running": q_window_running,
+        "doc_substring_dedup": q_doc_substring_dedup,
         "set_intersect": q_set_intersect,
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
-        "set_except": q_set_except,
+        "doc_decontaminate": q_doc_decontaminate,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -1579,11 +1579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (graded in recent windows; unchanged or covered by the local
         # 93/93 artifacts regenerated on this HEAD)
         "dedup_exact": q_dedup_exact,
-        "doc_decontaminate": q_doc_decontaminate,
+        "set_except": q_set_except,
         "doc_derep": q_doc_derep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semi_join": q_semi_join,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "doc_quota": q_doc_quota,
@@ -1600,7 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
         "doc_para_dedup": q_doc_para_dedup,
-        "doc_substring_dedup": q_doc_substring_dedup,
+        "window_running": q_window_running,
         "doc_mix": q_doc_mix,
         "asof_join_events": q_asof_join,
         "window_lag": q_window_lag,
