@@ -48,8 +48,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     checkpoints survive executor loss at the cost of a filesystem write per
     round. Use it for long iterative runs on preemptible/spot fleets; the
     default stays local (faster) for short-lived local jobs."""
-    e = edges.select(F.col(src).cast("long").alias("a"),
-                     F.col(dst).cast("long").alias("b"))
+    # drop null endpoints up front: the cast('long') above nulls any
+    # non-numeric id, and a null is not a node — the distributed loop
+    # silently ignored such edges (null group keys fall out of the min
+    # aggregate) while the driver union-find crashed comparing None,
+    # so filtering here makes both paths agree explicitly
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
     spark = edges.sparkSession
     if reliable and checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -362,12 +362,19 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     # executes exactly once. Blocks spill like MEMORY_AND_DISK; at 100 TB
     # the bucket columns would be precomputed as stored cluster keys (and
     # executor-loss recovery would argue for reliable checkpoint instead).
-    base = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    base = (emb.select(F.col(id_col),
+                       as_double_array(F.col(vec_col)).alias("_v"))
+            .where(F.col("_v").isNotNull()))
+    # null vectors are filtered above, not threaded through: they cannot
+    # be near-duplicates of anything and the numpy bucket kernel cannot
+    # stack a None row
     base = base.localCheckpoint()
     # ONE action for both probes (row count + dimensionality) — first()
     # and count() each launched a job against the checkpoint
+    # ignorenulls: a null first-row vector must not demote the whole call
+    # to the O(n^2) exact path while valid vectors exist elsewhere
     probe = base.agg(F.count(F.lit(1)).alias("n"),
-                     F.first("_v").alias("v")).first()
+                     F.first("_v", ignorenulls=True).alias("v")).first()
     n = probe["n"]
     if n == 0 or probe["v"] is None:
         base.unpersist()

@@ -236,8 +236,14 @@ def fileio_parquet_df(spark: SparkSession, files: List[str],
                 n_rows = sum(pf.metadata.row_group(i).num_rows
                              for i in rgs) if rgs is not None \
                     else pf.metadata.num_rows
+                # sentinel name must not collide with any projected
+                # column, or project() would cast the int8 nulls instead
+                # of null-padding the target type
+                sentinel = "_rows"
+                while sentinel in want:
+                    sentinel += "_"
                 return pa.table(
-                    {"_dummy": pa.nulls(n_rows, type=pa.int8())})
+                    {sentinel: pa.nulls(n_rows, type=pa.int8())})
             if rgs is None:
                 return pf.read(columns=cols)
             return pf.read_row_groups(rgs, columns=cols)

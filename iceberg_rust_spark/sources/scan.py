@@ -924,12 +924,20 @@ def _pos_parquet_pairs_df(spark: SparkSession,
         spark._irs_pos_delete_cache = cache
     key = (tuple(paths),
            tuple(file_io_for(p).mtime_ns(p) for p in paths))
+    localized = bool(paths) and not spark_native_path(paths[0])
     got = cache.get(key)
     if got is not None:
         cache.move_to_end(key)
+        if localized:
+            # the memoized relation reads local mirror copies, and the
+            # mirror is LRU-capped: re-run localize_paths on every hit so
+            # an evicted copy is re-fetched (and recency refreshed) before
+            # the relation's next action — a no-op when the files are
+            # still present (stat per file), a re-download when not
+            localize_paths(list(paths))
         return got
     read_paths = list(paths)
-    if not spark_native_path(read_paths[0]):
+    if localized:
         read_paths = localize_paths(read_paths)
     df = (spark.read.schema(_POS_DELETE_READ_SCHEMA).parquet(*read_paths)
           .select(F.col("file_path").alias("_del_file"),

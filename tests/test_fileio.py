@@ -251,3 +251,56 @@ def test_max_split_bytes_parser(spark):
     finally:
         if orig is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
+
+
+def test_pos_delete_relation_cache_survives_mirror_eviction(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r9 regression: _pos_parquet_pairs_df memoizes a DataFrame
+    over localize_paths() outputs. If the LRU mirror evicts the localized
+    delete file between scans, a cache HIT must re-localize (re-download)
+    before returning the memoized relation — otherwise the next action
+    fails with FileNotFound on the vanished local copy."""
+    import io as _bio
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_spark.sources import io as iomod
+    from iceberg_rust_spark.sources import scan as scanmod
+
+    buf = _bio.BytesIO()
+    pq.write_table(pa.table({"file_path": ["f1", "f1", "f2"],
+                             "pos": pa.array([0, 3, 1], type=pa.int64())}),
+                   buf)
+    store = {"tiny://bkt/deletes/d0.parquet": buf.getvalue()}
+
+    class TinyIO(iomod.FileIO):
+        spark_native = False
+
+        def read_bytes(self, path, offset=None, length=None):
+            return store[path]
+
+        def size(self, path):
+            return len(store[path])
+
+        def mtime_ns(self, path):
+            return 7
+
+    monkeypatch.setattr(iomod, "IO_CACHE_ROOT", str(tmp_path / "mirror"))
+    monkeypatch.setattr(iomod, "_SESSION_MIRROR_PATHS", set())
+    monkeypatch.setattr(spark, "_irs_pos_delete_cache", None,
+                        raising=False)
+    iomod.register_file_io("tiny", lambda p: TinyIO())
+    try:
+        paths = list(store)
+        df1 = scanmod._pos_parquet_pairs_df(spark, paths)
+        assert df1.count() == 3
+        # simulate LRU eviction of the localized copy
+        lp = iomod.mirror_local_path(paths[0])
+        _os.remove(lp)
+        df2 = scanmod._pos_parquet_pairs_df(spark, paths)   # cache hit
+        assert _os.path.isfile(lp), "hit must re-localize evicted inputs"
+        assert df2.count() == 3
+    finally:
+        iomod.unregister_file_io("tiny")

@@ -704,3 +704,42 @@ def test_kmeans_parallel_init_recall_and_determinism(spark, emb):
     c2 = kmeans_parallel_centroids(emb.repartition(13), 8)
     assert c1.shape[0] <= 8 and c1.shape == c2.shape
     assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))
+
+
+def test_connected_components_null_endpoints(spark):
+    """ADVICE r9 regression: non-numeric ids null out under the cast to
+    long; an edge with a None endpoint must be dropped (a null is not a
+    node), not crash the driver union-find fast path — and both the fast
+    path and the distributed loop must agree."""
+    from iceberg_rust_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", None), (None, "7"), ("10", "11"),
+         (None, None)], "id_a string, id_b string")
+    want = {1: 1, 2: 1, 10: 10, 11: 10}
+    fast = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert fast == want
+    dist = {r["node"]: r["component"]
+            for r in connected_components(
+                edges, small_graph_cap=0).collect()}
+    assert dist == want
+
+
+def test_embedding_lsh_null_vectors_stay_on_lsh_path(spark):
+    """ADVICE r9 regression: a null vector in the input (even as the
+    first-encountered row) must neither crash the bucket kernel nor
+    silently demote the call to the O(n^2) exact-cosine path — null
+    vectors are filtered, valid pairs still come out."""
+    rows = [(0, None), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]), (3, None),
+            (4, [0.0, 1.0, 0.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # coalesce(1) pins row 0 (null vector) as the aggregate's first row
+    got = {(r["id_a"], r["id_b"])
+           for r in DD.embedding_lsh_pairs(
+               e.coalesce(1), threshold=0.99).collect()}
+    assert got == {(1, 2)}
+    # all-null input: falls back cleanly to the exact path, zero pairs
+    allnull = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>")
+    assert DD.embedding_lsh_pairs(allnull, threshold=0.9).count() == 0

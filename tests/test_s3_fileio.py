@@ -551,3 +551,33 @@ def test_s3_mor_delete_with_special_char_partition_paths(spark, s3):
     # and a second delete re-validates targets against manifests
     t = t.delete_where(spark, E.col("id") == 3, mode="mor")
     assert sorted(r["id"] for r in t.to_df(spark).collect()) == [4]
+
+
+def test_pruned_read_sentinel_never_collides_with_projection(spark, s3exec):
+    """ADVICE r9 regression: when NO projected column is file-backed, the
+    executor read synthesizes a row-count sentinel table. Its column name
+    must not collide with a projected name, or project() casts the int8
+    null sentinel to the target type (crashing for array/struct targets)
+    instead of null-padding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from iceberg_rust_spark.sources.executor_io import fileio_parquet_df
+
+    path = f"s3://bkt-{uuid.uuid4().hex[:8]}/data/f0.parquet"
+    import io as _bio
+    buf = _bio.BytesIO()
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}),
+                   buf)
+    file_io_for(path).write_bytes(path, buf.getvalue())
+
+    # projection names the old sentinel ("_rows") AND its first fallback
+    # ("_rows_"), both absent from the file, one with a non-castable type
+    schema = T.StructType([
+        T.StructField("_rows", T.ArrayType(T.IntegerType())),
+        T.StructField("_rows_", T.StringType())])
+    got = fileio_parquet_df(spark, [path], schema,
+                            file_io_for(path)).collect()
+    assert len(got) == 3
+    assert all(r["_rows"] is None and r["_rows_"] is None for r in got)
