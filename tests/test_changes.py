@@ -360,3 +360,49 @@ def test_net_changes_matches_bruteforce_on_random_changelogs(spark):
             if has_i and changed:
                 want.add((part, k, last[2], "insert"))
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_merged_pos_deletes_mixed_spelling_dedups_to_one_row(
+        spark, tmp_path):
+    """ADVICE r9 #3 regression: the merged pos-delete path normalizes pair
+    spellings BEFORE the (file, pos, ordinal) dedup. The same position
+    arriving under `file:/...` (DV-manifest URI spelling) AND `/...`
+    (writer-normalized spelling) must emit exactly ONE delete row — with
+    spelling-sensitive dedup the inner target join doubles it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_spark.streaming.changes import _merged_pos_deletes
+    from iceberg_rust_spark.sources.manifest import DataFile
+
+    data_path = str(tmp_path / "data0.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(10), type=pa.int64())}),
+                   data_path)
+    del_a = str(tmp_path / "del_a.parquet")     # file:/ URI spelling
+    pq.write_table(pa.table({
+        "file_path": ["file:" + data_path] * 2,
+        "pos": pa.array([2, 3], type=pa.int64())}), del_a)
+    del_b = str(tmp_path / "del_b.parquet")     # raw / spelling
+    pq.write_table(pa.table({
+        "file_path": [data_path] * 2,
+        "pos": pa.array([3, 5], type=pa.int64())}), del_b)
+
+    def read_files(paths, with_meta=False):
+        df = spark.read.schema("id long").parquet(*paths)
+        if with_meta:
+            df = df.withColumn("_cf", F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/")) \
+                .withColumn("_cp", F.col("_metadata.row_index"))
+        return df
+
+    jobs = [{"ordinal": 7, "snap_id": 99,
+             "pos_like": [
+                 DataFile(del_a, file_size_in_bytes=200, content=1),
+                 DataFile(del_b, file_size_in_bytes=200, content=1)],
+             "targets": [data_path]}]
+    out = _merged_pos_deletes(spark, jobs, read_files, ["id"]).collect()
+    got = sorted((r["id"], r["_change_type"], r["_change_ordinal"],
+                  r["_commit_snapshot_id"]) for r in out)
+    # pos 3 appears under BOTH spellings -> exactly one row out
+    assert got == [(2, "delete", 7, 99), (3, "delete", 7, 99),
+                   (5, "delete", 7, 99)]

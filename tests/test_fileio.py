@@ -304,3 +304,60 @@ def test_pos_delete_relation_cache_survives_mirror_eviction(
         assert df2.count() == 3
     finally:
         iomod.unregister_file_io("tiny")
+
+
+def test_pending_lazy_scan_survives_mirror_eviction(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8 #2 end-to-end: a DataFrame planned over an EARLIER
+    localize batch must still execute after a LATER batch crosses the
+    mirror cap — session-handed-out paths are never eviction victims, so
+    the pending (lazy) scan's inputs survive and the action succeeds."""
+    import io as _bio
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_spark.sources import io as iomod
+
+    def pq_bytes(lo, n):
+        buf = _bio.BytesIO()
+        pq.write_table(pa.table({"k": pa.array(range(lo, lo + n),
+                                               type=pa.int64())}), buf)
+        return buf.getvalue()
+
+    store = {f"tiny://bkt/batch1/f{i}.parquet": pq_bytes(i * 10, 10)
+             for i in range(2)}
+    store.update({f"tiny://bkt/batch2/g{i}.parquet": pq_bytes(0, 500)
+                  for i in range(4)})
+
+    class TinyIO(iomod.FileIO):
+        spark_native = False
+
+        def read_bytes(self, path, offset=None, length=None):
+            return store[path]
+
+        def size(self, path):
+            return len(store[path])
+
+        def mtime_ns(self, path):
+            return 7
+
+    monkeypatch.setattr(iomod, "IO_CACHE_ROOT", str(tmp_path / "mirror"))
+    # cap below batch2's bytes so its localize MUST try to evict
+    monkeypatch.setattr(iomod, "IO_CACHE_CAP_BYTES", 2000)
+    monkeypatch.setattr(iomod, "_SESSION_MIRROR_PATHS", set())
+    iomod.register_file_io("tiny", lambda p: TinyIO())
+    try:
+        b1 = iomod.localize_paths(
+            sorted(p for p in store if "/batch1/" in p))
+        pending = spark.read.parquet(*b1)       # planned, NOT executed
+        b2 = iomod.localize_paths(
+            sorted(p for p in store if "/batch2/" in p))
+        assert all(_os.path.isfile(p) for p in b1 + b2)
+        # the pending scan now executes — inputs must still exist
+        assert pending.count() == 20
+        assert sorted(r["k"] for r in pending.collect()) == \
+            list(range(20))
+    finally:
+        iomod.unregister_file_io("tiny")
