@@ -178,3 +178,60 @@ def de_value(j: Any) -> Any:
         if t == "f":
             return float(v.replace("inf", "inf")) if "inf" in v else float("nan")
     return j
+
+
+def ser_scalar(value: Any) -> Optional[str]:
+    """Single-character-tagged string encoding of a bounds/partition scalar
+    for the v2 columnar manifest layout (map<string,string> cells). The
+    planner decodes one of these per (entry, referenced column), so the
+    decode must be a prefix dispatch + one builtin parse — measured ~10x
+    cheaper than the per-cell json.loads of the v1 layout. Tags:
+
+      i int   f float (repr: shortest round-trip; covers nan/inf)
+      s string   b bool   t timestamp (micros, tz->UTC naive like
+      ser_value)   d date (days)   c decimal (str)   x binary (b64)
+
+    None stays None (a null map item)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):           # before int: bool is an int
+        return "b:1" if value else "b:0"
+    if isinstance(value, int):
+        return "i:%d" % value
+    if isinstance(value, float):
+        return "f:" + repr(value)
+    if isinstance(value, str):
+        return "s:" + value
+    if isinstance(value, dt.datetime):    # before date: datetime is a date
+        return "t:%d" % micros_from_ts(value)
+    if isinstance(value, dt.date):
+        return "d:%d" % days_from_date(value)
+    if isinstance(value, Decimal):
+        return "c:" + str(value)
+    if isinstance(value, (bytes, bytearray)):
+        return "x:" + base64.b64encode(bytes(value)).decode("ascii")
+    raise TypeError(f"cannot encode manifest scalar {value!r} "
+                    f"({type(value).__name__})")
+
+
+def de_scalar(s: Optional[str]) -> Any:
+    if s is None:
+        return None
+    tag = s[0]
+    if tag == "i":
+        return int(s[2:])
+    if tag == "s":
+        return s[2:]
+    if tag == "f":
+        return float(s[2:])
+    if tag == "b":
+        return s[2] == "1"
+    if tag == "t":
+        return ts_from_micros(int(s[2:]))
+    if tag == "d":
+        return date_from_days(int(s[2:]))
+    if tag == "c":
+        return Decimal(s[2:])
+    if tag == "x":
+        return base64.b64decode(s[2:])
+    raise ValueError(f"bad manifest scalar encoding {s!r}")

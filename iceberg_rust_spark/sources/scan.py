@@ -37,8 +37,8 @@ from .io import (file_io_for, localize_paths, mirror_remap_pattern,
                  spark_native_path)
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_DELETED, DataFile,
-                       ManifestEntry, ManifestFile, read_manifest,
-                       read_manifest_list)
+                       ManifestColumns, ManifestEntry, ManifestFile,
+                       read_manifest, read_manifest_list)
 from .metadata import Snapshot, TableMetadata
 from .types import Schema, type_to_spark
 
@@ -65,7 +65,7 @@ class _ManifestCache:
         self._data: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._weight = 0
 
-    def get(self, path: str, mtime_ns: int) -> tuple:
+    def get(self, path: str, mtime_ns: int) -> "ManifestColumns":
         key = (path, mtime_ns)
         with self._lock:
             got = self._data.get(key)
@@ -76,16 +76,18 @@ class _ManifestCache:
             # spec-layout manifest written by a real Iceberg implementation
             # (interop path); self-decoding via embedded schema
             from .avro_manifest import read_avro_manifest
-            val = tuple(read_avro_manifest(path))
+            from .manifest import ManifestColumns
+            val = ManifestColumns.from_entries(read_avro_manifest(path))
         else:
-            val = tuple(read_manifest(path))
+            from .manifest import read_manifest_columns
+            val = read_manifest_columns(path)
         with self._lock:
             if key not in self._data:
                 self._data[key] = val
-                self._weight += max(1, len(val))
+                self._weight += max(1, val.n)
                 while self._weight > self.max_entries and len(self._data) > 1:
                     _, old = self._data.popitem(last=False)
-                    self._weight -= max(1, len(old))
+                    self._weight -= max(1, old.n)
         return val
 
     def cache_clear(self) -> None:
@@ -98,7 +100,16 @@ _manifest_cache = _ManifestCache()
 
 
 def load_manifest(path: str) -> Sequence[ManifestEntry]:
-    """Manifests are immutable once written; cache keyed by (path, mtime)."""
+    """Manifests are immutable once written; cache keyed by (path, mtime).
+    Entry objects materialize lazily from the cached columnar view (and
+    memoize inside it), so maintenance/metadata callers see the old list
+    API while the planner never pays for objects it prunes."""
+    from .io import file_io_for
+    return _manifest_cache.get(path, file_io_for(path).mtime_ns(path)).entries()
+
+
+def load_manifest_columns(path: str) -> "ManifestColumns":
+    """Columnar view for the planner (same cache as load_manifest)."""
     from .io import file_io_for
     return _manifest_cache.get(path, file_io_for(path).mtime_ns(path))
 
@@ -259,53 +270,78 @@ class TableScan:
 
         def _map_loaded(mfs, fn):
             if len(mfs) > 4:
+                # pool width follows the bottleneck: remote FileIO decode
+                # is fetch-latency-bound (wide pool overlaps round-trips),
+                # local decode is CPU-bound with GIL-holding stretches —
+                # measured fastest at 2-4 workers, SLOWER at 16 (the
+                # interpreter segments convoy on the GIL)
+                local = spark_native_path(mfs[0].manifest_path)
+                width = min(2 if local else 16, len(mfs))
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=min(16, len(mfs))) as ex:
+                with ThreadPoolExecutor(max_workers=width) as ex:
                     return list(ex.map(
-                        lambda m: fn(load_manifest(m.manifest_path)), mfs))
-            return [fn(load_manifest(m.manifest_path)) for m in mfs]
+                        lambda m: fn(load_manifest_columns(m.manifest_path)),
+                        mfs))
+            return [fn(load_manifest_columns(m.manifest_path)) for m in mfs]
 
-        def eval_entries(entries):
+        ref_names = _pred_columns(bound)
+
+        def eval_cols(cols: ManifestColumns):
             """(survivors, n_data, skipped_part, skipped_metrics, strays):
-            the per-manifest evaluation unit run on the pool. ``strays``
+            the per-manifest evaluation unit run on the pool, COLUMNAR —
+            status/content route on numpy masks, metrics evaluate off
+            per-column flat extracts, and entry objects are built only
+            for survivors/strays (the numpy + Arrow steps release the
+            GIL, so the pool overlaps manifests for real). ``strays``
             are delete entries found in a data manifest (defensive —
             external writers could mix content within one manifest)."""
+            import numpy as np
+            live = cols.status != STATUS_DELETED
+            data_mask = live & (cols.content == CONTENT_DATA)
+            stray_idx = np.nonzero(live & (cols.content != CONTENT_DATA))[0]
+            strays = [cols.entry(int(i)) for i in stray_idx]
+            n = int(data_mask.sum())
+            if always_true:
+                if len(strays) == 0 and bool(data_mask.all()):
+                    return cols.entries(), n, 0, 0, strays
+                return ([cols.entry(int(i))
+                         for i in np.nonzero(data_mask)[0]],
+                        n, 0, 0, strays)
+            spec_arr, schema_raw = cols.spec_id, cols.schema_id_raw
+            # decode partition dicts only when some spec's projection can
+            # actually prune (a metrics-only predicate projects to
+            # AlwaysTrue on every spec)
+            check_part = n > 0 and any(
+                not isinstance(partition_pred(int(s)), E.AlwaysTrue)
+                for s in np.unique(spec_arr[data_mask]))
+            matchers: Dict[int, Any] = {}
             survivors: List[ManifestEntry] = []
-            strays: List[ManifestEntry] = []
-            n = sp = sm = 0
-            for entry in entries:
-                if entry.status == STATUS_DELETED:
-                    continue
-                df_ = entry.data_file
-                if df_.content != CONTENT_DATA:
-                    strays.append(entry)
-                    continue
-                n += 1
-                if not always_true:
-                    if df_.partition and not partition_might_match(
-                            partition_pred(df_.spec_id), df_.partition):
+            sp = sm = 0
+            for i in np.nonzero(data_mask)[0]:
+                i = int(i)
+                if check_part:
+                    part = cols.partition(i)
+                    if part and not partition_might_match(
+                            partition_pred(int(spec_arr[i])), part):
                         sp += 1
                         continue
-                    if not metrics_matcher(df_.schema_id)(df_):
-                        sm += 1
-                        continue
-                survivors.append(entry)
+                raw = int(schema_raw[i])
+                m = matchers.get(raw)
+                if m is None:
+                    m = matchers[raw] = self._columnar_matcher(
+                        bound, schema, None if raw == -1 else raw,
+                        cols, ref_names)
+                if not m(i):
+                    sm += 1
+                    continue
+                survivors.append(cols.entry(i))
             return survivors, n, sp, sm, strays
-
-        matcher_cache: Dict[Optional[int], Any] = {}
-
-        def metrics_matcher(schema_id: Optional[int]):
-            got = matcher_cache.get(schema_id)
-            if got is None:
-                got = matcher_cache[schema_id] = \
-                    self._compiled_file_matcher(bound, schema, schema_id)
-            return got
 
         # phase A: delete manifests -> complete delete set
         delete_entries: List[ManifestEntry] = []
         stray_data: List[ManifestEntry] = []
-        for entries in _map_loaded(surviving_dels, lambda e: e):
-            for entry in entries:
+        for cols in _map_loaded(surviving_dels, lambda c: c):
+            for entry in cols.entries():
                 if entry.status == STATUS_DELETED:
                     continue
                 if entry.data_file.content == CONTENT_DATA:
@@ -313,10 +349,38 @@ class TableScan:
                 else:
                     delete_entries.append(entry)
 
-        # phase B: data manifests, concurrent load + evaluate
-        results = _map_loaded(surviving_data, eval_entries)
+        def prepare(cols: ManifestColumns) -> ManifestColumns:
+            """Pool stage: manifest decode + the C-side metric/partition
+            extracts (Arrow compute releases the GIL, so manifests overlap
+            for real). The pure-Python eval loop then runs SERIALLY on the
+            driver over prepared columns — measured faster than running it
+            on the pool, where 16 interpreter loops just fight the GIL."""
+            if always_true and cols._tab is not None:
+                cols.entries()
+                return cols
+            if cols.n:
+                import numpy as np
+                dm = ((cols.status != STATUS_DELETED)
+                      & (cols.content == CONTENT_DATA))
+                if dm.any():
+                    sids = {int(s) for s in np.unique(cols.spec_id[dm])}
+                    if any(not isinstance(partition_pred(s), E.AlwaysTrue)
+                           for s in sids) and cols._tab is not None:
+                        cols._partitions_all()
+                    for raw in np.unique(cols.schema_id_raw[dm]):
+                        name_map = self._name_mapping(
+                            None if raw == -1 else int(raw), schema)
+                        for nm in ref_names:
+                            fn = name_map.get(nm)
+                            if fn is not None:
+                                cols.metric_arrays(fn)
+            return cols
+
+        # phase B: data manifests — concurrent decode/extract, serial eval
+        results = [eval_cols(c)
+                   for c in _map_loaded(surviving_data, prepare)]
         if stray_data:
-            results.append(eval_entries(stray_data))
+            results.append(eval_cols(ManifestColumns.from_entries(stray_data)))
         survivors: List[ManifestEntry] = []
         for part, n, sp, sm, strays in results:
             survivors.extend(part)
@@ -332,6 +396,47 @@ class TableScan:
             delete_index.match(entry, task)
             plan.tasks.append(task)
         return plan
+
+    def _columnar_matcher(self, bound: E.Predicate, current_schema: Schema,
+                          schema_id: Optional[int], cols: ManifestColumns,
+                          ref_names: frozenset):
+        """Columnar twin of ``_compiled_file_matcher``: same ``_eval_bounds``
+        truth-table walker (semantics cannot drift), but stats come from
+        the manifest's flat metric extracts instead of per-entry dicts —
+        no DataFile object exists for a file that gets pruned. One matcher
+        per (manifest, schema-id); the extracts memoize in ``cols``."""
+        from ..plans.evaluators import _eval_bounds
+        name_map = self._name_mapping(schema_id, current_schema)
+        arrs = {name: (None if name_map.get(name) is None
+                       else cols.metric_arrays(name_map[name]))
+                for name in ref_names}
+        record_count = cols.record_count
+
+        def match(i: int) -> bool:
+            if record_count[i] == 0:
+                return False
+
+            def lookup(name: str) -> Optional[FieldSummary]:
+                a = arrs.get(name)
+                if a is None:
+                    return None
+                vc_, nc_, nanc_, lo_, hi_ = a
+                vc, nc, nanc = vc_[i], nc_[i], nanc_[i]
+                s = FieldSummary(
+                    contains_null=not (nc == 0),
+                    contains_nan=None if nanc is None else nanc > 0,
+                    lower=lo_[i], upper=hi_[i])
+                s._all_null = (vc is not None and nc is not None
+                               and vc == nc)  # type: ignore[attr-defined]
+                s._all_nan = (nanc is not None and vc is not None
+                              and nanc == vc)  # type: ignore[attr-defined]
+                s._null_count = nc  # type: ignore[attr-defined]
+                s._value_count = vc  # type: ignore[attr-defined]
+                return s
+
+            return _eval_bounds(bound, lookup)
+
+        return match
 
     def _compiled_file_matcher(self, bound: E.Predicate,
                                current_schema: Schema,
@@ -697,6 +802,27 @@ def _part_json(part: Dict[str, Any]) -> Optional[str]:
     if not part:
         return None
     return json.dumps({k: str(v) for k, v in sorted(part.items())})
+
+
+def _pred_columns(pred: E.Predicate) -> frozenset:
+    """Column names a bound predicate references — the only columns whose
+    metric extracts the columnar matcher needs (same name rule as
+    _eval_bounds: bound nodes carry .field, unbound .term)."""
+    out: set = set()
+
+    def walk(p):
+        if isinstance(p, (E.And, E.Or)):
+            walk(p.left)
+            walk(p.right)
+        elif isinstance(p, E.Not):
+            walk(p.child)
+        elif hasattr(p, "field"):
+            out.add(p.field.name)
+        elif hasattr(p, "term"):
+            out.add(p.term)
+
+    walk(pred)
+    return frozenset(out)
 
 
 def _part_key(part: Dict[str, Any]) -> Tuple:

@@ -167,3 +167,49 @@ def test_compiled_matcher_equals_interpreted(pred, vc, nc, nanc,
         bound, scan._metrics_for_file(df_, S), df_.record_count)
     compiled = scan._compiled_file_matcher(bound, S, 0)(df_)
     assert compiled == interpreted
+
+
+@given(pred=predicates(), vc=stat_counts, nc=stat_counts,
+       nanc=stat_counts, lo=bound_vals, hi=bound_vals,
+       rec=st.integers(0, 25))
+@settings(max_examples=300, deadline=None)
+def test_columnar_matcher_equals_compiled(pred, vc, nc, nanc,
+                                          lo, hi, rec):
+    """The columnar planner matcher (flat metric extracts, objects only
+    for survivors) must agree with the compiled per-DataFile matcher on
+    every (predicate, stats) combination — BOTH through a written v2
+    manifest, so the tag-scalar encode/decode is in the loop."""
+    import os
+    import tempfile
+
+    from iceberg_rust_spark.sources.manifest import (DataFile,
+                                                     ManifestEntry,
+                                                     read_manifest_columns,
+                                                     write_manifest)
+    from iceberg_rust_spark.sources.metadata import (PartitionSpec,
+                                                     TableMetadata)
+    from iceberg_rust_spark.sources.scan import TableScan, _pred_columns
+
+    bound = E.bind(pred, S)
+    md = TableMetadata(location="/tmp/x", schemas=[S], current_schema_id=0,
+                       partition_specs=[PartitionSpec(0, [])],
+                       default_spec_id=0)
+    scan = TableScan(md, row_filter=pred)
+    df_ = DataFile(
+        file_path="/f.parquet", record_count=rec,
+        value_counts={} if vc is None else {"x": vc},
+        null_value_counts={} if nc is None else {"x": nc},
+        nan_value_counts={} if nanc is None else {"x": nanc},
+        lower_bounds={} if lo is None else {"x": lo},
+        upper_bounds={} if hi is None else {"x": hi},
+        schema_id=0, spec_id=0)
+    compiled = scan._compiled_file_matcher(bound, S, 0)(df_)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.parquet")
+        write_manifest(p, [ManifestEntry(
+            status=1, snapshot_id=1, sequence_number=1,
+            file_sequence_number=1, data_file=df_)])
+        cols = read_manifest_columns(p)
+    columnar = scan._columnar_matcher(bound, S, 0, cols,
+                                      _pred_columns(bound))(0)
+    assert columnar == compiled
