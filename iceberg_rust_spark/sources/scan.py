@@ -94,9 +94,15 @@ class _ManifestCache:
         with self._lock:
             self._data.clear()
             self._weight = 0
+        _delete_index_cache.clear()     # indexes reference cached views
 
 
 _manifest_cache = _ManifestCache()
+
+# built _DeleteFileIndex per surviving-delete-manifest set; entries are
+# (index, stray_data_entries). Small LRU: an index references the cols
+# views already held by the manifest cache, adding only routing dicts.
+_delete_index_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
 def load_manifest(path: str) -> Sequence[ManifestEntry]:
@@ -337,17 +343,30 @@ class TableScan:
                 survivors.append(cols.entry(i))
             return survivors, n, sp, sm, strays
 
-        # phase A: delete manifests -> complete delete set
-        delete_entries: List[ManifestEntry] = []
-        stray_data: List[ManifestEntry] = []
-        for cols in _map_loaded(surviving_dels, lambda c: c):
-            for entry in cols.entries():
-                if entry.status == STATUS_DELETED:
-                    continue
-                if entry.data_file.content == CONTENT_DATA:
-                    stray_data.append(entry)
-                else:
-                    delete_entries.append(entry)
+        # phase A: delete manifests -> complete delete index (decode on
+        # the pool, routing off flat arrays; delete DataFile objects
+        # materialize only when a survivor matches). The built index is
+        # memoized on the surviving delete-manifest set: manifests are
+        # immutable, so repeated plans over the same MOR table skip the
+        # O(delete files) routing pass entirely.
+        dkey = tuple((m.manifest_path,
+                      file_io_for(m.manifest_path).mtime_ns(m.manifest_path))
+                     for m in surviving_dels)
+        cached = _delete_index_cache.get(dkey)
+        if cached is None:
+            delete_index = _DeleteFileIndex()
+            stray_data: List[ManifestEntry] = []
+            for cols in _map_loaded(surviving_dels, lambda c: c):
+                stray_data.extend(delete_index.add_columns(cols))
+            _delete_index_cache[dkey] = (delete_index, stray_data)
+            while len(_delete_index_cache) > 8:
+                _delete_index_cache.popitem(last=False)
+        else:
+            _delete_index_cache.move_to_end(dkey)
+            delete_index, stray_data = cached
+        # stray DELETE entries inside data manifests (rare, external
+        # writers) overlay per plan so the cached index stays immutable
+        overlay_index: Optional[_DeleteFileIndex] = None
 
         def prepare(cols: ManifestColumns) -> ManifestColumns:
             """Pool stage: manifest decode + the C-side metric/partition
@@ -384,16 +403,20 @@ class TableScan:
         survivors: List[ManifestEntry] = []
         for part, n, sp, sm, strays in results:
             survivors.extend(part)
-            delete_entries.extend(strays)
+            for e in strays:        # delete entries inside data manifests
+                if overlay_index is None:
+                    overlay_index = _DeleteFileIndex()
+                overlay_index.add_entry(e)
             plan.total_data_files += n
             plan.skipped_by_partition += sp
             plan.skipped_by_metrics += sm
 
-        delete_index = _DeleteFileIndex(delete_entries)
         for entry in survivors:
             task = FileScanTask(data_file=entry.data_file,
                                 sequence_number=entry.sequence_number)
             delete_index.match(entry, task)
+            if overlay_index is not None:
+                overlay_index.match(entry, task)
             plan.tasks.append(task)
         return plan
 
@@ -830,67 +853,191 @@ def _part_key(part: Dict[str, Any]) -> Tuple:
     return tuple(sorted((k, _cmp(v)) for k, v in part.items()))
 
 
+class _BoundedDeletes:
+    """file_path-bounded positional deletes of one scope, stabbed by data
+    path: sorted by lower bound with a running max of upper bounds, a stab
+    binary-searches the lows and scans back only while the prefix max says
+    a cover is still possible. Real writers emit near-disjoint path ranges
+    per snapshot (delete rows sorted by file_path, rolled into files), so
+    the scan-back is O(matches + snapshots), not O(deletes) — the walk
+    that made 100k partition-scoped deletes quadratic against 100k files."""
+
+    __slots__ = ("_rows", "_lo", "_hi", "_maxhi", "_recs")
+
+    def __init__(self):
+        self._rows: list = []
+        self._lo = None
+
+    def add(self, lo: str, hi: str, rec: tuple) -> None:
+        self._rows.append((lo, hi, rec))
+        self._lo = None                      # invalidate the built form
+
+    def stab(self, p: str) -> list:
+        if self._lo is None:
+            self._rows.sort(key=lambda r: r[0])
+            self._lo = [r[0] for r in self._rows]
+            self._hi = [r[1] for r in self._rows]
+            self._recs = [r[2] for r in self._rows]
+            m, run = [], ""
+            for h in self._hi:
+                run = h if h > run else run
+                m.append(run)
+            self._maxhi = m
+        import bisect
+        j = bisect.bisect_right(self._lo, p) - 1
+        out = []
+        while j >= 0 and self._maxhi[j] >= p:
+            if self._hi[j] >= p:
+                out.append(self._recs[j])
+            j -= 1
+        return out
+
+
+class _DeleteScope:
+    """Recs of one scope (a partition key, or the global scope), split by
+    how they match: eq/pos lists apply to every file in scope (seq-gated),
+    bounded pos deletes stab by path."""
+
+    __slots__ = ("eq", "pos", "bounded")
+
+    def __init__(self):
+        self.eq: list = []
+        self.pos: list = []
+        self.bounded = None
+
+
 class _DeleteFileIndex:
     """Partition-keyed delete index (counterpart of the reference's
     delete_file_index.rs:84-168). Matching a data file is O(deletes applying
-    to its partition), not O(all deletes): deletion vectors / path-scoped
-    deletes live in an exact map on ``referenced_data_file``; partition-scoped
-    deletes in a dict on the canonical partition key; global (unpartitioned)
-    deletes in one shared list. Sequence-number visibility is applied at match
+    to IT), not O(all deletes): deletion vectors / path-scoped deletes live
+    in an exact map on ``referenced_data_file``; partition-scoped deletes in
+    a dict on the canonical partition key, with file_path-bounded positional
+    deletes further indexed for interval stabbing; global (unpartitioned)
+    deletes in one shared scope. Sequence-number visibility applies at match
     time: pos-delete when delete.seq >= data.seq, eq-delete when > (spec
-    rule, delete_file_index.rs)."""
+    rule, delete_file_index.rs).
 
-    def __init__(self, delete_entries: Sequence[ManifestEntry]):
+    Recs carry ``(seq, content, DataFile | (cols, row))``: built from a
+    columnar manifest view, the DataFile object materializes only when a
+    survivor actually matches — a selective scan over a 100k-delete table
+    builds a handful of delete objects, not 100k."""
+
+    def __init__(self, delete_entries: Sequence[ManifestEntry] = ()):
         self.by_path: Dict[str, list] = {}
-        self.by_partition: Dict[Tuple, list] = {}
-        self.global_deletes: list = []
+        self.by_partition: Dict[Tuple, _DeleteScope] = {}
+        self.global_scope = _DeleteScope()
         for de in delete_entries:
-            d = de.data_file
-            rec = (de.sequence_number, d)
-            if d.referenced_data_file is not None:
-                # normalized keys: referenced paths come from the read
-                # side's normalized _file column, manifest data paths from
-                # the writer — file:-scheme spelling must not split them
-                self.by_path.setdefault(
-                    _norm_path_py(d.referenced_data_file), []).append(rec)
-            elif d.partition:
-                self.by_partition.setdefault(_part_key(d.partition), []).append(rec)
-            else:
-                self.global_deletes.append(rec)
+            self.add_entry(de)
+
+    def _route(self, seq: int, content: int, ref: Optional[str],
+               part_key: Optional[Tuple], lo: Optional[str],
+               hi: Optional[str], src) -> None:
+        rec = (seq, content, src)
+        if ref is not None:
+            # normalized keys: referenced paths come from the read side's
+            # normalized _file column, manifest data paths from the
+            # writer — file:-scheme spelling must not split them
+            self.by_path.setdefault(_norm_path_py(ref), []).append(rec)
+            return
+        scope = self.global_scope if part_key is None else \
+            self.by_partition.get(part_key)
+        if scope is None:
+            scope = self.by_partition[part_key] = _DeleteScope()
+        if content == CONTENT_EQUALITY_DELETES:
+            scope.eq.append(rec)
+        elif content != CONTENT_POSITION_DELETES:
+            return                  # unknown content kind: never matches
+        elif lo is not None and hi is not None:
+            # bounds normalized into the same spelling as the data path:
+            # a foreign writer's URI-spelled bounds would otherwise sort
+            # below every normalized path and SKIP a delete that applies —
+            # silent row resurrection. The scheme strip is order-preserving
+            # within one table (shared prefix survives truncation). Bounds
+            # are format-contract bounds, so truncated stats stay sound.
+            if scope.bounded is None:
+                scope.bounded = _BoundedDeletes()
+            scope.bounded.add(_norm_path_py(lo), _norm_path_py(hi), rec)
+        else:
+            scope.pos.append(rec)
+
+    def add_entry(self, de: ManifestEntry) -> None:
+        d = de.data_file
+        self._route(de.sequence_number, d.content, d.referenced_data_file,
+                    _part_key(d.partition) if d.partition else None,
+                    d.lower_bounds.get("file_path"),
+                    d.upper_bounds.get("file_path"), d)
+
+    def add_columns(self, cols: ManifestColumns) -> List[ManifestEntry]:
+        """Route every live delete entry of a columnar manifest view;
+        returns stray DATA entries found in the delete manifest (external
+        writers could mix content). Touches only flat arrays — per-row
+        delete objects stay unbuilt until a survivor matches."""
+        import numpy as np
+        if cols._tab is None:
+            strays = []
+            for e in cols.entries():
+                if e.status == STATUS_DELETED:
+                    continue
+                if e.data_file.content == CONTENT_DATA:
+                    strays.append(e)
+                else:
+                    self.add_entry(e)
+            return strays
+        live = cols.status != STATUS_DELETED
+        strays = [cols.entry(int(i)) for i in
+                  np.nonzero(live & (cols.content == CONTENT_DATA))[0]]
+        del_rows = np.nonzero(live & (cols.content != CONTENT_DATA))[0]
+        if not len(del_rows):
+            return strays
+        refs = cols._col("referenced_data_file")
+        _vc, _nc, _nanc, los, his = cols.metric_arrays("file_path")
+        seqs, contents = cols.sequence_number, cols.content
+        for i in del_rows:
+            i = int(i)
+            ref = refs[i]
+            if ref is not None:     # path-scoped: partition key unused
+                self._route(int(seqs[i]), int(contents[i]), ref,
+                            None, None, None, (cols, i))
+                continue
+            part = cols.partition(i)
+            self._route(int(seqs[i]), int(contents[i]), None,
+                        _part_key(part) if part else None,
+                        los[i], his[i], (cols, i))
+        return strays
+
+    @staticmethod
+    def _file(src) -> DataFile:
+        if type(src) is tuple:
+            return src[0].entry(src[1]).data_file
+        return src
 
     def match(self, entry: ManifestEntry, task: "FileScanTask") -> None:
         df_ = entry.data_file
-        candidates = self.global_deletes
-        scoped = self.by_path.get(_norm_path_py(df_.file_path))
+        seq = entry.sequence_number
+        p = _norm_path_py(df_.file_path)
+        scoped = self.by_path.get(p)
         if scoped:
-            candidates = candidates + scoped
-        if df_.partition:
-            part = self.by_partition.get(_part_key(df_.partition))
-            if part:
-                candidates = candidates + part
-        for seq, d in candidates:
-            if d.content == CONTENT_POSITION_DELETES and seq >= entry.sequence_number:
-                # file_path bounds pruning (delete_file_index.rs
-                # counterpart): a path-position delete only applies to
-                # data files inside its [lower, upper] file_path range —
-                # skipping here keeps petabytes of untouched files from
-                # carrying the delete anti-join at read. Bounds are
-                # format-contract bounds, so truncated stats stay sound.
-                lo = d.lower_bounds.get("file_path")
-                hi = d.upper_bounds.get("file_path")
-                if lo is not None and hi is not None:
-                    # bounds normalized into the same spelling as the data
-                    # path: a foreign writer's URI-spelled bounds would
-                    # otherwise sort below every normalized path and SKIP a
-                    # delete that applies — silent row resurrection. The
-                    # scheme strip is order-preserving within one table
-                    # (shared prefix survives truncation).
-                    p = _norm_path_py(df_.file_path)
-                    if not (_norm_path_py(lo) <= p <= _norm_path_py(hi)):
-                        continue
-                task.pos_deletes.append(d)
-            elif d.content == CONTENT_EQUALITY_DELETES and seq > entry.sequence_number:
-                task.eq_deletes.append(d)
+            for dseq, content, src in scoped:
+                if content == CONTENT_POSITION_DELETES and dseq >= seq:
+                    task.pos_deletes.append(self._file(src))
+                elif content == CONTENT_EQUALITY_DELETES and dseq > seq:
+                    task.eq_deletes.append(self._file(src))
+        scopes = (self.global_scope,) if not df_.partition else \
+            (self.global_scope,
+             self.by_partition.get(_part_key(df_.partition)))
+        for scope in scopes:
+            if scope is None:
+                continue
+            for dseq, _content, src in scope.pos:
+                if dseq >= seq:
+                    task.pos_deletes.append(self._file(src))
+            if scope.bounded is not None:
+                for dseq, _content, src in scope.bounded.stab(p):
+                    if dseq >= seq:
+                        task.pos_deletes.append(self._file(src))
+            for dseq, _content, src in scope.eq:
+                if dseq > seq:
+                    task.eq_deletes.append(self._file(src))
 
 
 def _delete_set_bytes(deletes: List["DataFile"]) -> int:

@@ -272,3 +272,79 @@ def test_concurrent_plans_share_cache_safely(warehouse):
         results = list(ex.map(one, range(16)))
     assert len({repr(r) for r in results}) == 1
     assert results[0][0] == 120 and results[0][1] == 3
+
+
+def test_bounded_deletes_stab_matches_bruteforce():
+    """Interval stabbing (sorted lows + running-max highs) must return
+    exactly the intervals covering the probe point, on random overlapping
+    interval sets — the structure that keeps partition-scoped bounded
+    pos-deletes O(matches) per survivor instead of O(deletes)."""
+    import random
+
+    from iceberg_rust_spark.sources.scan import _BoundedDeletes
+    rng = random.Random(7)
+    for trial in range(20):
+        b = _BoundedDeletes()
+        ivals = []
+        for k in range(rng.randint(1, 60)):
+            lo = rng.randint(0, 900)
+            hi = lo + rng.randint(0, 150)
+            ivals.append((f"{lo:04d}", f"{hi:04d}", k))
+            b.add(f"{lo:04d}", f"{hi:04d}", k)
+        for probe in range(0, 1100, 37):
+            p = f"{probe:04d}"
+            want = sorted(k for lo, hi, k in ivals if lo <= p <= hi)
+            assert sorted(b.stab(p)) == want, (trial, p)
+
+
+def test_delete_index_from_columns_matches_entry_built(tmp_path):
+    """An index built from a written v2 manifest's columnar view must
+    attach exactly what the entry-built index attaches, across all three
+    delete shapes (path-scoped / bounded / equality) — and materialize
+    DataFiles only for matches."""
+    import os
+
+    from iceberg_rust_spark.sources.manifest import (read_manifest_columns,
+                                                     write_manifest)
+    from iceberg_rust_spark.sources.scan import FileScanTask
+
+    dels = [
+        _entry(2, CONTENT_POSITION_DELETES, ref="/w/data-A.parquet",
+               path="/w/dv.puffin"),
+        _entry(2, CONTENT_POSITION_DELETES, partition={"b": 1},
+               path="/w/bounded.parquet"),
+        _entry(2, CONTENT_EQUALITY_DELETES, partition={"b": 1},
+               path="/w/eq.parquet"),
+        _entry(2, CONTENT_POSITION_DELETES, partition={"b": 1},
+               path="/w/nobounds.parquet"),
+    ]
+    dels[1].data_file.lower_bounds["file_path"] = "/w/data-A.parquet"
+    dels[1].data_file.upper_bounds["file_path"] = "/w/data-B.parquet"
+    p = os.path.join(str(tmp_path), "dels.parquet")
+    write_manifest(p, dels)
+
+    from_entries = _DeleteFileIndex(dels)
+    from_cols = _DeleteFileIndex()
+    strays = from_cols.add_columns(read_manifest_columns(p))
+    assert strays == []
+
+    for dpath, part in [("/w/data-A.parquet", {"b": 1}),
+                        ("/w/data-B.parquet", {"b": 1}),
+                        ("/w/data-C.parquet", {"b": 1}),
+                        ("/w/data-A.parquet", {"b": 2})]:
+        e = _entry(1, 0, partition=part, path=dpath)
+        ta = FileScanTask(data_file=e.data_file, sequence_number=1)
+        tb = FileScanTask(data_file=e.data_file, sequence_number=1)
+        from_entries.match(e, ta)
+        from_cols.match(e, tb)
+        assert sorted(d.file_path for d in ta.pos_deletes) == \
+            sorted(d.file_path for d in tb.pos_deletes), (dpath, part)
+        assert sorted(d.file_path for d in ta.eq_deletes) == \
+            sorted(d.file_path for d in tb.eq_deletes), (dpath, part)
+    # data-A in partition b=1: DV + bounded + nobounds pos, eq attached
+    e = _entry(1, 0, partition={"b": 1}, path="/w/data-A.parquet")
+    t = FileScanTask(data_file=e.data_file, sequence_number=1)
+    from_cols.match(e, t)
+    assert sorted(d.file_path for d in t.pos_deletes) == \
+        ["/w/bounded.parquet", "/w/dv.puffin", "/w/nobounds.parquet"]
+    assert [d.file_path for d in t.eq_deletes] == ["/w/eq.parquet"]
