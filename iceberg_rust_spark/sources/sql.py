@@ -348,6 +348,12 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
       result-preserving. Subqueries are skipped (conservative).
     """
     from ..plans.sql_pred import sql_to_predicate
+
+    def _has_subquery(text: str) -> bool:
+        return any(re.search(r"\(\s*SELECT\b", sg, re.IGNORECASE)
+                   for i, sg in enumerate(_SQUOTE_RE.split(text))
+                   if i % 2 == 0)
+
     has_join = re.search(r"\bJOIN\b", query, re.IGNORECASE)
     if not has_join:
         if re.search(r",\s*[\w.]+\s+(AS\s+)?\w*\s*(WHERE|,)", query,
@@ -356,18 +362,43 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
         m = _AUTO_PRUNE_RE.search(query)
         if not m:
             return {}
+        tbl, where = m.group(1), m.group(2)
         try:
-            return {m.group(1): sql_to_predicate(m.group(2))}
+            return {tbl: sql_to_predicate(where)}
         except ValueError:
+            pass
+        # WHERE didn't parse whole (correlated EXISTS / IN-subqueries,
+        # function calls, ...): capture per top-level conjunct instead —
+        # subquery conjuncts stay conservatively uncaptured (the full
+        # WHERE re-applies, so partial capture only over-reads). Guard:
+        # unbalanced parens mean the lazy regex bit into a subquery's
+        # tail — conjunct boundaries are then unreliable, so bail.
+        plain = "".join(sg for i, sg in enumerate(_SQUOTE_RE.split(where))
+                        if i % 2 == 0)
+        if plain.count("(") != plain.count(")"):
             return {}
+        pred = None
+        for conj in _split_top_and(where):
+            if _has_subquery(conj):
+                continue
+            try:
+                p = sql_to_predicate(conj)
+            except ValueError:
+                continue
+            pred = p if pred is None else E.And(pred, p)
+        return {tbl: pred} if pred is not None else {}
     if re.search(r"\b(SEMI|ANTI|CROSS)\s+JOIN", query, re.IGNORECASE):
-        return {}
-    if re.search(r"\(\s*SELECT\b", query, re.IGNORECASE):
         return {}
     m = _AUTO_PRUNE_JOIN_RE.search(query)
     if not m:
         return {}
     from_part, where = m.group(1), m.group(2)
+    # unbalanced parens: the lazy regex stopped inside a WHERE subquery
+    # (its GROUP BY/ORDER BY) — conjunct boundaries unreliable, bail
+    plain_where = "".join(sg for i, sg in enumerate(_SQUOTE_RE.split(where))
+                          if i % 2 == 0)
+    if plain_where.count("(") != plain_where.count(")"):
+        return {}
     # Walk the join chain tracking the PRESERVED side (standard outer-join
     # filter-pushdown rule): a WHERE conjunct on a preserved table filters
     # result rows 1:1 with that table's rows, so file-pruning its scan is
@@ -425,6 +456,8 @@ def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
 
     def capture(text: str, allowed: set) -> None:
         for conj in _split_top_and(text):
+            if _has_subquery(conj):
+                continue            # correlated EXISTS/IN: uncaptured
             # tokenize into quoted/unquoted segments: alias detection and
             # alias-stripping must only see the SQL text, never literal
             # bodies (WHERE a.s = 'x a.b y' would otherwise be captured

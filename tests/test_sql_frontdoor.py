@@ -1387,3 +1387,120 @@ def test_auto_capture_fuzz_join_pruning_is_result_preserving(spark, warehouse):
         w = sorted((tuple(r) for r in want.collect()), key=key)
         assert g == w, (trial, jt, on, where,
                         len(g), len(w))
+
+
+def test_auto_scan_filters_skip_subquery_conjuncts_only():
+    """ADVICE r9 task: a WHERE containing correlated EXISTS / IN-subqueries
+    must not kill auto-capture — subquery conjuncts stay uncaptured
+    (conservative), plain single-alias/single-table conjuncts still prune."""
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    # TPC-H Q4 shape: single table + EXISTS — the date range captures
+    got = _auto_scan_filters(
+        "SELECT o_orderpriority, count(*) AS n FROM db.orders "
+        "WHERE o_orderdate >= timestamp '1996-01-01 00:00:00' "
+        "AND o_orderdate < timestamp '1996-04-01 00:00:00' "
+        "AND EXISTS (SELECT * FROM db.lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_discount > 0.05) "
+        "GROUP BY o_orderpriority")
+    assert set(got) == {"db.orders"}
+    assert "o_orderdate" in repr(got["db.orders"])
+    assert "l_discount" not in repr(got["db.orders"])
+
+    # join + EXISTS in WHERE: plain conjuncts still capture per alias
+    got = _auto_scan_filters(
+        "SELECT * FROM db.orders o JOIN db.customer c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 100 "
+        "AND EXISTS (SELECT 1 FROM db.lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) "
+        "AND c.c_acctbal < 0")
+    assert "o_totalprice gt 100" in repr(got["db.orders"])
+    assert "c_acctbal lt 0" in repr(got["db.customer"])
+    assert "l_orderkey" not in repr(got.get("db.lineitem", ""))
+
+    # IN-subquery conjunct: uncaptured, sibling conjunct captured
+    got = _auto_scan_filters(
+        "SELECT * FROM db.orders WHERE o_orderstatus = 'F' "
+        "AND o_custkey IN (SELECT c_custkey FROM db.customer "
+        "WHERE c_acctbal > 0 GROUP BY c_custkey)")
+    # the lazy WHERE regex stops at the inner GROUP BY -> unbalanced
+    # parens -> conservative bail is also acceptable; if captured, it
+    # must be exactly the plain conjunct
+    if got:
+        assert "o_orderstatus" in repr(got["db.orders"])
+        assert "c_acctbal" not in repr(got["db.orders"])
+
+    # derived-table FROM (Q22 shape): conservative, nothing captured
+    got = _auto_scan_filters(
+        "SELECT cc, count(*) FROM (SELECT substring(c_name,1,1) AS cc "
+        "FROM db.customer WHERE c_acctbal > 0 "
+        "AND NOT EXISTS (SELECT * FROM db.orders "
+        "WHERE o_custkey = c_custkey)) AS s GROUP BY cc")
+    assert got == {}
+
+
+def _tpch_tables(spark, warehouse, names):
+    import os
+    from iceberg_rust_spark.session import read_table
+    sf = "/root/testdata/sf0.001"
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf, f"{n}.parquet"))
+        Table.create(warehouse, f"db.{n}",
+                     schema_from_spark(df.schema)).append(spark, df)
+        df.createOrReplaceTempView(f"{n}_raw")
+
+
+def test_run_sql_tpch_subquery_shapes_match_oracle(spark, warehouse):
+    """TPC-H Q4/Q21/Q22 shapes (correlated EXISTS, comma joins with
+    EXISTS + NOT EXISTS, derived table with a scalar subquery) through
+    run_sql on Iceberg tables must match plain Spark SQL on raw views of
+    the same parquet. Columns adapted to the testdata's slim TPC-H schema;
+    the sub-SELECT shapes are the test."""
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    _tpch_tables(spark, warehouse,
+                 ["orders", "lineitem", "customer", "supplier", "nation"])
+
+    q4 = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {o}
+        WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate < timestamp '1996-07-01 00:00:00'
+          AND EXISTS (SELECT * FROM {l}
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    q21 = """
+        SELECT s_name, count(*) AS numwait
+        FROM {s}, {l} l1, {o}, {n}
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_discount > 0.02
+          AND EXISTS (SELECT * FROM {l} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM {l} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_discount > 0.08)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name ORDER BY numwait DESC, s_name"""
+    q22 = """
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM (SELECT substring(c_name, 1, 6) AS cntrycode, c_acctbal
+              FROM {c}
+              WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {c}
+                                 WHERE c_acctbal > 0.0)
+                AND NOT EXISTS (SELECT * FROM {o}
+                                WHERE o_custkey = c_custkey
+                                  AND o_totalprice > 400000)) AS custsale
+        GROUP BY cntrycode ORDER BY cntrycode"""
+    ice = {"o": "db.orders", "l": "db.lineitem", "c": "db.customer",
+           "s": "db.supplier", "n": "db.nation"}
+    raw = {"o": "orders_raw", "l": "lineitem_raw", "c": "customer_raw",
+           "s": "supplier_raw", "n": "nation_raw"}
+    for name, q in (("q4", q4), ("q21", q21), ("q22", q22)):
+        got = [tuple(r) for r in
+               run_sql(spark, warehouse, q.format(**ice)).collect()]
+        want = [tuple(r) for r in spark.sql(q.format(**raw)).collect()]
+        assert got == want and len(want) > 0, (name, got[:5], want[:5])
