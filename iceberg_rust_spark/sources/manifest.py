@@ -6,7 +6,11 @@ spec/manifest/data_file.rs:36, spec/manifest_list/manifest_file.rs:31), stored
 as **Parquet** via pyarrow (no Avro lib in this env; columnar metadata also
 lets the planner read just the pruning columns). Per-file column metrics
 (record_count, value/null/nan counts, lower/upper bounds) are the fuel for all
-file-level pruning; bounds serialize as type-tagged JSON keyed by column name.
+file-level pruning. Layout v2: counts as native map<string,int64>, bounds and
+partition values as map<string,string> with a one-character tag-scalar
+encoding (datum.ser_scalar) — the flat child arrays decode C-side, and
+ManifestColumns lets the planner evaluate without building per-entry objects.
+v1 files (per-cell type-tagged JSON) stay readable.
 """
 
 from __future__ import annotations
@@ -32,8 +36,10 @@ STATUS_ADDED = 1
 STATUS_DELETED = 2
 
 
-@dataclass
+@dataclass(slots=True)
 class DataFile:
+    # slots: 100k+ cached entries per large table — the per-instance dict
+    # was ~40% of entry RSS and ~half of construction time
     file_path: str
     file_format: str = "parquet"
     content: int = CONTENT_DATA
@@ -60,7 +66,7 @@ class DataFile:
     first_row_id: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ManifestEntry:
     status: int
     snapshot_id: int
@@ -69,7 +75,7 @@ class ManifestEntry:
     data_file: DataFile
 
 
-@dataclass
+@dataclass(slots=True)
 class FieldSummaryRec:
     contains_null: bool = False
     contains_nan: Optional[bool] = None
@@ -77,7 +83,7 @@ class FieldSummaryRec:
     upper: Any = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ManifestFile:
     manifest_path: str
     manifest_length: int

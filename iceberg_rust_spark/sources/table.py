@@ -1350,9 +1350,9 @@ class Table:
             mpath = os.path.join(base, f"manifest-{snap.snapshot_id}-{i}.avro")
             length = write_avro_manifest(mpath, entries, schema, spec)
             out_manifests.append(mpath)
-            rec = ManifestFile(**{**mf.__dict__,
-                                  "manifest_path": mpath,
-                                  "manifest_length": length})
+            import dataclasses as _dc
+            rec = _dc.replace(mf, manifest_path=mpath,
+                              manifest_length=length)
             mf_records.append(rec)
         ml_path = os.path.join(base, f"snap-{snap.snapshot_id}.avro")
         write_avro_manifest_list(ml_path, mf_records,
