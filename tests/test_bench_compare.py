@@ -22,7 +22,7 @@ def test_loaded_machine_is_not_a_regression(tmp_path):
     # same engine cost, new run on a 2x-slower (loaded) machine: raw walls
     # double, probe doubles too -> normalized ratio ~1.0, nothing flagged
     old = _write(tmp_path, "old.json", {"q": 1.0}, probes=[0.10, 0.12])
-    new = _write(tmp_path, "new.json", {"q": 2.0}, probes=[0.20, 0.25])
+    new = _write(tmp_path, "new.json", {"q": 2.0}, probes=[0.20, 0.24])
     rep = compare(old, new)
     assert rep["normalized"] and rep["probe_factor"] == 0.5
     assert rep["flagged"] == []
@@ -55,3 +55,16 @@ def test_query_set_drift_reported(tmp_path):
     new = _write(tmp_path, "new.json", {"b": 1.0, "c": 1.0}, probes=[0.1])
     rep = compare(old, new)
     assert rep["only_in_old"] == ["a"] and rep["only_in_new"] == ["c"]
+
+
+def test_one_lucky_probe_does_not_skew_normalization(tmp_path):
+    """MEDIAN probe, not min: a single unusually fast probe in the new run
+    (cache-warm core, momentary idle) used to deflate its machine-speed
+    estimate and flag phantom 1.3x regressions across untouched queries."""
+    old = _write(tmp_path, "old.json", {"q": 1.0},
+                 probes=[0.09, 0.10, 0.11, 0.10])
+    new = _write(tmp_path, "new.json", {"q": 1.0},
+                 probes=[0.05, 0.10, 0.11, 0.10])   # one lucky 0.05
+    rep = compare(old, new)
+    assert rep["flagged"] == []
+    assert 0.9 < rep["probe_factor"] < 1.1

@@ -348,3 +348,65 @@ def test_delete_index_from_columns_matches_entry_built(tmp_path):
     assert sorted(d.file_path for d in t.pos_deletes) == \
         ["/w/bounded.parquet", "/w/dv.puffin", "/w/nobounds.parquet"]
     assert [d.file_path for d in t.eq_deletes] == ["/w/eq.parquet"]
+
+
+def test_v1_json_manifest_layout_stays_readable(tmp_path):
+    """Back-compat: manifests written before the v2 columnar layout used
+    per-cell type-tagged JSON columns. A table written by an earlier
+    release must keep reading — read_manifest dispatches on column names."""
+    import datetime as dt
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_spark.sources.datum import ser_value
+    from iceberg_rust_spark.sources.manifest import (read_manifest,
+                                                     read_manifest_columns)
+
+    def jmap(d):
+        return json.dumps({k: ser_value(v) for k, v in d.items()})
+
+    v1 = pa.table({
+        "status": pa.array([1], type=pa.int32()),
+        "snapshot_id": pa.array([10], type=pa.int64()),
+        "sequence_number": pa.array([3], type=pa.int64()),
+        "file_sequence_number": pa.array([3], type=pa.int64()),
+        "content": pa.array([0], type=pa.int32()),
+        "file_path": ["/w/f.parquet"],
+        "file_format": ["parquet"],
+        "spec_id": pa.array([0], type=pa.int32()),
+        "schema_id": pa.array([0], type=pa.int32()),
+        "partition_json": [jmap({"p": 4, "d": dt.date(2021, 5, 6)})],
+        "record_count": pa.array([100], type=pa.int64()),
+        "file_size_in_bytes": pa.array([1234], type=pa.int64()),
+        "column_sizes_json": ["{}"],
+        "value_counts_json": [json.dumps({"k": 100})],
+        "null_value_counts_json": [json.dumps({"k": 0})],
+        "nan_value_counts_json": ["{}"],
+        "lower_bounds_json": [jmap({"k": 1, "t": dt.datetime(2020, 1, 2)})],
+        "upper_bounds_json": [jmap({"k": 99})],
+        "split_offsets_json": ["[4]"],
+        "equality_ids_json": ["[]"],
+        "sort_order_id": pa.array([-1], type=pa.int32()),
+        "referenced_data_file": pa.array([None], type=pa.string()),
+        "content_offset": pa.array([None], type=pa.int64()),
+        "content_size_in_bytes": pa.array([None], type=pa.int64()),
+        "first_row_id": pa.array([None], type=pa.int64()),
+    })
+    p = os.path.join(str(tmp_path), "v1.parquet")
+    pq.write_table(v1, p)
+
+    [e] = read_manifest(p)
+    assert e.data_file.partition == {"p": 4, "d": dt.date(2021, 5, 6)}
+    assert e.data_file.lower_bounds == {"k": 1,
+                                        "t": dt.datetime(2020, 1, 2)}
+    assert e.data_file.sort_order_id is None
+    assert e.data_file.split_offsets == [4]
+    # the columnar planner view works off the object backing too
+    cols = read_manifest_columns(p)
+    assert cols.n == 1 and int(cols.record_count[0]) == 100
+    vc, nc, _nan, lo, hi = cols.metric_arrays("k")
+    assert (vc[0], nc[0], lo[0], hi[0]) == (100, 0, 1, 99)
+    assert cols.partition(0)["p"] == 4

@@ -27,12 +27,17 @@ import sys
 
 
 def _load(path: str) -> tuple:
-    """(queries dict, probe_min or None, label)"""
+    """(queries dict, probe estimate or None, label). MEDIAN of the
+    calibration probes, not min: one lucky fast probe (cache-warm core,
+    momentary idle) used to deflate a whole run's machine-speed estimate
+    by 1.3x and flag phantom regressions across untouched queries —
+    the median resists outliers in both directions."""
+    import statistics
     with open(path) as f:
         d = json.load(f)
     probes = (d.get("calibration") or {}).get("probe_sec")
-    probe_min = min(probes) if probes else None
-    return d.get("queries") or {}, probe_min, path
+    probe = statistics.median(probes) if probes else None
+    return d.get("queries") or {}, probe, path
 
 
 def compare(old_path: str, new_path: str, threshold: float = 1.3) -> dict:
