@@ -404,6 +404,41 @@ class ManifestColumns:
             extract("upper_bounds", debound))
         return got
 
+    def metric_vectors(self, file_name: str) -> tuple:
+        """Vector-friendly derivation of ``metric_arrays`` for ONE file
+        column, memoized: counts as float64 (NaN = absent — comparisons
+        with NaN are False, exactly the conservative reading the per-row
+        walker gives absent counts), bounds as object arrays with
+        NaN-poisoned values nulled at build plus presence masks. These
+        feed the numpy-vectorized metrics matcher (scan._vector_matcher);
+        the per-row walker keeps reading metric_arrays directly."""
+        key = "__vec__" + file_name
+        got = self._metrics.get(key)
+        if got is not None:
+            return got
+        import math
+
+        import numpy as np
+        vc, nc, nanc, lo, hi = self.metric_arrays(file_name)
+
+        def counts(a):
+            return np.array([float("nan") if v is None else float(v)
+                             for v in a], dtype="float64")
+
+        def bounds(a):
+            vals = np.array(
+                [None if (v is None or (isinstance(v, float)
+                                        and math.isnan(v))) else v
+                 for v in a], dtype=object)
+            present = np.array([v is not None for v in vals], dtype=bool)
+            return vals, present
+
+        lo_v, lo_p = bounds(lo)
+        hi_v, hi_p = bounds(hi)
+        got = self._metrics[key] = (
+            counts(vc), counts(nc), counts(nanc), lo_v, lo_p, hi_v, hi_p)
+        return got
+
     def _map_row(self, name: str, i: int, decode=None) -> Dict[str, Any]:
         offs, keys, items = self._map_parts(name)
         lo, hi = int(offs[i]), int(offs[i + 1])

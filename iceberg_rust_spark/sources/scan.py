@@ -320,9 +320,28 @@ class TableScan:
             check_part = n > 0 and any(
                 not isinstance(partition_pred(int(s)), E.AlwaysTrue)
                 for s in np.unique(spec_arr[data_mask]))
+            # vectorized metrics mask per schema group: when every group
+            # compiles, the Python loop below touches ONLY survivors
+            vec = np.zeros(cols.n, dtype=bool)
+            vec_ok = n > 0
+            for raw in (np.unique(schema_raw[data_mask]) if n else ()):
+                raw = int(raw)
+                vm = self._vector_matcher(
+                    bound, schema, None if raw == -1 else raw,
+                    cols, ref_names)
+                if vm is None:
+                    vec_ok = False
+                    break
+                grp = data_mask & (schema_raw == raw)
+                vec[grp] = vm[grp]
             matchers: Dict[int, Any] = {}
             survivors: List[ManifestEntry] = []
             sp = sm = 0
+            if vec_ok and not check_part:
+                idx = np.nonzero(data_mask & vec)[0]
+                sm = n - len(idx)
+                survivors = [cols.entry(int(i)) for i in idx]
+                return survivors, n, 0, sm, strays
             for i in np.nonzero(data_mask)[0]:
                 i = int(i)
                 if check_part:
@@ -331,6 +350,12 @@ class TableScan:
                             partition_pred(int(spec_arr[i])), part):
                         sp += 1
                         continue
+                if vec_ok:
+                    if not vec[i]:
+                        sm += 1
+                        continue
+                    survivors.append(cols.entry(i))
+                    continue
                 raw = int(schema_raw[i])
                 m = matchers.get(raw)
                 if m is None:
@@ -392,7 +417,7 @@ class TableScan:
                         for nm in ref_names:
                             fn = name_map.get(nm)
                             if fn is not None:
-                                cols.metric_arrays(fn)
+                                cols.metric_vectors(fn)
             return cols
 
         # phase B: data manifests — concurrent decode/extract, serial eval
@@ -460,6 +485,131 @@ class TableScan:
             return _eval_bounds(bound, lookup)
 
         return match
+
+    def _vector_matcher(self, bound: E.Predicate, current_schema: Schema,
+                        schema_id: Optional[int], cols: ManifestColumns,
+                        ref_names: frozenset):
+        """Numpy-vectorized twin of the metrics matcher: ONE boolean
+        might-match array for a whole manifest, mirroring _eval_bounds'
+        truth tables node by node (property-tested equal on random
+        predicate x stats combinations). Returns None when the predicate
+        contains a node shape the vector form doesn't cover
+        (starts_with/not_starts_with, unknown ops) — the caller falls
+        back to the per-row walker, so coverage gaps cost speed, never
+        correctness. The payoff is iterating ONLY survivors afterwards:
+        a selective predicate over a 100k-file manifest set runs the
+        Python loop 9 times, not 100k."""
+        import numpy as np
+        from .datum import to_comparable
+        name_map = self._name_mapping(schema_id, current_schema)
+        n = cols.n
+        ones = np.ones(n, dtype=bool)
+        zeros = np.zeros(n, dtype=bool)
+
+        class _Unsupported(Exception):
+            pass
+
+        vecs: Dict[str, Optional[tuple]] = {}
+        for nm in ref_names:
+            fn = name_map.get(nm)
+            vecs[nm] = None if fn is None else cols.metric_vectors(fn)
+
+        def ev(p: E.Predicate) -> np.ndarray:
+            if isinstance(p, E.AlwaysTrue):
+                return ones
+            if isinstance(p, E.AlwaysFalse):
+                return zeros
+            if isinstance(p, E.And):
+                return ev(p.left) & ev(p.right)
+            if isinstance(p, E.Or):
+                return ev(p.left) | ev(p.right)
+            if isinstance(p, E.Not):
+                return ones          # NOT is conservative, like _eval_bounds
+            name = p.field.name if hasattr(p, "field") else p.term
+            v = vecs.get(name)
+            if v is None:
+                return ones          # unmapped column: might match
+            vc, nc, nanc, lo, lo_p, hi, hi_p = v
+            # NaN comparisons are False, so absent counts (NaN) read
+            # conservatively in every mask below
+            contains_null = ~(nc == 0)
+            all_null = (vc == nc)            # NaN==NaN is False
+            all_nan = (nanc == vc)
+
+            if isinstance(p, (E.UnaryPred, E.BoundUnaryPred)):
+                if p.op == E.IS_NULL:
+                    return contains_null
+                if p.op == E.NOT_NULL:
+                    return ~all_null
+                if p.op == E.IS_NAN:
+                    return ~((nanc == 0) | all_null)
+                if p.op == E.NOT_NAN:
+                    return ~all_nan
+                return ones
+
+            if isinstance(p, (E.BinaryPred, E.BoundBinaryPred)):
+                op = p.op
+                if op in (E.STARTS_WITH, E.NOT_STARTS_WITH):
+                    raise _Unsupported()      # per-row walker handles
+                lit = to_comparable(p.literal)
+
+                def cmp(vals, present, kind):
+                    out = np.zeros(n, dtype=bool)
+                    if present.any():
+                        sub = vals[present]
+                        if kind == "ge":
+                            r = sub >= lit
+                        elif kind == "gt":
+                            r = sub > lit
+                        elif kind == "le":
+                            r = sub <= lit
+                        else:
+                            r = sub < lit
+                        out[present] = np.asarray(r, dtype=bool)
+                    return out
+
+                if op == E.LT:
+                    res = ~cmp(lo, lo_p, "ge")
+                elif op == E.LT_EQ:
+                    res = ~cmp(lo, lo_p, "gt")
+                elif op == E.GT:
+                    res = ~cmp(hi, hi_p, "le")
+                elif op == E.GT_EQ:
+                    res = ~cmp(hi, hi_p, "lt")
+                elif op == E.EQ:
+                    res = ~(cmp(lo, lo_p, "gt") | cmp(hi, hi_p, "lt"))
+                elif op == E.NOT_EQ:
+                    res = ones.copy()
+                else:
+                    raise _Unsupported()
+                return res & ~all_null   # ordered ops: all-null cannot
+
+            if isinstance(p, (E.SetPred, E.BoundSetPred)):
+                if p.op != E.IN:
+                    # NOT_IN is conservative might-match, but the walker's
+                    # all-null cutoff runs before every set op
+                    return ~all_null
+                cannot = ones.copy()
+                for raw_lit in p.literals:
+                    lit = to_comparable(raw_lit)
+                    out_lo = np.zeros(n, dtype=bool)
+                    if lo_p.any():
+                        out_lo[lo_p] = np.asarray(lo[lo_p] > lit, dtype=bool)
+                    out_hi = np.zeros(n, dtype=bool)
+                    if hi_p.any():
+                        out_hi[hi_p] = np.asarray(hi[hi_p] < lit, dtype=bool)
+                    cannot &= (out_lo | out_hi)
+                return ~cannot & ~all_null
+
+            return ones
+
+        try:
+            res = ev(bound)
+        except (_Unsupported, TypeError):
+            # TypeError = literal/bound type mismatch somewhere in the
+            # manifest: the per-row walker resolves it row by row
+            return None
+        return res & (cols.record_count != 0)
 
     def _compiled_file_matcher(self, bound: E.Predicate,
                                current_schema: Schema,

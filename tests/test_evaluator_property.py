@@ -213,3 +213,56 @@ def test_columnar_matcher_equals_compiled(pred, vc, nc, nanc,
     columnar = scan._columnar_matcher(bound, S, 0, cols,
                                       _pred_columns(bound))(0)
     assert columnar == compiled
+
+
+@given(pred=predicates(),
+       stats=st.lists(st.tuples(stat_counts, stat_counts, stat_counts,
+                                bound_vals, bound_vals,
+                                st.integers(0, 25)),
+                      min_size=1, max_size=8))
+@settings(max_examples=400, deadline=None)
+def test_vector_matcher_equals_per_row(pred, stats):
+    """The numpy-vectorized metrics matcher must agree with the per-row
+    _eval_bounds walker on every (predicate, stats) combination, through
+    a written v2 manifest — or decline (None) and fall back. Never a
+    third behavior."""
+    import os
+    import tempfile
+
+    from iceberg_rust_spark.sources.manifest import (DataFile,
+                                                     ManifestEntry,
+                                                     read_manifest_columns,
+                                                     write_manifest)
+    from iceberg_rust_spark.sources.metadata import (PartitionSpec,
+                                                     TableMetadata)
+    from iceberg_rust_spark.sources.scan import TableScan, _pred_columns
+
+    bound = E.bind(pred, S)
+    md = TableMetadata(location="/tmp/x", schemas=[S], current_schema_id=0,
+                       partition_specs=[PartitionSpec(0, [])],
+                       default_spec_id=0)
+    scan = TableScan(md, row_filter=pred)
+    entries = []
+    for k, (vc, nc, nanc, lo, hi, rec) in enumerate(stats):
+        entries.append(ManifestEntry(
+            status=1, snapshot_id=1, sequence_number=1,
+            file_sequence_number=1,
+            data_file=DataFile(
+                file_path=f"/f{k}.parquet", record_count=rec,
+                value_counts={} if vc is None else {"x": vc},
+                null_value_counts={} if nc is None else {"x": nc},
+                nan_value_counts={} if nanc is None else {"x": nanc},
+                lower_bounds={} if lo is None else {"x": lo},
+                upper_bounds={} if hi is None else {"x": hi},
+                schema_id=0, spec_id=0)))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.parquet")
+        write_manifest(p, entries)
+        cols = read_manifest_columns(p)
+    ref = _pred_columns(bound)
+    vec = scan._vector_matcher(bound, S, 0, cols, ref)
+    per_row = scan._columnar_matcher(bound, S, 0, cols, ref)
+    want = [per_row(i) for i in range(cols.n)]
+    if vec is None:
+        return                      # declined: per-row path serves
+    assert list(map(bool, vec)) == want, (pred, stats)
