@@ -1504,3 +1504,75 @@ def test_run_sql_tpch_subquery_shapes_match_oracle(spark, warehouse):
                run_sql(spark, warehouse, q.format(**ice)).collect()]
         want = [tuple(r) for r in spark.sql(q.format(**raw)).collect()]
         assert got == want and len(want) > 0, (name, got[:5], want[:5])
+
+
+def test_run_sql_tpch_core_texts_match_oracle(spark, warehouse):
+    """A broader TPC-H sweep through the SQL front door: aggregation,
+    multi-join, date-range, LEFT JOIN and CASE shapes as SQL TEXT (the
+    auto-capture path active throughout) must match plain Spark SQL on
+    raw views of the same parquet. Columns adapted to the slim testdata
+    schema; the statement SHAPES are the test."""
+    from iceberg_rust_spark.sources.sql import run_sql
+
+    _tpch_tables(spark, warehouse,
+                 ["orders", "lineitem", "customer", "supplier", "nation"])
+
+    q1 = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               count(*) AS count_order
+        FROM {l}
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+    q3 = """
+        SELECT l.l_orderkey AS okey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+               o.o_orderdate AS odate
+        FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
+                   JOIN {l} l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < timestamp '1996-03-15 00:00:00'
+          AND l.l_shipdate > timestamp '1996-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY rev DESC, okey LIMIT 10"""
+    q10 = """
+        SELECT c.c_custkey AS ck, c.c_name AS cn,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+        FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
+                   JOIN {l} l ON l.l_orderkey = o.o_orderkey
+                   JOIN {n} n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+          AND o.o_orderdate < timestamp '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY rev DESC, ck LIMIT 20"""
+    q12 = """
+        SELECT l.l_linestatus AS ls,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_count
+        FROM {o} o JOIN {l} l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l.l_shipdate < timestamp '1997-01-01 00:00:00'
+        GROUP BY l.l_linestatus ORDER BY ls"""
+    q13 = """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+              FROM {c} c LEFT JOIN {o} o
+                ON c.c_custkey = o.o_custkey
+                   AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) AS c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+    ice = {"o": "db.orders", "l": "db.lineitem", "c": "db.customer",
+           "s": "db.supplier", "n": "db.nation"}
+    raw = {"o": "orders_raw", "l": "lineitem_raw", "c": "customer_raw",
+           "s": "supplier_raw", "n": "nation_raw"}
+    for name, q in (("q1", q1), ("q3", q3), ("q10", q10), ("q12", q12),
+                    ("q13", q13)):
+        got = [tuple(r) for r in
+               run_sql(spark, warehouse, q.format(**ice)).collect()]
+        want = [tuple(r) for r in spark.sql(q.format(**raw)).collect()]
+        assert got == want and len(want) > 0, (name, got[:3], want[:3])

@@ -182,6 +182,30 @@ def run_probe(root: str = "/tmp/plan_scale_probe",
                     "rss_delta_mb": round((rss1 - rss0) / 1024, 1),
                     "build_s": build_s,
                 })
+            if not mor:
+                # commit wall at metadata scale, measured LAST so the
+                # mutation can't disturb the shape asserts above:
+                # appending one file to an n-file table must be
+                # O(manifests) — one new manifest + a manifest-list
+                # rewrite — never O(files) (no existing-manifest decode).
+                # Cold cache = a restarted driver committing.
+                from iceberg_rust_spark.sources.manifest import DataFile
+                from iceberg_rust_spark.sources.scan import _manifest_cache
+                _manifest_cache.cache_clear()
+                extra = [DataFile(
+                    file_path="/tmp/fake_plan_probe/extra.parquet",
+                    record_count=10, file_size_in_bytes=100,
+                    partition={"p": 0}, schema_id=0, spec_id=0)]
+                c0 = time.time()
+                t._commit_retry(lambda md: t._snapshot_update(
+                    md, "append", added=extra))
+                commit_s = round(time.time() - c0, 3)
+                rows.append({"files": n, "mor": False,
+                             "shape": "append-commit (cold driver)",
+                             "cold_s": commit_s, "warm_s": commit_s,
+                             "tasks": 1, "attached_deletes": 0,
+                             "skipped_manifests": 0, "rss_delta_mb": 0.0,
+                             "build_s": build_s})
     shutil.rmtree(root, ignore_errors=True)
     return rows
 
