@@ -48,14 +48,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     checkpoints survive executor loss at the cost of a filesystem write per
     round. Use it for long iterative runs on preemptible/spot fleets; the
     default stays local (faster) for short-lived local jobs."""
-    # drop null endpoints up front: the cast('long') above nulls any
-    # non-numeric id, and a null is not a node — the distributed loop
-    # silently ignored such edges (null group keys fall out of the min
-    # aggregate) while the driver union-find crashed comparing None,
-    # so filtering here makes both paths agree explicitly
-    e = (edges.select(F.col(src).cast("long").alias("a"),
-                      F.col(dst).cast("long").alias("b"))
-         .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # null endpoints (the cast('long') nulls any non-numeric id): a null
+    # is not a node, so edges with a null side carry no adjacency — but
+    # the VALID side of a half-null edge is still a referenced node and
+    # must come out as a singleton component (callers join labels back
+    # to the corpus; silently losing the node loses corpus rows). The
+    # split happens AFTER the symmetrize checkpoint below, so the
+    # (possibly expensive) upstream pair pipeline runs exactly once.
+    e = edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
     spark = edges.sparkSession
     if reliable and checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -90,17 +91,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # the checkpoint job (ReuseExchange only collapses identical
     # exchanges, and the pipeline's top operator isn't one). explode
     # emits both directions from ONE computation of each edge row.
-    und = _ckpt(e.select(F.explode(F.array(
-                    F.struct(F.col("a"), F.col("b")),
-                    F.struct(F.col("b").alias("a"),
-                             F.col("a").alias("b")))).alias("_e"))
-                .select("_e.a", "_e.b")
-                .repartition(F.col("b")), eager=False)
+    und_all = _ckpt(e.where(F.col("a").isNotNull()
+                            | F.col("b").isNotNull())
+                    .select(F.explode(F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))).alias("_e"))
+                    .select("_e.a", "_e.b")
+                    .repartition(F.col("b")), eager=False)
+    # adjacency side: both endpoints real. Half-null edges appear in
+    # und_all as exactly one (valid, null) row each (the symmetric twin
+    # is (null, valid)) — those valid endpoints become singletons.
+    und = und_all.where(F.col("a").isNotNull() & F.col("b").isNotNull())
     if small_graph_cap:
         # bounded probe: materializes the lazy checkpoint as its action
         # (over-cap graphs lose nothing — the loop reads persisted blocks)
         sym_cap = 2 * small_graph_cap
-        probe = und.limit(sym_cap + 1).collect()
+        probe = und_all.limit(sym_cap + 1).collect()
         if len(probe) <= sym_cap:
             parent: dict = {}
 
@@ -112,10 +119,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
             for r in probe:
                 pa_, pb_ = r["a"], r["b"]
-                if pa_ not in parent:
-                    parent[pa_] = pa_
-                if pb_ not in parent:
-                    parent[pb_] = pb_
+                for v in (pa_, pb_):
+                    if v is not None and v not in parent:
+                        parent[v] = v
+                if pa_ is None or pb_ is None:
+                    continue            # half-null: singleton only
                 ra, rb = find(pa_), find(pb_)
                 if ra != rb:
                     # union-by-min: the root of every set stays its
@@ -125,7 +133,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(v, find(v)) for v in parent]
-            und.unpersist()
+            und_all.unpersist()
             return spark.createDataFrame(
                 rows, schema="node long, component long")
     # localCheckpoint per round, NOT just persist: an iterative self-join
@@ -188,9 +196,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_ckpt.select("a", "label")
         if not changed:
             break
-    und.unpersist()
-    return labels.select(F.col("a").alias("node"),
-                         F.col("label").alias("component"))
+    out = labels.select(F.col("a").alias("node"),
+                        F.col("label").alias("component"))
+    # valid endpoints of half-null edges become singleton components.
+    # One cheap existence probe over the already-persisted blocks keeps
+    # the common no-nulls case exactly as before (blocks unpersisted,
+    # plain labels plan); only inputs that actually carry half-null
+    # edges pay the extra union + anti-join and keep the blocks alive
+    # for the returned lazy plan.
+    half = und_all.where(F.col("a").isNotNull() & F.col("b").isNull())
+    if half.limit(1).count() == 0:
+        und_all.unpersist()
+        return out
+    singles = (half.select("a").distinct()
+               .join(labels.select("a"), "a", "left_anti")
+               .select(F.col("a").alias("node"),
+                       F.col("a").alias("component")))
+    return out.unionByName(singles)
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",

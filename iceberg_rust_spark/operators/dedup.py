@@ -371,8 +371,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     base = base.localCheckpoint()
     # ONE action for both probes (row count + dimensionality) — first()
     # and count() each launched a job against the checkpoint
-    # ignorenulls: a null first-row vector must not demote the whole call
-    # to the O(n^2) exact path while valid vectors exist elsewhere
+    # the isNotNull filter above means first() can't see a null here;
+    # ignorenulls is belt-and-braces should the filter ever move
     probe = base.agg(F.count(F.lit(1)).alias("n"),
                      F.first("_v", ignorenulls=True).alias("v")).first()
     n = probe["n"]

@@ -38,7 +38,7 @@ from .io import (file_io_for, localize_paths, mirror_remap_pattern,
 from .manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
                        CONTENT_POSITION_DELETES, STATUS_DELETED, DataFile,
                        ManifestColumns, ManifestEntry, ManifestFile,
-                       read_manifest, read_manifest_list)
+                       read_manifest_list)
 from .metadata import Snapshot, TableMetadata
 from .types import Schema, type_to_spark
 
@@ -102,7 +102,12 @@ _manifest_cache = _ManifestCache()
 # built _DeleteFileIndex per surviving-delete-manifest set; entries are
 # (index, stray_data_entries). Small LRU: an index references the cols
 # views already held by the manifest cache, adding only routing dicts.
+# Lock shared with nothing else: plan_files may run on caller threads
+# concurrently (the manifest cache above locks for the same reason);
+# a benign double-build on a concurrent miss is fine, a torn OrderedDict
+# is not.
 _delete_index_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+_delete_index_lock = __import__("threading").Lock()
 
 
 def load_manifest(path: str) -> Sequence[ManifestEntry]:
@@ -291,6 +296,7 @@ class TableScan:
             return [fn(load_manifest_columns(m.manifest_path)) for m in mfs]
 
         ref_names = _pred_columns(bound)
+        vectorizable = _pred_vector_ok(bound)
 
         def eval_cols(cols: ManifestColumns):
             """(survivors, n_data, skipped_part, skipped_metrics, strays):
@@ -323,8 +329,9 @@ class TableScan:
             # vectorized metrics mask per schema group: when every group
             # compiles, the Python loop below touches ONLY survivors
             vec = np.zeros(cols.n, dtype=bool)
-            vec_ok = n > 0
-            for raw in (np.unique(schema_raw[data_mask]) if n else ()):
+            vec_ok = n > 0 and vectorizable
+            for raw in (np.unique(schema_raw[data_mask])
+                        if vec_ok else ()):
                 raw = int(raw)
                 vm = self._vector_matcher(
                     bound, schema, None if raw == -1 else raw,
@@ -377,17 +384,23 @@ class TableScan:
         dkey = tuple((m.manifest_path,
                       file_io_for(m.manifest_path).mtime_ns(m.manifest_path))
                      for m in surviving_dels)
-        cached = _delete_index_cache.get(dkey)
+        with _delete_index_lock:
+            cached = _delete_index_cache.get(dkey)
+            if cached is not None:
+                _delete_index_cache.move_to_end(dkey)
         if cached is None:
+            # build unlocked (decode may take a while; concurrent misses
+            # may build twice — benign, manifests are immutable)
             delete_index = _DeleteFileIndex()
             stray_data: List[ManifestEntry] = []
             for cols in _map_loaded(surviving_dels, lambda c: c):
                 stray_data.extend(delete_index.add_columns(cols))
-            _delete_index_cache[dkey] = (delete_index, stray_data)
-            while len(_delete_index_cache) > 8:
-                _delete_index_cache.popitem(last=False)
+            with _delete_index_lock:
+                if dkey not in _delete_index_cache:
+                    _delete_index_cache[dkey] = (delete_index, stray_data)
+                    while len(_delete_index_cache) > 8:
+                        _delete_index_cache.popitem(last=False)
         else:
-            _delete_index_cache.move_to_end(dkey)
             delete_index, stray_data = cached
         # stray DELETE entries inside data manifests (rare, external
         # writers) overlay per plan so the cached index stays immutable
@@ -417,7 +430,10 @@ class TableScan:
                         for nm in ref_names:
                             fn = name_map.get(nm)
                             if fn is not None:
-                                cols.metric_vectors(fn)
+                                if vectorizable:
+                                    cols.metric_vectors(fn)
+                                else:
+                                    cols.metric_arrays(fn)
             return cols
 
         # phase B: data manifests — concurrent decode/extract, serial eval
@@ -977,6 +993,17 @@ def _part_json(part: Dict[str, Any]) -> Optional[str]:
     return json.dumps({k: str(v) for k, v in sorted(part.items())})
 
 
+def _pred_vector_ok(pred: E.Predicate) -> bool:
+    """True when every node shape is one the vectorized matcher covers —
+    known statically from the bound predicate, so prepare() can skip
+    deriving metric VECTORS a per-row fallback would never read."""
+    if isinstance(pred, (E.And, E.Or)):
+        return _pred_vector_ok(pred.left) and _pred_vector_ok(pred.right)
+    if isinstance(pred, (E.BinaryPred, E.BoundBinaryPred)):
+        return pred.op not in (E.STARTS_WITH, E.NOT_STARTS_WITH)
+    return True
+
+
 def _pred_columns(pred: E.Predicate) -> frozenset:
     """Column names a bound predicate references — the only columns whose
     metric extracts the columnar matcher needs (same name rule as
@@ -1012,33 +1039,41 @@ class _BoundedDeletes:
     the scan-back is O(matches + snapshots), not O(deletes) — the walk
     that made 100k partition-scoped deletes quadratic against 100k files."""
 
-    __slots__ = ("_rows", "_lo", "_hi", "_maxhi", "_recs")
+    __slots__ = ("_rows", "_built")
 
     def __init__(self):
         self._rows: list = []
-        self._lo = None
+        self._built = None
 
     def add(self, lo: str, hi: str, rec: tuple) -> None:
         self._rows.append((lo, hi, rec))
-        self._lo = None                      # invalidate the built form
+        self._built = None                   # invalidate the built form
 
     def stab(self, p: str) -> list:
-        if self._lo is None:
-            self._rows.sort(key=lambda r: r[0])
-            self._lo = [r[0] for r in self._rows]
-            self._hi = [r[1] for r in self._rows]
-            self._recs = [r[2] for r in self._rows]
+        # the built form is assembled LOCALLY and published in one
+        # attribute assignment: stab may run from concurrent plan_files
+        # callers against a cached index, and a half-built sorted view
+        # would silently skip applicable deletes (row resurrection).
+        # A concurrent double-build is benign; sorted() leaves _rows
+        # untouched.
+        built = self._built
+        if built is None:
+            rows = sorted(self._rows, key=lambda r: r[0])
+            los = [r[0] for r in rows]
+            his = [r[1] for r in rows]
+            recs = [r[2] for r in rows]
             m, run = [], ""
-            for h in self._hi:
+            for h in his:
                 run = h if h > run else run
                 m.append(run)
-            self._maxhi = m
+            built = self._built = (los, his, m, recs)
+        los, his, maxhi, recs = built
         import bisect
-        j = bisect.bisect_right(self._lo, p) - 1
+        j = bisect.bisect_right(los, p) - 1
         out = []
-        while j >= 0 and self._maxhi[j] >= p:
-            if self._hi[j] >= p:
-                out.append(self._recs[j])
+        while j >= 0 and maxhi[j] >= p:
+            if his[j] >= p:
+                out.append(recs[j])
             j -= 1
         return out
 

@@ -1056,7 +1056,19 @@ class Table:
         def stage_manifest(mf) -> Tuple[str, int]:
             if mf.manifest_path in staged_manifests:
                 return staged_manifests[mf.manifest_path]
-            entries = list(load_manifest(mf.manifest_path))
+            import dataclasses as _dc
+
+            # DEEP-copy before rewriting: load_manifest hands out the
+            # planner cache's own entry objects (memoized per (path,
+            # mtime)) — mutating them in place would corrupt the SOURCE
+            # table's cached metadata for every later scan this session
+            entries = [
+                _dc.replace(e, data_file=_dc.replace(
+                    e.data_file,
+                    partition=dict(e.data_file.partition),
+                    lower_bounds=dict(e.data_file.lower_bounds),
+                    upper_bounds=dict(e.data_file.upper_bounds)))
+                for e in load_manifest(mf.manifest_path)]
             for e in entries:
                 f = e.data_file
                 if f.content == CONTENT_POSITION_DELETES and \
@@ -1086,7 +1098,13 @@ class Table:
             return target, length
 
         for snap in md.snapshots:
-            manifests = list(load_manifest_list(snap.manifest_list))
+            # copies, not the cached records: load_manifest_list memoizes
+            # ManifestFile objects per (path, mtime) — mutating them would
+            # corrupt the SOURCE table's cached manifest list (same rule
+            # as the entry deep-copy in stage_manifest)
+            import dataclasses as _dc
+            manifests = [_dc.replace(mf)
+                         for mf in load_manifest_list(snap.manifest_list)]
             for mf in manifests:
                 mf.manifest_path, mf.manifest_length = stage_manifest(mf)
             ml_base = snap.manifest_list.rsplit("/", 1)[-1]

@@ -510,3 +510,36 @@ def test_rewrite_table_path_avro_manifest_format(spark, warehouse, tmp_path):
     assert snap.manifest_list.endswith(".avro")
     assert snap.manifest_list.startswith(target_root)
     assert relocated.to_df(spark).count() == 50
+
+
+def test_rewrite_table_path_leaves_source_table_intact(spark, warehouse,
+                                                       tmp_path):
+    """Review r10 regression: staging rewrites must DEEP-COPY manifest
+    entries — load_manifest hands out the planner cache's own objects,
+    and mutating them in place corrupted the SOURCE table's cached
+    metadata (scans after a rewrite_table_path planned dst-prefixed
+    paths that don't exist yet)."""
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.sql import run_sql
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                               "id long, v double")
+    t = Table.create(warehouse, "db.srcstay", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("id") < 5, mode="mor")
+
+    target_root = str(tmp_path / "reloc2")
+    run_sql(spark, warehouse,
+            f"CALL system.rewrite_table_path('db.srcstay', "
+            f"'{warehouse.warehouse}', '{target_root}')")
+
+    # the SOURCE table must still plan source-prefixed paths and read
+    src = Table.load(warehouse, "db.srcstay")
+    plan = src.scan().plan_files()
+    for task in plan.tasks:
+        assert not task.data_file.file_path.startswith(target_root), \
+            task.data_file.file_path
+        for d in task.pos_deletes:
+            assert not d.file_path.startswith(target_root)
+    assert src.to_df(spark).count() == 45

@@ -715,7 +715,10 @@ def test_connected_components_null_endpoints(spark):
     edges = spark.createDataFrame(
         [("1", "2"), ("2", None), (None, "7"), ("10", "11"),
          (None, None)], "id_a string, id_b string")
-    want = {1: 1, 2: 1, 10: 10, 11: 10}
+    # null endpoints carry no adjacency, but the VALID side of a
+    # half-null edge is still a referenced node -> singleton (7);
+    # node 2's half-null edge adds nothing (already in component 1)
+    want = {1: 1, 2: 1, 7: 7, 10: 10, 11: 10}
     fast = {r["node"]: r["component"]
             for r in connected_components(edges).collect()}
     assert fast == want
