@@ -341,6 +341,25 @@ class ManifestColumns:
             got = self._cols[name] = self._chunk(name).to_pylist()
         return got
 
+    def _obj_col(self, name: str, attr) -> list:
+        """Per-row column as a plain list, working for BOTH backings
+        (Arrow table or pre-built entry objects) — the fast-plan path
+        (scan.ScanPlan._fast) reads these instead of building entries."""
+        if self._tab is None:
+            return [attr(e) for e in self._entries]
+        return self._col(name)
+
+    def file_paths(self) -> list:
+        return self._obj_col("file_path", lambda e: e.data_file.file_path)
+
+    def file_sizes(self) -> list:
+        return self._obj_col("file_size_in_bytes",
+                             lambda e: e.data_file.file_size_in_bytes)
+
+    def first_row_ids(self) -> list:
+        return self._obj_col("first_row_id",
+                             lambda e: e.data_file.first_row_id)
+
     def _map_parts(self, name: str):
         """(offsets numpy, keys flat Arrow, items flat Arrow) of a map
         column — the C-decoded raw parts every per-key extraction slices.
@@ -406,10 +425,12 @@ class ManifestColumns:
 
     def metric_vectors(self, file_name: str) -> tuple:
         """Vector-friendly derivation of ``metric_arrays`` for ONE file
-        column, memoized: counts as float64 (NaN = absent — comparisons
-        with NaN are False, exactly the conservative reading the per-row
-        walker gives absent counts), bounds as object arrays with
-        NaN-poisoned values nulled at build plus presence masks. These
+        column, memoized: counts as exact int64 PLUS a presence bool mask
+        (a NaN-sentinel float64 encoding would silently lose precision
+        above 2^53 and could read ``vc == nc`` spuriously true — a prune,
+        not a conservative keep), bounds as object arrays with
+        NaN-poisoned values nulled at build plus presence masks. Returns
+        ``(vc, vc_p, nc, nc_p, nanc, nanc_p, lo, lo_p, hi, hi_p)``. These
         feed the numpy-vectorized metrics matcher (scan._vector_matcher);
         the per-row walker keeps reading metric_arrays directly."""
         key = "__vec__" + file_name
@@ -422,8 +443,10 @@ class ManifestColumns:
         vc, nc, nanc, lo, hi = self.metric_arrays(file_name)
 
         def counts(a):
-            return np.array([float("nan") if v is None else float(v)
-                             for v in a], dtype="float64")
+            vals = np.array([0 if v is None else int(v) for v in a],
+                            dtype="int64")
+            present = np.array([v is not None for v in a], dtype=bool)
+            return vals, present
 
         def bounds(a):
             vals = np.array(
@@ -433,10 +456,13 @@ class ManifestColumns:
             present = np.array([v is not None for v in vals], dtype=bool)
             return vals, present
 
+        vc_v, vc_p = counts(vc)
+        nc_v, nc_p = counts(nc)
+        nanc_v, nanc_p = counts(nanc)
         lo_v, lo_p = bounds(lo)
         hi_v, hi_p = bounds(hi)
         got = self._metrics[key] = (
-            counts(vc), counts(nc), counts(nanc), lo_v, lo_p, hi_v, hi_p)
+            vc_v, vc_p, nc_v, nc_p, nanc_v, nanc_p, lo_v, lo_p, hi_v, hi_p)
         return got
 
     def _map_row(self, name: str, i: int, decode=None) -> Dict[str, Any]:

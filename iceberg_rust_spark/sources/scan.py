@@ -94,7 +94,11 @@ class _ManifestCache:
         with self._lock:
             self._data.clear()
             self._weight = 0
-        _delete_index_cache.clear()     # indexes reference cached views
+        # indexes reference cached views; same locking discipline as the
+        # get/popitem sections (a bare clear is GIL-safe today but torn
+        # under free-threaded builds)
+        with _delete_index_lock:
+            _delete_index_cache.clear()
 
 
 _manifest_cache = _ManifestCache()
@@ -148,16 +152,50 @@ class FileScanTask:
     eq_deletes: List[DataFile] = dc_field(default_factory=list)
 
 
-@dataclass
 class ScanPlan:
-    tasks: List[FileScanTask]
-    snapshot: Optional[Snapshot]
-    # planning observability (scan_metrics.rs counterpart)
-    total_manifests: int = 0
-    skipped_manifests: int = 0
-    total_data_files: int = 0
-    skipped_by_partition: int = 0
-    skipped_by_metrics: int = 0
+    """Planned scan: tasks + planning observability counters
+    (scan_metrics.rs counterpart).
+
+    ``tasks`` is a lazy property: an AlwaysTrue scan with no applicable
+    deletes plans into ``_fast`` — per-manifest ``(ManifestColumns,
+    survivor-index-array)`` pairs — and entry/FileScanTask objects
+    materialize only if a consumer actually touches ``.tasks`` (to_df
+    and count_rows read the arrays directly, so a 100k-file full scan
+    never builds 100k task objects)."""
+
+    __slots__ = ("_tasks", "_fast", "snapshot", "total_manifests",
+                 "skipped_manifests", "total_data_files",
+                 "skipped_by_partition", "skipped_by_metrics")
+
+    def __init__(self, tasks: Optional[List[FileScanTask]] = None,
+                 snapshot: Optional[Snapshot] = None,
+                 total_manifests: int = 0, skipped_manifests: int = 0,
+                 total_data_files: int = 0, skipped_by_partition: int = 0,
+                 skipped_by_metrics: int = 0):
+        self._tasks = tasks
+        self._fast: Optional[list] = None
+        self.snapshot = snapshot
+        self.total_manifests = total_manifests
+        self.skipped_manifests = skipped_manifests
+        self.total_data_files = total_data_files
+        self.skipped_by_partition = skipped_by_partition
+        self.skipped_by_metrics = skipped_by_metrics
+
+    @property
+    def tasks(self) -> List[FileScanTask]:
+        if self._tasks is None:
+            ts: List[FileScanTask] = []
+            for cols, idx in (self._fast or ()):
+                for i in idx:
+                    e = cols.entry(int(i))
+                    ts.append(FileScanTask(data_file=e.data_file,
+                                           sequence_number=e.sequence_number))
+            self._tasks = ts
+        return self._tasks
+
+    @tasks.setter
+    def tasks(self, v: List[FileScanTask]) -> None:
+        self._tasks = v
 
 
 class TableScan:
@@ -279,22 +317,6 @@ class TableScan:
                     continue
             (surviving_dels if mf.content else surviving_data).append(mf)
 
-        def _map_loaded(mfs, fn):
-            if len(mfs) > 4:
-                # pool width follows the bottleneck: remote FileIO decode
-                # is fetch-latency-bound (wide pool overlaps round-trips),
-                # local decode is CPU-bound with GIL-holding stretches —
-                # measured fastest at 2-4 workers, SLOWER at 16 (the
-                # interpreter segments convoy on the GIL)
-                local = spark_native_path(mfs[0].manifest_path)
-                width = min(2 if local else 16, len(mfs))
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=width) as ex:
-                    return list(ex.map(
-                        lambda m: fn(load_manifest_columns(m.manifest_path)),
-                        mfs))
-            return [fn(load_manifest_columns(m.manifest_path)) for m in mfs]
-
         ref_names = _pred_columns(bound)
         vectorizable = _pred_vector_ok(bound)
 
@@ -375,11 +397,16 @@ class TableScan:
                 survivors.append(cols.entry(i))
             return survivors, n, sp, sm, strays
 
-        # phase A: delete manifests -> complete delete index (decode on
-        # the pool, routing off flat arrays; delete DataFile objects
-        # materialize only when a survivor matches). The built index is
-        # memoized on the surviving delete-manifest set: manifests are
-        # immutable, so repeated plans over the same MOR table skip the
+        # phases A+B share ONE decode pool: delete manifests and data
+        # manifests decode CONCURRENTLY (the reference routes both kinds
+        # through one concurrent pipeline, scan/mod.rs:420-465). The
+        # delete index must be complete only before survivor MATCHING —
+        # which runs after data evaluation anyway — so only the routing
+        # pass (pure Python, main thread) orders after delete decode,
+        # and it overlaps the pool's data-manifest decode instead of
+        # serializing in front of it. The built index is memoized on the
+        # surviving delete-manifest set: manifests are immutable, so
+        # repeated plans over the same MOR table skip the
         # O(delete files) routing pass entirely.
         dkey = tuple((m.manifest_path,
                       file_io_for(m.manifest_path).mtime_ns(m.manifest_path))
@@ -388,23 +415,12 @@ class TableScan:
             cached = _delete_index_cache.get(dkey)
             if cached is not None:
                 _delete_index_cache.move_to_end(dkey)
-        if cached is None:
-            # build unlocked (decode may take a while; concurrent misses
-            # may build twice — benign, manifests are immutable)
-            delete_index = _DeleteFileIndex()
-            stray_data: List[ManifestEntry] = []
-            for cols in _map_loaded(surviving_dels, lambda c: c):
-                stray_data.extend(delete_index.add_columns(cols))
-            with _delete_index_lock:
-                if dkey not in _delete_index_cache:
-                    _delete_index_cache[dkey] = (delete_index, stray_data)
-                    while len(_delete_index_cache) > 8:
-                        _delete_index_cache.popitem(last=False)
-        else:
-            delete_index, stray_data = cached
-        # stray DELETE entries inside data manifests (rare, external
-        # writers) overlay per plan so the cached index stays immutable
-        overlay_index: Optional[_DeleteFileIndex] = None
+
+        # AlwaysTrue with no delete manifests plans into survivor-index
+        # ARRAYS (plan._fast): FileScanTask/entry objects materialize only
+        # if a consumer touches plan.tasks — to_df and count_rows read the
+        # arrays directly, so a full scan never builds per-file objects
+        maybe_fast = always_true and not surviving_dels
 
         def prepare(cols: ManifestColumns) -> ManifestColumns:
             """Pool stage: manifest decode + the C-side metric/partition
@@ -413,7 +429,10 @@ class TableScan:
             driver over prepared columns — measured faster than running it
             on the pool, where 16 interpreter loops just fight the GIL."""
             if always_true and cols._tab is not None:
-                cols.entries()
+                if maybe_fast:
+                    cols._col("file_path")  # the one column to_df reads
+                else:
+                    cols.entries()
                 return cols
             if cols.n:
                 import numpy as np
@@ -436,9 +455,91 @@ class TableScan:
                                     cols.metric_arrays(fn)
             return cols
 
-        # phase B: data manifests — concurrent decode/extract, serial eval
-        results = [eval_cols(c)
-                   for c in _map_loaded(surviving_data, prepare)]
+        to_decode = (surviving_data if cached is not None
+                     else surviving_dels + surviving_data)
+        pool = None
+        if len(to_decode) > 4:
+            # pool width follows the bottleneck: remote FileIO decode is
+            # fetch-latency-bound (wide pool overlaps round-trips), local
+            # decode is CPU-bound with GIL-holding stretches — measured
+            # fastest at 2-4 workers, SLOWER at 16 (the interpreter
+            # segments convoy on the GIL). ANY remote manifest in the set
+            # widens the pool: a mixed local/remote manifest list must
+            # not let element 0 alone pick the width.
+            from concurrent.futures import ThreadPoolExecutor
+            any_remote = any(not spark_native_path(m.manifest_path)
+                             for m in to_decode)
+            pool = ThreadPoolExecutor(
+                max_workers=min(16 if any_remote else 2, len(to_decode)))
+
+        class _Now:
+            """Serial stand-in for a Future (small manifest sets)."""
+            __slots__ = ("_fn", "_m")
+
+            def __init__(self, fn, m):
+                self._fn, self._m = fn, m
+
+            def result(self):
+                return self._fn(load_manifest_columns(self._m.manifest_path))
+
+        def submit_all(mfs, fn):
+            if pool is not None:
+                return [pool.submit(
+                    lambda m=m: fn(load_manifest_columns(m.manifest_path)))
+                    for m in mfs]
+            return [_Now(fn, m) for m in mfs]
+
+        try:
+            # BOTH manifest kinds decode on the one pool (the overlap the
+            # reference gets from its single concurrent pipeline); the
+            # serial pure-Python stages (index routing, entry eval) run
+            # only after the pool drains — running them concurrently with
+            # pool decode measured ~2x SLOWER at 100k files (three
+            # interpreter threads convoy on the GIL)
+            del_futs = ([] if cached is not None
+                        else submit_all(surviving_dels, lambda c: c))
+            data_futs = submit_all(surviving_data, prepare)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
+        if cached is None:
+            # build unlocked (routing may take a while; concurrent misses
+            # may build twice — benign, manifests are immutable)
+            delete_index = _DeleteFileIndex()
+            stray_data: List[ManifestEntry] = []
+            for f in del_futs:
+                stray_data.extend(delete_index.add_columns(f.result()))
+            with _delete_index_lock:
+                if dkey not in _delete_index_cache:
+                    _delete_index_cache[dkey] = (delete_index, stray_data)
+                    while len(_delete_index_cache) > 8:
+                        _delete_index_cache.popitem(last=False)
+        else:
+            delete_index, stray_data = cached
+        loaded = [f.result() for f in data_futs]
+
+        # stray DELETE entries inside data manifests (rare, external
+        # writers) overlay per plan so the cached index stays immutable
+        overlay_index: Optional[_DeleteFileIndex] = None
+
+        if maybe_fast:
+            import numpy as np
+            fast_groups, clean = [], True
+            for cols in loaded:
+                live = cols.status != STATUS_DELETED
+                dmask = live & (cols.content == CONTENT_DATA)
+                if bool((live & ~dmask).any()):
+                    clean = False   # stray deletes: object path handles
+                    break
+                fast_groups.append((cols, np.nonzero(dmask)[0]))
+            if clean:
+                plan._fast = fast_groups
+                plan._tasks = None   # materialize lazily on .tasks touch
+                plan.total_data_files = int(
+                    sum(len(ix) for _, ix in fast_groups))
+                return plan
+
+        results = [eval_cols(c) for c in loaded]
         if stray_data:
             results.append(eval_cols(ManifestColumns.from_entries(stray_data)))
         survivors: List[ManifestEntry] = []
@@ -545,12 +646,12 @@ class TableScan:
             v = vecs.get(name)
             if v is None:
                 return ones          # unmapped column: might match
-            vc, nc, nanc, lo, lo_p, hi, hi_p = v
-            # NaN comparisons are False, so absent counts (NaN) read
-            # conservatively in every mask below
-            contains_null = ~(nc == 0)
-            all_null = (vc == nc)            # NaN==NaN is False
-            all_nan = (nanc == vc)
+            vc, vc_p, nc, nc_p, nanc, nanc_p, lo, lo_p, hi, hi_p = v
+            # absent counts (presence mask False) read conservatively in
+            # every mask below: an absent count can never prove a prune
+            contains_null = ~(nc_p & (nc == 0))
+            all_null = vc_p & nc_p & (vc == nc)
+            all_nan = vc_p & nanc_p & (nanc == vc)
 
             if isinstance(p, (E.UnaryPred, E.BoundUnaryPred)):
                 if p.op == E.IS_NULL:
@@ -558,7 +659,7 @@ class TableScan:
                 if p.op == E.NOT_NULL:
                     return ~all_null
                 if p.op == E.IS_NAN:
-                    return ~((nanc == 0) | all_null)
+                    return ~((nanc_p & (nanc == 0)) | all_null)
                 if p.op == E.NOT_NAN:
                     return ~all_nan
                 return ones
@@ -751,6 +852,13 @@ class TableScan:
             return 0
         schema = self._scan_schema(md, plan.snapshot)
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        if plan._fast is not None and plan._tasks is None \
+                and isinstance(bound, E.AlwaysTrue):
+            # fast plan = AlwaysTrue + no deletes: record_count sums
+            # straight off the manifest arrays, zero objects built
+            self.last_count_residual_files = 0
+            return int(sum(int(c.record_count[ix].sum())
+                           for c, ix in plan._fast))
         total, residual = 0, []
         for task in plan.tasks:
             df_ = task.data_file
@@ -781,29 +889,103 @@ class TableScan:
         schema = self._scan_schema(md, snap) if snap else md.schema()
         spark_schema = schema.to_spark()
 
-        if not plan.tasks:
-            return spark.createDataFrame([], spark_schema)
+        # fast plan (AlwaysTrue, no deletes): group file-path ARRAYS by
+        # write-schema id — the same group key the object path computes
+        # when delete sets are empty — without materializing per-file
+        # entry/task objects. include_metadata_columns needs a
+        # per-(spec, partition) split, so it takes the object path.
+        fast = (plan._fast if _tasks is None and plan._tasks is None
+                and not self.include_metadata_columns else None)
+        group_list: List[dict] = []
+        if fast is not None:
+            import numpy as np
+            by_schema: Dict[Optional[int], dict] = {}
+            for cols, idx in fast:
+                if not len(idx):
+                    continue
+                fps = cols.file_paths()
+                raws = cols.schema_id_raw
+                for raw in np.unique(raws[idx]):
+                    raw = int(raw)
+                    sel = idx[raws[idx] == raw]
+                    g = by_schema.setdefault(
+                        None if raw == -1 else raw,
+                        {"files": [], "srcs": []})
+                    g["files"].extend(fps[int(i)] for i in sel)
+                    g["srcs"].append((cols, sel))
+            if not by_schema:
+                return spark.createDataFrame([], spark_schema)
 
-        # group: same write-schema + same applicable delete sets + same
-        # (spec, partition) read together — the last so the reserved
-        # _spec_id/_partition columns (metadata_columns.rs:33-66) are
-        # constant per group
-        groups: Dict[Tuple, List[FileScanTask]] = {}
-        for t in plan.tasks:
-            sig = (t.data_file.schema_id,
-                   tuple(sorted(d.file_path for d in t.pos_deletes)),
-                   tuple(sorted(d.file_path for d in t.eq_deletes)))
-            if self.include_metadata_columns:
-                sig = sig + (t.data_file.spec_id,
-                             tuple(sorted((k, str(v)) for k, v in
-                                          t.data_file.partition.items())))
-            groups.setdefault(sig, []).append(t)
+            def _fast_sizes(srcs):
+                out = {}
+                for cols, sel in srcs:
+                    fps, szs = cols.file_paths(), cols.file_sizes()
+                    for i in sel:
+                        out[fps[int(i)]] = szs[int(i)]
+                return out
+
+            def _fast_frids(srcs):
+                out = []
+                for cols, sel in srcs:
+                    fps, frs = cols.file_paths(), cols.first_row_ids()
+                    seqs = cols.sequence_number
+                    for i in sel:
+                        i = int(i)
+                        out.append((_norm_path_py(fps[i]), frs[i],
+                                    int(seqs[i])))
+                return out
+
+            for schema_id, g in by_schema.items():
+                group_list.append(dict(
+                    schema_id=schema_id, files=g["files"],
+                    sizes=functools.partial(_fast_sizes, g["srcs"]),
+                    frids=functools.partial(_fast_frids, g["srcs"]),
+                    pos_dels={}, eq_files=[], first=None))
+        else:
+            if not plan.tasks:
+                return spark.createDataFrame([], spark_schema)
+
+            # group: same write-schema + same applicable delete sets +
+            # same (spec, partition) read together — the last so the
+            # reserved _spec_id/_partition columns
+            # (metadata_columns.rs:33-66) are constant per group
+            groups: Dict[Tuple, List[FileScanTask]] = {}
+            for t in plan.tasks:
+                sig = (t.data_file.schema_id,
+                       tuple(sorted(d.file_path for d in t.pos_deletes)),
+                       tuple(sorted(d.file_path for d in t.eq_deletes)))
+                if self.include_metadata_columns:
+                    sig = sig + (t.data_file.spec_id,
+                                 tuple(sorted((k, str(v)) for k, v in
+                                              t.data_file.partition.items())))
+                groups.setdefault(sig, []).append(t)
+
+            def _task_sizes(tasks):
+                return {t.data_file.file_path:
+                        t.data_file.file_size_in_bytes for t in tasks}
+
+            def _task_frids(tasks):
+                return [(_norm_path_py(t.data_file.file_path),
+                         t.data_file.first_row_id,
+                         t.sequence_number) for t in tasks]
+
+            for sig, tasks in groups.items():
+                group_list.append(dict(
+                    schema_id=sig[0],
+                    files=[t.data_file.file_path for t in tasks],
+                    sizes=functools.partial(_task_sizes, tasks),
+                    frids=functools.partial(_task_frids, tasks),
+                    pos_dels={(d.file_path, d.referenced_data_file): d
+                              for t in tasks for d in t.pos_deletes},
+                    eq_files=[d for t in tasks for d in t.eq_deletes],
+                    first=tasks[0].data_file))
 
         parts: List[DataFrame] = []
         del_cache = _DeleteDFCache()
-        for sig, tasks in groups.items():
-            schema_id, pos_paths, eq_paths = sig[:3]
-            files = [t.data_file.file_path for t in tasks]
+        for g in group_list:
+            schema_id = g["schema_id"]
+            pos_dels, eq_files = g["pos_dels"], g["eq_files"]
+            files = g["files"]
             # FileIO data plane (io.py spark_native): executor_reads
             # backends ship the (picklable) FileIO into the tasks and GET
             # object bytes cluster-side; others localize to the driver
@@ -820,7 +1002,7 @@ class TableScan:
                     files = localize_paths(files)
                     remap = mirror_remap_pattern()
             file_schema = self._file_schema(schema_id, schema)
-            need_meta = (bool(pos_paths) or self.include_row_lineage
+            need_meta = (bool(pos_dels) or self.include_row_lineage
                          or self.include_deleted)
             if schema_id is None:
                 # external id-less files (add_files): infer the physical
@@ -830,9 +1012,7 @@ class TableScan:
                     from .executor_io import fileio_parquet_df
                     gdf = fileio_parquet_df(
                         spark, files, None, exec_io, with_meta=need_meta,
-                        file_sizes={t.data_file.file_path:
-                                    t.data_file.file_size_in_bytes
-                                    for t in tasks})
+                        file_sizes=g["sizes"]())
                 else:
                     gdf = spark.read.parquet(*files)
                 alias_map = self._alias_map(schema)
@@ -856,9 +1036,7 @@ class TableScan:
                     gdf = fileio_parquet_df(
                         spark, files, read_schema, exec_io,
                         with_meta=need_meta,
-                        file_sizes={t.data_file.file_path:
-                                    t.data_file.file_size_in_bytes
-                                    for t in tasks})
+                        file_sizes=g["sizes"]())
                 else:
                     gdf = spark.read.schema(read_schema).parquet(*files)
             if need_meta and exec_io is None:
@@ -873,7 +1051,7 @@ class TableScan:
                 # reserved _spec_id/_partition (metadata_columns.rs:33-66);
                 # _partition is rendered as a canonical JSON string so groups
                 # from different partition specs still union cleanly
-                first = tasks[0].data_file
+                first = g["first"]
                 gdf = gdf.withColumn("_spec_id", F.lit(first.spec_id)) \
                          .withColumn("_partition", F.lit(_part_json(first.partition)))
             if self.include_row_lineage:
@@ -889,9 +1067,7 @@ class TableScan:
                 # file's data sequence number for
                 # _last_updated_sequence_number (metadata_columns.rs:62-66 —
                 # rows not rewritten since the file was added inherit it)
-                frids = [(_norm_path_py(t.data_file.file_path),
-                          t.data_file.first_row_id,
-                          t.sequence_number) for t in tasks]
+                frids = g["frids"]()
                 if len(frids) <= 256:
                     # pure-projection map lookup: stays inside the scan
                     # stage, no broadcast-join stage on the hot path
@@ -926,9 +1102,7 @@ class TableScan:
                                         F.col("_last_updated_sequence_number"),
                                         F.col("_fseq"))) \
                         .drop("_frid_file", "_frid", "_fseq")
-            if pos_paths:
-                pos_dels = {(d.file_path, d.referenced_data_file): d
-                            for t in tasks for d in t.pos_deletes}
+            if pos_dels:
                 if self.include_deleted:
                     gdf = _flag_pos_deletes(spark, gdf,
                                             list(pos_dels.values()), del_cache)
@@ -941,8 +1115,7 @@ class TableScan:
             gdf = _project_to_schema(gdf, file_schema, schema,
                                      keep_meta=self.include_row_lineage,
                                      keep_deleted=self.include_deleted)
-            if eq_paths:
-                eq_files = [d for t in tasks for d in t.eq_deletes]
+            if eq_files:
                 if self.include_deleted:
                     gdf = _flag_eq_deletes(spark, gdf, eq_files, schema,
                                            del_cache)
@@ -1148,7 +1321,8 @@ class _DeleteFileIndex:
     def add_entry(self, de: ManifestEntry) -> None:
         d = de.data_file
         self._route(de.sequence_number, d.content, d.referenced_data_file,
-                    _part_key(d.partition) if d.partition else None,
+                    (d.spec_id, _part_key(d.partition)) if d.partition
+                    else None,
                     d.lower_bounds.get("file_path"),
                     d.upper_bounds.get("file_path"), d)
 
@@ -1176,17 +1350,25 @@ class _DeleteFileIndex:
             return strays
         refs = cols._col("referenced_data_file")
         _vc, _nc, _nanc, los, his = cols.metric_arrays("file_path")
-        seqs, contents = cols.sequence_number, cols.content
-        for i in del_rows:
-            i = int(i)
+        # bulk numpy->py conversions (tolist) instead of per-element int():
+        # routing runs once per delete row per cold plan — 110k rows at
+        # 100k-file scale — so per-row overhead is the whole cost here
+        idx_l = del_rows.tolist()
+        seq_l = cols.sequence_number[del_rows].tolist()
+        con_l = cols.content[del_rows].tolist()
+        spec_l = cols.spec_id[del_rows].tolist()
+        by_path = self.by_path
+        for j, i in enumerate(idx_l):
             ref = refs[i]
-            if ref is not None:     # path-scoped: partition key unused
-                self._route(int(seqs[i]), int(contents[i]), ref,
-                            None, None, None, (cols, i))
+            if ref is not None:
+                # path-scoped (the DV common case), inlined _route:
+                # normalized key — see _route for the spelling rule
+                by_path.setdefault(_norm_path_py(ref), []).append(
+                    (seq_l[j], con_l[j], (cols, i)))
                 continue
             part = cols.partition(i)
-            self._route(int(seqs[i]), int(contents[i]), None,
-                        _part_key(part) if part else None,
+            self._route(seq_l[j], con_l[j], None,
+                        (spec_l[j], _part_key(part)) if part else None,
                         los[i], his[i], (cols, i))
         return strays
 
@@ -1207,9 +1389,14 @@ class _DeleteFileIndex:
                     task.pos_deletes.append(self._file(src))
                 elif content == CONTENT_EQUALITY_DELETES and dseq > seq:
                     task.eq_deletes.append(self._file(src))
+        # partition-scoped deletes match only files of the SAME spec
+        # (delete_file_index.rs:194,211): a partition-key name/value
+        # collision across evolved specs must not attach foreign deletes
+        # (eq-deletes are not self-limiting at read time)
         scopes = (self.global_scope,) if not df_.partition else \
             (self.global_scope,
-             self.by_partition.get(_part_key(df_.partition)))
+             self.by_partition.get((df_.spec_id,
+                                    _part_key(df_.partition))))
         for scope in scopes:
             if scope is None:
                 continue
@@ -1598,10 +1785,18 @@ def _decode_file_uri_py(p: str) -> str:
     return unquote(p)
 
 
+_FILE_SCHEME_RE = __import__("re").compile(r"^file:/*")
+
+
 def _norm_path_py(p: str) -> str:
-    """Python twin of _norm_path for driver-side map keys."""
-    import re
-    return re.sub(r"^file:/*", "/", p)
+    """Python twin of _norm_path for driver-side map keys. The startswith
+    guard matters: delete-index routing + survivor matching call this once
+    per path (O(files + deletes) calls per cold plan), and plain paths —
+    the overwhelming case — must not pay a regex sub (measured 0.65s of a
+    2.3s cold 100k-file MOR plan before the guard)."""
+    if p.startswith("file:"):
+        return _FILE_SCHEME_RE.sub("/", p)
+    return p
 
 
 def _apply_eq_deletes(spark: SparkSession, gdf: DataFrame,

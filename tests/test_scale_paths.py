@@ -410,3 +410,154 @@ def test_v1_json_manifest_layout_stays_readable(tmp_path):
     vc, nc, _nan, lo, hi = cols.metric_arrays("k")
     assert (vc[0], nc[0], lo[0], hi[0]) == (100, 0, 1, 99)
     assert cols.partition(0)["p"] == 4
+
+
+# ------------------------------------------- r11: spec-scoped delete index
+def test_delete_index_spec_scoped_partitions():
+    """Partition-scoped deletes attach only to data files of the SAME
+    partition spec (delete_file_index.rs:194,211): a key name/value
+    collision across evolved specs must not attach foreign eq-deletes
+    (which, unlike pos-deletes, are not self-limiting at read time)."""
+    from iceberg_rust_spark.sources.scan import FileScanTask
+
+    def entry(seq, content, spec_id, partition, path):
+        f = DataFile(file_path=path, content=content, partition=partition,
+                     spec_id=spec_id, record_count=10)
+        return ManifestEntry(1, 1, seq, seq, f)
+
+    # same partition key {"b": 3} under two different specs
+    del_spec0 = entry(2, CONTENT_EQUALITY_DELETES, 0, {"b": 3}, "eq0.parquet")
+    del_spec1 = entry(2, CONTENT_POSITION_DELETES, 1, {"b": 3}, "pd1.parquet")
+    idx = _DeleteFileIndex([del_spec0, del_spec1])
+
+    data0 = entry(1, 0, 0, {"b": 3}, "d0.parquet")
+    data1 = entry(1, 0, 1, {"b": 3}, "d1.parquet")
+    t0 = FileScanTask(data_file=data0.data_file, sequence_number=1)
+    t1 = FileScanTask(data_file=data1.data_file, sequence_number=1)
+    idx.match(data0, t0)
+    idx.match(data1, t1)
+    assert [d.file_path for d in t0.eq_deletes] == ["eq0.parquet"]
+    assert not t0.pos_deletes
+    assert [d.file_path for d in t1.pos_deletes] == ["pd1.parquet"]
+    assert not t1.eq_deletes
+
+
+# --------------------------------------------------- r11: fast array plans
+def test_fast_plan_matches_object_plan(warehouse):
+    """An AlwaysTrue scan plans into survivor-index arrays (plan._fast);
+    .tasks must lazily materialize EXACTLY what the object path builds,
+    and the plan counters must be identical."""
+    t = _fab_table(warehouse, n_manifests=4, files_per_manifest=30)
+    fast = t.scan().plan_files()
+    assert fast._fast is not None and fast._tasks is None
+    # object path: a trivially-true metrics predicate walks every entry
+    obj = t.scan(row_filter=E.col("k") >= 0).plan_files()
+    assert obj._fast is None
+    assert fast.total_data_files == obj.total_data_files == 120
+    assert fast.total_manifests == obj.total_manifests
+    # touching .tasks materializes — identical file sets, seqs, no deletes
+    f_tasks = {(x.data_file.file_path, x.sequence_number)
+               for x in fast.tasks}
+    o_tasks = {(x.data_file.file_path, x.sequence_number)
+               for x in obj.tasks}
+    assert f_tasks == o_tasks and len(f_tasks) == 120
+    assert all(not x.pos_deletes and not x.eq_deletes for x in fast.tasks)
+
+
+def test_fast_plan_count_rows_reads_arrays(warehouse):
+    """count_rows on an AlwaysTrue no-deletes plan sums record_count off
+    the manifest arrays — no SparkSession, no task objects."""
+    t = _fab_table(warehouse, n_manifests=3, files_per_manifest=20)
+    scan = t.scan()
+    assert scan.count_rows() == 3 * 20 * 100    # record_count=100/file
+    assert scan.last_count_residual_files == 0
+
+
+def test_fast_plan_to_df_reads_rows(spark, warehouse):
+    """to_df through the fast array path returns the same rows as the
+    object path on a REAL table (actual parquet on disk)."""
+    df = _ids(spark, 400)
+    t = Table.create(warehouse, "db.fastdf", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.append(spark, df.withColumn("k", F.col("k") + 1000))
+    scan = t.scan()
+    plan = scan.plan_files()
+    assert plan._fast is not None
+    got = scan.to_df(spark)
+    assert got.count() == 800
+    # object path on the SAME tasks must agree
+    obj = scan.to_df(spark, _tasks=plan.tasks)
+    assert got.exceptAll(obj).count() == 0
+    assert obj.exceptAll(got).count() == 0
+
+
+def test_metric_vector_counts_are_exact_above_2_53():
+    """Counts above 2^53 must stay exact in the vectorized matcher: a
+    float64 encoding would read vc == nc spuriously true (all_null) and
+    WRONGLY prune a file on a not_null predicate."""
+    from iceberg_rust_spark.sources.manifest import ManifestColumns
+    from iceberg_rust_spark.sources.scan import TableScan
+    from iceberg_rust_spark.sources.metadata import TableMetadata
+    from iceberg_rust_spark.sources.types import LONG, NestedField, Schema
+
+    big = (1 << 53)
+    f = DataFile(file_path="huge.parquet", record_count=big + 1,
+                 value_counts={"v": big + 1}, null_value_counts={"v": big},
+                 schema_id=0, spec_id=0)
+    cols = ManifestColumns.from_entries([ManifestEntry(1, 1, 1, 1, f)])
+    schema = Schema([NestedField(1, "v", LONG, True)], 0)
+    from iceberg_rust_spark.sources.metadata import PartitionSpec
+    md = TableMetadata(location="/tmp/x", schemas=[schema],
+                       current_schema_id=0,
+                       partition_specs=[PartitionSpec(0, [])],
+                       default_spec_id=0)
+    scan = TableScan(md)
+    bound = E.bind(E.col("v").not_null(), schema, True)
+    vm = scan._vector_matcher(bound, schema, 0, cols, frozenset({"v"}))
+    assert vm is not None and bool(vm[0]), \
+        "2^53 float collapse pruned a file with a non-null row"
+
+
+def test_concurrent_cold_mor_plans_identical(warehouse):
+    """N threads planning the same MOR table from a COLD cache must all
+    see identical task/delete attachments — regression for the locked
+    _delete_index_cache + _BoundedDeletes atomic publish (r10 fixes that
+    shipped without a concurrency test)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    t = _fab_table(warehouse, n_manifests=4, files_per_manifest=50)
+    # bounded partition-scoped pos deletes + eq deletes per manifest
+    for m in range(4):
+        dels = [DataFile(
+            file_path=f"/nonexistent/del/m{m}/pd{r}.parquet",
+            content=CONTENT_POSITION_DELETES, partition={"p": m},
+            record_count=10, file_size_in_bytes=1 << 10,
+            lower_bounds={"file_path": f"/nonexistent/m{m}/f{r * 10}.parquet"},
+            upper_bounds={"file_path": f"/nonexistent/m{m}/f{r * 10 + 9}.parquet"},
+            schema_id=0, spec_id=0) for r in range(5)]
+        dels.append(DataFile(
+            file_path=f"/nonexistent/del/m{m}/eq.parquet",
+            content=CONTENT_EQUALITY_DELETES, partition={"p": m},
+            record_count=5, equality_ids=[3], schema_id=0, spec_id=0))
+        t = t._commit_retry(lambda md, fs=dels: t._snapshot_update(
+            md, "delete", added_deletes=fs))
+
+    def one(_):
+        plan = t.scan().plan_files()
+        sig = []
+        for task in sorted(plan.tasks, key=lambda x: x.data_file.file_path):
+            sig.append((task.data_file.file_path,
+                        tuple(sorted(d.file_path for d in task.pos_deletes)),
+                        tuple(sorted(d.file_path for d in task.eq_deletes))))
+        return sig
+
+    for trial in range(3):
+        _manifest_cache.cache_clear()           # cold every trial
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(one, range(8)))
+        assert all(r == results[0] for r in results[1:]), f"trial {trial}"
+    # the f0..f9 run's bounded delete + the partition eq delete attach
+    sample = results[0][0]
+    assert len(sample[1]) == 1 and len(sample[2]) == 1
