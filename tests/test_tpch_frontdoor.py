@@ -1,0 +1,333 @@
+"""All 22 TPC-H query TEXTS through the SQL front door (run_sql), each
+checked against plain Spark SQL over raw parquet views of the same data.
+
+A real user's first act is pasting SQL — this is the parity gate for that
+path: identifier rewriting to Iceberg scans, predicate auto-capture
+(plans/sql_pred.py) staying SOUND under every TPC-H shape (correlated
+EXISTS / NOT EXISTS, scalar subqueries, CTEs, HAVING subqueries, OR-of-AND
+blocks, nested IN), and the scan results matching Spark's own relational
+semantics bit for bit.
+
+Texts are the CLASSIC TPC-H structures adapted to the slim testdata schema
+(reference SQL shapes: the reference repo's DataFusion integration tests;
+our run_sql front door is sources/sql.py):
+  - partsupp does not exist -> lineitem-derived supply facts stand in
+    (unit cost = l_extendedprice / l_quantity), as in __spark_entry__.py's
+    DataFrame twins (q2/q11/q16/q20);
+  - l_shipmode/commitdate/receiptdate absent -> l_returnflag / date-window
+    stand-ins (q4/q12/q21 keep their EXISTS / conditional-agg shapes);
+  - c_phone absent -> substring(c_name) country bucket (q22);
+  - p_container/p_mfgr absent -> p_brand / p_size (q16/q19).
+Constants are chosen so every query returns >= 1 row at sf0.001 (verified
+against the generated data's value domains)."""
+
+import shutil
+import uuid
+
+import pytest
+
+from iceberg_rust_spark import FileSystemCatalog, Table
+from iceberg_rust_spark.sources.sql import run_sql
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]
+ICE = {t[0] if t != "region" else "r": f"db.{t}" for t in TABLES}
+ICE = {"r": "db.region", "n": "db.nation", "c": "db.customer",
+       "s": "db.supplier", "p": "db.part", "o": "db.orders",
+       "l": "db.lineitem"}
+RAW = {k: v.replace("db.", "") + "_raw" for k, v in ICE.items()}
+
+Q = {}
+
+Q["q1"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2) AS avg_qty,
+           count(*) AS count_order
+    FROM {l}
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+Q["q2"] = """
+    WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       min(l_extendedprice / l_quantity) AS ps_supplycost
+                FROM {l} GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal,
+           ps_supplycost
+    FROM ps, {p}, {s}
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_brand = 'Brand#23'
+      AND ps_supplycost = (SELECT min(ps2.ps_supplycost) FROM ps ps2
+                           WHERE ps2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100"""
+
+Q["q3"] = """
+    SELECT l.l_orderkey AS okey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+           o.o_orderdate AS odate
+    FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
+               JOIN {l} l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1996-03-15 00:00:00'
+      AND l.l_shipdate > timestamp '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY rev DESC, okey LIMIT 10"""
+
+Q["q4"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM {o}
+    WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1996-07-01 00:00:00'
+      AND EXISTS (SELECT * FROM {l}
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+Q["q5"] = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM {c}, {o}, {l}, {s}, {n}, {r}
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= timestamp '1995-01-01 00:00:00'
+      AND o_orderdate < timestamp '2001-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+Q["q6"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM {l}
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate < timestamp '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""
+
+Q["q7"] = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM {s}, {l}, {o}, {c}, {n} n1, {n} n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate BETWEEN timestamp '1995-01-01 00:00:00'
+                               AND timestamp '2000-12-31 00:00:00'
+         ) AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+Q["q8"] = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_12' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM {p}, {s}, {l}, {o}, {c}, {n} n1, {n} n2, {r}
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN timestamp '1995-01-01 00:00:00'
+                                AND timestamp '2000-12-31 00:00:00'
+            AND p_type = 'ECONOMY') AS all_nations
+    GROUP BY o_year ORDER BY o_year"""
+
+Q["q9"] = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - (0.5 * l_extendedprice / l_quantity) * l_quantity
+                   AS amount
+          FROM {p}, {s}, {l}, {o}, {n}
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%') AS profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+
+Q["q10"] = """
+    SELECT c.c_custkey AS ck, c.c_name AS cn,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+    FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
+               JOIN {l} l ON l.l_orderkey = o.o_orderkey
+               JOIN {n} n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+      AND o.o_orderdate < timestamp '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY rev DESC, ck LIMIT 20"""
+
+Q["q11"] = """
+    SELECT l_partkey AS ps_partkey,
+           round(sum(l_extendedprice * l_quantity), 2) AS value
+    FROM {l}, {s}, {n}
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) >
+           (SELECT sum(l_extendedprice * l_quantity) * 0.001
+            FROM {l}, {s}, {n}
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3')
+    ORDER BY value DESC, ps_partkey LIMIT 50"""
+
+Q["q12"] = """
+    SELECT l.l_linestatus AS ls,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM {o} o JOIN {l} l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l.l_shipdate < timestamp '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus ORDER BY ls"""
+
+Q["q13"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+          FROM {c} c LEFT JOIN {o} o
+            ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) AS c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+Q["q14"] = """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2)
+             AS promo_revenue
+    FROM {l}, {p}
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= timestamp '1997-09-01 00:00:00'
+      AND l_shipdate < timestamp '1997-10-01 00:00:00'"""
+
+Q["q15"] = """
+    WITH revenue0 AS (SELECT l_suppkey AS supplier_no,
+                             sum(l_extendedprice * (1 - l_discount))
+                               AS total_revenue
+                      FROM {l}
+                      WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+                        AND l_shipdate < timestamp '1997-04-01 00:00:00'
+                      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM {s}, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey"""
+
+Q["q16"] = """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM {l}, {p}
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#23' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45, 2, 3, 5, 6, 7, 8)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM {s} WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+Q["q17"] = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM {l}, {p}
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM {l} l2
+                        WHERE l2.l_partkey = p_partkey)"""
+
+Q["q18"] = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM {c}, {o}, {l}
+    WHERE o_orderkey IN (SELECT l_orderkey FROM {l}
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""
+
+Q["q19"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM {l}, {p}
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#15'
+           AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)"""
+
+Q["q20"] = """
+    SELECT s_name, n_name
+    FROM {s}, {n}
+    WHERE s_suppkey IN (
+            SELECT l_suppkey FROM {l}
+            WHERE l_partkey IN (SELECT p_partkey FROM {p}
+                                WHERE p_name LIKE 'cold%')
+              AND l_shipdate >= timestamp '1995-01-01 00:00:00'
+              AND l_shipdate < timestamp '2001-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 50)
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name"""
+
+Q["q21"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM {s}, {l} l1, {o}, {n}
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_discount > 0.02
+      AND EXISTS (SELECT * FROM {l} l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT * FROM {l} l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_discount > 0.08)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name ORDER BY numwait DESC, s_name"""
+
+Q["q22"] = """
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (SELECT substring(c_name, 1, 6) AS cntrycode, c_acctbal
+          FROM {c}
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {c}
+                             WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT * FROM {o}
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 400000)) AS custsale
+    GROUP BY cntrycode ORDER BY cntrycode"""
+
+
+@pytest.fixture(scope="module")
+def tpch_wh(spark, tmp_path_factory):
+    """One warehouse with all 7 TPC-H tables as Iceberg tables, plus
+    *_raw temp views over the same parquet (the oracle side)."""
+    import os
+    wh = tmp_path_factory.mktemp(f"tpch_{uuid.uuid4().hex[:6]}")
+    cat = FileSystemCatalog(str(wh))
+    sf = "/root/testdata/sf0.001"
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+        Table.create(cat, f"db.{name}",
+                     schema_from_spark(df.schema)).append(spark, df)
+        df.createOrReplaceTempView(f"{name}_raw")
+    yield cat
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.mark.parametrize("qname", sorted(Q, key=lambda s: int(s[1:])))
+def test_tpch_text_through_front_door(spark, tpch_wh, qname):
+    text = Q[qname]
+    got = [tuple(r) for r in
+           run_sql(spark, tpch_wh, text.format(**ICE)).collect()]
+    want = [tuple(r) for r in spark.sql(text.format(**RAW)).collect()]
+    assert len(want) > 0, f"{qname}: oracle produced no rows (bad constants)"
+    assert got == want, (qname, got[:3], want[:3])
