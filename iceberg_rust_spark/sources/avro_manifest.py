@@ -280,12 +280,24 @@ def write_avro_manifest_list(path: str, manifests: List[ManifestFile],
     return len(data)
 
 
+# reserved delete-file column ids (spec: positional delete files carry
+# stats for file_path / pos under these, outside any table schema)
+DELETE_FILE_PATH_ID = 2147483546
+DELETE_FILE_POS_ID = 2147483545
+
+
 def write_avro_manifest(path: str, entries: List[ManifestEntry],
                         schema: Schema, spec, format_version: int = 2) -> int:
     """``spec`` is a PartitionSpec (fields give the r102 partition record)."""
     aschema = manifest_entry_schema(schema, spec.fields)
     name_to_id = {f.name: f.field_id for f in schema.fields}
     type_by_name = {f.name: f.field_type for f in schema.fields}
+    # positional-delete stats (file_path bounds drive the reader's
+    # interval-stabbed delete index) export under the spec's reserved ids
+    name_to_id.setdefault("file_path", DELETE_FILE_PATH_ID)
+    type_by_name.setdefault("file_path", PrimitiveType("string"))
+    name_to_id.setdefault("pos", DELETE_FILE_POS_ID)
+    type_by_name.setdefault("pos", PrimitiveType("long"))
 
     def ids(d: Dict[str, int]) -> Optional[List[dict]]:
         out = [{"key": name_to_id[k], "value": v}
@@ -417,6 +429,12 @@ def read_avro_manifest(path: str) -> List[ManifestEntry]:
         for f in schema.fields:
             id_to_name[f.field_id] = f.name
             id_to_type[f.field_id] = f.field_type
+    # reserved delete-file stat columns (file_path bounds feed the
+    # delete index's interval stabbing)
+    id_to_name.setdefault(DELETE_FILE_PATH_ID, "file_path")
+    id_to_type.setdefault(DELETE_FILE_PATH_ID, PrimitiveType("string"))
+    id_to_name.setdefault(DELETE_FILE_POS_ID, "pos")
+    id_to_type.setdefault(DELETE_FILE_POS_ID, PrimitiveType("long"))
 
     def named(kvs) -> Dict[str, Any]:
         return {id_to_name.get(kv["key"], str(kv["key"])): kv["value"]

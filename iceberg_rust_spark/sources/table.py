@@ -1365,8 +1365,25 @@ class Table:
         for i, mf in enumerate(load_manifest_list(snap.manifest_list)):
             entries = list(load_manifest(mf.manifest_path))
             spec = self.metadata.spec(mf.partition_spec_id)
+            # embed the schema the manifest's files were WRITTEN under
+            # (real Iceberg manifests carry the writer-time schema): the
+            # reader keys stats + projection off the embedded schema-id,
+            # so a renamed/added column in newer schemas must not be
+            # stamped onto older files
+            sids = {e.data_file.schema_id for e in entries
+                    if e.data_file.schema_id is not None}
+            mschema = (self.metadata.schema(next(iter(sids)))
+                       if len(sids) == 1 else schema)
+            # global-scoped delete files (empty partition tuples spanning
+            # partitions) export with an EMPTY partition record — forcing
+            # them into the data spec's record would fabricate all-None
+            # partition values and mis-scope them on readback
+            wspec = spec
+            if entries and all(not e.data_file.partition for e in entries):
+                from .metadata import PartitionSpec as _PSpec
+                wspec = _PSpec(spec.spec_id, [])
             mpath = os.path.join(base, f"manifest-{snap.snapshot_id}-{i}.avro")
-            length = write_avro_manifest(mpath, entries, schema, spec)
+            length = write_avro_manifest(mpath, entries, mschema, wspec)
             out_manifests.append(mpath)
             import dataclasses as _dc
             rec = _dc.replace(mf, manifest_path=mpath,

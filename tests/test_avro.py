@@ -167,3 +167,76 @@ def test_native_avro_manifest_table_property(spark, warehouse):
     t = t.delete_where(spark, E.col("g") == 2, mode="mor")
     assert t.metadata.current_snapshot().manifest_list.endswith(".avro")
     assert t.to_df(spark).count() == 100
+
+
+def test_export_interop_partitioned_evolved_mor(spark, warehouse):
+    """SURVEY §5(d) offline half, widened (r11): a PARTITIONED,
+    schema-EVOLVED, MOR-DELETE-bearing v2 table exported via
+    write_avro_manifest{,_list} + spec-layout metadata JSON must re-read
+    through ONLY the interop readers (StaticTable -> .avro manifests,
+    never our parquet manifests) with exact scan parity against the
+    native path — the strongest cross-engine proof available without a
+    live pyiceberg/duckdb-iceberg install (environment-blocked)."""
+    from iceberg_rust_spark import PartitionField, PartitionSpec
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources.scan import load_manifest_list
+
+    df1 = spark.range(0, 240).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"))
+    schema = schema_from_spark(df1.schema)
+    gid = next(f.field_id for f in schema.fields if f.name == "g")
+    spec = PartitionSpec(0, [PartitionField(gid, 1000, "g",
+                                            parse_transform("identity"))])
+    t = Table.create(warehouse, "db.interop", schema, partition_spec=spec)
+    t = t.append(spark, df1)
+
+    # schema evolution: add a column + rename one, then append post-
+    # evolution rows (old files lack `extra` and carry the old name)
+    t = t.update_schema().add_column("extra", "double") \
+         .rename_column("s", "label").commit()
+    df2 = spark.range(240, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("s"), F.col("id")).alias("label"),
+        (F.col("id") * 0.5).alias("extra"))
+    t = t.append(spark, df2)
+
+    # MOR positional deletes on top (delete manifests must export too)
+    t = t.delete_where(spark, (E.col("k") >= 100) & (E.col("k") < 130),
+                       mode="mor")
+
+    paths = t.export_avro_metadata()
+    assert all(p.endswith(".avro") for p in paths["manifests"])
+
+    st = Table.from_metadata_path(paths["metadata"])
+    # the static table must plan through .avro manifests exclusively
+    snap = st.metadata.current_snapshot()
+    assert snap.manifest_list.endswith(".avro")
+    assert all(m.manifest_path.endswith(".avro")
+               for m in load_manifest_list(snap.manifest_list))
+
+    native_rows = sorted(tuple(r) for r in t.to_df(spark).collect())
+    interop_rows = sorted(tuple(r) for r in st.to_df(spark).collect())
+    assert len(native_rows) == 270        # 300 - 30 MOR-deleted
+    assert interop_rows == native_rows
+
+    # deletes applied through the interop path, not just row counts
+    ks = {r[0] for r in interop_rows}
+    assert not any(100 <= k < 130 for k in ks)
+
+    # partition pruning works off the exported FieldSummaries/partitions
+    pruned = st.scan(row_filter=E.col("g") == 2)
+    pplan = pruned.plan_files()
+    assert pplan.skipped_manifests + pplan.skipped_by_partition > 0
+    native_g2 = sorted(tuple(r) for r in
+                       t.scan(row_filter=E.col("g") == 2)
+                       .to_df(spark).collect())
+    assert sorted(tuple(r) for r in
+                  pruned.to_df(spark).collect()) == native_g2
+
+    # evolution semantics through the bridge: old files surface NULL
+    # extra + renamed column values
+    old = [r for r in interop_rows if r[0] < 240]
+    assert old and all(r[3] is None for r in old)
+    new = [r for r in interop_rows if r[0] >= 240]
+    assert new and all(r[3] == r[0] * 0.5 for r in new)
