@@ -280,6 +280,24 @@ class ManifestColumns:
                  "record_count", "sequence_number", "_tab", "_cols",
                  "_metrics", "_partitions", "_entries", "_entry_memo")
 
+    def __getstate__(self):
+        """Disk-cache serialization (scan._disk_cache): persist the Arrow
+        table + every DERIVED extract already computed (metric vectors,
+        partition dicts, map parts resolve to Arrow arrays — all
+        picklable), but NOT the entry objects — they rebuild lazily and
+        would double the blob for state a selective plan never touches."""
+        drop = (("_entries", "_entry_memo") if self._tab is not None
+                else ("_entry_memo",))     # object-backed: entries ARE the data
+        return {s: getattr(self, s) for s in self.__slots__
+                if s not in drop}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        if self._tab is not None:
+            self._entries = None
+        self._entry_memo = {}
+
     def __init__(self, table: Optional["pa.Table"],
                  entries: Optional[List[ManifestEntry]] = None):
         import numpy as np

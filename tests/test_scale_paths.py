@@ -561,3 +561,41 @@ def test_concurrent_cold_mor_plans_identical(warehouse):
     # the f0..f9 run's bounded delete + the partition eq delete attach
     sample = results[0][0]
     assert len(sample[1]) == 1 and len(sample[2]) == 1
+
+
+def test_manifest_disk_cache_round_trip(warehouse, tmp_path, monkeypatch):
+    """Opt-in persistent manifest cache: after one plan with
+    ICEBERG_SPARK_MANIFEST_DISK_CACHE set, a COLD driver (cleared
+    in-memory cache, manifest decode forcibly broken) must plan the same
+    table purely from the disk blobs — identical tasks and counters."""
+    import os
+
+    import iceberg_rust_spark.sources.manifest as manifest_mod
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    cache_dir = str(tmp_path / "mcache")
+    monkeypatch.setenv("ICEBERG_SPARK_MANIFEST_DISK_CACHE", cache_dir)
+    t = _fab_table(warehouse, n_manifests=3, files_per_manifest=40)
+    _manifest_cache.cache_clear()
+    pred = E.col("v") > 1000
+    plan1 = t.scan(row_filter=pred).plan_files()
+    want = sorted(x.data_file.file_path for x in plan1.tasks)
+    blobs = os.listdir(cache_dir)
+    assert len(blobs) == 3 and all(b.endswith(".pkl") for b in blobs)
+
+    # cold driver: in-memory caches gone AND parquet decode broken —
+    # only the disk cache can satisfy the plan now
+    _manifest_cache.cache_clear()
+
+    def boom(path):
+        raise AssertionError(f"decode reached for {path}; disk cache missed")
+
+    monkeypatch.setattr(manifest_mod, "read_manifest_columns", boom)
+    plan2 = t.scan(row_filter=pred).plan_files()
+    got = sorted(x.data_file.file_path for x in plan2.tasks)
+    assert got == want
+    assert plan2.total_data_files == plan1.total_data_files
+    assert plan2.skipped_by_metrics == plan1.skipped_by_metrics
+
+    # a REWRITTEN manifest (different mtime) must miss and decode fresh
+    monkeypatch.undo()  # restore decode + env for other fixtures
