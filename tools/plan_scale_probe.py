@@ -152,6 +152,12 @@ def run_probe(root: str = "/tmp/plan_scale_probe",
             for name, pred, expect in shapes:
                 # cold: includes manifest parquet decode; warm: cache
                 # hits — the steady state of repeated planning
+                # r11: cold is now TRULY cold — the in-memory manifest
+                # cache is cleared per shape, so every cold wall includes
+                # the decode of all surviving manifests (previously shape
+                # N's "cold" inherited shape N-1's cached decodes)
+                from iceberg_rust_spark.sources.scan import _manifest_cache
+                _manifest_cache.cache_clear()
                 walls = []
                 rss0 = _rss_kb()
                 for _rep in range(3):
@@ -159,6 +165,20 @@ def run_probe(root: str = "/tmp/plan_scale_probe",
                     plan = t.scan(row_filter=pred).plan_files()
                     walls.append(time.time() - p0)
                 rss1 = _rss_kb()
+                # cold PROCESS, warm DISK cache: restart-shaped planning
+                # through the opt-in pickle cache (in-memory caches
+                # cleared; decode satisfied from blobs)
+                dcd = os.path.join(root, "_mcache")
+                os.environ["ICEBERG_SPARK_MANIFEST_DISK_CACHE"] = dcd
+                try:
+                    t.scan(row_filter=pred).plan_files()   # write-back
+                    _manifest_cache.cache_clear()
+                    p0 = time.time()
+                    t.scan(row_filter=pred).plan_files()
+                    disk_warm = round(time.time() - p0, 3)
+                finally:
+                    del os.environ["ICEBERG_SPARK_MANIFEST_DISK_CACHE"]
+                    _manifest_cache.cache_clear()
                 assert len(plan.tasks) == min(expect, n), \
                     (name, n, len(plan.tasks), expect)
                 n_pos = n_eq = 0
@@ -176,6 +196,7 @@ def run_probe(root: str = "/tmp/plan_scale_probe",
                     "files": n, "mor": mor, "shape": name,
                     "cold_s": round(walls[0], 3),
                     "warm_s": round(min(walls[1:]), 3),
+                    "disk_s": disk_warm,
                     "tasks": len(plan.tasks),
                     "attached_deletes": n_pos + n_eq,
                     "skipped_manifests": plan.skipped_manifests,
@@ -213,17 +234,18 @@ def run_probe(root: str = "/tmp/plan_scale_probe",
 def markdown(rows: list) -> list:
     plain = {(r["files"], r["shape"]): r for r in rows if not r.get("mor")}
     lines = [
-        "| files | predicate shape | cold plan | warm plan | tasks | "
-        "manifests skipped | RSS delta |",
-        "|---|---|---|---|---|---|---|",
+        "| files | predicate shape | cold plan | warm plan | disk-warm | "
+        "tasks | manifests skipped | RSS delta |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if r.get("mor"):
             continue
+        disk = f"{r['disk_s']}s" if "disk_s" in r else "—"
         lines.append(
             f"| {r['files']:,} | {r['shape']} | {r['cold_s']}s | "
-            f"{r['warm_s']}s | {r['tasks']} | {r['skipped_manifests']} | "
-            f"{r['rss_delta_mb']} MB |")
+            f"{r['warm_s']}s | {disk} | {r['tasks']} | "
+            f"{r['skipped_manifests']} | {r['rss_delta_mb']} MB |")
     mor = [r for r in rows if r.get("mor")]
     if mor:
         lines += [
@@ -232,9 +254,9 @@ def markdown(rows: list) -> list:
             "file_path-bounded per 10-file run + eq per partition); "
             "`xN` compares the same shape's wall without deletes:",
             "",
-            "| files | predicate shape | cold plan | warm plan | tasks | "
-            "attached deletes | RSS delta |",
-            "|---|---|---|---|---|---|---|",
+            "| files | predicate shape | cold plan | warm plan | disk-warm "
+            "| tasks | attached deletes | RSS delta |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for r in mor:
             base = plain.get((r["files"], r["shape"]))
@@ -242,9 +264,11 @@ def markdown(rows: list) -> list:
             if base:
                 ratio = (f" (x{r['cold_s'] / max(base['cold_s'], 1e-3):.1f}"
                          f"/x{r['warm_s'] / max(base['warm_s'], 1e-3):.1f})")
+            disk = f"{r['disk_s']}s" if "disk_s" in r else "—"
             lines.append(
                 f"| {r['files']:,} | {r['shape']} | {r['cold_s']}s | "
-                f"{r['warm_s']}s{ratio} | {r['tasks']} | "
+                f"{r['warm_s']}s{ratio} | {disk} | "
+                f"{r['tasks']} | "
                 f"{r['attached_deletes']} | {r['rss_delta_mb']} MB |")
     return lines
 

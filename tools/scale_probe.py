@@ -496,6 +496,13 @@ def main() -> None:
         "array<long> (persisted; signatures and both exact-verify sides",
         "share it), so grams never exist as strings past the kernel and",
         "every downstream exchange moves longs.",
+        "r11 stage-profiled the r10 watch item (minhash e(10->100)=1.14):",
+        "LSH candidates grow 39,787 -> 389,514 (9.8x/decade) and verified",
+        "pairs 2,560 -> 25,600 (exactly 10x/decade) — candidate generation",
+        "is OUTPUT-LINEAR with no banding degradation; the same profiled",
+        "run walled 8.8s -> 23.2s (e=0.42), so the 52s r10 sample was VM",
+        "contention, not a pair explosion (stage walls: grams 3.3/1.7s,",
+        "candidates 4.3/16.5s, verify 1.2/5.0s at x10/x100).",
         "dedup_clusters times the iterative min-label propagation over",
         "cached minhash edges (pair generation is the minhash_lsh_pairs",
         "row); edges symmetrize via explode (r9 — one computation of the",
@@ -541,10 +548,16 @@ def main() -> None:
             "",
             "Fabricated tables (1000 files/manifest, identity-partitioned,",
             "point metrics) — planning never opens data files, so this",
-            "isolates driver metadata cost. Cold includes manifest parquet",
-            "decode; warm is the steady state of repeated planning on a live",
-            "table (entry-weighted manifest cache, default 512k-entry budget",
+            "isolates driver metadata cost. Cold includes the parquet",
+            "decode of every SURVIVING manifest (r11: the in-memory cache",
+            "is cleared per shape, so cold no longer inherits the previous",
+            "shape's decodes — walls are honestly cold); warm is the",
+            "steady state of repeated planning on a live table",
+            "(entry-weighted manifest cache, default 512k-entry budget",
             "~ 1.2 GB RSS ceiling, ICEBERG_SPARK_MANIFEST_CACHE_ENTRIES).",
+            "disk-warm is a RESTARTED driver planning through the opt-in",
+            "persistent cache (ICEBERG_SPARK_MANIFEST_DISK_CACHE): decode",
+            "served from pickled columnar views, everything else cold.",
             "",
         ] + plan_md(plan_rows) + [
             "",
@@ -555,21 +568,38 @@ def main() -> None:
             "surviving-manifest count, the O(metadata) guarantee.",
             "Metrics-selective walks every live entry off flat columnar",
             "extracts (v2 manifest layout; entry objects built only for",
-            "survivors); full-scan takes the AlwaysTrue fast path. RSS",
-            "deltas are manifest-cache fill attributed to whichever shape",
-            "faults a manifest first, clamped by the entry budget.",
+            "survivors). Full-scan with no deletes takes the r11 ARRAY",
+            "fast plan (ScanPlan._fast): survivor-index arrays, zero",
+            "entry/task objects unless a consumer touches .tasks — cold",
+            "is manifest decode + numpy masks (was 5.6s at 100k in r10,",
+            "building 100k objects). RSS deltas are manifest-cache fill",
+            "attributed to whichever shape faults a manifest first,",
+            "clamped by the entry budget.",
             "",
-            "MOR reading: the delete-file index builds off the same flat",
-            "arrays (one routing pass, delete objects materialize only on",
-            "survivor match) and is memoized per surviving-delete-manifest",
-            "set, so warm MOR plans cost the same as warm plain plans",
-            "(x1.0-1.7). Cold MOR plans pay the extra delete-manifest",
-            "decode + one routing pass: <= ~2x the no-deletes wall at",
-            "every tier. file_path-BOUNDED partition-scoped deletes use",
+            "MOR reading: delete and data manifests decode on ONE pool",
+            "(r11 — the reference's single concurrent pipeline); the",
+            "delete-file index builds off the same flat arrays (one",
+            "routing pass, delete objects materialize only on survivor",
+            "match) and is memoized per surviving-delete-manifest set, so",
+            "warm MOR plans cost about the same as warm plain plans for",
+            "selective shapes. Cold MOR metrics-selective sits at ~2.0-",
+            "2.5x the no-deletes wall: the structural floor is the decode",
+            "set roughly DOUBLING (the probe adds ~1.1x delete files in",
+            "~1x delete manifests) plus one routing pass (~0.2s/100k",
+            "after r11's bulk-converted routing + scheme-guarded path",
+            "normalization). Cold MOR full-scan keeps the object path",
+            "(every survivor needs delete attachment), so its xN column",
+            "compares an object-path wall against the array fast plan —",
+            "compare it to r10's 7.0s object-path wall instead, which it",
+            "matches. file_path-BOUNDED partition-scoped deletes use",
             "interval stabbing (sorted lows + running-max highs), so",
             "per-survivor matching is O(matches), not O(deletes in",
             "partition) — at 100k files x 110k deletes the match loop",
-            "attaches 300k deletes without a quadratic walk.",
+            "attaches 300k deletes without a quadratic walk. Partition",
+            "delete scopes are keyed by (spec_id, partition) as the",
+            "reference does (delete_file_index.rs:194,211), so partition",
+            "collisions across evolved specs cannot attach foreign",
+            "deletes.",
         ]
     except Exception as exc:  # noqa: BLE001 — scaling doc still useful
         print(f"plan_files probe skipped: {exc}", file=sys.stderr)
