@@ -508,6 +508,46 @@ class ManifestColumns:
         lo, hi = int(offs[i]), int(offs[i + 1])
         return arr.values.slice(lo, hi - lo).to_pylist() if hi > lo else []
 
+    def data_file_lite(self, i: int) -> DataFile:
+        """DataFile WITHOUT the six per-column stat/bound map decodes —
+        the shape survivor-MATCHED delete files take. The read path
+        consumes only path/format/content/offsets/equality_ids from a
+        task's attached deletes, and the delete file's stats were already
+        consumed from the flat arrays during index routing; decoding the
+        maps anyway was 7.7s of a 16s cold full-scan MOR plan at 100k
+        files (100k DV materializations x six _map_row decodes each)."""
+        if self._entries is not None:
+            return self._entries[i].data_file
+        key = ("lite", i)
+        got = self._entry_memo.get(key)
+        if got is not None:
+            return got
+        c = self._col
+        sort_order = c("sort_order_id")[i]
+        schema_id = int(self.schema_id_raw[i])
+        content = int(self.content[i])
+        df = DataFile(
+            file_path=c("file_path")[i],
+            file_format=c("file_format")[i],
+            content=content,
+            partition=self.partition(i),
+            record_count=int(self.record_count[i]),
+            file_size_in_bytes=c("file_size_in_bytes")[i],
+            # only equality deletes carry ids; pos deletes skip the
+            # list-offset decode (100k DV rows per cold full-scan plan)
+            equality_ids=(self._list_row("equality_ids", i)
+                          if content == CONTENT_EQUALITY_DELETES else []),
+            sort_order_id=None if sort_order == -1 else sort_order,
+            schema_id=None if schema_id == -1 else schema_id,
+            spec_id=int(self.spec_id[i]),
+            referenced_data_file=c("referenced_data_file")[i],
+            content_offset=c("content_offset")[i],
+            content_size_in_bytes=c("content_size_in_bytes")[i],
+            first_row_id=c("first_row_id")[i],
+        )
+        self._entry_memo[key] = df
+        return df
+
     def entry(self, i: int) -> ManifestEntry:
         if self._entries is not None:
             return self._entries[i]

@@ -1447,8 +1447,11 @@ class _DeleteFileIndex:
 
     @staticmethod
     def _file(src) -> DataFile:
+        # lite: matched delete files skip the six stat-map decodes the
+        # read path never consults (their bounds/counts were already
+        # used from flat arrays during routing)
         if type(src) is tuple:
-            return src[0].entry(src[1]).data_file
+            return src[0].data_file_lite(src[1])
         return src
 
     def match(self, entry: ManifestEntry, task: "FileScanTask") -> None:

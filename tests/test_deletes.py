@@ -273,9 +273,20 @@ def test_pos_delete_path_bounds_prune_untouched_files(spark, warehouse):
         "path-bounds pruning must skip the untouched file"
     d = touched.pos_deletes[0]
     assert d.content == CONTENT_POSITION_DELETES
-    assert d.lower_bounds.get("file_path") and d.upper_bounds.get("file_path")
     # single-target delete also gets exact referenced_data_file scoping
     assert d.referenced_data_file is not None
+    # writer-stamped file_path bounds live on the MANIFEST entry (task
+    # attachments are lite — stats consumed during routing, not carried)
+    from iceberg_rust_spark.sources.scan import (load_manifest,
+                                                 load_manifest_list)
+    snap = t.metadata.current_snapshot()
+    del_entries = [e for m in load_manifest_list(snap.manifest_list)
+                   if m.content
+                   for e in load_manifest(m.manifest_path)]
+    md_file = next(e.data_file for e in del_entries
+                   if e.data_file.file_path == d.file_path)
+    assert md_file.lower_bounds.get("file_path") \
+        and md_file.upper_bounds.get("file_path")
     # correctness unchanged
     assert t.to_df(spark).count() == 90
     assert t.to_df(spark).where(F.col("k") < 10).count() == 0

@@ -591,7 +591,12 @@ def main() -> None:
             "(every survivor needs delete attachment), so its xN column",
             "compares an object-path wall against the array fast plan —",
             "compare it to r10's 7.0s object-path wall instead, which it",
-            "matches. file_path-BOUNDED partition-scoped deletes use",
+            "BEATS (6.2s): survivor-matched delete files materialize LITE",
+            "DataFiles (no stat/bound map decodes — those were consumed",
+            "from flat arrays during routing; the read path uses only",
+            "path/format/offsets/equality_ids), cutting 7.7s of map",
+            "decodes from the 100k-DV match loop.",
+            "file_path-BOUNDED partition-scoped deletes use",
             "interval stabbing (sorted lows + running-max highs), so",
             "per-survivor matching is O(matches), not O(deletes in",
             "partition) — at 100k files x 110k deletes the match loop",
