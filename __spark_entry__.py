@@ -1514,23 +1514,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries in dict order.
-    # Round-10 rotation: rows whose BEHAVIOR changed this round go first —
-    # every iceberg_* row (columnar v2 manifest layout, survivor-only
-    # planning, rebuilt delete-file index with interval-stabbed bounds and
-    # per-manifest-set memoization, slotted metadata dataclasses),
-    # dedup_clusters (null-edge filter), dedup_minhash/ngram (shared gram
-    # pipeline reads through the new planner fixtures), and
-    # dedup_embedding_lsh (null-vector filter + ignorenulls probe). The
-    # window then fills with the rows least recently driver-graded
-    # (window_running/set_except/semi_join from r7; events/q-tail/text
-    # rows from r8). Rows rotated out were graded green in r9 and are
-    # covered by the local 93/93 artifacts regenerated on this HEAD at
-    # sf0.01 AND sf0.1 (also enforced every pytest run by the oracle93
-    # gate, tests/test_oracle93.py).
+    # Round-11 rotation: rows whose BEHAVIOR changed this round go first —
+    # every iceberg_* row rides the rewritten planner (one shared decode
+    # pool for delete+data manifests, AlwaysTrue array fast plans with
+    # lazy task materialization, spec-scoped delete index keys, exact
+    # int64 metric vectors, lite delete-file materialization,
+    # scheme-guarded path normalization); iceberg_fast_count additionally
+    # exercises the new array-summed count_rows. The window then fills
+    # with the least recently driver-graded rows (q15/q16/q20/q22 from
+    # the deep tail, plus the r10 carry-overs). The four dedup_* rows
+    # rotated out were graded green in the r10 window, did not change
+    # this round, and stay covered by the dual-SF local 93/93 artifacts
+    # regenerated on this HEAD (enforced every pytest run by the
+    # oracle93 gate, tests/test_oracle93.py).
     return {
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
         "iceberg_delete_mor": q_iceberg_delete_mor,
         "iceberg_delete_dv": q_iceberg_delete_dv,
         "iceberg_delete_cow": q_iceberg_delete_cow,
@@ -1557,7 +1554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_snapshots_meta": q_iceberg_snapshots_meta,
         "iceberg_datasource_read": q_iceberg_datasource_read,
         "iceberg_view_monthly": q_view_monthly,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_brand_suppliers": q16_brand_suppliers,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "window_running": q_window_running,
         "set_except": q_set_except,
         "semi_join": q_semi_join,
@@ -1581,6 +1581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries below are outside the driver's 50-row window this
         # round (graded in recent windows; unchanged or covered by the local
         # 93/93 artifacts regenerated on this HEAD)
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_features": q_multimodal_features,
         "doc_pipeline": q_doc_pipeline,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1618,12 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix": q_doc_mix,
         "q12_priority_shipping": q12_priority_shipping,
         "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_brand_suppliers": q16_brand_suppliers,
         "q18_large_orders": q18_large_orders,
         "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
     }
 
 
