@@ -109,3 +109,28 @@ def test_last_updated_sequence_number(spark, warehouse):
     assert after_upd[1003] == upd_seq
     assert after_upd[5] == seqs[5]
     assert after_upd[15] == seqs[15]
+
+
+def test_row_lineage_through_fast_array_plan(spark, warehouse):
+    """include_row_lineage WITHOUT metadata columns rides the r11 array
+    fast plan (ScanPlan._fast): per-file first_row_id/sequence bases come
+    from manifest arrays, no task objects — and must equal the object
+    path exactly."""
+    from iceberg_rust_spark.sources.scan import TableScan
+
+    df = spark.range(0, 300, 1, 4).select(F.col("id").alias("k"))
+    t = Table.create(warehouse, "db.rlf", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.append(spark, df.select((F.col("k") + 1000).alias("k")))
+
+    scan = TableScan(t.metadata, include_row_lineage=True)
+    plan = scan.plan_files()
+    assert plan._fast is not None and plan._tasks is None
+    ids = sorted(r["_row_id"] for r in
+                 scan.to_df(spark).select("_row_id").collect())
+    assert ids == list(range(600))         # dense, unique, inherited
+    # object-path twin (forced through _tasks) must agree exactly
+    ids2 = sorted(r["_row_id"] for r in
+                  scan.to_df(spark, _tasks=scan.plan_files().tasks)
+                  .select("_row_id").collect())
+    assert ids2 == ids
