@@ -157,8 +157,15 @@ def _disk_cache_store(path: str, mtime_ns: int, cols: "ManifestColumns") -> None
     if os.path.exists(target):
         return
     try:
+        import threading
+        import uuid
         os.makedirs(d, exist_ok=True)
-        tmp = target + f".tmp{os.getpid()}"
+        # pid alone is NOT unique here: concurrent plan_files callers in
+        # one process would interleave writes into the same tmp file and
+        # publish a corrupt blob (load falls back to decode, but the
+        # cache would be poisoned until the mtime changes)
+        tmp = (target + f".tmp{os.getpid()}-{threading.get_ident()}"
+               f"-{uuid.uuid4().hex[:8]}")
         with open(tmp, "wb") as fh:
             pickle.dump(cols, fh, protocol=5)
         os.replace(tmp, target)         # atomic publish

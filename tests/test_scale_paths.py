@@ -599,3 +599,40 @@ def test_manifest_disk_cache_round_trip(warehouse, tmp_path, monkeypatch):
 
     # a REWRITTEN manifest (different mtime) must miss and decode fresh
     monkeypatch.undo()  # restore decode + env for other fixtures
+
+
+def test_manifest_disk_cache_concurrent_stores_valid(warehouse, tmp_path,
+                                                     monkeypatch):
+    """N threads planning the same table COLD with the disk cache on must
+    publish only VALID blobs (a pid-shared tmp name used to interleave
+    concurrent writes into one file) — every blob must unpickle and a
+    blob-served cold plan must match."""
+    import os
+    import pickle
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    cache_dir = str(tmp_path / "mcache_c")
+    monkeypatch.setenv("ICEBERG_SPARK_MANIFEST_DISK_CACHE", cache_dir)
+    t = _fab_table(warehouse, n_manifests=4, files_per_manifest=30)
+    pred = E.col("v") > 500
+
+    def one(_):
+        plan = t.scan(row_filter=pred).plan_files()
+        return sorted(x.data_file.file_path for x in plan.tasks)
+
+    for _trial in range(3):
+        _manifest_cache.cache_clear()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(one, range(8)))
+        assert all(r == results[0] for r in results[1:])
+    blobs = [f for f in os.listdir(cache_dir) if f.endswith(".pkl")]
+    assert len(blobs) == 4
+    for b in blobs:
+        with open(os.path.join(cache_dir, b), "rb") as fh:
+            cols = pickle.load(fh)      # corrupt blob would raise here
+        assert cols.n == 30
+    # blob-served cold plan agrees
+    _manifest_cache.cache_clear()
+    assert one(0) == results[0]
