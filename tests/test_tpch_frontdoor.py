@@ -331,3 +331,32 @@ def test_tpch_text_through_front_door(spark, tpch_wh, qname):
     want = [tuple(r) for r in spark.sql(text.format(**RAW)).collect()]
     assert len(want) > 0, f"{qname}: oracle produced no rows (bad constants)"
     assert got == want, (qname, got[:3], want[:3])
+
+
+def test_tpch_q1_and_q6_over_mor_deletes(spark, tmp_path):
+    """SQL front door over a MERGE-ON-READ table: after a MOR delete on
+    lineitem, TPC-H Q1/Q6 texts through run_sql must equal plain Spark
+    SQL over the raw rows MINUS the deleted ones — the composite the
+    reference's engine serves constantly (analytics over tables with
+    outstanding deletes)."""
+    import os
+
+    from iceberg_rust_spark import expr as E
+
+    wh = tmp_path / "wh_mor"
+    cat = FileSystemCatalog(str(wh))
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = Table.create(cat, "db.lineitem",
+                     schema_from_spark(df.schema)).append(spark, df)
+    t = t.delete_where(spark, E.col("l_discount") > 0.08, mode="mor")
+    df.createOrReplaceTempView("lineitem_mor_raw")
+
+    for qname in ("q1", "q6"):
+        text = Q[qname]
+        got = [tuple(r) for r in
+               run_sql(spark, cat, text.format(l="db.lineitem")).collect()]
+        want = [tuple(r) for r in spark.sql(text.format(
+            l="(SELECT * FROM lineitem_mor_raw WHERE l_discount <= 0.08)"
+        )).collect()]
+        assert len(want) > 0 and got == want, (qname, got[:2], want[:2])
+    shutil.rmtree(wh, ignore_errors=True)
