@@ -1364,6 +1364,14 @@ class _DeleteFileIndex:
         self.by_path: Dict[str, list] = {}
         self.by_partition: Dict[Tuple, _DeleteScope] = {}
         self.global_scope = _DeleteScope()
+        # raw-items -> canonical _part_key memo: partition dicts repeat
+        # heavily (constant per manifest for clustered writers), so the
+        # sorted+normalized key computes once per DISTINCT tuple instead
+        # of once per row on both the routing and the match side. Keyed
+        # by the UNSORTED items tuple — two insertion orders of the same
+        # dict just make two memo entries with equal values. Bounded by
+        # distinct partition tuples, same as by_partition itself.
+        self._pk_memo: Dict[tuple, Tuple] = {}
         for de in delete_entries:
             self.add_entry(de)
 
@@ -1398,10 +1406,20 @@ class _DeleteFileIndex:
         else:
             scope.pos.append(rec)
 
+    def _pk(self, part: Dict[str, Any]) -> Tuple:
+        raw = tuple(part.items())
+        try:
+            got = self._pk_memo.get(raw)
+        except TypeError:                   # unhashable value: no memo
+            return _part_key(part)
+        if got is None:
+            got = self._pk_memo[raw] = _part_key(part)
+        return got
+
     def add_entry(self, de: ManifestEntry) -> None:
         d = de.data_file
         self._route(de.sequence_number, d.content, d.referenced_data_file,
-                    (d.spec_id, _part_key(d.partition)) if d.partition
+                    (d.spec_id, self._pk(d.partition)) if d.partition
                     else None,
                     d.lower_bounds.get("file_path"),
                     d.upper_bounds.get("file_path"), d)
@@ -1448,7 +1466,7 @@ class _DeleteFileIndex:
                 continue
             part = cols.partition(i)
             self._route(seq_l[j], con_l[j], None,
-                        (spec_l[j], _part_key(part)) if part else None,
+                        (spec_l[j], self._pk(part)) if part else None,
                         los[i], his[i], (cols, i))
         return strays
 
@@ -1479,7 +1497,7 @@ class _DeleteFileIndex:
         scopes = (self.global_scope,) if not df_.partition else \
             (self.global_scope,
              self.by_partition.get((df_.spec_id,
-                                    _part_key(df_.partition))))
+                                    self._pk(df_.partition))))
         for scope in scopes:
             if scope is None:
                 continue
