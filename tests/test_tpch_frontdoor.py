@@ -360,3 +360,36 @@ def test_tpch_q1_and_q6_over_mor_deletes(spark, tmp_path):
         )).collect()]
         assert len(want) > 0 and got == want, (qname, got[:2], want[:2])
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_tpch_q6_time_travel_front_door(spark, tmp_path):
+    """TPC-H Q6 text with FOR VERSION AS OF through run_sql: the pinned
+    snapshot must compute over the PRE-delete rows while the current-state
+    text sees only survivors — SQL time travel composed with an analytics
+    text, both against plain Spark SQL oracles."""
+    from iceberg_rust_spark import expr as E
+
+    wh = tmp_path / "wh_tt"
+    cat = FileSystemCatalog(str(wh))
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = Table.create(cat, "db.lineitem",
+                     schema_from_spark(df.schema)).append(spark, df)
+    first = t.metadata.current_snapshot().snapshot_id
+    t = t.delete_where(spark, E.col("l_quantity") < 5.0, mode="cow")
+    df.createOrReplaceTempView("lineitem_tt_raw")
+
+    text = Q["q6"]
+    pinned = [tuple(r) for r in run_sql(
+        spark, cat,
+        text.format(l=f"db.lineitem FOR VERSION AS OF {first}")).collect()]
+    want_pinned = [tuple(r) for r in
+                   spark.sql(text.format(l="lineitem_tt_raw")).collect()]
+    assert pinned == want_pinned and want_pinned[0][0] is not None
+
+    current = [tuple(r) for r in run_sql(
+        spark, cat, text.format(l="db.lineitem")).collect()]
+    want_cur = [tuple(r) for r in spark.sql(text.format(
+        l="(SELECT * FROM lineitem_tt_raw WHERE l_quantity >= 5.0)"
+    )).collect()]
+    assert current == want_cur and current != pinned
+    shutil.rmtree(wh, ignore_errors=True)
