@@ -293,29 +293,42 @@ def write_avro_manifest(path: str, entries: List[ManifestEntry],
     name_to_id = {f.name: f.field_id for f in schema.fields}
     type_by_name = {f.name: f.field_type for f in schema.fields}
     # positional-delete stats (file_path bounds drive the reader's
-    # interval-stabbed delete index) export under the spec's reserved ids
-    name_to_id.setdefault("file_path", DELETE_FILE_PATH_ID)
-    type_by_name.setdefault("file_path", PrimitiveType("string"))
-    name_to_id.setdefault("pos", DELETE_FILE_POS_ID)
-    type_by_name.setdefault("pos", PrimitiveType("long"))
+    # interval-stabbed delete index) export under the spec's RESERVED ids —
+    # unconditionally for position-delete entries: a table column literally
+    # named "file_path"/"pos" must not shadow them (that would mis-attribute
+    # the delete stats to the data column's id and break readback routing)
+    _pos_del_ids = {"file_path": DELETE_FILE_PATH_ID,
+                    "pos": DELETE_FILE_POS_ID}
+    _pos_del_types = {"file_path": PrimitiveType("string"),
+                      "pos": PrimitiveType("long")}
 
-    def ids(d: Dict[str, int]) -> Optional[List[dict]]:
-        out = [{"key": name_to_id[k], "value": v}
-               for k, v in d.items() if k in name_to_id]
-        return out or None
-
-    def bounds(d: Dict[str, Any]) -> Optional[List[dict]]:
+    def ids(d: Dict[str, int], pos_delete: bool) -> Optional[List[dict]]:
         out = []
         for k, v in d.items():
-            if k not in name_to_id:
+            fid = _pos_del_ids.get(k) if pos_delete else None
+            if fid is None:
+                fid = name_to_id.get(k)
+            if fid is None:
                 continue
-            out.append({"key": name_to_id[k],
-                        "value": encode_single_value(type_by_name[k], v)})
+            out.append({"key": fid, "value": v})
+        return out or None
+
+    def bounds(d: Dict[str, Any], pos_delete: bool) -> Optional[List[dict]]:
+        out = []
+        for k, v in d.items():
+            if pos_delete and k in _pos_del_ids:
+                fid, typ = _pos_del_ids[k], _pos_del_types[k]
+            elif k in name_to_id:
+                fid, typ = name_to_id[k], type_by_name[k]
+            else:
+                continue
+            out.append({"key": fid, "value": encode_single_value(typ, v)})
         return out or None
 
     recs = []
     for e in entries:
         f = e.data_file
+        posd = f.content == 1            # CONTENT_POSITION_DELETES
         part = {}
         for pf in spec.fields:
             part[pf.name] = _export_partition_value(f.partition.get(pf.name))
@@ -329,12 +342,12 @@ def write_avro_manifest(path: str, entries: List[ManifestEntry],
                 "partition": part,
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.file_size_in_bytes,
-                "column_sizes": ids(f.column_sizes),
-                "value_counts": ids(f.value_counts),
-                "null_value_counts": ids(f.null_value_counts),
-                "nan_value_counts": ids(f.nan_value_counts),
-                "lower_bounds": bounds(f.lower_bounds),
-                "upper_bounds": bounds(f.upper_bounds),
+                "column_sizes": ids(f.column_sizes, posd),
+                "value_counts": ids(f.value_counts, posd),
+                "null_value_counts": ids(f.null_value_counts, posd),
+                "nan_value_counts": ids(f.nan_value_counts, posd),
+                "lower_bounds": bounds(f.lower_bounds, posd),
+                "upper_bounds": bounds(f.upper_bounds, posd),
                 "key_metadata": None,
                 "split_offsets": f.split_offsets or None,
                 "equality_ids": f.equality_ids or None,

@@ -126,14 +126,52 @@ _manifest_cache = _ManifestCache()
 # Corrupt/unreadable blobs fall back to a normal decode. Stores happen
 # at the END of plan_files (after the plan touched metric vectors /
 # partitions), so the persisted state includes the derived extracts.
+#
+# Layout version: blobs are pickles of ManifestColumns INTERNALS (slots,
+# memo tuple shapes). (path, mtime) keying cannot invalidate on a code
+# upgrade — a stale blob from an older build can unpickle cleanly into
+# the new class and fail at USE time (tuple-unpack in _vector_matcher),
+# outside the load-time catch. Bump whenever ManifestColumns slots or
+# memo shapes change so stale blobs miss cleanly.
+_DISK_CACHE_LAYOUT = 3
+
+
 def _disk_cache_dir() -> Optional[str]:
-    return os.environ.get("ICEBERG_SPARK_MANIFEST_DISK_CACHE") or None
+    d = os.environ.get("ICEBERG_SPARK_MANIFEST_DISK_CACHE") or None
+    if d is None:
+        return None
+    return d if _disk_cache_dir_safe(d) else None
+
+
+@functools.lru_cache(maxsize=8)
+def _disk_cache_dir_safe(d: str) -> bool:
+    """pickle.load from this directory is arbitrary code execution if other
+    users can write to it. Refuse (fall back to normal decode) unless the
+    directory is owned by the current user and not group/world-writable;
+    create it 0700 when absent. Checked once per dir per process."""
+    import stat
+    try:
+        try:
+            st = os.stat(d)
+        except FileNotFoundError:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.stat(d)
+        if not stat.S_ISDIR(st.st_mode):
+            return False
+        if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+            return False
+        if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+            return False
+        return True
+    except Exception:
+        return False
 
 
 def _disk_cache_path(cache_dir: str, path: str, mtime_ns: int) -> str:
     import hashlib
     h = hashlib.sha1(path.encode()).hexdigest()[:24]
-    return os.path.join(cache_dir, f"{h}-{mtime_ns}.pkl")
+    return os.path.join(cache_dir,
+                        f"{h}-{mtime_ns}-v{_DISK_CACHE_LAYOUT}.pkl")
 
 
 def _disk_cache_load(path: str, mtime_ns: int) -> Optional["ManifestColumns"]:
@@ -159,7 +197,7 @@ def _disk_cache_store(path: str, mtime_ns: int, cols: "ManifestColumns") -> None
     try:
         import threading
         import uuid
-        os.makedirs(d, exist_ok=True)
+        # dir exists (created 0700 by _disk_cache_dir_safe)
         # pid alone is NOT unique here: concurrent plan_files callers in
         # one process would interleave writes into the same tmp file and
         # publish a corrupt blob (load falls back to decode, but the
@@ -214,7 +252,14 @@ def load_manifest_list(path: str) -> Sequence[ManifestFile]:
 
 @dataclass
 class FileScanTask:
-    """Unit of read work (counterpart of scan/task.rs:55-118)."""
+    """Unit of read work (counterpart of scan/task.rs:55-118).
+
+    Note (r11+): DataFiles in ``pos_deletes``/``eq_deletes`` are LITE —
+    their per-column stat/bound maps are empty (matching the reference's
+    minimal FileScanTaskDeleteFile shape, scan/task.rs:120-140). The read
+    path consumes only path/format/content/offsets/equality_ids from
+    attached deletes; consumers needing delete-file stats should read the
+    manifest entries instead."""
     data_file: DataFile
     sequence_number: int
     pos_deletes: List[DataFile] = dc_field(default_factory=list)
@@ -477,8 +522,14 @@ class TableScan:
         # surviving delete-manifest set: manifests are immutable, so
         # repeated plans over the same MOR table skip the
         # O(delete files) routing pass entirely.
-        dkey = tuple((m.manifest_path,
-                      file_io_for(m.manifest_path).mtime_ns(m.manifest_path))
+        # mtimes captured ONCE, before decode, and used for BOTH the cache
+        # key and the disk-cache store: re-fetching mtime at store time
+        # could publish old decoded content under a NEW mtime if the
+        # manifest were replaced in place mid-plan (permanent poisoning)
+        mtime_of = {m.manifest_path:
+                    file_io_for(m.manifest_path).mtime_ns(m.manifest_path)
+                    for m in surviving_dels + surviving_data}
+        dkey = tuple((m.manifest_path, mtime_of[m.manifest_path])
                      for m in surviving_dels)
         with _delete_index_lock:
             cached = _delete_index_cache.get(dkey)
@@ -549,12 +600,14 @@ class TableScan:
                 self._fn, self._m = fn, m
 
             def result(self):
-                return self._fn(load_manifest_columns(self._m.manifest_path))
+                return self._fn(_manifest_cache.get(
+                    self._m.manifest_path, mtime_of[self._m.manifest_path]))
 
         def submit_all(mfs, fn):
             if pool is not None:
                 return [pool.submit(
-                    lambda m=m: fn(load_manifest_columns(m.manifest_path)))
+                    lambda m=m: fn(_manifest_cache.get(
+                        m.manifest_path, mtime_of[m.manifest_path])))
                     for m in mfs]
             return [_Now(fn, m) for m in mfs]
 
@@ -572,12 +625,12 @@ class TableScan:
             if pool is not None:
                 pool.shutdown(wait=True)
         def _persist(mfs, cols_list):
-            """Opt-in disk cache write-back (post-enrichment, best-effort)."""
+            """Opt-in disk cache write-back (post-enrichment, best-effort);
+            keyed by the mtime captured at plan START (see mtime_of)."""
             if _disk_cache_dir() is not None:
                 for m, c in zip(mfs, cols_list):
-                    io_ = file_io_for(m.manifest_path)
                     _disk_cache_store(m.manifest_path,
-                                      io_.mtime_ns(m.manifest_path), c)
+                                      mtime_of[m.manifest_path], c)
 
         if cached is None:
             # build unlocked (routing may take a while; concurrent misses

@@ -240,3 +240,56 @@ def test_export_interop_partitioned_evolved_mor(spark, warehouse):
     assert old and all(r[3] is None for r in old)
     new = [r for r in interop_rows if r[0] >= 240]
     assert new and all(r[3] == r[0] * 0.5 for r in new)
+
+
+def test_pos_delete_stats_use_reserved_ids_despite_column_collision(tmp_path):
+    """A table column literally named 'file_path' must not shadow the
+    reserved positional-delete stat ids (2147483546/2147483545): a pos
+    delete entry's file_path bounds export under the RESERVED ids and
+    round-trip back as 'file_path' bounds, while a DATA entry's stats for
+    the colliding column keep the table column's id."""
+    from iceberg_rust_spark.sources.avro_manifest import (
+        DELETE_FILE_PATH_ID, write_avro_manifest)
+    from iceberg_rust_spark.sources.manifest import (
+        CONTENT_POSITION_DELETES, DataFile, ManifestEntry)
+    from iceberg_rust_spark.sources.metadata import PartitionSpec
+    from iceberg_rust_spark.sources.types import (LONG, STRING, NestedField,
+                                                  Schema)
+
+    schema = Schema([NestedField(1, "k", LONG, True),
+                     NestedField(2, "file_path", STRING, True)], 0)
+    spec = PartitionSpec(0, [])
+    data_e = ManifestEntry(
+        status=1, snapshot_id=7, sequence_number=3, file_sequence_number=3,
+        data_file=DataFile(
+            file_path="/w/d1.parquet", record_count=10,
+            file_size_in_bytes=100,
+            value_counts={"k": 10, "file_path": 10},
+            lower_bounds={"k": 1, "file_path": "a.txt"},
+            upper_bounds={"k": 9, "file_path": "z.txt"},
+            schema_id=0, spec_id=0))
+    del_e = ManifestEntry(
+        status=1, snapshot_id=7, sequence_number=4, file_sequence_number=4,
+        data_file=DataFile(
+            file_path="/w/pd1.parquet", content=CONTENT_POSITION_DELETES,
+            record_count=2, file_size_in_bytes=64,
+            lower_bounds={"file_path": "/w/d1.parquet"},
+            upper_bounds={"file_path": "/w/d1.parquet"},
+            schema_id=0, spec_id=0))
+    p = str(tmp_path / "m.avro")
+    write_avro_manifest(p, [data_e, del_e], schema, spec)
+
+    # raw container: the delete entry's bound key is the RESERVED id,
+    # the data entry's is the table column id (2)
+    _schema, raw, _meta = read_container(open(p, "rb").read())
+    by_path = {r["data_file"]["file_path"]: r["data_file"] for r in raw}
+    del_keys = {kv["key"] for kv in by_path["/w/pd1.parquet"]["lower_bounds"]}
+    data_keys = {kv["key"] for kv in by_path["/w/d1.parquet"]["lower_bounds"]}
+    assert DELETE_FILE_PATH_ID in del_keys and 2 not in del_keys
+    assert 2 in data_keys and DELETE_FILE_PATH_ID not in data_keys
+
+    # readback maps both to the name 'file_path' in their own contexts
+    back = {e.data_file.file_path: e.data_file for e in read_avro_manifest(p)}
+    assert back["/w/pd1.parquet"].lower_bounds["file_path"] == "/w/d1.parquet"
+    assert back["/w/d1.parquet"].lower_bounds["file_path"] == "a.txt"
+    assert back["/w/d1.parquet"].lower_bounds["k"] == 1

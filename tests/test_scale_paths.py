@@ -636,3 +636,66 @@ def test_manifest_disk_cache_concurrent_stores_valid(warehouse, tmp_path,
     # blob-served cold plan agrees
     _manifest_cache.cache_clear()
     assert one(0) == results[0]
+
+
+def test_manifest_disk_cache_stale_layout_blob_misses(warehouse, tmp_path,
+                                                      monkeypatch):
+    """A blob written by an OLDER build (different ManifestColumns layout)
+    must MISS cleanly — the layout version is part of the filename, so a
+    planted stale-layout blob is never even opened, and the plan falls
+    back to a normal decode instead of crashing at use time."""
+    import os
+    import pickle
+
+    from iceberg_rust_spark.sources import scan as scan_mod
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    cache_dir = str(tmp_path / "mcache_v")
+    monkeypatch.setenv("ICEBERG_SPARK_MANIFEST_DISK_CACHE", cache_dir)
+    t = _fab_table(warehouse, n_manifests=2, files_per_manifest=20)
+    pred = E.col("v") > 300
+    _manifest_cache.cache_clear()
+    plan1 = t.scan(row_filter=pred).plan_files()
+    want = sorted(x.data_file.file_path for x in plan1.tasks)
+    blobs = sorted(os.listdir(cache_dir))
+    assert blobs and all(
+        b.endswith(f"-v{scan_mod._DISK_CACHE_LAYOUT}.pkl") for b in blobs)
+
+    # simulate an upgrade: rewrite every blob under the PREVIOUS layout
+    # version with garbage internals that would crash if unpickled+used
+    for b in blobs:
+        old_name = b.replace(f"-v{scan_mod._DISK_CACHE_LAYOUT}.pkl",
+                             f"-v{scan_mod._DISK_CACHE_LAYOUT - 1}.pkl")
+        with open(os.path.join(cache_dir, old_name), "wb") as fh:
+            pickle.dump({"stale": "layout"}, fh)
+        os.unlink(os.path.join(cache_dir, b))
+
+    _manifest_cache.cache_clear()
+    plan2 = t.scan(row_filter=pred).plan_files()   # must decode fresh
+    assert sorted(x.data_file.file_path for x in plan2.tasks) == want
+    # and the fresh decode re-published current-layout blobs
+    fresh = [b for b in os.listdir(cache_dir)
+             if b.endswith(f"-v{scan_mod._DISK_CACHE_LAYOUT}.pkl")]
+    assert len(fresh) == 2
+
+
+def test_manifest_disk_cache_refuses_unsafe_dir(warehouse, tmp_path,
+                                                monkeypatch):
+    """A group/world-writable cache dir is a pickle-execution hazard:
+    the cache must refuse it (plan normally, publish no blobs)."""
+    import os
+
+    from iceberg_rust_spark.sources import scan as scan_mod
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    cache_dir = str(tmp_path / "mcache_w")
+    os.makedirs(cache_dir)
+    os.chmod(cache_dir, 0o777)
+    scan_mod._disk_cache_dir_safe.cache_clear()
+    monkeypatch.setenv("ICEBERG_SPARK_MANIFEST_DISK_CACHE", cache_dir)
+    t = _fab_table(warehouse, n_manifests=2, files_per_manifest=10)
+    _manifest_cache.cache_clear()
+    plan = t.scan(row_filter=E.col("v") > 0).plan_files()
+    assert plan.total_data_files == 20
+    assert os.listdir(cache_dir) == []     # nothing written to unsafe dir
+    scan_mod._disk_cache_dir_safe.cache_clear()
