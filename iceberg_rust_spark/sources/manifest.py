@@ -674,6 +674,86 @@ class ManifestColumns:
             self._partitions = self._map_dicts("partition", de_scalar)
         return self._partitions
 
+    def partition_groups(self) -> tuple:
+        """(codes int64 array aligned to rows, parts list): one DECODED
+        partition dict per distinct raw partition tuple; ``parts[codes[i]]``
+        is row i's partition. Decode cost is per DISTINCT value, not per
+        row — clustered writers repeat one partition across a whole
+        manifest, so the delete-index routing pass and the fast-plan bulk
+        matcher pay O(distinct partitions) instead of O(rows) dict builds
+        (the per-row decode was ~2.5us x 110k delete rows per cold 100k-file
+        MOR plan). Fixed-width maps (one partition spec — the common case)
+        group via vectorized numpy run detection over the flat key/value
+        arrays; ragged maps fall back to a per-row memoized loop."""
+        import numpy as np
+        got = self._cols.get("__pgroups__")
+        if got is not None:
+            return got
+        from .datum import de_scalar
+        n = self.n
+        if n == 0:
+            got = (np.zeros(0, dtype=np.int64), [])
+            self._cols["__pgroups__"] = got
+            return got
+        if self._tab is None:
+            parts, codes, memo = [], np.empty(n, dtype=np.int64), {}
+            for i, e in enumerate(self._entries):
+                raw = tuple(sorted(e.data_file.partition.items(),
+                                   key=lambda kv: kv[0]))
+                c = memo.get(raw)
+                if c is None:
+                    c = memo[raw] = len(parts)
+                    parts.append(e.data_file.partition)
+                codes[i] = c
+            got = (codes, parts)
+            self._cols["__pgroups__"] = got
+            return got
+        offs, keys, items = self._map_parts("partition")
+        lengths = np.diff(offs)
+        if not lengths.any():                 # unpartitioned manifest
+            got = (np.zeros(n, dtype=np.int64), [{}])
+            self._cols["__pgroups__"] = got
+            return got
+        ks = np.asarray(keys.to_pylist(), dtype=object)
+        vs = np.asarray(items.to_pylist(), dtype=object)
+        codes = np.empty(n, dtype=np.int64)
+        parts: list = []
+        memo: dict = {}
+
+        def decode(raw_ks, raw_vs):
+            key = (tuple(raw_ks), tuple(raw_vs))
+            c = memo.get(key)
+            if c is None:
+                c = memo[key] = len(parts)
+                parts.append({k: de_scalar(v)
+                              for k, v in zip(raw_ks, raw_vs)})
+            return c
+
+        L = int(lengths[0])
+        off0 = int(offs[0])                   # chunk offsets may not be 0-based
+        if L > 0 and (lengths == L).all():
+            # fixed width: reshape flat arrays to (n, L); a row differs
+            # from its predecessor iff any of its L cells differ — one
+            # vectorized object-compare pass finds run boundaries, then
+            # one decode per run start (deduped across runs by raw value)
+            K = ks[off0:off0 + n * L].reshape(n, L)
+            V = vs[off0:off0 + n * L].reshape(n, L)
+            if n > 1:
+                change = ((K[1:] != K[:-1]) | (V[1:] != V[:-1])).any(axis=1)
+                starts = np.concatenate(
+                    ([0], np.nonzero(change)[0] + 1, [n]))
+            else:
+                starts = np.array([0, n])
+            for s, e_ in zip(starts[:-1], starts[1:]):
+                codes[s:e_] = decode(K[s].tolist(), V[s].tolist())
+        else:
+            for i in range(n):
+                lo, hi = int(offs[i]), int(offs[i + 1])
+                codes[i] = decode(ks[lo:hi].tolist(), vs[lo:hi].tolist())
+        got = (codes, parts)
+        self._cols["__pgroups__"] = got
+        return got
+
 
 def read_manifest_columns(path: str) -> ManifestColumns:
     t = _read_pq_via_io(path)

@@ -110,6 +110,7 @@ class _ManifestCache:
         # under free-threaded builds)
         with _delete_index_lock:
             _delete_index_cache.clear()
+            _fast_match_cache.clear()
 
 
 _manifest_cache = _ManifestCache()
@@ -218,6 +219,11 @@ def _disk_cache_store(path: str, mtime_ns: int, cols: "ManifestColumns") -> None
 # a benign double-build on a concurrent miss is fine, a torn OrderedDict
 # is not.
 _delete_index_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+# bulk delete-attachment memo for the array fast plan: (manifest path,
+# mtime, delete-manifest-set key) -> (survivor idx array, per-survivor
+# interned delete sets). Entries reference cols views the manifest cache
+# already holds plus small rec tuples; capped LRU, same lock.
+_fast_match_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 _delete_index_lock = __import__("threading").Lock()
 
 
@@ -299,11 +305,25 @@ class ScanPlan:
     def tasks(self) -> List[FileScanTask]:
         if self._tasks is None:
             ts: List[FileScanTask] = []
-            for cols, idx in (self._fast or ()):
-                for i in idx:
+            file_memo: Dict[int, DataFile] = {}
+
+            def mat(src):
+                k = id(src)
+                f = file_memo.get(k)
+                if f is None:
+                    f = file_memo[k] = _DeleteFileIndex._file(src)
+                return f
+
+            for cols, idx, sets in (self._fast or ()):
+                for j, i in enumerate(idx):
                     e = cols.entry(int(i))
-                    ts.append(FileScanTask(data_file=e.data_file,
-                                           sequence_number=e.sequence_number))
+                    t = FileScanTask(data_file=e.data_file,
+                                     sequence_number=e.sequence_number)
+                    s = sets[j] if sets is not None else None
+                    if s is not None:
+                        t.pos_deletes.extend(mat(x) for x in s[0])
+                        t.eq_deletes.extend(mat(x) for x in s[1])
+                    ts.append(t)
             self._tasks = ts
         return self._tasks
 
@@ -536,11 +556,15 @@ class TableScan:
             if cached is not None:
                 _delete_index_cache.move_to_end(dkey)
 
-        # AlwaysTrue with no delete manifests plans into survivor-index
-        # ARRAYS (plan._fast): FileScanTask/entry objects materialize only
-        # if a consumer touches plan.tasks — to_df and count_rows read the
-        # arrays directly, so a full scan never builds per-file objects
-        maybe_fast = always_true and not surviving_dels
+        # AlwaysTrue plans into survivor-index ARRAYS (plan._fast):
+        # FileScanTask/entry objects materialize only if a consumer touches
+        # plan.tasks — to_df and count_rows read the arrays directly, so a
+        # full scan never builds per-file objects. With delete manifests
+        # (r12) deletes attach in BULK off the flat arrays
+        # (_DeleteFileIndex.match_arrays), memoized per
+        # (manifest, delete-set), so warm full-scan-with-deletes replans
+        # without rebuilding 100k entry/task objects.
+        maybe_fast = always_true
 
         def prepare(cols: ManifestColumns) -> ManifestColumns:
             """Pool stage: manifest decode + the C-side metric/partition
@@ -655,21 +679,45 @@ class TableScan:
         # writers) overlay per plan so the cached index stays immutable
         overlay_index: Optional[_DeleteFileIndex] = None
 
-        if maybe_fast:
+        if maybe_fast and not stray_data:
             import numpy as np
             fast_groups, clean = [], True
-            for cols in loaded:
+            for mfm, cols in zip(surviving_data, loaded):
                 live = cols.status != STATUS_DELETED
                 dmask = live & (cols.content == CONTENT_DATA)
                 if bool((live & ~dmask).any()):
                     clean = False   # stray deletes: object path handles
                     break
-                fast_groups.append((cols, np.nonzero(dmask)[0]))
+                fast_groups.append((mfm, cols, np.nonzero(dmask)[0]))
             if clean:
-                plan._fast = fast_groups
+                fast = []
+                for mfm, cols, ix in fast_groups:
+                    sets = None
+                    if surviving_dels and len(ix):
+                        # bulk delete attachment, memoized per
+                        # (manifest, delete-manifest set): manifests are
+                        # immutable, so a warm replan of a live MOR table
+                        # reuses the matched sets outright
+                        fkey = (mfm.manifest_path,
+                                mtime_of[mfm.manifest_path], dkey)
+                        with _delete_index_lock:
+                            hit = _fast_match_cache.get(fkey)
+                            if hit is not None:
+                                _fast_match_cache.move_to_end(fkey)
+                        if hit is not None:
+                            ix, sets = hit
+                        else:
+                            sets = delete_index.match_arrays(cols, ix)
+                            with _delete_index_lock:
+                                if fkey not in _fast_match_cache:
+                                    _fast_match_cache[fkey] = (ix, sets)
+                                    while len(_fast_match_cache) > 4096:
+                                        _fast_match_cache.popitem(last=False)
+                    fast.append((cols, ix, sets))
+                plan._fast = fast
                 plan._tasks = None   # materialize lazily on .tasks touch
                 plan.total_data_files = int(
-                    sum(len(ix) for _, ix in fast_groups))
+                    sum(len(ix) for _, ix, _ in fast))
                 return plan
 
         results = [eval_cols(c) for c in loaded]
@@ -987,11 +1035,44 @@ class TableScan:
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
         if plan._fast is not None and plan._tasks is None \
                 and isinstance(bound, E.AlwaysTrue):
-            # fast plan = AlwaysTrue + no deletes: record_count sums
-            # straight off the manifest arrays, zero objects built
-            self.last_count_residual_files = 0
-            return int(sum(int(c.record_count[ix].sum())
-                           for c, ix in plan._fast))
+            # fast plan: record_count sums straight off the manifest
+            # arrays for files with NO applicable deletes; only
+            # delete-bearing files materialize tasks for a data read
+            total = 0
+            residual: List[FileScanTask] = []
+            fmemo: Dict[int, DataFile] = {}
+
+            def fmat(src):
+                k = id(src)
+                f = fmemo.get(k)
+                if f is None:
+                    f = fmemo[k] = _DeleteFileIndex._file(src)
+                return f
+
+            for c, ix, sets in plan._fast:
+                if sets is None:
+                    total += int(c.record_count[ix].sum())
+                    continue
+                rc = c.record_count
+                for j, i in enumerate(ix):
+                    s = sets[j]
+                    if s is None:
+                        total += int(rc[int(i)])
+                        continue
+                    e = c.entry(int(i))
+                    task = FileScanTask(data_file=e.data_file,
+                                        sequence_number=e.sequence_number)
+                    task.pos_deletes.extend(fmat(x) for x in s[0])
+                    task.eq_deletes.extend(fmat(x) for x in s[1])
+                    residual.append(task)
+            self.last_count_residual_files = len(residual)
+            if residual:
+                if spark is None:
+                    raise ValueError(
+                        f"{len(residual)} files need a data read to count "
+                        "exactly; pass a SparkSession")
+                total += self.to_df(spark, _tasks=residual).count()
+            return int(total)
         total, residual = 0, []
         for task in plan.tasks:
             df_ = task.data_file
@@ -1022,31 +1103,84 @@ class TableScan:
         schema = self._scan_schema(md, snap) if snap else md.schema()
         spark_schema = schema.to_spark()
 
-        # fast plan (AlwaysTrue, no deletes): group file-path ARRAYS by
-        # write-schema id — the same group key the object path computes
-        # when delete sets are empty — without materializing per-file
-        # entry/task objects. include_metadata_columns needs a
-        # per-(spec, partition) split, so it takes the object path.
+        # fast plan (AlwaysTrue): group file-path ARRAYS by (write-schema
+        # id, applicable-delete-set signature) — the same group key the
+        # object path computes — without materializing per-file entry/task
+        # objects. Delete files materialize LITE, once per distinct set.
+        # include_metadata_columns needs a per-(spec, partition) split, so
+        # it takes the object path.
         fast = (plan._fast if _tasks is None and plan._tasks is None
                 and not self.include_metadata_columns else None)
         group_list: List[dict] = []
         if fast is not None:
             import numpy as np
-            by_schema: Dict[Optional[int], dict] = {}
-            for cols, idx in fast:
+            by_key: Dict[tuple, dict] = {}
+            src_memo: Dict[int, DataFile] = {}
+
+            def _mat(src):
+                k = id(src)
+                f = src_memo.get(k)
+                if f is None:
+                    f = src_memo[k] = _DeleteFileIndex._file(src)
+                return f
+
+            sig_memo: Dict[int, tuple] = {}   # id(set) -> (pos_sig, eq_sig)
+
+            def _sig(s):
+                got = sig_memo.get(id(s))
+                if got is None:
+                    got = sig_memo[id(s)] = (
+                        tuple(sorted(_mat(x).file_path for x in s[0])),
+                        tuple(sorted(_mat(x).file_path for x in s[1])))
+                return got
+
+            def _group(key):
+                g = by_key.get(key)
+                if g is None:
+                    g = by_key[key] = {"files": [], "srcs": [],
+                                       "pos_dels": {}, "eq_files": [],
+                                       "eq_seen": set(), "set_seen": set()}
+                return g
+
+            for cols, idx, sets in fast:
                 if not len(idx):
                     continue
                 fps = cols.file_paths()
                 raws = cols.schema_id_raw
-                for raw in np.unique(raws[idx]):
-                    raw = int(raw)
-                    sel = idx[raws[idx] == raw]
-                    g = by_schema.setdefault(
-                        None if raw == -1 else raw,
-                        {"files": [], "srcs": []})
-                    g["files"].extend(fps[int(i)] for i in sel)
-                    g["srcs"].append((cols, sel))
-            if not by_schema:
+                if sets is None:
+                    for raw in np.unique(raws[idx]):
+                        raw = int(raw)
+                        sel = idx[raws[idx] == raw]
+                        g = _group((None if raw == -1 else raw, (), ()))
+                        g["files"].extend(fps[int(i)] for i in sel)
+                        g["srcs"].append((cols, sel))
+                    continue
+                per_group_sel: Dict[tuple, list] = {}
+                for j, i in enumerate(idx):
+                    i = int(i)
+                    raw = int(raws[i])
+                    s = sets[j]
+                    psig, esig = _sig(s) if s is not None else ((), ())
+                    key = (None if raw == -1 else raw, psig, esig)
+                    per_group_sel.setdefault(key, []).append(i)
+                    if s is not None:
+                        g = _group(key)
+                        if id(s) not in g["set_seen"]:
+                            g["set_seen"].add(id(s))
+                            for x in s[0]:
+                                d = _mat(x)
+                                g["pos_dels"].setdefault(
+                                    (d.file_path, d.referenced_data_file), d)
+                            for x in s[1]:
+                                d = _mat(x)
+                                if id(d) not in g["eq_seen"]:
+                                    g["eq_seen"].add(id(d))
+                                    g["eq_files"].append(d)
+                for key, rows in per_group_sel.items():
+                    g = _group(key)
+                    g["files"].extend(fps[i] for i in rows)
+                    g["srcs"].append((cols, np.asarray(rows)))
+            if not by_key:
                 return spark.createDataFrame([], spark_schema)
 
             def _fast_sizes(srcs):
@@ -1068,12 +1202,13 @@ class TableScan:
                                     int(seqs[i])))
                 return out
 
-            for schema_id, g in by_schema.items():
+            for (schema_id, _psig, _esig), g in by_key.items():
                 group_list.append(dict(
                     schema_id=schema_id, files=g["files"],
                     sizes=functools.partial(_fast_sizes, g["srcs"]),
                     frids=functools.partial(_fast_frids, g["srcs"]),
-                    pos_dels={}, eq_files=[], first=None))
+                    pos_dels=g["pos_dels"], eq_files=g["eq_files"],
+                    first=None))
         else:
             if not plan.tasks:
                 return spark.createDataFrame([], spark_schema)
@@ -1509,6 +1644,8 @@ class _DeleteFileIndex:
         con_l = cols.content[del_rows].tolist()
         spec_l = cols.spec_id[del_rows].tolist()
         by_path = self.by_path
+        pcodes = pparts = None              # lazy: DV-only manifests skip it
+        pk_by_code: dict = {}
         for j, i in enumerate(idx_l):
             ref = refs[i]
             if ref is not None:
@@ -1517,9 +1654,17 @@ class _DeleteFileIndex:
                 by_path.setdefault(_norm_path_py(ref), []).append(
                     (seq_l[j], con_l[j], (cols, i)))
                 continue
-            part = cols.partition(i)
+            if pcodes is None:
+                # partition dicts decode once per DISTINCT raw value
+                # (vectorized run detection), not once per delete row
+                pcodes, pparts = cols.partition_groups()
+            code = int(pcodes[i])
+            pk = pk_by_code.get(code)
+            if pk is None:
+                part = pparts[code]
+                pk = pk_by_code[code] = (self._pk(part) if part else False)
             self._route(seq_l[j], con_l[j], None,
-                        (spec_l[j], self._pk(part)) if part else None,
+                        (spec_l[j], pk) if pk is not False else None,
                         los[i], his[i], (cols, i))
         return strays
 
@@ -1564,6 +1709,94 @@ class _DeleteFileIndex:
             for dseq, _content, src in scope.eq:
                 if dseq > seq:
                     task.eq_deletes.append(self._file(src))
+
+    @property
+    def empty(self) -> bool:
+        g = self.global_scope
+        return not (self.by_path or self.by_partition
+                    or g.pos or g.eq or g.bounded)
+
+    def match_arrays(self, cols: "ManifestColumns", idx) -> Optional[list]:
+        """Bulk twin of ``match`` for the AlwaysTrue array fast plan: one
+        pass over the survivor-index array of a DATA manifest, returning a
+        list aligned with ``idx`` whose elements are None (no applicable
+        deletes) or an INTERNED ``(pos_srcs, eq_srcs)`` tuple of rec
+        sources (materialize via ``_file`` only when a consumer builds
+        tasks/DataFrames). Same seq-visibility and (spec_id, partition)
+        scoping rules as ``match`` — the per-survivor work is dict lookups
+        against pre-grouped state: scope delete lists memoize per
+        (scope, data seq), partition keys come from the run-deduplicated
+        ``partition_groups`` codes, and partition dicts never decode at
+        all when only path-scoped deletes exist (the DV common case).
+        Returns None when the index is empty."""
+        import numpy as np
+        n = len(idx)
+        if n == 0 or self.empty:
+            return None
+        fps = cols.file_paths()
+        seqs = cols.sequence_number
+        specs = cols.spec_id
+        by_path = self.by_path
+        gscope = self.global_scope
+        need_part = bool(self.by_partition)
+        pcodes = pparts = None
+        if need_part:
+            pcodes, pparts = cols.partition_groups()
+        scope_memo: dict = {}               # (id(scope), seq) -> (pos, eq)
+        scope_by_code: dict = {}            # (code, spec) -> scope | None
+        set_memo: dict = {}                 # id-tuples -> interned sets
+        out = [None] * n
+        idx_l = idx.tolist() if hasattr(idx, "tolist") else list(idx)
+        for j, i in enumerate(idx_l):
+            seq = int(seqs[i])
+            p = _norm_path_py(fps[i])
+            pos_parts: list = []
+            eq_parts: list = []
+            rl = by_path.get(p)
+            if rl:
+                for dseq, content, src in rl:
+                    if content == CONTENT_POSITION_DELETES and dseq >= seq:
+                        pos_parts.append(src)
+                    elif content == CONTENT_EQUALITY_DELETES and dseq > seq:
+                        eq_parts.append(src)
+            pscope = None
+            if need_part:
+                code = int(pcodes[i])
+                skey = (code, int(specs[i]))
+                pscope = scope_by_code.get(skey, False)
+                if pscope is False:
+                    part = pparts[code]
+                    pscope = (self.by_partition.get(
+                        (skey[1], self._pk(part))) if part else None)
+                    scope_by_code[skey] = pscope
+            for scope in (gscope, pscope):
+                if scope is None:
+                    continue
+                mkey = (id(scope), seq)
+                got = scope_memo.get(mkey)
+                if got is None:
+                    got = scope_memo[mkey] = (
+                        tuple(src for dseq, _c, src in scope.pos
+                              if dseq >= seq),
+                        tuple(src for dseq, _c, src in scope.eq
+                              if dseq > seq))
+                pos_parts.extend(got[0])
+                eq_parts.extend(got[1])
+                if scope.bounded is not None:
+                    for dseq, _c, src in scope.bounded.stab(p):
+                        if dseq >= seq:
+                            pos_parts.append(src)
+            if not pos_parts and not eq_parts:
+                continue
+            ikey = (tuple(map(id, pos_parts)), tuple(map(id, eq_parts)))
+            interned = set_memo.get(ikey)
+            if interned is None:
+                interned = set_memo[ikey] = (tuple(pos_parts),
+                                             tuple(eq_parts))
+            out[j] = interned
+        if not any(x is not None for x in out):
+            return None
+        return out
 
 
 def _delete_set_bytes(deletes: List["DataFile"]) -> int:

@@ -699,3 +699,118 @@ def test_manifest_disk_cache_refuses_unsafe_dir(warehouse, tmp_path,
     assert plan.total_data_files == 20
     assert os.listdir(cache_dir) == []     # nothing written to unsafe dir
     scan_mod._disk_cache_dir_safe.cache_clear()
+
+
+# ------------------------------------------- r12: fast array plan + deletes
+def _fab_mor_table(warehouse, n_manifests=3, files_per_manifest=30):
+    """Fabricated MOR table in the three real-world delete shapes: one DV
+    path-scoped pos delete per data file, one file_path-BOUNDED
+    partition-scoped pos delete per 10-file run, one equality delete per
+    partition. A LATE data manifest (appended after all deletes) proves
+    seq-visibility: none of the deletes may attach to it."""
+    t = _fab_table(warehouse, n_manifests, files_per_manifest)
+    for m in range(n_manifests):
+        dels = [DataFile(
+            file_path=f"/nonexistent/del/m{m}/dv{i}.puffin",
+            file_format="puffin", content=CONTENT_POSITION_DELETES,
+            partition={"p": m}, record_count=3, file_size_in_bytes=64,
+            referenced_data_file=f"/nonexistent/m{m}/f{i}.parquet",
+            content_offset=4, content_size_in_bytes=32,
+            schema_id=0, spec_id=0) for i in range(files_per_manifest)]
+        dels += [DataFile(
+            file_path=f"/nonexistent/del/m{m}/pd{r}.parquet",
+            content=CONTENT_POSITION_DELETES, partition={"p": m},
+            record_count=10, file_size_in_bytes=1 << 10,
+            lower_bounds={"file_path": f"/nonexistent/m{m}/f{r * 10}.parquet"},
+            upper_bounds={"file_path":
+                          f"/nonexistent/m{m}/f{r * 10 + 9}.parquet"},
+            schema_id=0, spec_id=0)
+            for r in range(files_per_manifest // 10)]
+        dels.append(DataFile(
+            file_path=f"/nonexistent/del/m{m}/eq.parquet",
+            content=CONTENT_EQUALITY_DELETES, partition={"p": m},
+            record_count=5, equality_ids=[3], schema_id=0, spec_id=0))
+        t = t._commit_retry(lambda md, fs=dels: t._snapshot_update(
+            md, "delete", added_deletes=fs))
+    late = [DataFile(
+        file_path=f"/nonexistent/late/f{i}.parquet", record_count=100,
+        file_size_in_bytes=1 << 20, partition={"p": 0},
+        value_counts={"k": 100, "p": 100, "v": 100},
+        null_value_counts={"k": 0, "p": 0, "v": 0},
+        lower_bounds={"k": 0, "p": 0, "v": 0},
+        upper_bounds={"k": 10 ** 9, "p": 0, "v": 10},
+        schema_id=0, spec_id=0) for i in range(5)]
+    return t._commit_retry(lambda md: t._snapshot_update(
+        md, "append", added=late))
+
+
+def _attach_sig(plan):
+    return sorted(
+        (x.data_file.file_path,
+         tuple(sorted(d.file_path for d in x.pos_deletes)),
+         tuple(sorted(d.file_path for d in x.eq_deletes)))
+        for x in plan.tasks)
+
+
+def test_fast_plan_with_deletes_matches_object_plan(warehouse):
+    """The r12 array fast plan for full-scan WITH deletes: an AlwaysTrue
+    scan over a MOR table must stay on plan._fast (no eager task objects)
+    and lazily materialize EXACTLY the per-file delete attachments the
+    object path (non-trivial predicate) computes — DV path-scoped,
+    file_path-bounded, equality, and seq-gating for a late data file."""
+    t = _fab_mor_table(warehouse)
+    fast = t.scan().plan_files()
+    assert fast._fast is not None and fast._tasks is None
+    assert any(sets is not None for _, _, sets in fast._fast)
+    obj = t.scan(row_filter=E.col("k") >= 0).plan_files()
+    assert obj._fast is None
+    fsig, osig = _attach_sig(fast), _attach_sig(obj)
+    assert fsig == osig
+    # the late manifest's files carry NO deletes (all deletes have lower
+    # seq); every original file carries its DV + its run's bounded delete
+    # + its partition's eq delete
+    by_file = dict((f, (p, e)) for f, p, e in fsig)
+    late = by_file["/nonexistent/late/f0.parquet"]
+    assert late == ((), ())
+    f0 = by_file["/nonexistent/m1/f7.parquet"]
+    assert len(f0[0]) == 2 and len(f0[1]) == 1
+    assert any("dv7" in p for p in f0[0])
+
+
+def test_fast_plan_with_deletes_count_rows(warehouse):
+    """count_rows on a fast MOR plan: delete-free files sum off the
+    arrays; delete-bearing files are residual (need a data read)."""
+    t = _fab_mor_table(warehouse, n_manifests=2, files_per_manifest=20)
+    scan = t.scan()
+    with pytest.raises(ValueError, match="need a data read"):
+        scan.count_rows()
+    assert scan.last_count_residual_files == 40   # all original files
+
+
+def test_fast_plan_with_deletes_warm_replan_uses_memo(warehouse):
+    """A warm replan of the same MOR table must hit the bulk-match memo
+    (_fast_match_cache) and produce the identical plan."""
+    from iceberg_rust_spark.sources.scan import (_fast_match_cache,
+                                                 _manifest_cache)
+    _manifest_cache.cache_clear()
+    t = _fab_mor_table(warehouse, n_manifests=2, files_per_manifest=20)
+    p1 = t.scan().plan_files()
+    n_memo = len(_fast_match_cache)
+    assert n_memo >= 1
+    p2 = t.scan().plan_files()
+    assert len(_fast_match_cache) == n_memo     # pure hits, no growth
+    assert _attach_sig(p1) == _attach_sig(p2)
+
+
+def test_fast_plan_mor_to_df_rows(spark, warehouse):
+    """End-to-end on REAL data: an AlwaysTrue scan over a table with MOR
+    deletes takes the fast path and returns the right rows."""
+    df = _ids(spark, 500)
+    t = Table.create(warehouse, "db.fastmor", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("v") == 3, mode="mor")
+    plan = t.scan().plan_files()
+    assert plan._fast is not None and plan._tasks is None
+    got = sorted(r["k"] for r in t.to_df(spark).collect())
+    want = sorted(r["k"] for r in df.filter(F.col("v") != 3).collect())
+    assert got == want
