@@ -161,6 +161,30 @@ MANIFEST_LIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
      "field-id": 507},
     {"name": "key_metadata", "type": _opt("bytes"), "field-id": 519}]}
 
+# v1 manifest-list layout (reference golden:
+# crates/iceberg/testdata/avro_schema_manifest_file_v1.json): no
+# content/sequence fields, snapshot id + counts optional
+MANIFEST_LIST_SCHEMA_V1 = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": _opt("long"), "field-id": 503},
+        {"name": "added_data_files_count", "type": _opt("int"),
+         "field-id": 504},
+        {"name": "existing_data_files_count", "type": _opt("int"),
+         "field-id": 505},
+        {"name": "deleted_data_files_count", "type": _opt("int"),
+         "field-id": 506},
+        {"name": "partitions",
+         "type": _opt({"type": "array", "items": _FIELD_SUMMARY}),
+         "field-id": 507},
+        {"name": "added_rows_count", "type": _opt("long"), "field-id": 512},
+        {"name": "existing_rows_count", "type": _opt("long"),
+         "field-id": 513},
+        {"name": "deleted_rows_count", "type": _opt("long"),
+         "field-id": 514}]}
+
 
 def _avro_type_for(t: IcebergType) -> Any:
     name = getattr(t, "name", "string")
@@ -195,16 +219,25 @@ def _partition_record_schema(schema: Schema, spec_fields) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def manifest_entry_schema(schema: Schema, spec_fields) -> dict:
-    data_file = {"type": "record", "name": "r2", "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
+def manifest_entry_schema(schema: Schema, spec_fields,
+                          format_version: int = 2) -> dict:
+    """v2 (default) or v1 manifest_entry Avro schema. v1 (spec Appendix C /
+    the reference's v1 golden layout): no content/sequence/equality/DV
+    fields, snapshot_id required, and the required legacy
+    block_size_in_bytes (field-id 105)."""
+    v1 = format_version < 2
+    head = ([] if v1 else
+            [{"name": "content", "type": "int", "field-id": 134}])
+    data_file = {"type": "record", "name": "r2", "fields": head + [
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
         {"name": "partition",
          "type": _partition_record_schema(schema, spec_fields),
          "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104}] + ([
+        {"name": "block_size_in_bytes", "type": "long", "field-id": 105}]
+        if v1 else []) + [
         {"name": "column_sizes",
          "type": _opt(_kv_array(117, 118, "long", "k117_v118")), "field-id": 108},
         {"name": "value_counts",
@@ -219,13 +252,20 @@ def manifest_entry_schema(schema: Schema, spec_fields) -> dict:
          "type": _opt(_kv_array(129, 130, "bytes", "k129_v130")), "field-id": 128},
         {"name": "key_metadata", "type": _opt("bytes"), "field-id": 131},
         {"name": "split_offsets",
-         "type": _opt({"type": "array", "items": "long"}), "field-id": 132},
+         "type": _opt({"type": "array", "items": "long"}), "field-id": 132}] + ([
+        {"name": "sort_order_id", "type": _opt("int"), "field-id": 140}]
+        if v1 else [
         {"name": "equality_ids",
          "type": _opt({"type": "array", "items": "int"}), "field-id": 135},
         {"name": "sort_order_id", "type": _opt("int"), "field-id": 140},
         {"name": "referenced_data_file", "type": _opt("string"), "field-id": 143},
         {"name": "content_offset", "type": _opt("long"), "field-id": 144},
-        {"name": "content_size_in_bytes", "type": _opt("long"), "field-id": 145}]}
+        {"name": "content_size_in_bytes", "type": _opt("long"), "field-id": 145}])}
+    if v1:
+        return {"type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {"name": "data_file", "type": data_file, "field-id": 2}]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": _opt("long"), "field-id": 1},
@@ -240,7 +280,8 @@ def manifest_entry_schema(schema: Schema, spec_fields) -> dict:
 
 
 def write_avro_manifest_list(path: str, manifests: List[ManifestFile],
-                             spec_fields=(), schema: Optional[Schema] = None) -> int:
+                             spec_fields=(), schema: Optional[Schema] = None,
+                             format_version: int = 2) -> int:
     recs = []
     for m in manifests:
         parts = None
@@ -260,13 +301,10 @@ def write_avro_manifest_list(path: str, manifests: List[ManifestFile],
                         "contains_nan": fs.contains_nan,
                         "lower_bound": encode_single_value(rt, fs.lower),
                         "upper_bound": encode_single_value(rt, fs.upper)})
-        recs.append({
+        rec = {
             "manifest_path": m.manifest_path,
             "manifest_length": m.manifest_length,
             "partition_spec_id": m.partition_spec_id,
-            "content": m.content,
-            "sequence_number": m.sequence_number,
-            "min_sequence_number": m.min_sequence_number,
             "added_snapshot_id": m.added_snapshot_id,
             "added_data_files_count": m.added_files_count,
             "existing_data_files_count": m.existing_files_count,
@@ -274,8 +312,15 @@ def write_avro_manifest_list(path: str, manifests: List[ManifestFile],
             "added_rows_count": m.added_rows_count,
             "existing_rows_count": m.existing_rows_count,
             "deleted_rows_count": m.deleted_rows_count,
-            "partitions": parts, "key_metadata": None})
-    data = write_container(MANIFEST_LIST_SCHEMA, recs)
+            "partitions": parts}
+        if format_version >= 2:
+            rec.update({"content": m.content,
+                        "sequence_number": m.sequence_number,
+                        "min_sequence_number": m.min_sequence_number,
+                        "key_metadata": None})
+        recs.append(rec)
+    data = write_container(MANIFEST_LIST_SCHEMA if format_version >= 2
+                           else MANIFEST_LIST_SCHEMA_V1, recs)
     file_io_for(path).write_bytes(path, data)
     return len(data)
 
@@ -288,8 +333,14 @@ DELETE_FILE_POS_ID = 2147483545
 
 def write_avro_manifest(path: str, entries: List[ManifestEntry],
                         schema: Schema, spec, format_version: int = 2) -> int:
-    """``spec`` is a PartitionSpec (fields give the r102 partition record)."""
-    aschema = manifest_entry_schema(schema, spec.fields)
+    """``spec`` is a PartitionSpec (fields give the r102 partition record).
+    ``format_version=1`` writes the v1 entry layout (no content/sequence/
+    equality/DV fields, required snapshot_id + block_size_in_bytes) —
+    data-content entries only, since v1 tables have no delete files."""
+    v1 = format_version < 2
+    if v1 and any(e.data_file.content != 0 for e in entries):
+        raise ValueError("format_version=1 manifests cannot hold delete files")
+    aschema = manifest_entry_schema(schema, spec.fields, format_version)
     name_to_id = {f.name: f.field_id for f in schema.fields}
     type_by_name = {f.name: f.field_type for f in schema.fields}
     # positional-delete stats (file_path bounds drive the reader's
@@ -332,29 +383,38 @@ def write_avro_manifest(path: str, entries: List[ManifestEntry],
         part = {}
         for pf in spec.fields:
             part[pf.name] = _export_partition_value(f.partition.get(pf.name))
+        dfrec = {
+            "file_path": f.file_path,
+            "file_format": f.file_format.upper(),
+            "partition": part,
+            "record_count": f.record_count,
+            "file_size_in_bytes": f.file_size_in_bytes,
+            "column_sizes": ids(f.column_sizes, posd),
+            "value_counts": ids(f.value_counts, posd),
+            "null_value_counts": ids(f.null_value_counts, posd),
+            "nan_value_counts": ids(f.nan_value_counts, posd),
+            "lower_bounds": bounds(f.lower_bounds, posd),
+            "upper_bounds": bounds(f.upper_bounds, posd),
+            "key_metadata": None,
+            "split_offsets": f.split_offsets or None,
+            "sort_order_id": f.sort_order_id}
+        if v1:
+            dfrec["block_size_in_bytes"] = 64 * 1024 * 1024  # legacy required
+            recs.append({"status": e.status,
+                         "snapshot_id": e.snapshot_id or 0,
+                         "data_file": dfrec})
+            continue
+        dfrec.update({
+            "content": f.content,
+            "equality_ids": f.equality_ids or None,
+            "referenced_data_file": f.referenced_data_file,
+            "content_offset": f.content_offset,
+            "content_size_in_bytes": f.content_size_in_bytes})
         recs.append({
             "status": e.status, "snapshot_id": e.snapshot_id,
             "sequence_number": e.sequence_number,
             "file_sequence_number": e.file_sequence_number,
-            "data_file": {
-                "content": f.content, "file_path": f.file_path,
-                "file_format": f.file_format.upper(),
-                "partition": part,
-                "record_count": f.record_count,
-                "file_size_in_bytes": f.file_size_in_bytes,
-                "column_sizes": ids(f.column_sizes, posd),
-                "value_counts": ids(f.value_counts, posd),
-                "null_value_counts": ids(f.null_value_counts, posd),
-                "nan_value_counts": ids(f.nan_value_counts, posd),
-                "lower_bounds": bounds(f.lower_bounds, posd),
-                "upper_bounds": bounds(f.upper_bounds, posd),
-                "key_metadata": None,
-                "split_offsets": f.split_offsets or None,
-                "equality_ids": f.equality_ids or None,
-                "sort_order_id": f.sort_order_id,
-                "referenced_data_file": f.referenced_data_file,
-                "content_offset": f.content_offset,
-                "content_size_in_bytes": f.content_size_in_bytes}})
+            "data_file": dfrec})
     meta = {
         "schema": json.dumps(schema.to_json_dict()).encode(),
         "schema-id": str(schema.schema_id).encode(),

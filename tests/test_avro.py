@@ -293,3 +293,84 @@ def test_pos_delete_stats_use_reserved_ids_despite_column_collision(tmp_path):
     assert back["/w/pd1.parquet"].lower_bounds["file_path"] == "/w/d1.parquet"
     assert back["/w/d1.parquet"].lower_bounds["file_path"] == "a.txt"
     assert back["/w/d1.parquet"].lower_bounds["k"] == 1
+
+
+def test_v1_export_matches_golden_schema_and_roundtrips(spark, warehouse,
+                                                        tmp_path):
+    """format_version=1 export: the v1 manifest-list layout must match the
+    reference's v1 golden schema field-for-field
+    (crates/iceberg/testdata/avro_schema_manifest_file_v1.json), and a v1
+    manifest + list written by us must re-read through ONLY the interop
+    readers to the same file inventory a native scan plans."""
+    import os
+
+    from iceberg_rust_spark.sources.avro_manifest import (
+        MANIFEST_LIST_SCHEMA_V1, manifest_entry_schema, write_avro_manifest,
+        write_avro_manifest_list)
+    from iceberg_rust_spark.sources.manifest import ManifestFile
+    from iceberg_rust_spark.sources.scan import (load_manifest,
+                                                 load_manifest_list)
+
+    golden = json.load(open(GOLDEN + "/avro_schema_manifest_file_v1.json"))
+    want = [(f["name"], f.get("field-id")) for f in golden["fields"]]
+    got = [(f["name"], f.get("field-id"))
+           for f in MANIFEST_LIST_SCHEMA_V1["fields"]]
+    assert got == want
+
+    # v1 entry schema: no v2-only fields, required block_size_in_bytes
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    t = Table.create(warehouse, "db.v1exp", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    snap = t.metadata.current_snapshot()
+    schema = t.metadata.schema()
+    spec = t.metadata.spec()
+    es = manifest_entry_schema(schema, spec.fields, format_version=1)
+    names = {f["name"] for f in es["fields"]}
+    assert names == {"status", "snapshot_id", "data_file"}
+    df_names = [f["name"] for f in next(
+        f for f in es["fields"] if f["name"] == "data_file")["type"]["fields"]]
+    assert "block_size_in_bytes" in df_names
+    for v2only in ("content", "equality_ids", "referenced_data_file",
+                   "content_offset", "content_size_in_bytes"):
+        assert v2only not in df_names
+
+    # export the snapshot's manifests in v1 layout + a v1 manifest list
+    base = str(tmp_path / "v1meta")
+    os.makedirs(base)
+    out_mfs = []
+    for i, mf in enumerate(load_manifest_list(snap.manifest_list)):
+        entries = list(load_manifest(mf.manifest_path))
+        mpath = os.path.join(base, f"m{i}.avro")
+        length = write_avro_manifest(mpath, entries, schema, spec,
+                                     format_version=1)
+        import dataclasses as dc
+        out_mfs.append(dc.replace(mf, manifest_path=mpath,
+                                  manifest_length=length))
+    ml = os.path.join(base, "snap.avro")
+    write_avro_manifest_list(ml, out_mfs, spec_fields=spec.fields,
+                             schema=schema, format_version=1)
+
+    # re-read through ONLY the interop readers
+    back_mfs = read_avro_manifest_list(ml)
+    assert len(back_mfs) == len(out_mfs)
+    assert all(m.content == 0 and m.sequence_number == 0 for m in back_mfs)
+    native = {x.data_file.file_path for x in t.scan().plan_files().tasks}
+    got_files = set()
+    for m in back_mfs:
+        for e in read_avro_manifest(m.manifest_path):
+            got_files.add(e.data_file.file_path)
+            assert e.data_file.record_count > 0
+            assert e.data_file.value_counts.get("k") == \
+                e.data_file.record_count
+    assert got_files == native
+
+    # a delete entry must be REFUSED in v1
+    from iceberg_rust_spark.sources.manifest import (
+        CONTENT_POSITION_DELETES, DataFile, ManifestEntry)
+    bad = ManifestEntry(1, 1, 1, 1, DataFile(
+        file_path="/d.parquet", content=CONTENT_POSITION_DELETES,
+        record_count=1, file_size_in_bytes=1, schema_id=0, spec_id=0))
+    with pytest.raises(ValueError, match="format_version=1"):
+        write_avro_manifest(str(tmp_path / "bad.avro"), [bad], schema, spec,
+                            format_version=1)

@@ -814,3 +814,106 @@ def test_fast_plan_mor_to_df_rows(spark, warehouse):
     got = sorted(r["k"] for r in t.to_df(spark).collect())
     want = sorted(r["k"] for r in df.filter(F.col("v") != 3).collect())
     assert got == want
+
+
+def test_concurrent_commit_vs_planners_consistent(warehouse, tmp_path,
+                                                  monkeypatch):
+    """One committer thread appending + MOR-deleting while N planner
+    threads plan with COLD caches (in-memory caches cleared mid-flight by
+    a churn thread, persistent disk cache ON): every plan must be
+    INTERNALLY CONSISTENT — its task/delete set must exactly match the
+    expected set of the snapshot it planned, never a mix of two
+    snapshots. Regression for the unlocked delete-index double-build
+    window + disk-cache publish racing a concurrent commit."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_rust_spark.sources.scan import _manifest_cache
+
+    monkeypatch.setenv("ICEBERG_SPARK_MANIFEST_DISK_CACHE",
+                       str(tmp_path / "mcache_race"))
+    t0 = _fab_mor_table(warehouse, n_manifests=2, files_per_manifest=20)
+
+    latest = {"t": t0}
+    expected = {}           # snapshot_id -> frozenset(attachment sig)
+    exp_lock = threading.Lock()
+
+    def snap_sig(table, sid):
+        plan = table.scan(snapshot_id=sid).plan_files()
+        return frozenset(_attach_sig(plan))
+
+    with exp_lock:
+        expected[t0.metadata.current_snapshot_id] = snap_sig(
+            t0, t0.metadata.current_snapshot_id)
+
+    stop = threading.Event()
+    errors = []
+
+    def committer():
+        t = t0
+        try:
+            for c in range(6):
+                files = [DataFile(
+                    file_path=f"/nonexistent/c{c}/f{i}.parquet",
+                    record_count=50, file_size_in_bytes=1 << 18,
+                    partition={"p": 0},
+                    value_counts={"k": 50, "p": 50, "v": 50},
+                    null_value_counts={"k": 0, "p": 0, "v": 0},
+                    lower_bounds={"k": 0, "p": 0, "v": 0},
+                    upper_bounds={"k": 9, "p": 0, "v": 9},
+                    schema_id=0, spec_id=0) for i in range(10)]
+                t = t._commit_retry(lambda md, fs=files: t._snapshot_update(
+                    md, "append", added=fs))
+                dels = [DataFile(
+                    file_path=f"/nonexistent/c{c}/dv{i}.puffin",
+                    file_format="puffin",
+                    content=CONTENT_POSITION_DELETES,
+                    partition={"p": 0}, record_count=5,
+                    file_size_in_bytes=64,
+                    referenced_data_file=f"/nonexistent/c{c}/f{i}.parquet",
+                    content_offset=4, content_size_in_bytes=32,
+                    schema_id=0, spec_id=0) for i in range(10)]
+                t = t._commit_retry(lambda md, fs=dels: t._snapshot_update(
+                    md, "delete", added_deletes=fs))
+                sid = t.metadata.current_snapshot_id
+                with exp_lock:
+                    expected[sid] = snap_sig(t, sid)
+                    latest["t"] = t
+        except Exception as exc:          # pragma: no cover
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    def churn():
+        while not stop.is_set():
+            _manifest_cache.cache_clear()   # force cold rebuild races
+            stop.wait(0.01)
+
+    def planner(seed):
+        sigs = []
+        while not stop.is_set() or not sigs:
+            t = latest["t"]
+            plan = t.scan().plan_files()
+            sid = plan.snapshot.snapshot_id
+            sigs.append((sid, frozenset(_attach_sig(plan))))
+        return sigs
+
+    ct = threading.Thread(target=committer)
+    ch = threading.Thread(target=churn)
+    ct.start()
+    ch.start()
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(planner, range(6)))
+    ct.join()
+    ch.join()
+    assert not errors, errors
+    checked = 0
+    for sigs in results:
+        for sid, sig in sigs:
+            with exp_lock:
+                if sid not in expected:
+                    expected[sid] = snap_sig(latest["t"], sid)
+                want = expected[sid]
+            assert sig == want, f"plan of snapshot {sid} mixed states"
+            checked += 1
+    assert checked >= 6
