@@ -176,6 +176,12 @@ _TRAVEL_RE = re.compile(
     r"([\w.]+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
     re.IGNORECASE)
 
+# opt-in planner observability for the SQL front door: when set to a list
+# (tools/frontdoor_audit.py), run_sql appends one record per Iceberg scan
+# it plans — captured predicate + plan_files pruning counters. None (the
+# default) costs nothing on the hot path.
+AUDIT_SCANS: "Optional[list]" = None
+
 
 def _parse_partition_clause(clause: str, schema) -> "PartitionSpec":
     """'month(ts), bucket(8, id), cat' -> PartitionSpec (Spark SQL's
@@ -271,18 +277,6 @@ def _split_assignments(set_clause: str) -> Dict[str, str]:
         out[name.strip()] = expr.strip()
     return out
 # single-table SELECT ... FROM t WHERE <cond> [GROUP/ORDER/HAVING/LIMIT...]
-_AUTO_PRUNE_RE = re.compile(
-    r"\bFROM\s+([\w.]+)\s+WHERE\s+(.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY|"
-    r"\s+HAVING|\s+LIMIT|\s*$)",
-    re.IGNORECASE | re.DOTALL)
-
-# FROM <refs> WHERE <cond> for the join shape: refs = table [alias]
-# (JOIN table [alias] ON ...)*
-_AUTO_PRUNE_JOIN_RE = re.compile(
-    r"\bFROM\s+(.*?)\s+WHERE\s+(.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY|"
-    r"\s+HAVING|\s+LIMIT|\s*$)",
-    re.IGNORECASE | re.DOTALL)
-
 # splits text into [sql, 'literal', sql, 'literal', ...]; odd indices are
 # single-quoted literal segments ('' = escaped quote) and must never be
 # rewritten by alias handling
@@ -332,158 +326,371 @@ def _split_top_and(s: str) -> List[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _auto_scan_filters(query: str) -> Dict[str, "E.Predicate"]:
-    """{table: Predicate} captured from the query's WHERE clause for file
-    pruning. Inclusive pruning of a predicate the full WHERE re-applies can
-    only over-read, never over-prune — so best-effort is safe.
+def _mask_literals(s: str) -> str:
+    """Same-length copy of ``s`` with single-quoted literal BODIES blanked,
+    so structural scanning (parens, keywords, identifiers) never reads
+    literal text. Positions align 1:1 with the original."""
+    out = []
+    for i, seg in enumerate(_SQUOTE_RE.split(s)):
+        out.append(seg if i % 2 == 0 else "'" + " " * (len(seg) - 2) + "'")
+    return "".join(out)
 
-    Shapes handled:
-    - single-table SELECT ... WHERE: the whole WHERE is tried.
-    - INNER-join SELECT ... FROM a x JOIN b y ON ... WHERE: each top-level
-      AND conjunct that references exactly ONE alias (and parses as
-      col-vs-literal — the predicate grammar rejects col-vs-col) prunes
-      that alias's table. OUTER/SEMI/ANTI joins are skipped: a
-      non-null-rejecting conjunct (IS NULL) on a null-supplying side would
-      change which rows find matches, so pruning there is not
-      result-preserving. Subqueries are skipped (conservative).
-    """
-    from ..plans.sql_pred import sql_to_predicate
 
-    def _has_subquery(text: str) -> bool:
-        return any(re.search(r"\(\s*SELECT\b", sg, re.IGNORECASE)
-                   for i, sg in enumerate(_SQUOTE_RE.split(text))
-                   if i % 2 == 0)
+_BLOCK_TERMS = ("GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+                "INTERSECT", "EXCEPT", "WINDOW", "OFFSET", "FETCH")
 
-    has_join = re.search(r"\bJOIN\b", query, re.IGNORECASE)
-    if not has_join:
-        if re.search(r",\s*[\w.]+\s+(AS\s+)?\w*\s*(WHERE|,)", query,
-                     re.IGNORECASE):
-            return {}
-        m = _AUTO_PRUNE_RE.search(query)
-        if not m:
-            return {}
-        tbl, where = m.group(1), m.group(2)
-        try:
-            return {tbl: sql_to_predicate(where)}
-        except ValueError:
-            pass
-        # WHERE didn't parse whole (correlated EXISTS / IN-subqueries,
-        # function calls, ...): capture per top-level conjunct instead —
-        # subquery conjuncts stay conservatively uncaptured (the full
-        # WHERE re-applies, so partial capture only over-reads). Guard:
-        # unbalanced parens mean the lazy regex bit into a subquery's
-        # tail — conjunct boundaries are then unreliable, so bail.
-        plain = "".join(sg for i, sg in enumerate(_SQUOTE_RE.split(where))
-                        if i % 2 == 0)
-        if plain.count("(") != plain.count(")"):
-            return {}
-        pred = None
-        for conj in _split_top_and(where):
-            if _has_subquery(conj):
+
+def _kw_at(up: str, j: int, word: str) -> bool:
+    n = len(word)
+    return (up[j:j + n] == word
+            and (j == 0 or not (up[j - 1].isalnum() or up[j - 1] == "_"))
+            and (j + n >= len(up)
+                 or not (up[j + n].isalnum() or up[j + n] == "_")))
+
+
+def _from_where_blocks(query: str) -> List[tuple]:
+    """(from_text, where_text | None) for EVERY select block in the query —
+    top level, derived tables, CTE bodies, EXISTS/IN/scalar subqueries.
+    A block's FROM clause runs to the first depth-0 terminator keyword /
+    closing paren; its WHERE (if any) to the next. Mis-shapen regions
+    (e.g. ``extract(year FROM col)``) yield junk from_texts that the ref
+    parser rejects — per-block skip, never a whole-query bail."""
+    masked = _mask_literals(query)
+    up = masked.upper()
+    n = len(masked)
+    blocks = []
+    for m in re.finditer(r"\bFROM\b", up):
+        i = m.end()
+        depth = 0
+        j = i
+        from_end = None
+        where_start = None
+        while j < n:
+            ch = masked[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == ";" and depth == 0:
+                break
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                if where_start is None and _kw_at(up, j, "WHERE"):
+                    from_end = j
+                    where_start = j + 5
+                    j += 5
+                    continue
+                if any(_kw_at(up, j, w) for w in _BLOCK_TERMS):
+                    break
+                k = j
+                while k < n and (masked[k].isalnum() or masked[k] == "_"):
+                    k += 1
+                j = k
                 continue
-            try:
-                p = sql_to_predicate(conj)
-            except ValueError:
-                continue
-            pred = p if pred is None else E.And(pred, p)
-        return {tbl: pred} if pred is not None else {}
-    if re.search(r"\b(SEMI|ANTI|CROSS)\s+JOIN", query, re.IGNORECASE):
-        return {}
-    m = _AUTO_PRUNE_JOIN_RE.search(query)
-    if not m:
-        return {}
-    from_part, where = m.group(1), m.group(2)
-    # unbalanced parens: the lazy regex stopped inside a WHERE subquery
-    # (its GROUP BY/ORDER BY) — conjunct boundaries unreliable, bail
-    plain_where = "".join(sg for i, sg in enumerate(_SQUOTE_RE.split(where))
-                          if i % 2 == 0)
-    if plain_where.count("(") != plain_where.count(")"):
-        return {}
-    # Walk the join chain tracking the PRESERVED side (standard outer-join
-    # filter-pushdown rule): a WHERE conjunct on a preserved table filters
-    # result rows 1:1 with that table's rows, so file-pruning its scan is
-    # result-preserving; a conjunct on a null-supplying side is not
-    # (IS NULL would change which rows find matches) and is skipped.
-    #   start: first table preserved
-    #   INNER JOIN t:  t joins the preserved set
-    #   LEFT  JOIN t:  t is null-supplying; prior set unchanged
-    #   RIGHT JOIN t:  everything prior becomes null-supplying; {t} preserved
-    #   FULL  JOIN:    nothing preserved -> bail
-    if re.search(r"\bFULL\s+(OUTER\s+)?JOIN", from_part, re.IGNORECASE):
-        return {}
-    refs: Dict[str, str] = {}           # alias -> table identifier
-    preserved: set = set()              # aliases WHERE may prune
-    on_parts: List[tuple] = []          # (on_text, aliases ON may prune)
-    join_split = re.split(
-        r"\b(INNER\s+JOIN|LEFT\s+(?:OUTER\s+)?JOIN|"
-        r"RIGHT\s+(?:OUTER\s+)?JOIN|JOIN)\b",
-        from_part, flags=re.IGNORECASE)
-    # join_split = [t0, kw1, t1, kw2, t2, ...]
-    for idx in range(0, len(join_split), 2):
-        seg = join_split[idx]
-        om = re.search(r"\bON\b(.*)$", seg, re.IGNORECASE | re.DOTALL)
-        on_text = om.group(1) if om else None
-        piece = (seg[:om.start()] if om else seg).strip()
+            j += 1
+        if where_start is not None:
+            blocks.append((query[i:from_end].strip(),
+                           query[where_start:j].strip()))
+        else:
+            blocks.append((query[i:j].strip(), None))
+    return blocks
+
+
+def _split_top_commas(s: str) -> List[str]:
+    masked = _mask_literals(s)
+    parts, start, depth = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _select_list_columns(body: str) -> Optional[frozenset]:
+    """Output column names of ``SELECT <list> FROM ...`` when every item is
+    ``expr AS name`` or a plain (possibly qualified) column; None when the
+    list has ``*`` or an item we can't name (callers then treat the
+    relation's columns as UNKNOWN — disables unqualified attribution)."""
+    masked = _mask_literals(body)
+    mm = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", masked, re.IGNORECASE)
+    if not mm:
+        return None
+    start = mm.end()
+    up = masked.upper()
+    depth, from_pos, j = 0, None, start
+    while j < len(masked):
+        ch = masked[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and _kw_at(up, j, "FROM"):
+            from_pos = j
+            break
+        j += 1
+    if from_pos is None:
+        return None
+    cols = set()
+    for item in _split_top_commas(masked[start:from_pos]):
+        if item.endswith("*"):
+            return None
+        am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if am:
+            cols.add(am.group(1))
+            continue
+        pm = re.match(r"^(?:(\w+)\.)?(\w+)$", item)
+        if pm:
+            cols.add(pm.group(2))
+            continue
+        return None                     # unnamed expression
+    return frozenset(cols)
+
+
+_CTE_DEF_RE = re.compile(r"\b(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _cte_columns(query: str) -> Dict[str, Optional[frozenset]]:
+    """{cte/derived name: output columns or None(unknown)} for every
+    ``name AS ( SELECT ... )`` in the query."""
+    masked = _mask_literals(query)
+    out: Dict[str, Optional[frozenset]] = {}
+    for m in _CTE_DEF_RE.finditer(masked):
+        j, depth = m.end(), 1
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        body = query[m.end():j - 1]
+        if re.match(r"\s*SELECT\b", body, re.IGNORECASE):
+            out[m.group(1)] = _select_list_columns(body)
+    return out
+
+
+_SQL_WORDS = frozenset("""AND OR NOT BETWEEN IN LIKE ILIKE RLIKE IS NULL TRUE
+    FALSE TIMESTAMP DATE INTERVAL CAST AS CASE WHEN THEN ELSE END EXISTS
+    SELECT FROM WHERE DISTINCT ESCAPE ALL ANY SOME ASC DESC""".split())
+
+_OPAQUE = object()                      # ref marker: not a catalog table
+
+
+def _parse_block_refs(from_part: str):
+    """-> (refs, preserved, on_parts) or None when the FROM shape is not
+    one we understand. refs: alias -> table identifier | _OPAQUE. Comma
+    segments are INNER-joined (all preserved); JOIN chains inside a
+    segment follow the outer-join preserved-side rules (see capture())."""
+    if re.search(r"\b(FULL\s+(OUTER\s+)?JOIN|SEMI\s+JOIN|ANTI\s+JOIN|"
+                 r"CROSS\s+JOIN|LATERAL|TABLESAMPLE|NATURAL)\b",
+                 _mask_literals(from_part), re.IGNORECASE):
+        return None
+    refs: Dict[str, Any] = {}
+    preserved: set = set()
+    on_parts: List[tuple] = []
+
+    def one_ref(piece: str):
+        """alias, tbl(_OPAQUE for CTE/derived) — or None if unparseable."""
+        piece = piece.strip()
+        dm = re.match(r"^\((.*)\)\s*(?:AS\s+)?(\w+)$", piece,
+                      re.IGNORECASE | re.DOTALL)
+        if dm:
+            return dm.group(2), _OPAQUE
         tm = re.match(r"^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", piece,
                       re.IGNORECASE)
         if not tm:
-            return {}                   # unrecognized ref shape: bail
+            return None
         tbl = tm.group(1)
         alias = tm.group(2) or tbl
-        prior = set(refs)
-        refs[alias] = tbl
-        kw = "" if idx == 0 else join_split[idx - 1].upper()
-        if idx == 0 or "LEFT" not in kw and "RIGHT" not in kw:
-            preserved.add(alias)        # first table or inner join
-            # INNER: ON is conjunctive with WHERE — any single-alias
-            # conjunct prunes that alias
-            if on_text:
-                on_parts.append((on_text, prior | {alias}))
-        elif "RIGHT" in kw:
-            preserved = {alias}         # prior side becomes null-supplying
-            # RIGHT: ON may prune the null-supplying PRIOR side (rows
-            # failing it never match; right rows null-extend regardless)
-            if on_text:
-                on_parts.append((on_text, prior))
-        else:
-            # LEFT: alias stays out of preserved; ON may prune the
-            # null-supplying NEW side only (left rows null-extend, so an
-            # ON conjunct on them must NOT prune their scan)
-            if on_text:
-                on_parts.append((on_text, {alias}))
+        # run_sql resolves catalog tables by full ns.table identifiers;
+        # a bare single word is a CTE / temp view (opaque)
+        return alias, (tbl if "." in tbl else _OPAQUE)
+
+    for seg in _split_top_commas(from_part):
+        if not re.search(r"\bJOIN\b", _mask_literals(seg), re.IGNORECASE):
+            r = one_ref(seg)
+            if r is None:
+                return None
+            refs[r[0]] = r[1]
+            preserved.add(r[0])
+            continue
+        join_split = re.split(
+            r"\b(INNER\s+JOIN|LEFT\s+(?:OUTER\s+)?JOIN|"
+            r"RIGHT\s+(?:OUTER\s+)?JOIN|JOIN)\b",
+            seg, flags=re.IGNORECASE)
+        seg_aliases: set = set()
+        for idx in range(0, len(join_split), 2):
+            part = join_split[idx]
+            om = re.search(r"\bON\b(.*)$", _mask_literals(part),
+                           re.IGNORECASE | re.DOTALL)
+            on_text = part[om.start() + 2:] if om else None
+            piece = (part[:om.start()] if om else part).strip()
+            r = one_ref(piece)
+            if r is None:
+                return None
+            alias, tbl = r
+            prior = set(seg_aliases)
+            refs[alias] = tbl
+            seg_aliases.add(alias)
+            kw = "" if idx == 0 else join_split[idx - 1].upper()
+            if idx == 0 or ("LEFT" not in kw and "RIGHT" not in kw):
+                preserved.add(alias)
+                if on_text:
+                    on_parts.append((on_text, prior | {alias}))
+            elif "RIGHT" in kw:
+                # prior SEGMENT side becomes null-supplying
+                preserved -= prior
+                preserved.add(alias)
+                if on_text:
+                    on_parts.append((on_text, prior))
+            else:                       # LEFT: new side null-supplying
+                if on_text:
+                    on_parts.append((on_text, {alias}))
+    return refs, preserved, on_parts
+
+
+def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
+    """{table: Predicate} captured from WHERE clauses for file pruning.
+    Inclusive pruning of a conjunct that the block's own WHERE re-applies
+    can only over-read, never over-prune — PROVIDED the pruned scan backs
+    exactly one reference. run_sql registers ONE filtered view per table,
+    so any table referenced more than once anywhere in the query (self
+    join, correlated subquery on the same table) is dropped from the
+    output — capturing one reference's conjunct would filter the other
+    reference's rows too (r12 fix: the previous join path captured both
+    sides of a self join into one contradictory filter).
+
+    EVERY select block is scanned (top level, CTE bodies, derived tables,
+    EXISTS/IN/scalar subqueries): a conjunct captured from an inner block
+    is sound for that block's table under the same once-only rule.
+    Conjunct attribution:
+    - qualified (alias.col): the alias must be on the block's PRESERVED
+      side (outer-join pushdown rules; ON-clause conjuncts may prune the
+      null-supplying side instead).
+    - unqualified: resolved by schema when a catalog is given — the
+      column must belong to exactly ONE of the block's referenced tables,
+      with no opaque-unknown relation (CTE/derived with unparseable
+      select list) that could shadow it. Without a catalog, only
+      single-ref blocks attribute unqualified conjuncts (old behavior).
+    Subquery-bearing conjuncts and cross-table conjuncts are skipped
+    (conservative; the full WHERE re-applies either way)."""
+    from ..plans.sql_pred import sql_to_predicate
+
+    def _has_subquery(text: str) -> bool:
+        return bool(re.search(r"\(\s*SELECT\b", _mask_literals(text),
+                              re.IGNORECASE))
+
+    cte_cols = _cte_columns(query)
+    schema_memo: Dict[str, Optional[frozenset]] = {}
+
+    def table_columns(tbl: str) -> Optional[frozenset]:
+        if catalog is None:
+            return None
+        got = schema_memo.get(tbl, _OPAQUE)
+        if got is not _OPAQUE:
+            return got
+        try:
+            md_schema = Table.load(catalog, tbl).metadata.schema()
+            got = frozenset(f.name for f in md_schema.fields)
+        except Exception:
+            got = None
+        schema_memo[tbl] = got
+        return got
 
     out: Dict[str, "E.Predicate"] = {}
 
-    def capture(text: str, allowed: set) -> None:
+    def capture(text: str, refs: dict, allowed: set) -> None:
         for conj in _split_top_and(text):
             if _has_subquery(conj):
-                continue            # correlated EXISTS/IN: uncaptured
-            # tokenize into quoted/unquoted segments: alias detection and
-            # alias-stripping must only see the SQL text, never literal
-            # bodies (WHERE a.s = 'x a.b y' would otherwise be captured
-            # as s = 'x b y' and prune files the real predicate keeps)
+                continue
             segs = _SQUOTE_RE.split(conj)
-            aliases = {a for i, sg in enumerate(segs) if i % 2 == 0
-                       for a, _c in re.findall(r"\b(\w+)\.(\w+)", sg)
-                       if a in refs}
-            if len(aliases) != 1:
-                continue                # cross-table / unqualified: skip
-            alias = aliases.pop()
-            if alias not in allowed:
-                continue                # not result-preserving here
-            strip = re.compile(rf"\b{re.escape(alias)}\.")
+            masked_sql = [sg for i, sg in enumerate(segs) if i % 2 == 0]
+            qual_aliases = {a for sg in masked_sql
+                            for a, _c in re.findall(r"\b(\w+)\s*\.\s*(\w+)",
+                                                    sg)
+                            if a in refs}
+            # unqualified identifiers: not function names, not qualified,
+            # not keywords
+            unq = set()
+            for sg in masked_sql:
+                for im in re.finditer(r"(\.)?\s*\b([A-Za-z_]\w*)\b(\s*\()?",
+                                      sg):
+                    if im.group(1) or im.group(3):
+                        continue        # qualified tail / function call
+                    w = im.group(2)
+                    if w.upper() in _SQL_WORDS or w in refs:
+                        continue
+                    unq.add(w)
+            owners = set(qual_aliases)
+            if unq:
+                if catalog is None:
+                    cat_refs = [a for a, t in refs.items() if t is not _OPAQUE]
+                    if len(refs) == 1 and len(cat_refs) == 1:
+                        owners.add(cat_refs[0])
+                    else:
+                        continue
+                else:
+                    ok = True
+                    for col in unq:
+                        col_owner = None
+                        ambiguous = False
+                        for alias, tbl in refs.items():
+                            cs = (cte_cols.get(alias)
+                                  if tbl is _OPAQUE else table_columns(tbl))
+                            if cs is None:
+                                ambiguous = True   # unknown relation: may
+                                break              # shadow the column
+                            if col in cs:
+                                if col_owner is not None:
+                                    ambiguous = True
+                                    break
+                                col_owner = alias
+                        if ambiguous or col_owner is None \
+                                or refs[col_owner] is _OPAQUE:
+                            ok = False
+                            break
+                        owners.add(col_owner)
+                    if not ok:
+                        continue
+            if len(owners) != 1:
+                continue                # cross-table / unresolvable
+            alias = owners.pop()
+            tbl = refs[alias]
+            if tbl is _OPAQUE or alias not in allowed:
+                continue
+            strip = re.compile(rf"\b{re.escape(alias)}\s*\.\s*")
             bare = "".join(sg if i % 2 else strip.sub("", sg)
                            for i, sg in enumerate(segs))
             try:
                 pred = sql_to_predicate(bare)
             except ValueError:
                 continue
-            tbl = refs[alias]
             out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
 
-    capture(where, preserved)
-    for on_text, allowed in on_parts:
-        capture(on_text, allowed)
+    for from_part, where in _from_where_blocks(query):
+        parsed = _parse_block_refs(from_part)
+        if parsed is None:
+            continue
+        refs, preserved, on_parts = parsed
+        if where is not None:
+            plain = _mask_literals(where)
+            if plain.count("(") == plain.count(")"):
+                capture(where, refs, preserved)
+        for on_text, on_allowed in on_parts:
+            capture(on_text, refs, on_allowed)
+
+    # once-only rule: a table textually referenced more than once shares
+    # one filtered view across references — drop its capture
+    masked_q = _mask_literals(query)
+    for tbl in list(out):
+        pat = rf"(?<![\w.]){re.escape(tbl)}(?![\w.$])"
+        if len(re.findall(pat, masked_q)) > 1:
+            del out[tbl]
     return out
 
 
@@ -1002,7 +1209,7 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.update_where(spark, pred, assignments)
         return spark.createDataFrame([(n,)], "updated_rows long")
 
-    auto = _auto_scan_filters(query)
+    auto = _auto_scan_filters(query, catalog)
     if auto:
         scan_filters = {**{t: p for t, p in auto.items()
                            if t not in scan_filters}, **scan_filters}
@@ -1063,8 +1270,32 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
                 rewritten = mpat.sub(mview, rewritten)
             if pat.search(rewritten):
                 view_name = f"__ice_{ns}_{tname}"
-                t.scan(row_filter=scan_filters.get(full)) \
-                    .to_df(spark).createOrReplaceTempView(view_name)
+                scan_obj = t.scan(row_filter=scan_filters.get(full))
+                if scan_filters.get(full) is not None:
+                    # capture is best-effort: a predicate that does not
+                    # bind to this table's schema (mis-attributed column)
+                    # must degrade to an unfiltered scan, never fail the
+                    # query
+                    try:
+                        E.bind(scan_obj.row_filter, t.metadata.schema(),
+                               scan_obj.case_sensitive)
+                    except Exception:
+                        scan_obj = t.scan()
+                if AUDIT_SCANS is not None:
+                    # opt-in planner observability (tools/frontdoor_audit):
+                    # counters come from a dedicated plan; the to_df below
+                    # replans warm (manifest + delete-index caches hit)
+                    p = scan_obj.plan_files()
+                    AUDIT_SCANS.append({
+                        "table": full,
+                        "filter": str(scan_filters.get(full)),
+                        "total_manifests": p.total_manifests,
+                        "skipped_manifests": p.skipped_manifests,
+                        "total_data_files": p.total_data_files,
+                        "skipped_by_partition": p.skipped_by_partition,
+                        "skipped_by_metrics": p.skipped_by_metrics,
+                    })
+                scan_obj.to_df(spark).createOrReplaceTempView(view_name)
                 rewritten = pat.sub(view_name, rewritten)
         for vname in vc.list_views(ns):
             full = f"{ns}.{vname}"

@@ -1395,7 +1395,10 @@ def test_auto_scan_filters_skip_subquery_conjuncts_only():
     (conservative), plain single-alias/single-table conjuncts still prune."""
     from iceberg_rust_spark.sources.sql import _auto_scan_filters
 
-    # TPC-H Q4 shape: single table + EXISTS — the date range captures
+    # TPC-H Q4 shape: single table + EXISTS — the date range captures;
+    # r12: the EXISTS block's own plain conjunct now ALSO captures for
+    # lineitem (sound: lineitem is referenced only there, and the
+    # subquery's WHERE re-applies the conjunct)
     got = _auto_scan_filters(
         "SELECT o_orderpriority, count(*) AS n FROM db.orders "
         "WHERE o_orderdate >= timestamp '1996-01-01 00:00:00' "
@@ -1403,9 +1406,12 @@ def test_auto_scan_filters_skip_subquery_conjuncts_only():
         "AND EXISTS (SELECT * FROM db.lineitem "
         "WHERE l_orderkey = o_orderkey AND l_discount > 0.05) "
         "GROUP BY o_orderpriority")
-    assert set(got) == {"db.orders"}
+    assert set(got) == {"db.orders", "db.lineitem"}
     assert "o_orderdate" in repr(got["db.orders"])
     assert "l_discount" not in repr(got["db.orders"])
+    assert "l_discount gt 0.05" in repr(got["db.lineitem"])
+    # the correlated conjunct (col vs col) must NOT be captured
+    assert "o_orderkey" not in repr(got["db.lineitem"])
 
     # join + EXISTS in WHERE: plain conjuncts still capture per alias
     got = _auto_scan_filters(
@@ -1431,13 +1437,16 @@ def test_auto_scan_filters_skip_subquery_conjuncts_only():
         assert "o_orderstatus" in repr(got["db.orders"])
         assert "c_acctbal" not in repr(got["db.orders"])
 
-    # derived-table FROM (Q22 shape): conservative, nothing captured
+    # derived-table FROM (Q22 shape): r12 scans INNER blocks too — the
+    # derived body's plain conjunct captures for its single-referenced
+    # table; the correlated NOT EXISTS stays uncaptured
     got = _auto_scan_filters(
         "SELECT cc, count(*) FROM (SELECT substring(c_name,1,1) AS cc "
         "FROM db.customer WHERE c_acctbal > 0 "
         "AND NOT EXISTS (SELECT * FROM db.orders "
         "WHERE o_custkey = c_custkey)) AS s GROUP BY cc")
-    assert got == {}
+    assert set(got) == {"db.customer"}
+    assert "c_acctbal gt 0" in repr(got["db.customer"])
 
 
 def _tpch_tables(spark, warehouse, names):
@@ -1576,3 +1585,72 @@ def test_run_sql_tpch_core_texts_match_oracle(spark, warehouse):
                run_sql(spark, warehouse, q.format(**ice)).collect()]
         want = [tuple(r) for r in spark.sql(q.format(**raw)).collect()]
         assert got == want and len(want) > 0, (name, got[:3], want[:3])
+
+
+def test_self_join_aliases_never_share_captured_filters(spark, warehouse):
+    """r12 regression (found by the FRONTDOOR_AUDIT work): a self join with
+    per-alias conjuncts used to capture BOTH conjuncts onto the one shared
+    scan view — n1.n_name='A' AND n2.n_name='B' became a contradictory
+    filter and silently dropped every row. A table referenced more than
+    once must not be captured at all."""
+    import os
+
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    q = """SELECT n1.n_name, n2.n_name FROM db.nation n1
+           JOIN db.nation n2 ON n1.n_regionkey = n2.n_regionkey
+           WHERE n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8'"""
+    assert _auto_scan_filters(q) == {}
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    Table.create(warehouse, "db.nation",
+                 schema_from_spark(n.schema)).append(spark, n)
+    n.createOrReplaceTempView("nation_raw_sj")
+    got = run_sql(spark, warehouse, q).count()
+    want = spark.sql(q.replace("db.nation", "nation_raw_sj")).count()
+    assert got == want == 1
+
+
+def test_comma_join_unqualified_capture_with_catalog(spark, warehouse):
+    """r12: TPC-H-style comma joins with UNQUALIFIED single-table conjuncts
+    capture via catalog schema resolution — and results stay exact."""
+    import os
+
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("region", "nation", "supplier"):
+        df = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+        Table.create(warehouse, f"db.{name}",
+                     schema_from_spark(df.schema)).append(spark, df)
+        df.createOrReplaceTempView(f"{name}_rawc")
+
+    q = """SELECT s_name, n_name
+           FROM db.supplier, db.nation, db.region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA' AND s_acctbal > 0"""
+    got = _auto_scan_filters(q, warehouse)
+    assert "r_name eq 'ASIA'" in repr(got.get("db.region"))
+    assert "s_acctbal gt 0" in repr(got.get("db.supplier"))
+    # the join conjuncts (col vs col, cross-table) are never captured
+    assert "db.nation" not in got
+
+    res = [tuple(r) for r in run_sql(spark, warehouse, q).collect()]
+    want = [tuple(r) for r in spark.sql(
+        q.replace("db.supplier", "supplier_rawc")
+         .replace("db.nation", "nation_rawc")
+         .replace("db.region", "region_rawc")).collect()]
+    assert sorted(res) == sorted(want) and len(want) > 0
+
+    # without a catalog, unqualified multi-ref conjuncts stay uncaptured
+    assert _auto_scan_filters(q) == {}
+
+    # CTE in FROM with parseable output columns: a colliding unqualified
+    # name must not attribute to the base table when the CTE provides it
+    q2 = """WITH agg AS (SELECT n_regionkey AS rk, count(*) AS r_name
+                         FROM db.nation GROUP BY n_regionkey)
+            SELECT * FROM db.region, agg
+            WHERE r_regionkey = rk AND r_name > 3"""
+    got2 = _auto_scan_filters(q2, warehouse)
+    # 'r_name' is provided by BOTH region and the CTE -> ambiguous -> skip
+    assert "db.region" not in got2

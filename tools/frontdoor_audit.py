@@ -1,0 +1,150 @@
+"""SQL front-door pruning audit: do the 22 TPC-H TEXTS, pasted as SQL into
+run_sql, actually PRUNE through the auto-captured predicates?
+
+test_tpch_frontdoor.py proves the texts return correct rows; this tool
+proves the predicate capture (plans/sql_pred.py -> _auto_scan_filters)
+reaches the Iceberg planner and prunes files/manifests on a PARTITIONED
+warehouse, and that the residual Spark filters still push to the parquet
+scans. For each query it records, per Iceberg scan run_sql planned:
+
+  - the captured predicate (or None when no conjunct is capturable),
+  - manifests skipped / files skipped by partition / by metrics,
+  - and from the physical plan: parquet scans with PushedFilters.
+
+Partition layout (chosen so TPC-H's selective conjuncts align with real
+warehouse practice):
+  lineitem  PARTITIONED BY month(l_shipdate)
+  orders    PARTITIONED BY month(o_orderdate)
+  customer  PARTITIONED BY identity(c_mktsegment)
+  part      PARTITIONED BY identity(p_brand)
+  (region/nation/supplier: tiny dims, unpartitioned)
+
+Usage: python tools/frontdoor_audit.py [sf_dir]   (writes FRONTDOOR_AUDIT.md)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from iceberg_rust_spark import FileSystemCatalog, Table
+from iceberg_rust_spark.functions.transforms import parse_transform
+from iceberg_rust_spark.session import get_spark
+from iceberg_rust_spark.sources import sql as sqlmod
+from iceberg_rust_spark.sources.metadata import PartitionField, PartitionSpec
+from iceberg_rust_spark.sources.sql import run_sql
+from iceberg_rust_spark.sources.types import schema_from_spark
+
+from plan_audit import audit_plan  # tools/ sibling
+
+PARTITIONING = {
+    "lineitem": ("l_shipdate", "month"),
+    "orders": ("o_orderdate", "month"),
+    "customer": ("c_mktsegment", "identity"),
+    "part": ("p_brand", "identity"),
+}
+
+
+def build_warehouse(spark, sf_dir: str, root: str) -> FileSystemCatalog:
+    shutil.rmtree(root, ignore_errors=True)
+    cat = FileSystemCatalog(root)
+    from test_tpch_frontdoor import TABLES
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        schema = schema_from_spark(df.schema)
+        spec = None
+        if name in PARTITIONING:
+            col, tr = PARTITIONING[name]
+            f = schema.field_by_name(col)
+            spec = PartitionSpec(0, [PartitionField(
+                f.field_id, 1000, f"{col}_{tr}" if tr != "identity" else col,
+                parse_transform(tr))])
+        t = Table.create(cat, f"db.{name}", schema, partition_spec=spec)
+        t.append(spark, df)
+    return cat
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from test_tpch_frontdoor import ICE, Q
+    spark = get_spark("frontdoor_audit", cpus=8)
+    cat = build_warehouse(spark, sf_dir, "/tmp/frontdoor_audit_wh")
+    lines = [
+        "# FRONTDOOR_AUDIT — TPC-H texts through run_sql over a "
+        "partitioned warehouse",
+        "",
+        f"sf_dir={sf_dir}; partitioning: lineitem=month(l_shipdate), "
+        "orders=month(o_orderdate), customer=identity(c_mktsegment), "
+        "part=identity(p_brand). `captured` is the predicate",
+        "auto-extracted from the SQL text (plans/sql_pred.py) that the",
+        "Iceberg planner pruned with; `files` is kept/total after",
+        "manifest+partition+metrics pruning; `pushed` counts parquet scans",
+        "whose PushedFilters is non-empty (Spark re-applies the residual",
+        "filter, so pruning can never change results — only skip IO).",
+        "",
+        "| query | table | captured predicate | manifests skipped | "
+        "files kept/total | skip_part | skip_metrics | rows |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    plan_lines = ["", "Physical-plan summary per query:", "",
+                  "| query | scans | pushed | shuffles | bhj | smj | "
+                  "row_udf |", "|---|---|---|---|---|---|---|"]
+    for qname in sorted(Q, key=lambda s: int(s[1:])):
+        sqlmod.AUDIT_SCANS = []
+        df = run_sql(spark, cat, Q[qname].format(**ICE))
+        nrows = df.count()
+        recs = sqlmod.AUDIT_SCANS
+        sqlmod.AUDIT_SCANS = None
+        a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        for r in recs:
+            kept = (r["total_data_files"] - r["skipped_by_partition"]
+                    - r["skipped_by_metrics"])
+            filt = r["filter"] if r["filter"] != "None" else "—"
+            lines.append(
+                f"| {qname} | {r['table'].split('.')[-1]} | `{filt}` | "
+                f"{r['skipped_manifests']}/{r['total_manifests']} | "
+                f"{kept}/{r['total_data_files']} | "
+                f"{r['skipped_by_partition']} | {r['skipped_by_metrics']} | "
+                f"{nrows} |")
+        plan_lines.append(
+            f"| {qname} | {a['scans']} | {a['pushed']} | {a['shuffles']} | "
+            f"{a['bhj']} | {a['smj']} | {a['row_udf']} |")
+        print(f"{qname}: rows={nrows} scans={len(recs)} "
+              f"captured={sum(1 for r in recs if r['filter'] != 'None')} "
+              f"pushed={a['pushed']}/{a['scans']}", file=sys.stderr)
+    notes = [
+        "",
+        "Queries with no captured predicate — each has a structural reason",
+        "(the full WHERE still applies Spark-side; only file-skip IO is",
+        "left on the table):",
+        "",
+        "- **q9**: the only single-table conjunct is `p_name LIKE"
+        " '%widget%'` — a leading-wildcard LIKE has no prunable bound"
+        " (not STARTS_WITH), so the predicate grammar rejects it.",
+        "- **q11**: lineitem/supplier/nation are each referenced TWICE"
+        " (main block + HAVING scalar subquery); run_sql shares one scan"
+        " view per table, so capturing either reference's conjunct would"
+        " filter the other (the r12 once-only soundness rule).",
+        "- **q18**: lineitem appears in both the main FROM and the IN"
+        " subquery (once-only rule); the remaining conjuncts are"
+        " cross-table joins.",
+        "- **q19**: the WHERE is a top-level OR of AND-blocks spanning"
+        " BOTH tables — no single-table top-level conjunct exists. A"
+        " per-table OR-projection (p_brand IN (...) etc.) would be a"
+        " sound derived capture; left undone: it needs distribution over"
+        " the OR, and Spark still pushes the full predicate to parquet"
+        " row groups.",
+    ]
+    out = "\n".join(lines + plan_lines + notes) + "\n"
+    with open("/root/repo/FRONTDOOR_AUDIT.md", "w") as fh:
+        fh.write(out)
+    shutil.rmtree("/tmp/frontdoor_audit_wh", ignore_errors=True)
+    print("wrote FRONTDOOR_AUDIT.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
