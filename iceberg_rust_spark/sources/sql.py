@@ -283,6 +283,47 @@ def _split_assignments(set_clause: str) -> Dict[str, str]:
 _SQUOTE_RE = re.compile(r"('(?:[^']|'')*')")
 
 
+def _split_top_or(s: str) -> List[str]:
+    """Split on top-level OR (paren + quote aware)."""
+    parts, start, depth, inq, i = [], 0, 0, False, 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and up[i:i + 2] == "OR"
+                  and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                  and (i + 2 >= len(s)
+                       or not (s[i + 2].isalnum() or s[i + 2] == "_"))):
+                parts.append(s[start:i])
+                start = i + 2
+                i += 2
+                continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(_mask_literals(s)):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s            # parens don't wrap the whole text
+        s = s[1:-1].strip()
+    return s
+
+
 def _split_top_and(s: str) -> List[str]:
     """Split on top-level AND (paren + quote + BETWEEN aware): the AND that
     closes a `BETWEEN lo AND hi` belongs to the BETWEEN, not the conjunct
@@ -605,14 +646,14 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
     out: Dict[str, "E.Predicate"] = {}
 
     def capture(text: str, refs: dict, allowed: set) -> None:
-        for conj in _split_top_and(text):
-            if _has_subquery(conj):
-                continue
-            segs = _SQUOTE_RE.split(conj)
+        def attribute(piece: str) -> Optional[str]:
+            """The single block ref that owns every column of ``piece``,
+            or None (cross-table / unresolvable / ambiguous)."""
+            segs = _SQUOTE_RE.split(piece)
             masked_sql = [sg for i, sg in enumerate(segs) if i % 2 == 0]
             qual_aliases = {a for sg in masked_sql
-                            for a, _c in re.findall(r"\b(\w+)\s*\.\s*(\w+)",
-                                                    sg)
+                            for a, _c in re.findall(
+                                r"\b(\w+)\s*\.\s*(\w+)", sg)
                             if a in refs}
             # unqualified identifiers: not function names, not qualified,
             # not keywords
@@ -629,13 +670,13 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
             owners = set(qual_aliases)
             if unq:
                 if catalog is None:
-                    cat_refs = [a for a, t in refs.items() if t is not _OPAQUE]
+                    cat_refs = [a for a, t in refs.items()
+                                if t is not _OPAQUE]
                     if len(refs) == 1 and len(cat_refs) == 1:
                         owners.add(cat_refs[0])
                     else:
-                        continue
+                        return None
                 else:
-                    ok = True
                     for col in unq:
                         col_owner = None
                         ambiguous = False
@@ -652,25 +693,72 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
                                 col_owner = alias
                         if ambiguous or col_owner is None \
                                 or refs[col_owner] is _OPAQUE:
-                            ok = False
-                            break
+                            return None
                         owners.add(col_owner)
-                    if not ok:
-                        continue
             if len(owners) != 1:
-                continue                # cross-table / unresolvable
-            alias = owners.pop()
-            tbl = refs[alias]
-            if tbl is _OPAQUE or alias not in allowed:
-                continue
+                return None
+            return owners.pop()
+
+        def to_pred(piece: str, alias: str) -> Optional["E.Predicate"]:
+            segs = _SQUOTE_RE.split(piece)
             strip = re.compile(rf"\b{re.escape(alias)}\s*\.\s*")
             bare = "".join(sg if i % 2 else strip.sub("", sg)
                            for i, sg in enumerate(segs))
             try:
-                pred = sql_to_predicate(bare)
+                return sql_to_predicate(bare)
             except ValueError:
-                continue
+                return None
+
+        def emit(alias: str, pred: "E.Predicate") -> None:
+            tbl = refs[alias]
             out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+
+        for conj in _split_top_and(text):
+            if _has_subquery(conj):
+                continue
+            alias = attribute(conj)
+            if alias is not None:
+                if refs[alias] is _OPAQUE or alias not in allowed:
+                    continue
+                pred = to_pred(conj, alias)
+                if pred is not None:
+                    emit(alias, pred)
+                continue
+            # cross-table conjunct: if it is an OR of AND-groups (TPC-H
+            # Q19's shape), DISTRIBUTE per table — table t's projection
+            # is OR over branches of (AND of t's own sub-conjuncts).
+            # Dropping a branch's other-table / unparseable sub-conjuncts
+            # only WIDENS the projection (sound for inclusive pruning);
+            # a table missing from ANY branch is unbounded by the OR and
+            # gets no capture.
+            branches = _split_top_or(conj)
+            if len(branches) < 2:
+                continue
+            per_alias: Dict[str, list] = {}
+            for bi, br in enumerate(branches):
+                by_alias: Dict[str, Any] = {}
+                for piece in _split_top_and(_strip_outer_parens(br)):
+                    if _has_subquery(piece):
+                        continue
+                    a = attribute(piece)
+                    if a is None:
+                        continue
+                    p = to_pred(piece, a)
+                    if p is None:
+                        continue
+                    by_alias[a] = (E.And(by_alias[a], p)
+                                   if a in by_alias else p)
+                for a, p in by_alias.items():
+                    per_alias.setdefault(a, []).append(p)
+            for a, preds in per_alias.items():
+                if len(preds) != len(branches):
+                    continue            # unbounded in some branch
+                if refs.get(a) is _OPAQUE or a not in allowed:
+                    continue
+                acc = preds[0]
+                for p in preds[1:]:
+                    acc = E.Or(acc, p)
+                emit(a, acc)
 
     for from_part, where in _from_where_blocks(query):
         parsed = _parse_block_refs(from_part)

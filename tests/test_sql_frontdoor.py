@@ -1654,3 +1654,45 @@ def test_comma_join_unqualified_capture_with_catalog(spark, warehouse):
     got2 = _auto_scan_filters(q2, warehouse)
     # 'r_name' is provided by BOTH region and the CTE -> ambiguous -> skip
     assert "db.region" not in got2
+
+
+def test_or_of_and_projection_capture(spark, warehouse):
+    """r12: TPC-H Q19's cross-table OR-of-AND WHERE distributes per table —
+    each table captures OR over branches of its own sub-conjuncts
+    (cross-table join conjuncts drop out: widening, sound); a table
+    missing from any branch is unbounded and uncaptured. Results match
+    plain Spark."""
+    import os
+
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    q = """SELECT round(sum(l.l_extendedprice), 2) AS revenue
+           FROM db.lineitem l, db.part p
+           WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+                  AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+              OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+                  AND l.l_quantity >= 10 AND l.l_quantity <= 40)"""
+    got = _auto_scan_filters(q)
+    assert "Brand#12" in repr(got["db.part"]) \
+        and "Brand#23" in repr(got["db.part"]) and " OR " in repr(got["db.part"])
+    assert "l_quantity" in repr(got["db.lineitem"])
+    # a table absent from one branch is unbounded -> no capture
+    q2 = """SELECT 1 FROM db.lineitem l, db.part p
+            WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+                   AND l.l_quantity < 5)
+               OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23')"""
+    got2 = _auto_scan_filters(q2)
+    assert "db.lineitem" not in got2
+    assert "db.part" in got2
+
+    # end-to-end vs plain Spark
+    sf = "/root/testdata/sf0.001"
+    for name in ("lineitem", "part"):
+        df = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+        Table.create(warehouse, f"db.{name}",
+                     schema_from_spark(df.schema)).append(spark, df)
+        df.createOrReplaceTempView(f"{name}_rawor")
+    res = run_sql(spark, warehouse, q).collect()[0]["revenue"]
+    want = spark.sql(q.replace("db.lineitem", "lineitem_rawor")
+                      .replace("db.part", "part_rawor")).collect()[0]["revenue"]
+    assert res == want is not None

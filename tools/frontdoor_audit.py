@@ -132,12 +132,14 @@ def main() -> None:
         "- **q18**: lineitem appears in both the main FROM and the IN"
         " subquery (once-only rule); the remaining conjuncts are"
         " cross-table joins.",
-        "- **q19**: the WHERE is a top-level OR of AND-blocks spanning"
-        " BOTH tables — no single-table top-level conjunct exists. A"
-        " per-table OR-projection (p_brand IN (...) etc.) would be a"
-        " sound derived capture; left undone: it needs distribution over"
-        " the OR, and Spark still pushes the full predicate to parquet"
-        " row groups.",
+    ]
+    notes += [
+        "",
+        "q19's OR-of-AND WHERE (spanning both tables) captures via the",
+        "r12 OR-projection: each table gets OR over branches of (AND of",
+        "its own sub-conjuncts) — cross-table join conjuncts drop out",
+        "(widening, sound) and a table missing from any branch is",
+        "unbounded and uncaptured. Its part scan above keeps 3/25 files.",
     ]
     out = "\n".join(lines + plan_lines + notes) + "\n"
     with open("/root/repo/FRONTDOOR_AUDIT.md", "w") as fh:
