@@ -605,6 +605,15 @@ def main() -> None:
             "delete files materialize LITE DataFiles (no stat/bound map",
             "decodes; the read path uses only",
             "path/format/offsets/equality_ids).",
+            "Metrics-selective MOR floor (r12, routing separately timed",
+            "at 100k): no-deletes cold ~0.74s = decode+extract+eval of",
+            "100 data manifests; the probe adds 100 delete manifests of",
+            "~1.1x rows => floor ~2x; the isolated routing pass is",
+            "~0.21s (warm-with-routing 0.23s vs warm 0.02s), so cold MOR",
+            "= floor + routing and the ratio hovers at 2.0-2.2x.",
+            "NOTE: for honest COLD walls run tools/plan_scale_probe.py",
+            "standalone and splice its tables here — inside this ops",
+            "probe's JVM the same shapes read up to ~2x slower cold.",
             "file_path-BOUNDED partition-scoped deletes use",
             "interval stabbing (sorted lows + running-max highs), so",
             "per-survivor matching is O(matches), not O(deletes in",
