@@ -1342,13 +1342,17 @@ class Table:
 
     # -------------------------------------------------------- metadata tables
     def export_avro_metadata(self, out_dir: Optional[str] = None,
-                             snapshot_id: Optional[int] = None) -> Dict[str, str]:
+                             snapshot_id: Optional[int] = None,
+                             format_version: int = 2) -> Dict[str, str]:
         """Export the (current or given) snapshot's manifests + manifest list
         in the SPEC Avro layout (avro_manifest.py) so external Iceberg
-        readers can verify our tables, plus a v2 table-metadata JSON pointing
+        readers can verify our tables, plus a table-metadata JSON pointing
         at the Avro manifest list. Returns {"metadata": path,
         "manifest_list": path, "manifests": [paths...]}. Our native Parquet
-        manifests are untouched — this is an additive interop view."""
+        manifests are untouched — this is an additive interop view.
+        ``format_version=1`` writes the v1 entry/list layouts (data files
+        only — v1 tables have no delete files, write_avro_manifest
+        raises on delete entries)."""
         import json as _json
 
         from .avro_manifest import (write_avro_manifest,
@@ -1383,7 +1387,8 @@ class Table:
                 from .metadata import PartitionSpec as _PSpec
                 wspec = _PSpec(spec.spec_id, [])
             mpath = os.path.join(base, f"manifest-{snap.snapshot_id}-{i}.avro")
-            length = write_avro_manifest(mpath, entries, mschema, wspec)
+            length = write_avro_manifest(mpath, entries, mschema, wspec,
+                                         format_version=format_version)
             out_manifests.append(mpath)
             import dataclasses as _dc
             rec = _dc.replace(mf, manifest_path=mpath,
@@ -1392,9 +1397,12 @@ class Table:
         ml_path = os.path.join(base, f"snap-{snap.snapshot_id}.avro")
         write_avro_manifest_list(ml_path, mf_records,
                                  spec_fields=self.metadata.spec().fields,
-                                 schema=schema)
-        # v2 metadata JSON re-pointed at the avro manifest list
+                                 schema=schema,
+                                 format_version=format_version)
+        # metadata JSON re-pointed at the avro manifest list
         md_dict = _json.loads(self.metadata.to_json())
+        if format_version == 1:
+            md_dict["format-version"] = 1
         for s in md_dict.get("snapshots", []):
             if s.get("snapshot-id") == snap.snapshot_id:
                 s["manifest-list"] = ml_path

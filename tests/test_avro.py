@@ -374,3 +374,28 @@ def test_v1_export_matches_golden_schema_and_roundtrips(spark, warehouse,
     with pytest.raises(ValueError, match="format_version=1"):
         write_avro_manifest(str(tmp_path / "bad.avro"), [bad], schema, spec,
                             format_version=1)
+
+
+def test_export_avro_metadata_v1_static_scan(spark, warehouse):
+    """export_avro_metadata(format_version=1): the v1-layout export of a
+    delete-free table re-reads through StaticTable identically."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+    t = Table.create(warehouse, "db.expv1", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    paths = t.export_avro_metadata(format_version=1)
+    _s, raw, meta = read_container(
+        open(paths["manifests"][0], "rb").read())
+    assert meta["format-version"] == b"1"
+    assert "block_size_in_bytes" in raw[0]["data_file"]
+    assert "content" not in raw[0]["data_file"]
+    st_t = Table.from_metadata_path(paths["metadata"])
+    assert st_t.to_df(spark).count() == 200
+    assert st_t.scan(row_filter=E.col("k") < 50).to_df(spark).count() == 50
+
+    # a MOR table refuses the v1 export (delete files are v2+)
+    t2 = Table.create(warehouse, "db.expv1mor", schema_from_spark(df.schema))
+    t2 = t2.append(spark, df)
+    t2 = t2.delete_where(spark, E.col("g") == 1, mode="mor")
+    with pytest.raises(ValueError, match="format_version=1"):
+        t2.export_avro_metadata(format_version=1)

@@ -134,3 +134,28 @@ def test_row_lineage_through_fast_array_plan(spark, warehouse):
                   scan.to_df(spark, _tasks=scan.plan_files().tasks)
                   .select("_row_id").collect())
     assert ids2 == ids
+
+
+def test_row_lineage_through_fast_plan_with_deletes(spark, warehouse):
+    """r12: include_row_lineage over a MOR table rides the array fast plan
+    WITH bulk-attached deletes — per-file first_row_id bases still apply
+    and deleted rows' ids disappear with them (no id reuse)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.scan import TableScan
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.range(0, 300).select(F.col("id").alias("k"),
+                                    (F.col("id") % 5).alias("v"))
+    t = Table.create(warehouse, "db.lineage_mor", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("v") == 2, mode="mor")
+    plan = t.scan().plan_files()
+    assert plan._fast is not None
+    assert any(s is not None for _, _, s in plan._fast)
+    out = TableScan(t.metadata, include_row_lineage=True).to_df(spark)
+    rows = out.select("k", "_row_id").collect()
+    assert len(rows) == 240
+    assert len({r["_row_id"] for r in rows}) == 240
+    assert all(r["_row_id"] is not None for r in rows)
