@@ -256,6 +256,17 @@ def load_manifest_list(path: str) -> Sequence[ManifestFile]:
     return _cached_manifest_list(path, file_io_for(path).mtime_ns(path))
 
 
+def _lite_file(memo: Dict[int, "DataFile"], src) -> "DataFile":
+    """id-memoized LITE materialization of a matched delete-file source
+    (shared by ScanPlan.tasks, count_rows and to_df — interned fast-plan
+    delete sets reference each src many times)."""
+    k = id(src)
+    f = memo.get(k)
+    if f is None:
+        f = memo[k] = _DeleteFileIndex._file(src)
+    return f
+
+
 @dataclass
 class FileScanTask:
     """Unit of read work (counterpart of scan/task.rs:55-118).
@@ -306,14 +317,6 @@ class ScanPlan:
         if self._tasks is None:
             ts: List[FileScanTask] = []
             file_memo: Dict[int, DataFile] = {}
-
-            def mat(src):
-                k = id(src)
-                f = file_memo.get(k)
-                if f is None:
-                    f = file_memo[k] = _DeleteFileIndex._file(src)
-                return f
-
             for cols, idx, sets in (self._fast or ()):
                 for j, i in enumerate(idx):
                     e = cols.entry(int(i))
@@ -321,8 +324,10 @@ class ScanPlan:
                                      sequence_number=e.sequence_number)
                     s = sets[j] if sets is not None else None
                     if s is not None:
-                        t.pos_deletes.extend(mat(x) for x in s[0])
-                        t.eq_deletes.extend(mat(x) for x in s[1])
+                        t.pos_deletes.extend(_lite_file(file_memo, x)
+                                             for x in s[0])
+                        t.eq_deletes.extend(_lite_file(file_memo, x)
+                                            for x in s[1])
                     ts.append(t)
             self._tasks = ts
         return self._tasks
@@ -542,14 +547,31 @@ class TableScan:
         # surviving delete-manifest set: manifests are immutable, so
         # repeated plans over the same MOR table skip the
         # O(delete files) routing pass entirely.
-        # mtimes captured ONCE, before decode, and used for BOTH the cache
-        # key and the disk-cache store: re-fetching mtime at store time
-        # could publish old decoded content under a NEW mtime if the
-        # manifest were replaced in place mid-plan (permanent poisoning)
-        mtime_of = {m.manifest_path:
-                    file_io_for(m.manifest_path).mtime_ns(m.manifest_path)
-                    for m in surviving_dels + surviving_data}
-        dkey = tuple((m.manifest_path, mtime_of[m.manifest_path])
+        # mtimes captured ONCE per manifest, at LOAD time, and reused for
+        # BOTH the cache key and the disk-cache store: re-fetching mtime
+        # at store time could publish old decoded content under a NEW
+        # mtime if the manifest were replaced in place mid-plan
+        # (permanent poisoning). Data-manifest mtimes are fetched INSIDE
+        # the decode pool (one serial stat per remote manifest here would
+        # add O(manifests) blocking round-trips before any decode starts);
+        # delete-manifest mtimes are needed NOW for the index cache key —
+        # pooled when the set is large or remote.
+        mtime_of: Dict[str, int] = {}
+
+        def _mt(path: str) -> int:
+            got = mtime_of.get(path)
+            if got is None:
+                got = mtime_of[path] = file_io_for(path).mtime_ns(path)
+            return got
+
+        if len(surviving_dels) > 4 and any(
+                not spark_native_path(m.manifest_path)
+                for m in surviving_dels):
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+            with _TPE(max_workers=min(16, len(surviving_dels))) as mpool:
+                list(mpool.map(_mt, [m.manifest_path
+                                     for m in surviving_dels]))
+        dkey = tuple((m.manifest_path, _mt(m.manifest_path))
                      for m in surviving_dels)
         with _delete_index_lock:
             cached = _delete_index_cache.get(dkey)
@@ -625,13 +647,15 @@ class TableScan:
 
             def result(self):
                 return self._fn(_manifest_cache.get(
-                    self._m.manifest_path, mtime_of[self._m.manifest_path]))
+                    self._m.manifest_path, _mt(self._m.manifest_path)))
 
         def submit_all(mfs, fn):
             if pool is not None:
+                # _mt runs on the pool worker: the stat overlaps across
+                # manifests and is pinned for _persist afterwards
                 return [pool.submit(
                     lambda m=m: fn(_manifest_cache.get(
-                        m.manifest_path, mtime_of[m.manifest_path])))
+                        m.manifest_path, _mt(m.manifest_path))))
                     for m in mfs]
             return [_Now(fn, m) for m in mfs]
 
@@ -1041,14 +1065,6 @@ class TableScan:
             total = 0
             residual: List[FileScanTask] = []
             fmemo: Dict[int, DataFile] = {}
-
-            def fmat(src):
-                k = id(src)
-                f = fmemo.get(k)
-                if f is None:
-                    f = fmemo[k] = _DeleteFileIndex._file(src)
-                return f
-
             for c, ix, sets in plan._fast:
                 if sets is None:
                     total += int(c.record_count[ix].sum())
@@ -1062,8 +1078,10 @@ class TableScan:
                     e = c.entry(int(i))
                     task = FileScanTask(data_file=e.data_file,
                                         sequence_number=e.sequence_number)
-                    task.pos_deletes.extend(fmat(x) for x in s[0])
-                    task.eq_deletes.extend(fmat(x) for x in s[1])
+                    task.pos_deletes.extend(_lite_file(fmemo, x)
+                                            for x in s[0])
+                    task.eq_deletes.extend(_lite_file(fmemo, x)
+                                           for x in s[1])
                     residual.append(task)
             self.last_count_residual_files = len(residual)
             if residual:
@@ -1116,14 +1134,7 @@ class TableScan:
             import numpy as np
             by_key: Dict[tuple, dict] = {}
             src_memo: Dict[int, DataFile] = {}
-
-            def _mat(src):
-                k = id(src)
-                f = src_memo.get(k)
-                if f is None:
-                    f = src_memo[k] = _DeleteFileIndex._file(src)
-                return f
-
+            _mat = functools.partial(_lite_file, src_memo)
             sig_memo: Dict[int, tuple] = {}   # id(set) -> (pos_sig, eq_sig)
 
             def _sig(s):

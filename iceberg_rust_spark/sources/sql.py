@@ -713,7 +713,17 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
             tbl = refs[alias]
             out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
 
-        for conj in _split_top_and(text):
+        # SQL precedence: AND binds tighter than OR, so a text with a
+        # TOP-LEVEL OR is a single disjunction — AND-splitting
+        # `a OR b AND c` into ['a OR b', 'c'] would fabricate an
+        # over-restrictive (a OR b) AND c and silently DROP rows
+        # (review r12). Such texts flow through as ONE conjunct: either
+        # the whole disjunction attributes to one table (sql_to_predicate
+        # parses precedence correctly) or the OR-projection below
+        # distributes it per table.
+        conjuncts = ([text] if len(_split_top_or(text)) > 1
+                     else _split_top_and(text))
+        for conj in conjuncts:
             if _has_subquery(conj):
                 continue
             alias = attribute(conj)
@@ -1372,11 +1382,15 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
                 if AUDIT_SCANS is not None:
                     # opt-in planner observability (tools/frontdoor_audit):
                     # counters come from a dedicated plan; the to_df below
-                    # replans warm (manifest + delete-index caches hit)
+                    # replans warm (manifest + delete-index caches hit).
+                    # Reads the POST-guard row_filter so a degraded scan
+                    # reports no filter, not one it actually dropped.
                     p = scan_obj.plan_files()
                     AUDIT_SCANS.append({
                         "table": full,
-                        "filter": str(scan_filters.get(full)),
+                        "filter": ("None" if isinstance(
+                            scan_obj.row_filter, E.AlwaysTrue)
+                            else str(scan_obj.row_filter)),
                         "total_manifests": p.total_manifests,
                         "skipped_manifests": p.skipped_manifests,
                         "total_data_files": p.total_data_files,

@@ -1402,7 +1402,13 @@ class Table:
         # metadata JSON re-pointed at the avro manifest list
         md_dict = _json.loads(self.metadata.to_json())
         if format_version == 1:
+            # strict v1 readers (pyiceberg TableMetadataV1) REQUIRE the
+            # singular 'schema' / 'partition-spec' keys that v2 dropped;
+            # emit both alongside the modern plural forms
             md_dict["format-version"] = 1
+            md_dict["schema"] = schema.to_json_dict()
+            md_dict["partition-spec"] = [
+                pf.to_json() for pf in self.metadata.spec().fields]
         for s in md_dict.get("snapshots", []):
             if s.get("snapshot-id") == snap.snapshot_id:
                 s["manifest-list"] = ml_path

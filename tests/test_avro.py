@@ -389,6 +389,11 @@ def test_export_avro_metadata_v1_static_scan(spark, warehouse):
     assert meta["format-version"] == b"1"
     assert "block_size_in_bytes" in raw[0]["data_file"]
     assert "content" not in raw[0]["data_file"]
+    # strict v1 readers require the singular schema/partition-spec keys
+    md = json.load(open(paths["metadata"]))
+    assert md["format-version"] == 1
+    assert md["schema"]["schema-id"] == md["current-schema-id"]
+    assert isinstance(md["partition-spec"], list)
     st_t = Table.from_metadata_path(paths["metadata"])
     assert st_t.to_df(spark).count() == 200
     assert st_t.scan(row_filter=E.col("k") < 50).to_df(spark).count() == 50

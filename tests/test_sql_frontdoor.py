@@ -1696,3 +1696,37 @@ def test_or_of_and_projection_capture(spark, warehouse):
     want = spark.sql(q.replace("db.lineitem", "lineitem_rawor")
                       .replace("db.part", "part_rawor")).collect()[0]["revenue"]
     assert res == want is not None
+
+
+def test_top_level_or_never_and_split(spark, warehouse):
+    """r12 review fix: `a = 1 OR b = 2 AND c = 3` means a=1 OR (b=2 AND
+    c=3) — AND-splitting it into (a=1 OR b=2) AND c=3 fabricated an
+    over-restrictive capture that silently dropped rows. A top-level OR
+    text flows through as ONE disjunction (correct precedence via
+    sql_to_predicate) or the per-table OR projection."""
+    import os
+
+    from iceberg_rust_spark.sources.sql import _auto_scan_filters
+
+    got = _auto_scan_filters(
+        "SELECT * FROM db.t WHERE a = 1 OR b = 2 AND c = 3")
+    r = repr(got["db.t"])
+    assert "(a eq 1 OR (b eq 2 AND c eq 3))" in r
+
+    # end-to-end: the row (a=1, c=99) satisfies the real WHERE and must
+    # survive the captured filter
+    df = spark.createDataFrame(
+        [(1, 0, 99), (0, 2, 3), (0, 2, 99), (5, 5, 5)], "a long, b long, c long")
+    Table.create(warehouse, "db.orprec",
+                 schema_from_spark(df.schema)).append(spark, df)
+    got_rows = sorted(tuple(r) for r in run_sql(
+        spark, warehouse,
+        "SELECT * FROM db.orprec WHERE a = 1 OR b = 2 AND c = 3").collect())
+    assert got_rows == [(0, 2, 3), (1, 0, 99)]
+
+    # join shape: the OR projection must keep both of x's branch pieces
+    jq = ("SELECT * FROM db.a x JOIN db.b y ON x.k = y.k "
+          "WHERE x.p = 1 OR y.q = 2 AND x.r = 3")
+    jg = _auto_scan_filters(jq)
+    assert "(p eq 1 OR r eq 3)" in repr(jg["db.a"])
+    assert "db.b" not in jg      # unbounded in the first branch
