@@ -1280,6 +1280,32 @@ class TableScan:
                 else:
                     files = localize_paths(files)
                     remap = mirror_remap_pattern()
+            elif len(files) >= _executor_read_threshold(spark):
+                # many-small-files escape hatch for the ONE cost Python
+                # cannot remove from Spark's native reader: handing it an
+                # explicit N-file list still pays an InMemoryFileIndex
+                # listing pass (plus a distributed listing job) that the
+                # manifests already answered. Route the group through the
+                # executor-side FileIO plane instead — split planning uses
+                # manifest-recorded sizes (zero listing IO), executors GET
+                # bytes and decode via Arrow. Measured at 20k small local
+                # files: 35.0s native (10k-task listing job + scan) vs
+                # 5.6s through this path, same rows. Auto-enabled only on
+                # local[*] masters (executors provably share the
+                # filesystem) above 10k files; elsewhere opt-in via
+                # ICEBERG_SPARK_EXECUTOR_READ_FILES (0 disables). Groups
+                # with many over-split-size files stay native — their
+                # per-file footer reads would pay back the listing.
+                from .io import LocalFileIO
+                io_impl = file_io_for(files[0])
+                if isinstance(io_impl, LocalFileIO):
+                    from .executor_io import _max_split_bytes
+                    szs = g["sizes"]()
+                    cap = _max_split_bytes(spark)
+                    oversized = sum(1 for s in szs.values()
+                                    if s and s > cap)
+                    if oversized <= 256:
+                        exec_io = io_impl
             file_schema = self._file_schema(schema_id, schema)
             need_meta = (bool(pos_dels) or self.include_row_lineage
                          or self.include_deleted)
@@ -1819,6 +1845,28 @@ def _delete_set_bytes(deletes: List["DataFile"]) -> int:
         else:
             total += d.file_size_in_bytes or 0
     return total
+
+
+def _executor_read_threshold(spark: SparkSession) -> int:
+    """File count above which a spark-native group routes through the
+    executor-side FileIO read plane (see to_df). Env
+    ICEBERG_SPARK_EXECUTOR_READ_FILES overrides (0 disables); the default
+    auto-enables at 10k files ONLY on local[*] masters, where executor
+    and driver provably share the filesystem — on a real cluster the
+    operator must opt in (shared FS / NFS mounts)."""
+    env = os.environ.get("ICEBERG_SPARK_EXECUTOR_READ_FILES")
+    if env is not None:
+        try:
+            n = int(env)
+            return n if n > 0 else (1 << 62)
+        except ValueError:
+            pass
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            return 10000
+    except Exception:
+        pass
+    return 1 << 62
 
 
 def _broadcast_threshold(spark: SparkSession) -> int:

@@ -917,3 +917,58 @@ def test_concurrent_commit_vs_planners_consistent(warehouse, tmp_path,
             assert sig == want, f"plan of snapshot {sid} mixed states"
             checked += 1
     assert checked >= 6
+
+
+# ------------------------------------- r12: many-files executor read plane
+def test_executor_read_route_matches_native(spark, warehouse, monkeypatch):
+    """Above ICEBERG_SPARK_EXECUTOR_READ_FILES, spark-native local groups
+    route through the executor-side FileIO plane (manifest-size split
+    planning, no InMemoryFileIndex listing — measured 35s -> 5.6s at 20k
+    small files). Forced low here: rows, filters, MOR deletes and row
+    lineage must all match the native path exactly."""
+    from iceberg_rust_spark.sources.scan import TableScan
+
+    df = _ids(spark, 600)
+    t = Table.create(warehouse, "db.execroute", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.append(spark, df.withColumn("k", F.col("k") + 10000))
+
+    native = sorted(r["k"] for r in t.to_df(spark).collect())
+    monkeypatch.setenv("ICEBERG_SPARK_EXECUTOR_READ_FILES", "2")
+    routed_df = t.to_df(spark)
+    plan_str = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_str          # actually took the exec plane
+    assert sorted(r["k"] for r in routed_df.collect()) == native
+
+    # filtered scan: residual filter re-applies above the exec read
+    got = sorted(r["k"] for r in
+                 t.scan(row_filter=E.col("v") == 3).to_df(spark).collect())
+    monkeypatch.delenv("ICEBERG_SPARK_EXECUTOR_READ_FILES")
+    want = sorted(r["k"] for r in
+                  t.scan(row_filter=E.col("v") == 3).to_df(spark).collect())
+    assert got == want and got
+
+    # MOR deletes through the exec plane
+    t = t.delete_where(spark, E.col("v") == 5, mode="mor")
+    native_del = sorted(r["k"] for r in t.to_df(spark).collect())
+    monkeypatch.setenv("ICEBERG_SPARK_EXECUTOR_READ_FILES", "2")
+    got_del = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert got_del == native_del
+
+    # row lineage through the exec plane: distinct non-null ids
+    out = TableScan(t.metadata, include_row_lineage=True).to_df(spark)
+    rows = out.select("k", "_row_id").collect()
+    assert len(rows) == len(native_del)
+    assert len({r["_row_id"] for r in rows}) == len(rows)
+    assert all(r["_row_id"] is not None for r in rows)
+    monkeypatch.delenv("ICEBERG_SPARK_EXECUTOR_READ_FILES")
+
+
+def test_executor_read_threshold_defaults(spark, monkeypatch):
+    from iceberg_rust_spark.sources.scan import _executor_read_threshold
+    monkeypatch.delenv("ICEBERG_SPARK_EXECUTOR_READ_FILES", raising=False)
+    assert _executor_read_threshold(spark) == 10000   # local[*] master
+    monkeypatch.setenv("ICEBERG_SPARK_EXECUTOR_READ_FILES", "0")
+    assert _executor_read_threshold(spark) >= (1 << 61)   # disabled
+    monkeypatch.setenv("ICEBERG_SPARK_EXECUTOR_READ_FILES", "77")
+    assert _executor_read_threshold(spark) == 77
