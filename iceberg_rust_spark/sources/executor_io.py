@@ -248,10 +248,22 @@ def fileio_parquet_df(spark: SparkSession, files: List[str],
                 return pf.read(columns=cols)
             return pf.read_row_groups(rgs, columns=cols)
 
+        # FileIOs backed by a real filesystem expose local_path: pyarrow
+        # then opens the file directly and reads ONLY the projected column
+        # chunks from disk — read_bytes would fetch the whole object into
+        # memory before the pruned decode (matters for wide tables on the
+        # many-small-files route)
+        local_path = getattr(fileio, "local_path", None)
+
         for pdf in batches:
             for path, rg_lo, rg_n, row0 in zip(pdf["path"], pdf["rg_lo"],
                                                pdf["rg_n"], pdf["row0"]):
-                if rg_lo < 0:
+                if local_path is not None:
+                    pf = pq.ParquetFile(local_path(path))
+                    tab = pruned_read(
+                        pf, None if rg_lo < 0 else
+                        list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
+                elif rg_lo < 0:
                     # whole object: one GET, decode (pruned) from memory
                     pf = pq.ParquetFile(
                         _io.BytesIO(fileio.read_bytes(path)))

@@ -143,6 +143,12 @@ class FileIO:
 class LocalFileIO(FileIO):
     """Posix FS; accepts bare paths and file:// URIs interchangeably."""
 
+    @staticmethod
+    def local_path(path):
+        """Real filesystem path (executor_io opens it directly so pyarrow
+        reads only the projected column chunks from disk)."""
+        return strip_scheme(path)
+
     def read_bytes(self, path, offset=None, length=None):
         with open(strip_scheme(path), "rb") as fh:
             if offset is not None:

@@ -1280,7 +1280,8 @@ class TableScan:
                 else:
                     files = localize_paths(files)
                     remap = mirror_remap_pattern()
-            elif len(files) >= _executor_read_threshold(spark):
+            elif (len(files) >= _executor_read_threshold(spark)
+                  and self.selected_columns is None):
                 # many-small-files escape hatch for the ONE cost Python
                 # cannot remove from Spark's native reader: handing it an
                 # explicit N-file list still pays an InMemoryFileIndex
@@ -1295,7 +1296,11 @@ class TableScan:
                 # filesystem) above 10k files; elsewhere opt-in via
                 # ICEBERG_SPARK_EXECUTOR_READ_FILES (0 disables). Groups
                 # with many over-split-size files stay native — their
-                # per-file footer reads would pay back the listing.
+                # per-file footer reads would pay back the listing — and
+                # explicit column selections stay native too (mapInPandas
+                # blocks Catalyst column pruning; the native scan's
+                # ReadSchema pruning wins for narrow projections over
+                # wide tables).
                 from .io import LocalFileIO
                 io_impl = file_io_for(files[0])
                 if isinstance(io_impl, LocalFileIO):
