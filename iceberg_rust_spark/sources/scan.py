@@ -1281,7 +1281,10 @@ class TableScan:
                     files = localize_paths(files)
                     remap = mirror_remap_pattern()
             elif (len(files) >= _executor_read_threshold(spark)
-                  and self.selected_columns is None):
+                  and self.selected_columns is None
+                  and schema_id is not None
+                  and all(p.startswith("/") or p.startswith("file:")
+                          for p in files)):
                 # many-small-files escape hatch for the ONE cost Python
                 # cannot remove from Spark's native reader: handing it an
                 # explicit N-file list still pays an InMemoryFileIndex
@@ -1300,12 +1303,20 @@ class TableScan:
                 # explicit column selections stay native too (mapInPandas
                 # blocks Catalyst column pruning; the native scan's
                 # ReadSchema pruning wins for narrow projections over
-                # wide tables).
+                # wide tables). Guards (review r12): every file in the
+                # group must be a LOCAL path (files[0] alone must not turn
+                # a mixed-backend group into an all-local assumption), and
+                # id-less external groups (add_files; schema_id None) stay
+                # native — FOREIGN parquet may carry INT96/legacy-rebase
+                # timestamps whose pyarrow decode differs from Spark's
+                # datetimeRebaseModeInRead handling; files our own writer
+                # produced are arrow-standard by construction.
                 from .io import LocalFileIO
                 io_impl = file_io_for(files[0])
                 if isinstance(io_impl, LocalFileIO):
                     from .executor_io import _max_split_bytes
                     szs = g["sizes"]()
+                    g["sizes"] = lambda _s=szs: _s   # computed once; reuse
                     cap = _max_split_bytes(spark)
                     oversized = sum(1 for s in szs.values()
                                     if s and s > cap)

@@ -1404,9 +1404,13 @@ class Table:
         if format_version == 1:
             # strict v1 readers (pyiceberg TableMetadataV1) REQUIRE the
             # singular 'schema' / 'partition-spec' keys that v2 dropped;
-            # emit both alongside the modern plural forms
+            # emit both alongside the modern plural forms. The singular
+            # schema is the EXPORTED SNAPSHOT's schema — current-schema-id
+            # must agree with it (exporting an old snapshot of an evolved
+            # table would otherwise hand strict readers two answers)
             md_dict["format-version"] = 1
             md_dict["schema"] = schema.to_json_dict()
+            md_dict["current-schema-id"] = schema.schema_id
             md_dict["partition-spec"] = [
                 pf.to_json() for pf in self.metadata.spec().fields]
         for s in md_dict.get("snapshots", []):
