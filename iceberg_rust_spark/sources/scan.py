@@ -1075,6 +1075,20 @@ class TableScan:
                     if s is None:
                         total += int(rc[int(i)])
                         continue
+                    if not s[1] and len(s[0]) == 1:
+                        # v3 deletion vector: exact count is metadata-only.
+                        # A DV's record_count IS its cardinality, and the
+                        # spec requires a DV to supersede (contain) every
+                        # earlier positional delete of its file — so for a
+                        # file whose sole attached delete is its DV,
+                        # live rows = record_count - cardinality, no data
+                        # read. Files with eq deletes or multiple pos
+                        # sources stay residual.
+                        d = _lite_file(fmemo, s[0][0])
+                        if (d.file_format == "puffin"
+                                and d.referenced_data_file is not None):
+                            total += int(rc[int(i)]) - d.record_count
+                            continue
                     e = c.entry(int(i))
                     task = FileScanTask(data_file=e.data_file,
                                         sequence_number=e.sequence_number)
@@ -1094,13 +1108,21 @@ class TableScan:
         total, residual = 0, []
         for task in plan.tasks:
             df_ = task.data_file
-            if task.pos_deletes or task.eq_deletes:
+            dv_only = (not task.eq_deletes and len(task.pos_deletes) == 1
+                       and task.pos_deletes[0].file_format == "puffin"
+                       and task.pos_deletes[0].referenced_data_file
+                       is not None)
+            if (task.pos_deletes and not dv_only) or task.eq_deletes:
                 residual.append(task)
-            elif isinstance(bound, E.AlwaysTrue):
+            elif isinstance(bound, E.AlwaysTrue) or file_must_match(
+                    bound, self._metrics_for_file(df_, schema),
+                    df_.record_count):
+                # stats prove every row matches; a sole DV subtracts its
+                # cardinality (v3: the DV supersedes all earlier pos
+                # deletes of the file), still metadata-only
                 total += df_.record_count
-            elif file_must_match(bound, self._metrics_for_file(df_, schema),
-                                 df_.record_count):
-                total += df_.record_count
+                if dv_only:
+                    total -= task.pos_deletes[0].record_count
             else:
                 residual.append(task)
         self.last_count_residual_files = len(residual)

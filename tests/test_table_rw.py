@@ -499,3 +499,53 @@ def test_scan_execution_metrics(spark, warehouse):
     assert m["files_scanned"] == 3
     assert m["rows_scanned"] == 1000
     assert m["bytes_scanned"] > 0
+
+
+def test_metadata_only_count_with_deletion_vectors(spark, warehouse):
+    """r12: COUNT over a DV-deleted table is metadata-only — a file whose
+    sole attached delete is its deletion vector counts as
+    record_count - cardinality (the v3 spec requires a DV to supersede
+    every earlier positional delete of its file), no data read. Eq
+    deletes force a data read again."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                     (F.col("id") % 10).alias("v"))
+    t = Table.create(warehouse, "db.dvcount", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("v") == 4, mode="dv")
+    scan = t.scan()
+    # no SparkSession passed: must not need one
+    assert scan.count_rows() == 900
+    assert scan.last_count_residual_files == 0
+    assert t.to_df(spark).count() == 900     # data read agrees
+
+    # an equality delete makes the affected files residual again
+    keys = spark.createDataFrame([(7,)], "v long")
+    t = t.delete_by_equality(spark, keys, ["v"])
+    scan2 = t.scan()
+    n = scan2.count_rows(spark)
+    assert n == 800
+    assert scan2.last_count_residual_files > 0
+
+
+def test_filtered_metadata_count_with_dv(spark, warehouse):
+    """Filtered COUNT where stats prove full match: a sole-DV file still
+    counts metadata-only (record_count - cardinality)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark import Table, expr as E
+    from iceberg_rust_spark.sources.types import schema_from_spark
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"),
+                                    (F.col("id") % 5).alias("v"))
+    t = Table.create(warehouse, "db.dvcount2", schema_from_spark(df.schema))
+    t = t.append(spark, df)
+    t = t.delete_where(spark, E.col("v") == 1, mode="dv")
+    # k >= 0 provably matches every row -> strict metrics, no data read
+    scan = t.scan(row_filter=E.col("k") >= 0)
+    assert scan.count_rows() == 400
+    assert scan.last_count_residual_files == 0
