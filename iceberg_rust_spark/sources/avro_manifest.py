@@ -400,6 +400,12 @@ def write_avro_manifest(path: str, entries: List[ManifestEntry],
             "sort_order_id": f.sort_order_id}
         if v1:
             dfrec["block_size_in_bytes"] = 64 * 1024 * 1024  # legacy required
+            # v1's snapshot_id is a REQUIRED long (no null branch in the
+            # golden schema, testdata/avro_schema_manifest_file_v1.json):
+            # an entry whose snapshot id was inherited-at-read (v2
+            # semantics) exports as 0 — readers treat it as "unknown
+            # ancestor", never a live snapshot id, since 0 is not a
+            # valid generated snapshot id
             recs.append({"status": e.status,
                          "snapshot_id": e.snapshot_id or 0,
                          "data_file": dfrec})

@@ -124,8 +124,9 @@ def _plan_splits(files: List[str], fileio,
         # footer reads are remote range-GETs — thread them so planning
         # latency is one round-trip, not one per oversized file
         def _footer(p):
-            return p, pq.ParquetFile(
-                FileIORandomFile(fileio, p, file_sizes[p])).metadata
+            with pq.ParquetFile(
+                    FileIORandomFile(fileio, p, file_sizes[p])) as pf:
+                return p, pf.metadata
         if len(oversized) > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(
@@ -259,21 +260,25 @@ def fileio_parquet_df(spark: SparkSession, files: List[str],
             for path, rg_lo, rg_n, row0 in zip(pdf["path"], pdf["rg_lo"],
                                                pdf["rg_n"], pdf["row0"]):
                 if local_path is not None:
-                    pf = pq.ParquetFile(local_path(path))
-                    tab = pruned_read(
-                        pf, None if rg_lo < 0 else
-                        list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
+                    # context-managed: this route is the 10k+-small-files
+                    # path, and relying on refcount rebinding leaks the
+                    # OS handle on exception paths (ADVICE r12)
+                    with pq.ParquetFile(local_path(path)) as pf:
+                        tab = pruned_read(
+                            pf, None if rg_lo < 0 else
+                            list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
                 elif rg_lo < 0:
                     # whole object: one GET, decode (pruned) from memory
-                    pf = pq.ParquetFile(
-                        _io.BytesIO(fileio.read_bytes(path)))
-                    tab = pruned_read(pf, None)
+                    with pq.ParquetFile(
+                            _io.BytesIO(fileio.read_bytes(path))) as pf:
+                        tab = pruned_read(pf, None)
                 else:
                     # row-group run of an oversized file: range-GETs for
                     # exactly this run's projected column chunks
-                    pf = pq.ParquetFile(FileIORandomFile(fileio, path))
-                    tab = pruned_read(
-                        pf, list(range(int(rg_lo), int(rg_lo) + int(rg_n))))
+                    with pq.ParquetFile(FileIORandomFile(fileio, path)) as pf:
+                        tab = pruned_read(
+                            pf, list(range(int(rg_lo),
+                                           int(rg_lo) + int(rg_n))))
                 yield project(tab, path, int(row0))
 
     paths_df = spark.createDataFrame(

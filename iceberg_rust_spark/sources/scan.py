@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -111,6 +112,8 @@ class _ManifestCache:
         with _delete_index_lock:
             _delete_index_cache.clear()
             _fast_match_cache.clear()
+            global _fast_match_cache_rows
+            _fast_match_cache_rows = 0
 
 
 _manifest_cache = _ManifestCache()
@@ -224,6 +227,14 @@ _delete_index_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 # interned delete sets). Entries reference cols views the manifest cache
 # already holds plus small rec tuples; capped LRU, same lock.
 _fast_match_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+# retained-size bound for _fast_match_cache (ADVICE r12): an entry's
+# weight is its survivor count — each survivor holds an interned delete
+# set slot, so weight tracks the real retained footprint where a bare
+# entry cap would not (a churning MOR table mints a NEW delete-set key
+# per snapshot, and 4096 × 100k-survivor lists is hundreds of MB).
+_fast_match_cache_rows = 0
+_FAST_MATCH_MAX_ENTRIES = 256
+_FAST_MATCH_MAX_ROWS = 2_000_000
 _delete_index_lock = __import__("threading").Lock()
 
 
@@ -557,11 +568,19 @@ class TableScan:
         # delete-manifest mtimes are needed NOW for the index cache key —
         # pooled when the set is large or remote.
         mtime_of: Dict[str, int] = {}
+        # pool workers insert concurrently (submit_all lambdas): guard the
+        # dict like the module's other shared state so free-threaded
+        # builds can't tear it (benign under the GIL, ADVICE r12). The
+        # stat itself runs OUTSIDE the lock — only the memo is serialized.
+        _mt_lock = threading.Lock()
 
         def _mt(path: str) -> int:
-            got = mtime_of.get(path)
+            with _mt_lock:
+                got = mtime_of.get(path)
             if got is None:
-                got = mtime_of[path] = file_io_for(path).mtime_ns(path)
+                got = file_io_for(path).mtime_ns(path)
+                with _mt_lock:
+                    got = mtime_of.setdefault(path, got)
             return got
 
         if len(surviving_dels) > 4 and any(
@@ -732,11 +751,19 @@ class TableScan:
                             ix, sets = hit
                         else:
                             sets = delete_index.match_arrays(cols, ix)
+                            global _fast_match_cache_rows
                             with _delete_index_lock:
                                 if fkey not in _fast_match_cache:
                                     _fast_match_cache[fkey] = (ix, sets)
-                                    while len(_fast_match_cache) > 4096:
-                                        _fast_match_cache.popitem(last=False)
+                                    _fast_match_cache_rows += len(ix)
+                                    while (len(_fast_match_cache)
+                                           > _FAST_MATCH_MAX_ENTRIES
+                                           or _fast_match_cache_rows
+                                           > _FAST_MATCH_MAX_ROWS):
+                                        _, (oix, _s) = \
+                                            _fast_match_cache.popitem(
+                                                last=False)
+                                        _fast_match_cache_rows -= len(oix)
                     fast.append((cols, ix, sets))
                 plan._fast = fast
                 plan._tasks = None   # materialize lazily on .tasks touch

@@ -390,8 +390,11 @@ def _kw_at(up: str, j: int, word: str) -> bool:
 
 
 def _from_where_blocks(query: str) -> List[tuple]:
-    """(from_text, where_text | None) for EVERY select block in the query —
-    top level, derived tables, CTE bodies, EXISTS/IN/scalar subqueries.
+    """(from_text, where_text | None, from_offset) for EVERY select block
+    in the query — top level, derived tables, CTE bodies, EXISTS/IN/scalar
+    subqueries. ``from_offset`` is the absolute index of from_text's first
+    character in ``query`` (per-reference span arithmetic keys off it —
+    the whitespace strip() removes is accounted for).
     A block's FROM clause runs to the first depth-0 terminator keyword /
     closing paren; its WHERE (if any) to the next. Mis-shapen regions
     (e.g. ``extract(year FROM col)``) yield junk from_texts that the ref
@@ -431,10 +434,14 @@ def _from_where_blocks(query: str) -> List[tuple]:
                 continue
             j += 1
         if where_start is not None:
-            blocks.append((query[i:from_end].strip(),
-                           query[where_start:j].strip()))
+            raw = query[i:from_end]
         else:
-            blocks.append((query[i:j].strip(), None))
+            raw = query[i:j]
+        off = i + (len(raw) - len(raw.lstrip()))
+        blocks.append((raw.strip(),
+                       query[where_start:j].strip()
+                       if where_start is not None else None,
+                       off))
     return blocks
 
 
@@ -595,16 +602,85 @@ def _parse_block_refs(from_part: str):
     return refs, preserved, on_parts
 
 
+# words that can follow a table reference without being its alias
+_REF_TAIL_STOP = frozenset("""JOIN INNER LEFT RIGHT FULL CROSS ON WHERE
+    GROUP ORDER HAVING LIMIT UNION INTERSECT EXCEPT SEMI ANTI NATURAL
+    LATERAL USING FOR TABLESAMPLE""".split())
+
+
+def _ref_spans(from_part: str, refs: dict) -> Dict[str, tuple]:
+    """alias -> (start, end) span of the TABLE-IDENTIFIER text of each
+    catalog-table reference at depth 0 of ``from_part`` (derived-table
+    bodies masked out, so an inner block's reference of the same table
+    never claims an outer span). Spans are relative to from_part; an
+    alias matched by more than one span is dropped (soundness: a span we
+    cannot attribute uniquely must not be rewritten)."""
+    masked = list(_mask_literals(from_part))
+    depth = 0
+    for idx, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+            masked[idx] = " "
+        elif ch == ")":
+            depth -= 1
+            masked[idx] = " "
+        elif depth > 0:
+            masked[idx] = " "
+    flat = "".join(masked)
+    by_tbl: Dict[str, list] = {}
+    for alias, tbl in refs.items():
+        if tbl is not _OPAQUE:
+            by_tbl.setdefault(tbl, []).append(alias)
+    out: Dict[str, tuple] = {}
+    dropped: set = set()
+    for tbl, aliases in by_tbl.items():
+        pat = re.compile(rf"(?<![\w.]){re.escape(tbl)}(?![\w.$])")
+        for m in pat.finditer(flat):
+            tail = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", flat[m.end():],
+                            re.IGNORECASE)
+            word = tail.group(1) if tail else None
+            if word is not None and word.upper() in _REF_TAIL_STOP:
+                word = None
+            if word is not None and word in aliases:
+                owner = word
+            elif word is None and tbl in aliases:
+                owner = tbl            # bare reference: alias == table
+            else:
+                continue
+            if owner in out or owner in dropped:
+                dropped.add(owner)
+                out.pop(owner, None)
+                continue
+            out[owner] = (m.start(), m.end())
+    return out
+
+
 def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
-    """{table: Predicate} captured from WHERE clauses for file pruning.
-    Inclusive pruning of a conjunct that the block's own WHERE re-applies
-    can only over-read, never over-prune — PROVIDED the pruned scan backs
-    exactly one reference. run_sql registers ONE filtered view per table,
-    so any table referenced more than once anywhere in the query (self
-    join, correlated subquery on the same table) is dropped from the
-    output — capturing one reference's conjunct would filter the other
-    reference's rows too (r12 fix: the previous join path captured both
-    sides of a self join into one contradictory filter).
+    """Table-keyed capture (see _auto_scan_filters_ex for the per-
+    reference sibling run_sql uses for multi-referenced tables)."""
+    return _auto_scan_filters_ex(query, catalog)[0]
+
+
+def _auto_scan_filters_ex(query: str, catalog=None):
+    """-> ({table: Predicate}, per_ref) captured from WHERE clauses for
+    file pruning. Inclusive pruning of a conjunct that the block's own
+    WHERE re-applies can only over-read, never over-prune — PROVIDED the
+    pruned scan backs exactly one reference. The TABLE-KEYED dict feeds
+    run_sql's one-view-per-table path, so any table referenced more than
+    once anywhere in the query (self join, correlated subquery on the
+    same table) is dropped from it — capturing one reference's conjunct
+    would filter the other reference's rows too (r12 fix: the previous
+    join path captured both sides of a self join into one contradictory
+    filter).
+
+    ``per_ref`` records carry each capture at REFERENCE granularity:
+    {table, alias, pred, start, end} where [start, end) is the span of
+    that reference's table identifier in ``query``. run_sql uses them to
+    register a DISTINCT pruned view per reference of a multi-referenced
+    table (the reference plans one TableProvider::scan per reference,
+    crates/integrations/datafusion/src/table/mod.rs:120-143) — each
+    reference then prunes with its own conjunct, which the once-only
+    rule above must surrender when one view is shared.
 
     EVERY select block is scanned (top level, CTE bodies, derived tables,
     EXISTS/IN/scalar subqueries): a conjunct captured from an inner block
@@ -644,8 +720,9 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
         return got
 
     out: Dict[str, "E.Predicate"] = {}
+    per_ref: List[dict] = []
 
-    def capture(text: str, refs: dict, allowed: set) -> None:
+    def capture(text: str, refs: dict, allowed: set, caps: dict) -> None:
         def attribute(piece: str) -> Optional[str]:
             """The single block ref that owns every column of ``piece``,
             or None (cross-table / unresolvable / ambiguous)."""
@@ -710,8 +787,7 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
                 return None
 
         def emit(alias: str, pred: "E.Predicate") -> None:
-            tbl = refs[alias]
-            out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+            caps[alias] = E.And(caps[alias], pred) if alias in caps else pred
 
         # SQL precedence: AND binds tighter than OR, so a text with a
         # TOP-LEVEL OR is a single disjunction — AND-splitting
@@ -770,26 +846,77 @@ def _auto_scan_filters(query: str, catalog=None) -> Dict[str, "E.Predicate"]:
                     acc = E.Or(acc, p)
                 emit(a, acc)
 
-    for from_part, where in _from_where_blocks(query):
+    for from_part, where, from_off in _from_where_blocks(query):
         parsed = _parse_block_refs(from_part)
         if parsed is None:
             continue
         refs, preserved, on_parts = parsed
+        caps: Dict[str, "E.Predicate"] = {}
         if where is not None:
             plain = _mask_literals(where)
             if plain.count("(") == plain.count(")"):
-                capture(where, refs, preserved)
+                capture(where, refs, preserved, caps)
         for on_text, on_allowed in on_parts:
-            capture(on_text, refs, on_allowed)
+            capture(on_text, refs, on_allowed, caps)
+        if not caps:
+            continue
+        spans = _ref_spans(from_part, refs)
+        for alias, pred in caps.items():
+            tbl = refs[alias]
+            out[tbl] = E.And(out[tbl], pred) if tbl in out else pred
+            sp = spans.get(alias)
+            if sp is not None:
+                per_ref.append({"table": tbl, "alias": alias, "pred": pred,
+                                "start": from_off + sp[0],
+                                "end": from_off + sp[1]})
 
     # once-only rule: a table textually referenced more than once shares
-    # one filtered view across references — drop its capture
+    # one filtered view across references — drop its capture from the
+    # table-keyed dict (run_sql recovers these via per_ref instead)
     masked_q = _mask_literals(query)
     for tbl in list(out):
         pat = rf"(?<![\w.]){re.escape(tbl)}(?![\w.$])"
         if len(re.findall(pat, masked_q)) > 1:
             del out[tbl]
-    return out
+    return out, per_ref
+
+
+def _register_scan_view(spark: SparkSession, t: "Table", full: str,
+                        view_name: str, pred, fallback_pred=None) -> None:
+    """Register ``view_name`` over ``t.scan(row_filter=pred)``. Capture is
+    best-effort: a predicate that does not bind to this table's schema
+    (mis-attributed column) must degrade — first to ``fallback_pred``
+    (a caller-supplied filter known independently of the capture), then
+    to an unfiltered scan — never fail the query."""
+    scan_obj = t.scan(row_filter=pred)
+    if pred is not None:
+        for cand in (fallback_pred, None):
+            try:
+                E.bind(scan_obj.row_filter, t.metadata.schema(),
+                       scan_obj.case_sensitive)
+                break
+            except Exception:
+                scan_obj = (t.scan(row_filter=cand) if cand is not None
+                            else t.scan())
+    if AUDIT_SCANS is not None:
+        # opt-in planner observability (tools/frontdoor_audit): counters
+        # come from a dedicated plan; the to_df below replans warm
+        # (manifest + delete-index caches hit). Reads the POST-guard
+        # row_filter so a degraded scan reports no filter, not one it
+        # actually dropped.
+        p = scan_obj.plan_files()
+        AUDIT_SCANS.append({
+            "table": full,
+            "filter": ("None" if isinstance(
+                scan_obj.row_filter, E.AlwaysTrue)
+                else str(scan_obj.row_filter)),
+            "total_manifests": p.total_manifests,
+            "skipped_manifests": p.skipped_manifests,
+            "total_data_files": p.total_data_files,
+            "skipped_by_partition": p.skipped_by_partition,
+            "skipped_by_metrics": p.skipped_by_metrics,
+        })
+    scan_obj.to_df(spark).createOrReplaceTempView(view_name)
 
 
 def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
@@ -1307,12 +1434,45 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.update_where(spark, pred, assignments)
         return spark.createDataFrame([(n,)], "updated_rows long")
 
-    auto = _auto_scan_filters(query, catalog)
+    auto, per_ref = _auto_scan_filters_ex(query, catalog)
     if auto:
         scan_filters = {**{t: p for t, p in auto.items()
                            if t not in scan_filters}, **scan_filters}
     vc = ViewCatalog(catalog)
     rewritten = query
+
+    # per-reference pruned views: a table referenced MORE than once never
+    # gets a shared filtered view (once-only rule — capturing one
+    # reference's conjunct would drop the other reference's rows, r12
+    # bug), so each captured reference is spliced onto its OWN pruned
+    # scan view over exactly its table-identifier span instead — the
+    # reference's planner does the same, one TableProvider::scan per
+    # reference (crates/integrations/datafusion/src/table/mod.rs:120).
+    # References without a captured conjunct keep the shared (unfiltered
+    # or user-filtered) view via the catalog loop below.
+    if per_ref:
+        masked_q0 = _mask_literals(query)
+        multi = {r["table"] for r in per_ref if len(re.findall(
+            rf"(?<![\w.]){re.escape(r['table'])}(?![\w.$])", masked_q0)) > 1}
+        spliced = sorted((r for r in per_ref if r["table"] in multi),
+                         key=lambda r: -r["start"])
+        prev_start = len(query) + 1
+        for k, r in enumerate(spliced):
+            if r["end"] > prev_start:
+                continue                # overlap: never splice twice
+            try:
+                t = Table.load(catalog, r["table"])
+            except NoSuchTable:
+                continue
+            user_pred = scan_filters.get(r["table"])
+            pred = (E.And(user_pred, r["pred"])
+                    if user_pred is not None else r["pred"])
+            view_name = f"__ice_pr{k}_" + r["table"].replace(".", "_")
+            _register_scan_view(spark, t, r["table"], view_name, pred,
+                                user_pred)
+            rewritten = (rewritten[:r["start"]] + view_name
+                         + rewritten[r["end"]:])
+            prev_start = r["start"]
 
     # time travel: `t FOR VERSION AS OF <id>` / `FOR TIMESTAMP AS OF '<ts>'`
     # registers a snapshot-pinned scan under a synthetic view name
@@ -1368,36 +1528,8 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
                 rewritten = mpat.sub(mview, rewritten)
             if pat.search(rewritten):
                 view_name = f"__ice_{ns}_{tname}"
-                scan_obj = t.scan(row_filter=scan_filters.get(full))
-                if scan_filters.get(full) is not None:
-                    # capture is best-effort: a predicate that does not
-                    # bind to this table's schema (mis-attributed column)
-                    # must degrade to an unfiltered scan, never fail the
-                    # query
-                    try:
-                        E.bind(scan_obj.row_filter, t.metadata.schema(),
-                               scan_obj.case_sensitive)
-                    except Exception:
-                        scan_obj = t.scan()
-                if AUDIT_SCANS is not None:
-                    # opt-in planner observability (tools/frontdoor_audit):
-                    # counters come from a dedicated plan; the to_df below
-                    # replans warm (manifest + delete-index caches hit).
-                    # Reads the POST-guard row_filter so a degraded scan
-                    # reports no filter, not one it actually dropped.
-                    p = scan_obj.plan_files()
-                    AUDIT_SCANS.append({
-                        "table": full,
-                        "filter": ("None" if isinstance(
-                            scan_obj.row_filter, E.AlwaysTrue)
-                            else str(scan_obj.row_filter)),
-                        "total_manifests": p.total_manifests,
-                        "skipped_manifests": p.skipped_manifests,
-                        "total_data_files": p.total_data_files,
-                        "skipped_by_partition": p.skipped_by_partition,
-                        "skipped_by_metrics": p.skipped_by_metrics,
-                    })
-                scan_obj.to_df(spark).createOrReplaceTempView(view_name)
+                _register_scan_view(spark, t, full, view_name,
+                                    scan_filters.get(full))
                 rewritten = pat.sub(view_name, rewritten)
         for vname in vc.list_views(ns):
             full = f"{ns}.{vname}"

@@ -1366,7 +1366,22 @@ class Table:
         schema = self.metadata.schema(snap.schema_id)
         out_manifests: List[str] = []
         mf_records: List[ManifestFile] = []
-        for i, mf in enumerate(load_manifest_list(snap.manifest_list)):
+        snap_manifests = list(load_manifest_list(snap.manifest_list))
+        # the spec advertised table-wide (manifest-list FieldSummary
+        # encoding + v1's singular 'partition-spec') must be the spec the
+        # EXPORTED snapshot's manifests were written under, not the
+        # table's current default: exporting an old snapshot of a
+        # spec-evolved table would otherwise hand strict v1 readers a
+        # spec that disagrees with every manifest (ADVICE r12). When the
+        # snapshot mixes specs there is no single honest answer — fall
+        # back to the current default (per-manifest wspec stays exact).
+        _spec_ids = {m.partition_spec_id for m in snap_manifests}
+        try:
+            export_spec = (self.metadata.spec(next(iter(_spec_ids)))
+                           if len(_spec_ids) == 1 else self.metadata.spec())
+        except Exception:   # unknown spec id (external writer): default
+            export_spec = self.metadata.spec()
+        for i, mf in enumerate(snap_manifests):
             entries = list(load_manifest(mf.manifest_path))
             spec = self.metadata.spec(mf.partition_spec_id)
             # embed the schema the manifest's files were WRITTEN under
@@ -1396,7 +1411,7 @@ class Table:
             mf_records.append(rec)
         ml_path = os.path.join(base, f"snap-{snap.snapshot_id}.avro")
         write_avro_manifest_list(ml_path, mf_records,
-                                 spec_fields=self.metadata.spec().fields,
+                                 spec_fields=export_spec.fields,
                                  schema=schema,
                                  format_version=format_version)
         # metadata JSON re-pointed at the avro manifest list
@@ -1411,8 +1426,12 @@ class Table:
             md_dict["format-version"] = 1
             md_dict["schema"] = schema.to_json_dict()
             md_dict["current-schema-id"] = schema.schema_id
+            # singular spec follows the exported snapshot's manifests
+            # (see export_spec above); default-spec-id must agree so a
+            # strict reader never sees two answers
             md_dict["partition-spec"] = [
-                pf.to_json() for pf in self.metadata.spec().fields]
+                pf.to_json() for pf in export_spec.fields]
+            md_dict["default-spec-id"] = export_spec.spec_id
         for s in md_dict.get("snapshots", []):
             if s.get("snapshot-id") == snap.snapshot_id:
                 s["manifest-list"] = ml_path

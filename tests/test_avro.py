@@ -404,3 +404,47 @@ def test_export_avro_metadata_v1_static_scan(spark, warehouse):
     t2 = t2.delete_where(spark, E.col("g") == 1, mode="mor")
     with pytest.raises(ValueError, match="format_version=1"):
         t2.export_avro_metadata(format_version=1)
+
+
+def test_export_old_snapshot_of_spec_evolved_table_uses_written_spec(
+        spark, warehouse):
+    """Exporting an OLD snapshot of a partition-spec-evolved table must
+    advertise the spec its manifests were WRITTEN under — the v1 singular
+    'partition-spec' and the manifest-list FieldSummary encoding both key
+    off it, and stamping the table's CURRENT default there hands strict
+    readers a spec that disagrees with every manifest (ADVICE r12)."""
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+    from iceberg_rust_spark.functions.transforms import parse_transform
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        (F.col("id") % 3).cast("string").alias("cat"))
+    schema = schema_from_spark(df.schema)
+    spec_a = PartitionSpec(0, [PartitionField(
+        schema.field_by_name("b").field_id, 1000, "b", parse_transform("identity"))])
+    t = Table.create(warehouse, "db.oldspec", schema, spec_a)
+    t = t.append(spark, df.where(F.col("k") < 30))
+    old_snap = t.metadata.current_snapshot_id
+
+    spec_b = PartitionSpec(1, [PartitionField(
+        schema.field_by_name("cat").field_id, 1001, "cat",
+        parse_transform("identity"))])
+    t = t.commit_updates(updates=[
+        {"action": "add-spec", "spec": spec_b},
+        {"action": "set-default-spec", "spec-id": -1}])
+    t = t.append(spark, df.where(F.col("k") >= 30))
+    assert t.metadata.default_spec_id == 1
+
+    paths = t.export_avro_metadata(snapshot_id=old_snap, format_version=1)
+    md = json.load(open(paths["metadata"]))
+    # singular spec = the OLD snapshot's manifests' spec, not 'cat'
+    assert [f["name"] for f in md["partition-spec"]] == ["b"]
+    assert md["default-spec-id"] == 0
+    # manifest-list FieldSummaries encode under spec A's field order
+    mfs = read_avro_manifest_list(paths["manifest_list"])
+    assert all(m.partition_spec_id == 0 for m in mfs)
+    # current-snapshot export of the same table advertises spec B
+    cur = t.export_avro_metadata(format_version=2)
+    mfs2 = read_avro_manifest_list(cur["manifest_list"])
+    assert {m.partition_spec_id for m in mfs2} == {0, 1}

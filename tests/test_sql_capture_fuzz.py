@@ -97,3 +97,62 @@ def test_join_capture_sound(spark, fuzz_env, w1, w2):
         q.replace("db.fz2", "fz2_raw").replace("db.fz", "fz_raw")
     ).collect()]
     assert got == want, (w1q, w2q)
+
+
+def _qx(w):
+    import re as _re
+    return _re.sub(r"\b([abc])\b", lambda m: f"x.{m.group(1)}", w)
+
+
+def _qy(w):
+    import re as _re
+    return _re.sub(r"\b([abc])\b",
+                   lambda m: {"a": "y.k", "b": "y.g", "c": "y.g"}[m.group(1)],
+                   w)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w1=boolexpr(no_like=True), w2=boolexpr(no_like=True),
+       off=st.integers(0, 3))
+def test_self_join_per_reference_capture_sound(spark, fuzz_env, w1, w2, off):
+    """r13 per-reference views: a self join where EACH reference carries
+    its own conjunct — both references may now prune independently, and
+    the result must still equal plain Spark exactly."""
+    import re as _re
+    w2x = _re.sub(r"\b([abc])\b", lambda m: f"y.{m.group(1)}", w2)
+    q = (f"SELECT x.a, x.b, y.c FROM db.fz x JOIN db.fz y "
+         f"ON x.a = y.a + {off} WHERE ({_qx(w1)}) AND ({w2x}) "
+         f"ORDER BY x.a, y.c")
+    got = [tuple(r) for r in run_sql(spark, fuzz_env, q).collect()]
+    want = [tuple(r) for r in
+            spark.sql(q.replace("db.fz", "fz_raw")).collect()]
+    assert got == want, (w1, w2, off)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=boolexpr(no_like=True), on_extra=boolexpr(no_like=True),
+       kind=st.sampled_from(["JOIN", "LEFT JOIN", "LEFT OUTER JOIN",
+                             "RIGHT JOIN", "RIGHT OUTER JOIN"]),
+       w_side=st.sampled_from(["x", "y"]),
+       on_side=st.sampled_from(["x", "y"]))
+def test_outer_join_where_and_on_capture_sound(spark, fuzz_env, w,
+                                               on_extra, kind, w_side,
+                                               on_side):
+    """r13 fuzz extension (VERDICT task 3): LEFT/RIGHT joins with WHERE
+    conjuncts on either side and extra ON conjuncts on either side —
+    sql.py's preserved-side / null-supplying routing (WHERE prunes only
+    the preserved side; ON prunes only the null-supplying side) must
+    leave run_sql ≡ plain Spark, including IS NULL leaves that punish
+    any mis-routed capture with fabricated or dropped null-extensions."""
+    wq = _qx(w) if w_side == "x" else _qy(w)
+    onq = _qx(on_extra) if on_side == "x" else _qy(on_extra)
+    q = (f"SELECT x.a, x.c, y.g FROM db.fz x {kind} db.fz2 y "
+         f"ON x.a = y.k AND ({onq}) WHERE ({wq}) "
+         f"ORDER BY x.a, x.c, y.g")
+    got = [tuple(r) for r in run_sql(spark, fuzz_env, q).collect()]
+    want = [tuple(r) for r in spark.sql(
+        q.replace("db.fz2", "fz2_raw").replace("db.fz", "fz_raw")
+    ).collect()]
+    assert got == want, (kind, w_side, wq, on_side, onq)

@@ -1730,3 +1730,95 @@ def test_top_level_or_never_and_split(spark, warehouse):
     jg = _auto_scan_filters(jq)
     assert "(p eq 1 OR r eq 3)" in repr(jg["db.a"])
     assert "db.b" not in jg      # unbounded in the first branch
+
+
+def test_per_reference_views_prune_self_join(spark, warehouse):
+    """r13: a table referenced twice gets a DISTINCT pruned view per
+    reference (the once-only rule only surrenders the SHARED view) —
+    each reference prunes with its own captured conjunct, rows match
+    plain Spark exactly, and the audit shows per-reference scans."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark.functions.transforms import parse_transform
+    from iceberg_rust_spark.sources import sql as sqlmod
+    from iceberg_rust_spark.sources.metadata import (PartitionField,
+                                                     PartitionSpec)
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("g"),
+        (F.col("id") * 3).alias("v"))
+    schema = schema_from_spark(df.schema)
+    spec = PartitionSpec(0, [PartitionField(
+        schema.field_by_name("g").field_id, 1000, "g",
+        parse_transform("identity"))])
+    t = Table.create(warehouse, "db.sj", schema, spec)
+    t.append(spark, df)
+    df.createOrReplaceTempView("sj_raw")
+
+    q = ("SELECT a.k, a.v, b.v AS bv FROM db.sj a JOIN db.sj b "
+         "ON a.k = b.k + 7 WHERE a.g = 1 AND b.g = 2 ORDER BY a.k")
+    sqlmod.AUDIT_SCANS = []
+    try:
+        got = [tuple(r) for r in run_sql(spark, warehouse, q).collect()]
+        recs = sqlmod.AUDIT_SCANS
+    finally:
+        sqlmod.AUDIT_SCANS = None
+    want = [tuple(r) for r in
+            spark.sql(q.replace("db.sj", "sj_raw")).collect()]
+    assert got == want and got
+    # two per-reference scans, each pruned by ITS OWN conjunct
+    filt = [r for r in recs if r["table"] == "db.sj" and r["filter"] != "None"]
+    assert len(filt) == 2
+    assert {f["filter"] for f in filt} == {"g eq 1", "g eq 2"}
+    assert all(f["skipped_by_partition"] > 0 for f in filt)
+
+
+def test_per_reference_views_prune_in_subquery(spark, warehouse):
+    """q18 shape: the same table in the main FROM and in an IN-subquery —
+    the subquery reference's conjunct prunes that reference only."""
+    import pyspark.sql.functions as F
+
+    from iceberg_rust_spark.sources import sql as sqlmod
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("qty"))
+    t = Table.create(warehouse, "db.li18", schema_from_spark(df.schema))
+    t.append(spark, df)
+    df.createOrReplaceTempView("li18_raw")
+
+    q = ("SELECT o.k, o.qty FROM db.li18 o WHERE o.k IN "
+         "(SELECT i.k FROM db.li18 i WHERE i.qty > 90) ORDER BY o.k")
+    sqlmod.AUDIT_SCANS = []
+    try:
+        got = [tuple(r) for r in run_sql(spark, warehouse, q).collect()]
+        recs = sqlmod.AUDIT_SCANS
+    finally:
+        sqlmod.AUDIT_SCANS = None
+    want = [tuple(r) for r in
+            spark.sql(q.replace("db.li18", "li18_raw")).collect()]
+    assert got == want and got
+    filt = [r for r in recs if r["filter"] != "None"]
+    assert len(filt) == 1 and "qty gt 90" in filt[0]["filter"]
+
+
+def test_per_reference_views_user_filter_composes(spark, warehouse):
+    """An explicit scan_filters entry for a multi-referenced table must
+    still apply to EVERY reference — AND-composed with the captured
+    conjunct on spliced references, alone on the shared view."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"))
+    Table.create(warehouse, "db.uf", schema_from_spark(df.schema)) \
+        .append(spark, df)
+    df.createOrReplaceTempView("uf_raw")
+
+    q = ("SELECT a.k FROM db.uf a JOIN db.uf b ON a.k = b.k "
+         "WHERE a.g = 3 ORDER BY a.k")
+    got = [r["k"] for r in run_sql(
+        spark, warehouse, q, scan_filters={"db.uf": E.col("k") < 50}
+    ).collect()]
+    want = [r["k"] for r in spark.sql(
+        "SELECT a.k FROM uf_raw a JOIN uf_raw b ON a.k = b.k "
+        "WHERE a.g = 3 AND a.k < 50 AND b.k < 50 ORDER BY a.k").collect()]
+    assert got == want and got
