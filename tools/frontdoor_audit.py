@@ -125,13 +125,16 @@ def main() -> None:
         "- **q9**: the only single-table conjunct is `p_name LIKE"
         " '%widget%'` — a leading-wildcard LIKE has no prunable bound"
         " (not STARTS_WITH), so the predicate grammar rejects it.",
-        "- **q11**: lineitem/supplier/nation are each referenced TWICE"
-        " (main block + HAVING scalar subquery); run_sql shares one scan"
-        " view per table, so capturing either reference's conjunct would"
-        " filter the other (the r12 once-only soundness rule).",
-        "- **q18**: lineitem appears in both the main FROM and the IN"
-        " subquery (once-only rule); the remaining conjuncts are"
-        " cross-table joins.",
+        "- **q18**: lineitem's IN-subquery filters only through a HAVING"
+        " over a grouped SUM — no WHERE conjunct exists to capture;"
+        " the remaining conjuncts are cross-table joins.",
+        "",
+        "Multi-referenced tables (q11's nation twice, q21's lineitem",
+        "three times) now prune PER REFERENCE (r13): each reference is",
+        "spliced onto its own scan view carrying its own captured",
+        "conjunct — the r12 once-only rule only surrenders the shared",
+        "view. A reference shown with `—` either has no own conjunct",
+        "(join-only, q11 lineitem/supplier) or an uncapturable one.",
     ]
     notes += [
         "",
