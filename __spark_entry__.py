@@ -34,7 +34,7 @@ from iceberg_rust_spark.operators import dedup as DD
 from iceberg_rust_spark.operators import multimodal as MM
 from iceberg_rust_spark.operators import similarity as SIM
 from iceberg_rust_spark.sources.types import schema_from_spark
-from iceberg_rust_spark.session import read_table
+from iceberg_rust_spark.session import local_df, read_table
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -507,7 +507,7 @@ def q_iceberg_fast_count(spark, sf_dir):
     rows = [("1-URGENT",
              t.count(spark, E.col("o_orderpriority") == "1-URGENT")),
             ("total", t.count(spark))]
-    return spark.createDataFrame(rows, "k string, n long")
+    return local_df(spark, rows, "k string, n long", parts=1)
 
 
 def q_iceberg_deleted_flag(spark, sf_dir):

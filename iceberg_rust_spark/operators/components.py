@@ -134,8 +134,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                     parent[rb] = ra
             rows = [(v, find(v)) for v in parent]
             und_all.unpersist()
-            return spark.createDataFrame(
-                rows, schema="node long, component long")
+            from ..session import local_df
+            return local_df(spark, rows, "node long, component long")
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the

@@ -48,6 +48,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import local_df
+
 MEDIA_SCHEMA = ("media_id long, payload binary, mime string, "
                 "meta struct<width:int, height:int, n_bytes:long>")
 
@@ -405,7 +407,8 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             payload = encode_webp_lossless(pixels(w, h, i + 11, i))
             mime = "image/webp"
         rows.append((i, bytearray(payload), mime))
-    return spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    return local_df(spark, rows, "media_id long, payload binary, mime string",
+                    parts=max(1, n // 16))
 
 
 def synthetic_video_df(spark, n: int = 12) -> DataFrame:
@@ -429,8 +432,8 @@ def synthetic_video_df(spark, n: int = 12) -> DataFrame:
             payload, mime = encode_mp4(frames, fps=10, width=32 + i % 8,
                                        height=24 + i % 5), "video/mp4"
         rows.append((i, bytearray(payload), mime))
-    return spark.createDataFrame(
-        rows, "media_id long, payload binary, mime string")
+    return local_df(spark, rows, "media_id long, payload binary, mime string",
+                    parts=max(1, n // 16))
 
 
 def synthetic_audio_df(spark, n: int = 16, rate: int = 8000) -> DataFrame:
@@ -445,5 +448,5 @@ def synthetic_audio_df(spark, n: int = 16, rate: int = 8000) -> DataFrame:
                 + 100.0 * t / frames)
         rows.append((i, bytearray(encode_wav(rate, wave.astype(np.int16))),
                      "audio/wav"))
-    return spark.createDataFrame(
-        rows, "media_id long, payload binary, mime string")
+    return local_df(spark, rows, "media_id long, payload binary, mime string",
+                    parts=max(1, n // 16))

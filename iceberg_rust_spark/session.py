@@ -38,8 +38,56 @@ def get_spark(app_name: str = "iceberg_rust_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # opt-in event log for measurement sessions (tools/profile_query.py):
+        # job/stage wall attribution without the UI. Off unless the env var
+        # names a directory, so bench/driver sessions are unaffected.
+        .config("spark.eventLog.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_EVENTLOG_DIR") else "false")
+        .config("spark.eventLog.dir",
+                os.environ.get("SPARK_GRAFT_EVENTLOG_DIR", "/tmp"))
+        .config("spark.eventLog.compress", "false")
         .getOrCreate()
     )
+
+
+def local_df(spark: SparkSession, rows, schema: str,
+             parts: int | None = None) -> DataFrame:
+    """Small driver-local DataFrame via the ARROW createDataFrame path.
+
+    The plain ``spark.createDataFrame(list, schema)`` route materializes a
+    pickled Python RDD sliced ``defaultParallelism`` ways, and every action
+    re-evaluates every slice through a Python-worker handshake (~0.14 s per
+    slice-evaluation, measured): a 2-row literal frame cost ~0.7 s per action
+    on local[32] and serializes into core-count waves on smaller masters. The
+    Arrow path ships one record batch per slice and evaluates JVM-side —
+    ~8x cheaper per action here (guide §6 "Arrow for driver transfers").
+
+    ``schema`` must be a flat DDL string ("a long, b string, ..."). Rows may
+    be tuples/lists. Falls back to the classic path if pandas/Arrow cannot
+    represent the values. ``parts``: optional coalesce for consumers that
+    launch a Python task per partition (mapInPandas over a tiny fixture).
+    """
+    try:
+        import pandas as pd
+        from pyspark.sql.types import _parse_datatype_string
+        st = _parse_datatype_string(schema)
+        names = [f.name for f in st.fields]
+        data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        # bytearray -> bytes: pyarrow represents both, but bytes is the
+        # canonical binary scalar and round-trips everywhere
+        for n in names:
+            data[n] = [bytes(v) if isinstance(v, bytearray) else v
+                       for v in data[n]]
+        pdf = pd.DataFrame(data, columns=names, dtype=object)
+        if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled",
+                          "false") != "true":
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        df = spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        df = spark.createDataFrame(list(rows), schema)
+    if parts is not None:
+        df = df.coalesce(parts)
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

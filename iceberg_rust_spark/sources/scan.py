@@ -1458,8 +1458,10 @@ class TableScan:
                 else:
                     # wide plans: tiny broadcast join instead of a huge
                     # map literal in the projection
-                    frid_df = spark.createDataFrame(
-                        frids, "_frid_file string, _frid long, _fseq long")
+                    from ..session import local_df
+                    frid_df = local_df(
+                        spark, frids,
+                        "_frid_file string, _frid long, _fseq long", parts=1)
                     gdf = gdf.join(
                         F.broadcast(frid_df),
                         _norm_path(gdf["_file"]) == F.col("_frid_file"),

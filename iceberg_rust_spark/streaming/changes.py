@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Set
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..session import local_df
 from pyspark.sql import functions as F
 
 from ..sources.manifest import (CONTENT_DATA, CONTENT_EQUALITY_DELETES,
@@ -272,11 +274,12 @@ def changes_df(spark: SparkSession, table: Table,
             # broadcast metadata map — scan count stays O(1) in snapshots
             paths = sorted({a[0] for a in assigns})
             base = read_files(paths, with_meta=True)
-            amap = spark.createDataFrame(
+            amap = local_df(
+                spark,
                 [(_norm_path_py(p), ct, o, sid)
                  for p, ct, o, sid in assigns],
-                schema="_cf string, _change_type string, "
-                       "_change_ordinal int, _commit_snapshot_id long")
+                "_cf string, _change_type string, "
+                "_change_ordinal int, _commit_snapshot_id long", parts=1)
             parts.append(base.join(F.broadcast(amap), "_cf")
                          .select(*names, "_change_type", "_change_ordinal",
                                  "_commit_snapshot_id"))
@@ -380,9 +383,9 @@ def _merged_pos_deletes(spark: SparkSession, jobs: List[dict], read_files,
         # in from a broadcast map on _metadata.file_path
         paths = sorted({p for p, _o, _s in pq_assign})
         raw = _read_parquet_meta(spark, paths)
-        pmap = spark.createDataFrame(
-            [(_norm_path_py(p), o, s) for p, o, s in pq_assign],
-            schema="_src string, _ord int, _sid long")
+        pmap = local_df(
+            spark, [(_norm_path_py(p), o, s) for p, o, s in pq_assign],
+            "_src string, _ord int, _sid long", parts=1)
         pair_parts.append(
             raw.join(F.broadcast(pmap), "_src")
                .select(F.col("file_path").alias("_del_file"),
@@ -398,10 +401,11 @@ def _merged_pos_deletes(spark: SparkSession, jobs: List[dict], read_files,
     # the join key (the downstream _norm_path calls are idempotent).
     pairs = pairs.withColumn("_del_file", _norm_path(F.col("_del_file")))
     pairs = pairs.dropDuplicates(["_del_file", "_del_pos", "_ord"])
-    valid = spark.createDataFrame(
+    valid = local_df(
+        spark,
         [(job["ordinal"], _norm_path_py(t))
          for job in jobs for t in job["targets"]],
-        schema="_vord int, _vcf string")
+        "_vord int, _vcf string", parts=1)
     pairs = (pairs.join(F.broadcast(valid),
                         on=[_norm_path(F.col("_del_file")) == F.col("_vcf"),
                             F.col("_ord") == F.col("_vord")])
@@ -513,9 +517,9 @@ def _pos_delete_targets_batch(
                 .limit(_TARGET_LIST_CAP + 1).collect())
     else:
         raw = _read_parquet_meta(spark, paths)
-        pmap = spark.createDataFrame(
-            [(_norm_path_py(p), o) for p, o in pq_assign],
-            schema="_src string, _ord int")
+        pmap = local_df(
+            spark, [(_norm_path_py(p), o) for p, o in pq_assign],
+            "_src string, _ord int", parts=1)
         rows = (raw.join(F.broadcast(pmap), "_src")
                 .select("_ord", "file_path").distinct()
                 .limit(_TARGET_LIST_CAP + 1).collect())
