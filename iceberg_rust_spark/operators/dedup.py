@@ -368,7 +368,9 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     # null vectors are filtered above, not threaded through: they cannot
     # be near-duplicates of anything and the numpy bucket kernel cannot
     # stack a None row
-    base = base.localCheckpoint()
+    # LAZY checkpoint: the probe aggregate below is the materializing
+    # action — an eager checkpoint was a whole extra sequential job per call
+    base = base.localCheckpoint(eager=False)
     # ONE action for both probes (row count + dimensionality) — first()
     # and count() each launched a job against the checkpoint
     # the isNotNull filter above means first() can't see a null here;

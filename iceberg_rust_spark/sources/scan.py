@@ -1384,7 +1384,7 @@ class TableScan:
                         spark, files, None, exec_io, with_meta=need_meta,
                         file_sizes=g["sizes"]())
                 else:
-                    gdf = spark.read.parquet(*files)
+                    gdf = cached_parquet_relation(spark, files)
                 alias_map = self._alias_map(schema)
                 for alias, canonical in alias_map.items():
                     if alias in gdf.columns and alias != canonical:
@@ -1408,7 +1408,7 @@ class TableScan:
                         with_meta=need_meta,
                         file_sizes=g["sizes"]())
                 else:
-                    gdf = spark.read.schema(read_schema).parquet(*files)
+                    gdf = cached_parquet_relation(spark, files, read_schema)
             if need_meta and exec_io is None:
                 fcol = F.col("_metadata.file_path")
                 if _paths_need_decode(files):
@@ -2060,6 +2060,43 @@ def dv_pairs_df(spark: SparkSession, dv_files: List["DataFile"]) -> DataFrame:
                                     "_del_pos": pos.astype("int64")})
 
     return desc.mapInPandas(decode, "_del_file string, _del_pos long")
+
+
+def cached_parquet_relation(spark: SparkSession, files: Sequence[str],
+                            read_schema=None) -> DataFrame:
+    """Memoized ``spark.read[.schema].parquet(*files)`` per session.
+
+    DataFrameReader.parquet resolves the relation EAGERLY (file-status
+    listing + source resolution in the JVM) — measured ~0.25 s of driver
+    wall for an 83-file group on this box, repeated identically on every
+    scan of the same file set. Iceberg data/delete files are immutable and
+    never reused at the same path (UUID names), so the analyzed relation is
+    content-addressed by its path list: memoize it, LRU-capped, exactly
+    like _pos_parquet_pairs_df's delete-relation cache. The cache lives on
+    the session wrapper (dies with the session) and holds lazy PLANS, never
+    results — every action still reads the parquet inputs."""
+    cache = getattr(spark, "_irs_parquet_rel_cache", None)
+    if cache is None:
+        cache = OrderedDict()
+        spark._irs_parquet_rel_cache = cache
+    if read_schema is None:
+        skey = None
+    elif isinstance(read_schema, str):
+        skey = read_schema
+    else:
+        skey = read_schema.json()
+    key = (tuple(files), skey)
+    got = cache.get(key)
+    if got is not None:
+        cache.move_to_end(key)
+        return got
+    reader = spark.read if read_schema is None \
+        else spark.read.schema(read_schema)
+    df = reader.parquet(*files)
+    cache[key] = df
+    while len(cache) > 256:
+        cache.popitem(last=False)
+    return df
 
 
 # spec-fixed layout of positional-delete parquet files (field ids

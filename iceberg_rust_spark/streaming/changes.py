@@ -55,7 +55,8 @@ def _read_parquet_raw(spark: SparkSession, paths: List[str]) -> DataFrame:
     read_paths = sorted(paths)
     if read_paths and not spark_native_path(read_paths[0]):
         read_paths = localize_paths(read_paths)
-    return spark.read.parquet(*read_paths)
+    from ..sources.scan import cached_parquet_relation
+    return cached_parquet_relation(spark, read_paths)
 
 
 def _file_sets(table: Table, snapshot_id: Optional[int],
@@ -159,7 +160,8 @@ def changes_df(spark: SparkSession, table: Table,
             # mirror, report manifest URIs in _cf so delete joins match
             read_paths = localize_paths(read_paths)
             remap = mirror_remap_pattern()
-        df = spark.read.schema(spark_schema).parquet(*read_paths)
+        from ..sources.scan import cached_parquet_relation
+        df = cached_parquet_relation(spark, read_paths, spark_schema)
         if with_meta:
             fcol = F.col("_metadata.file_path")
             if _paths_need_decode(read_paths):
@@ -172,10 +174,14 @@ def changes_df(spark: SparkSession, table: Table,
         return df
 
     def stamp(df: DataFrame, change: str, ordinal: int, snap_id: int) -> DataFrame:
-        return df.select(*names) \
-            .withColumn("_change_type", F.lit(change)) \
-            .withColumn("_change_ordinal", F.lit(ordinal).cast("int")) \
-            .withColumn("_commit_snapshot_id", F.lit(snap_id).cast("long"))
+        # one selectExpr, not select + 3 withColumn: each Column op is a
+        # py4j round-trip (~1.5 ms on this box) and stamp runs per part
+        esc = change.replace("'", "''")
+        return df.selectExpr(
+            *[f"`{c}`" for c in names],
+            f"'{esc}' AS _change_type",
+            f"CAST({int(ordinal)} AS int) AS _change_ordinal",
+            f"CAST({int(snap_id)} AS long) AS _commit_snapshot_id")
 
     # Deep histories are CDC's real workload, and one Spark scan per
     # (snapshot, change-kind) made the plan O(snapshots) in scan count (24
@@ -434,7 +440,8 @@ def _read_parquet_meta(spark: SparkSession, paths: List[str]) -> DataFrame:
     if read_paths and not spark_native_path(read_paths[0]):
         read_paths = localize_paths(read_paths)
         remap = mirror_remap_pattern()
-    df = spark.read.parquet(*read_paths)
+    from ..sources.scan import cached_parquet_relation
+    df = cached_parquet_relation(spark, read_paths)
     fcol = F.col("_metadata.file_path")
     if _paths_need_decode(read_paths):
         fcol = _decode_file_uri(fcol)
@@ -506,6 +513,25 @@ def _pos_delete_targets_batch(
             pq_assign.append((p, o))
     if not pq_assign:
         return out
+    # (path, ordinal) -> contained-file-paths resolution is a pure function
+    # of immutable parquet pos-delete files: memoize the collected rows per
+    # session, exactly like the scan layer's delete caches (plan-time
+    # metadata, bounded by _TARGET_LIST_CAP, keyed on the full assignment)
+    memo = getattr(spark, "_irs_pos_target_memo", None)
+    if memo is None:
+        memo = {}
+        spark._irs_pos_target_memo = memo
+    mkey = tuple(sorted(pq_assign))
+    cached_rows = memo.get(mkey)
+    if cached_rows is not None:
+        dv_total = sum(len(s) for s in out.values() if s)
+        if len(cached_rows) + dv_total > _TARGET_LIST_CAP:
+            for _p, o in pq_assign:
+                out[o] = None
+            return out
+        for o, fp in cached_rows:
+            out[o].add(fp)
+        return out
     paths = sorted({p for p, _o in pq_assign})
     ords = {o for _p, o in pq_assign}
     if len(ords) == 1:
@@ -523,6 +549,10 @@ def _pos_delete_targets_batch(
         rows = (raw.join(F.broadcast(pmap), "_src")
                 .select("_ord", "file_path").distinct()
                 .limit(_TARGET_LIST_CAP + 1).collect())
+    memo[mkey] = [(r["_ord"], r["file_path"]) for r in rows]
+    if len(memo) > 256:
+        memo.clear()
+        memo[mkey] = [(r["_ord"], r["file_path"]) for r in rows]
     dv_total = sum(len(s) for s in out.values() if s)
     if len(rows) + dv_total > _TARGET_LIST_CAP:
         for _p, o in pq_assign:
