@@ -1183,7 +1183,10 @@ def q_doc_derep(spark, sf_dir):
                     F.substring("text", 1, 80), F.substring("text", 1, 80),
                     F.substring("text", 41, 60), F.substring("text", 1, 80))
         .alias("text"))
-    return remove_repeated_spans(built).orderBy("doc_id")
+    # no trailing orderBy: the oracle gate compares order-insensitively and
+    # a global sort is a pure extra exchange (guide 2.4: orderBy used only
+    # to make output deterministic)
+    return remove_repeated_spans(built)
 
 
 def q_doc_boilerplate(spark, sf_dir):
@@ -1228,7 +1231,7 @@ def q_doc_para_dedup(spark, sf_dir):
             F.substring("text", 31, 50)).alias("text"))
     out = dedup_paragraphs_global(built, min_chars=16)
     return out.select("doc_id", F.md5("cleaned_text").alias("clean_hash"),
-                      "n_paras_kept", "n_paras_dropped").orderBy("doc_id")
+                      "n_paras_kept", "n_paras_dropped")
 
 
 def q_doc_substring_dedup(spark, sf_dir):
@@ -1239,7 +1242,7 @@ def q_doc_substring_dedup(spark, sf_dir):
     finds the corpus's natural repeated 5-grams."""
     from iceberg_rust_spark.operators.chunking import repeated_window_stats
     d = read_table(spark, sf_dir, "documents")
-    return repeated_window_stats(d, k=5).orderBy("doc_id")
+    return repeated_window_stats(d, k=5)
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1345,9 +1348,17 @@ def q_doc_pipeline(spark, sf_dir):
     # identical computed before or after the keep-first dedup
     fp = scored.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"),
                        TX.token_count(F.col("text")).alias("n_tokens"))
-    w = W.partitionBy("fp").orderBy("doc_id")
-    dedup = (fp.withColumn("__rn", F.row_number().over(w))
-             .where(F.col("__rn") == 1).drop("__rn", "fp"))
+    # keep-first dedup as ONE map-side-combinable min aggregate: the struct
+    # min is ordered by its first field (doc_id, unique per fp), so the
+    # winner row is identical to the old rn=1 window — but partial min folds
+    # duplicates map-side BEFORE the exchange (guide 2.3 "aggregate before
+    # you shuffle") and the per-fp sort disappears. At 100 TB the window
+    # shape shuffled every row to sort it; this ships one candidate per
+    # (partition, fp).
+    dedup = (fp.groupBy("fp")
+             .agg(F.min(F.struct("doc_id", "n_tokens")).alias("_w"))
+             .select(F.col("_w.doc_id").alias("doc_id"),
+                     F.col("_w.n_tokens").alias("n_tokens")))
     split = hash_split(dedup, "doc_id", [("train", 0.9), ("val", 0.1)])
     toks = split.select("doc_id", "split", "n_tokens")
     # shard_chars=1: 16 independent packing streams per split — with only
