@@ -226,6 +226,22 @@ _PII_ORDER = ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"),
               (PII_IP, "<IP>"))
 
 
+def materialize_once(c: Column) -> Column:
+    """Barrier against Catalyst re-inlining an expensive computed column into
+    every consumer. A filter above a projection is pushed below it by
+    SUBSTITUTING the alias expression into the predicate — quality_score over
+    an aliased scrub_pii chain expanded the 3-regex scrub SEVEN times (once
+    per reference inside the score; measured 1.05s -> 0.38s on the sf0.1
+    corpus when blocked). ``shuffle(array(c))[1]`` is the identity on a
+    1-element array but ``shuffle`` is non-deterministic, which (a) cannot be
+    constant-folded (a rand()>-1 wrapper was folded away and re-inlined) and
+    (b) legally blocks CollapseProject/PushPredicateThroughNonJoin — the
+    guide 4.4 asNondeterministic trick, applied to a builtin chain. Values
+    are bit-identical; use ONLY where the consumer re-reads the column many
+    times and the column is expensive (regex chains, decoded blobs)."""
+    return F.element_at(F.shuffle(F.array(c)), 1)
+
+
 def scrub_pii(text: Column) -> Column:
     """Replace emails, intl-format phone numbers, and IPv4 addresses with
     typed redaction tokens. Pure regexp_replace chain — JVM-side, codegen'd,

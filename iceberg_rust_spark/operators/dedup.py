@@ -203,6 +203,77 @@ def _minhash64_pandas():
     return pandas_udf(_mh, "array<long>")
 
 
+def _gram_minhash_pandas(n: int):
+    """FUSED Arrow kernel: text -> struct(grams array<long>, mh array<long>)
+    in ONE Python crossing. The gram arrays and their 64 minhash values were
+    two separate pandas_udf stages (grams kernel, then the persisted gram
+    arrays shipped back INTO Python for the perm minima) — fusing computes
+    the signature while the per-doc gram array is already in numpy, halving
+    the Arrow boundary traffic of the LSH pipeline head. Gram semantics are
+    _gram_hash64_pandas verbatim; mh is _minhash64_pandas verbatim over the
+    same arrays (mh NULL when the doc has no grams, the size()>0 contract)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.murmur3 import murmur3_32_bytes_vec
+
+    B = np.uint64(0x9E3779B97F4A7C15)
+    _empty = np.empty(0, dtype=np.int64)
+    a = np.array([_perm_params(i)[0] for i in range(_N_HASHES)],
+                 dtype=np.uint64)
+    b = np.array([_perm_params(i)[1] for i in range(_N_HASHES)],
+                 dtype=np.uint64)
+    p = np.uint64(_P)
+
+    def _gm(s):
+        toks_all = [_re.split(r"\W+", t.strip().lower(), flags=_re.ASCII)
+                    if isinstance(t, str) else [] for t in s]
+        flat = [w for tk in toks_all for w in tk]
+        grams_out = [_empty] * len(toks_all)
+        mh_out = [None] * len(toks_all)
+        if flat:
+            codes, uniq = pd.factorize(pd.Series(flat, dtype="object"))
+            ub = [u.encode("utf-8") for u in uniq]
+            h1 = murmur3_32_bytes_vec(ub).view(np.uint32).astype(np.uint64)
+            h2 = (murmur3_32_bytes_vec(ub, seed=0x85EBCA6B)
+                  .view(np.uint32).astype(np.uint64))
+            th = ((h1 << np.uint64(32)) | h2)[codes]
+            pos = 0
+            nz_rows, nz_arrays = [], []
+            for i, tk in enumerate(toks_all):
+                m = len(tk)
+                ht = th[pos:pos + m]
+                pos += m
+                if m < n:
+                    continue
+                acc = ht[:m - n + 1].copy()
+                for j in range(1, n):
+                    acc = acc * B + ht[j:m - n + 1 + j]
+                g = np.unique(acc).astype(np.int64)
+                grams_out[i] = g
+                if len(g):
+                    nz_rows.append(i)
+                    nz_arrays.append(g)
+            if nz_rows:
+                counts = np.fromiter((len(g) for g in nz_arrays),
+                                     dtype=np.int64, count=len(nz_arrays))
+                h = np.concatenate(nz_arrays).view(np.uint64) % p
+                offs = np.zeros(len(nz_rows), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs[1:])
+                mins = np.empty((len(nz_rows), _N_HASHES), dtype=np.int64)
+                for i in range(_N_HASHES):
+                    mins[:, i] = np.minimum.reduceat(
+                        (h * a[i] + b[i]) % p, offs).astype(np.int64)
+                for row, i in enumerate(nz_rows):
+                    mh_out[i] = mins[row]
+        return pd.DataFrame({"grams": grams_out, "mh": mh_out})
+
+    return pandas_udf(_gm, "grams array<long>, mh array<long>")
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       n: int = 3) -> DataFrame:
@@ -210,20 +281,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
     banded-LSH candidate generation + exact shingle-set verification.
     """
-    # grams are consumed THREE times (signatures + both verification
-    # sides); without persist each use re-runs the Arrow n-gram kernel and
-    # the doc scan. persist is the cluster-correct shape too: at scale the
-    # gram table is the expensive intermediate every stage shares.
+    # grams+signatures are consumed THREE times (bands + both verification
+    # sides); without persist each use re-runs the Arrow kernel and the doc
+    # scan. persist is the cluster-correct shape too: at scale the gram
+    # table is the expensive intermediate every stage shares.
     # (MEMORY_AND_DISK default; relies on Spark's LRU eviction rather than
     # an explicit unpersist, since the caller's action happens later.)
-    grams = _grams_df(docs, text_col, id_col, n, "grams").persist()
-    # shuffle-free signatures (see minhash_signatures): one Arrow kernel
-    # pass over the persisted gram arrays replaces the old explode ->
-    # groupBy(64 mins) exchange — the LSH pipeline's only shuffles are now
-    # the bucket self-join and the candidate dropDuplicates
-    sigs = (grams.where(F.size("grams") > 0)
-            .select(F.col(id_col),
-                    _minhash64_pandas()(F.col("grams")).alias("_mh")))
+    both = docs.select(F.col(id_col),
+                       _gram_minhash_pandas(n)(F.col(text_col)).alias("_gm")) \
+        .persist()
+    grams = both.select(F.col(id_col), F.col("_gm.grams").alias("grams"))
+    sigs = (both.where(F.col("_gm.mh").isNotNull())
+            .select(F.col(id_col), F.col("_gm.mh").alias("_mh")))
     # SQL-string band construction (one selectExpr, 0-based _mh[i]): the
     # Column-object form built 64 element_at + 32 struct objects, each a
     # py4j round-trip — ~0.3s of pure driver chatter per call
@@ -254,10 +323,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def _bit_masks():
-    # one literal long per bit; bit 63 is long-min in two's complement.
-    # built lazily: F.lit needs an active SparkContext (import-time safe).
-    return F.array(*[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-                     for b in range(_N_HASHES)])
+    # one mask long per bit; bit 63 is long-min in two's complement.
+    # ONE F.expr, not 64 F.lit().cast() pairs (128 py4j round-trips of
+    # driver chatter); shiftleft(1L, 63) yields long-min via Java <<
+    # semantics and constant-folds to the same literal array.
+    return F.expr("array(" + ", ".join(
+        f"shiftleft(1L, {b})" for b in range(_N_HASHES)) + ")")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",

@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.vector import as_double_array, cosine_rounded
 
 
+def _lit_double_array(vals):
+    """Literal array<double> column in ONE py4j call: F.array(*[F.lit(x)...])
+    issued dim+1 gateway round-trips (~1.5 ms each on this box = ~0.15 s per
+    64-dim query vector, rebuilt per call). CAST('<repr>' AS DOUBLE) parses
+    via Double.parseDouble — shortest-round-trip repr makes it bit-exact."""
+    body = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals)
+    return F.expr(f"array({body})")
+
+
 def brute_force_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
                      k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -31,7 +40,7 @@ def brute_force_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     if not q:
         raise ValueError(f"no vector id {query_vec_id}")
     qv = [float(x) for x in q[0][0]]
-    qcol = F.array(*[F.lit(x) for x in qv])
+    qcol = _lit_double_array(qv)
     return (emb.where(F.col(id_col) != query_vec_id)
             .select(F.col(id_col),
                     cosine_rounded(as_double_array(F.col(vec_col)), qcol).alias("sim"))
@@ -114,7 +123,7 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
                 x ^= (1 << b)
             probe.add(x)
     v = as_double_array(F.col(vec_col))
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = _lit_double_array(qv)
     if len(probe) > (1 << n_planes) // 2:
         # probing half the bucket space saves nothing over a scan and can
         # still miss low-similarity neighbors in the unprobed half (the
@@ -294,7 +303,7 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, query_vec_id: int,
     qv = np.array([float(x) for x in row[0][0]])
     cell_d = ((centroids - qv) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(cell_d)[:n_probe]]
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    qcol = _lit_double_array(qv)
     if n_probe > len(centroids) // 2:
         # probing half the cells saves nothing over a scan and can still
         # miss weak neighbors in skipped cells: go exact (recall 1 at any

@@ -94,6 +94,28 @@ def test_minhash_kernel_matches_scalar_definition(spark):
             assert got[doc_id][i] == want, (doc_id, i)
 
 
+def test_fused_gram_minhash_matches_split_kernels(spark, docs):
+    """The fused grams+minhash kernel must emit exactly what the two split
+    kernels (_gram_hash64_pandas, _minhash64_pandas) produce — same gram
+    arrays, same 64 permutation minima, same null-for-empty contract."""
+    from pyspark.sql import functions as F
+    both = docs.select(
+        "doc_id", DD._gram_minhash_pandas(3)(F.col("text")).alias("_gm"))
+    fused = {r["doc_id"]: (list(r["_gm"]["grams"]),
+                           None if r["_gm"]["mh"] is None else list(r["_gm"]["mh"]))
+             for r in both.collect()}
+    grams = {r["doc_id"]: list(r["g"]) for r in docs.select(
+        "doc_id", DD._gram_hash64_pandas(3)(F.col("text")).alias("g")).collect()}
+    sigs = {r["doc_id"]: list(r["m"]) for r in docs.select(
+        "doc_id", DD._gram_hash64_pandas(3)(F.col("text")).alias("g"))
+        .where(F.size("g") > 0)
+        .select("doc_id", DD._minhash64_pandas()(F.col("g")).alias("m")).collect()}
+    assert set(fused) == set(grams)
+    for did, (g, m) in fused.items():
+        assert g == grams[did], did
+        assert m == sigs.get(did), did
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sig = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
     assert sig[1] == sig[4]
