@@ -1165,7 +1165,23 @@ def q_doc_decontaminate(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").where("doc_id < 300")
     bench = read_table(spark, sf_dir, "documents") \
         .where("doc_id BETWEEN 280 AND 360")
-    return (DD.contamination_flags(docs, bench, min_shared=3)
+    # FUSED gram pass (r14, guide §4): both sides are filters of ONE
+    # table, so gram the union of the slices in a single Arrow crossing
+    # and materialize it (lazy localCheckpoint — the noop/oracle action
+    # triggers it) so both sides read the same gram blocks instead of
+    # each re-running the kernel over its own scan: ArrowEvalPython
+    # stages 2 -> 1, table scans 3 -> 2. Shingle semantics identical
+    # (same kernel, same explode; the checkpoint only shares the work).
+    both = (read_table(spark, sf_dir, "documents")
+            .where("doc_id < 300 OR (doc_id BETWEEN 280 AND 360)"))
+    grams = DD._grams_df(both, "text", "doc_id", 3, "_gs") \
+        .localCheckpoint(eager=False)
+    d_sh = (grams.where("doc_id < 300")
+            .select("doc_id", F.explode("_gs").alias("shingle")))
+    b_sh = (grams.where("doc_id BETWEEN 280 AND 360")
+            .select("doc_id", F.explode("_gs").alias("shingle")))
+    return (DD.contamination_flags(docs, bench, min_shared=3,
+                                   doc_shingles=d_sh, bench_shingles=b_sh)
             .select(F.col("doc_id"),
                     F.col("n_shared").cast("long").alias("n_shared"),
                     F.col("contaminated")))
@@ -1461,9 +1477,19 @@ def q_text_tfidf(spark, sf_dir):
     toks = d.select("doc_id", F.explode(
         TX.alpha_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency as a WINDOW over tf, not a second aggregate joined
+    # back (r14, guide §2.3/§2.4): `tf` was referenced twice (tf side +
+    # dfreq side) and Catalyst duplicates twice-referenced subtrees — the
+    # scan+tokenize+explode+partial-agg chain executed TWICE (runtime-
+    # verified: executedPlan had 3 parquet scans, 0 ReusedExchange; the
+    # dfreq branch canonicalizes to a distinct, so its exchange never
+    # matches the tf branch's for reuse). count(*) over (partition by term)
+    # on the tf rows is the same integer df per term, computed from ONE
+    # tokenize pass; the join disappears with the second pass.
     n = d.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(dfreq, "term").crossJoin(n)
+    scored = (tf.withColumn("df", F.count("*").over(
+                  Window.partitionBy("term")))
+              .crossJoin(n)
               .select("doc_id", "term",
                       F.round(F.col("tf") * F.log(F.col("n_docs") /
                                                   F.col("df")), 6)

@@ -70,6 +70,31 @@ BENCH_QUERIES = [
 # not ambient load. tools/bench_compare.py consumes this.
 REFERENCE_PROBE_SEC = 0.0846
 
+# Parallelism-sensitive probe (r14): ~5 core-seconds of pure codegen'd CPU
+# (xxhash64 chain over range()) spread over 64 partitions — no input I/O, no
+# Python boundary, nothing the optimizer can collapse. Its wall scales with
+# the worker count where the sf0.1 queries are driver/fixed-cost-bound, so
+# the low-core/high-core ratio of THIS entry is the provable signal that
+# local[$SPARK_GRAFT_CPUS] is honored (r13's scaling block was all ~1.0
+# ratios purely because every query is sub-second at sf0.1). Timed with the
+# identical min-of-reps protocol and reported in the JSON line's `queries`
+# dict as an ADDED entry, but EXCLUDED from the headline `value` so round-
+# over-round totals stay comparable (it measures the harness contract, not
+# an engine operator).
+PARALLEL_PROBE = "parallel_scaling_probe"
+
+
+def _parallel_probe_df(spark):
+    from pyspark.sql import functions as F
+    h = "id"
+    for _ in range(6):
+        h = f"xxhash64({h})"
+    # sum a bounded residue, not the raw hash: the session runs ANSI mode
+    # and a long-sum of 256M full-range hashes overflows
+    return (spark.range(0, 96_000_000, 1, 64)
+            .selectExpr(f"pmod({h}, 1048576) AS h")
+            .agg(F.sum("h").alias("s")))
+
 
 def _calibration_probe() -> float:
     """Fixed single-thread CPU work (~0.1-0.2 s on an idle core): numpy
@@ -144,6 +169,10 @@ def main() -> None:
             t2 = time.time()
             plans[name].append(t1 - t0)
             runs[name].append(t2 - t0)
+        t0 = time.time()
+        _parallel_probe_df(spark).write.format("noop") \
+            .mode("overwrite").save()
+        runs.setdefault(PARALLEL_PROBE, []).append(time.time() - t0)
         probes.append(_calibration_probe())
         loadavg.append(round(os.getloadavg()[0], 2))
 
@@ -193,10 +222,20 @@ def main() -> None:
     # stdout line stays COMPACT (per-query headline only): r3's line carried
     # two dicts and the driver's bounded tail window truncated it mid-JSON
     # (BENCH_r03.json parsed: null). Full detail goes to BENCH_DETAIL.json.
+    # the probe rides in `queries` (an ADDED entry per the driver contract)
+    # but not in `value` — see PARALLEL_PROBE above
+    timings[PARALLEL_PROBE] = round(min(runs[PARALLEL_PROBE]), 3)
+    medians[PARALLEL_PROBE] = round(
+        sorted(runs[PARALLEL_PROBE])[len(runs[PARALLEL_PROBE]) // 2], 3)
+    sc = spark.sparkContext
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3), "unit": "sec",
         "queries": timings, "sf": sf,
+        # effective parallelism, emitted so the driver's low-core rerun can
+        # PROVE $SPARK_GRAFT_CPUS is honored instead of inferring it from
+        # per-query ratios (r13 scaling.suspect_cpus_ignored false-positive)
+        "cpus": sc.defaultParallelism, "master": sc.master,
     }
     # probe-normalized walls: idle-equivalent numbers comparable across
     # runs taken under different machine load (see REFERENCE_PROBE_SEC)

@@ -232,27 +232,33 @@ def dedup_paragraphs_global(docs: DataFrame, sep: str = "\n",
                     .alias("w"))
                .select("para", F.col(f"w.{id_col}").alias("__wid"),
                        F.col("w.pos").alias("__wpos")))
-    kept = (lines.join(winners, "para", "left")
-            .filter((F.length("para") < min_chars)
-                    | ((F.col(id_col) == F.col("__wid"))
-                       & (F.col("pos") == F.col("__wpos")))))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct(F.col("pos"), F.col("para")))),
-                            lambda s: s["para"]),
-                        sep).alias("cleaned_text"),
-                    F.count("*").cast("long").alias("n_paras_kept")))
-    totals = lines.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("__n_total"))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-                    F.coalesce("n_paras_kept", F.lit(0)).cast("long")
-                    .alias("n_paras_kept"),
-                    (F.col("__n_total") - F.coalesce("n_paras_kept", F.lit(0)))
-                    .cast("long").alias("n_paras_dropped")))
+    # keep/drop decided IN PLACE on the left-joined stream and totals
+    # folded into the SAME reassembly aggregate (r14, guide §2.4): the
+    # former kept-filter + separate totals aggregate + outer join
+    # referenced `lines` THREE times, and Catalyst duplicates each
+    # reference — the corpus was scanned and re-exploded three times
+    # (runtime-verified: 3 parquet scans / 3 Generates, 0 ReusedExchange).
+    # collect_list skips the NULLs the when() leaves for dropped spans
+    # (the remove_frequent_lines trick), count(*) is the per-doc total,
+    # and every doc survives because no row is filtered before the
+    # groupBy — so the outer join and its exchange disappear with the
+    # third pass.
+    keep = ((F.length("para") < min_chars)
+            | ((F.col(id_col) == F.col("__wid"))
+               & (F.col("pos") == F.col("__wpos"))))
+    flagged = lines.join(winners, "para", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep,
+                                    F.struct(F.col("pos"), F.col("para"))))),
+                         lambda s: s["para"]),
+                     sep).alias("cleaned_text"),
+                 F.sum(F.when(keep, 1).otherwise(0))
+                 .cast("long").alias("n_paras_kept"),
+                 F.sum(F.when(keep, 0).otherwise(1))
+                 .cast("long").alias("n_paras_dropped")))
 
 
 def sql_dedup_paragraphs_global(table: str = "documents", sep: str = "\n",

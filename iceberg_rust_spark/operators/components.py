@@ -91,23 +91,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # the checkpoint job (ReuseExchange only collapses identical
     # exchanges, and the pipeline's top operator isn't one). explode
     # emits both directions from ONE computation of each edge row.
-    und_all = _ckpt(e.where(F.col("a").isNotNull()
-                            | F.col("b").isNotNull())
-                    .select(F.explode(F.array(
-                        F.struct(F.col("a"), F.col("b")),
-                        F.struct(F.col("b").alias("a"),
-                                 F.col("a").alias("b")))).alias("_e"))
-                    .select("_e.a", "_e.b")
-                    .repartition(F.col("b")), eager=False)
-    # adjacency side: both endpoints real. Half-null edges appear in
-    # und_all as exactly one (valid, null) row each (the symmetric twin
-    # is (null, valid)) — those valid endpoints become singletons.
-    und = und_all.where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    sym = (e.where(F.col("a").isNotNull() | F.col("b").isNotNull())
+           .select(F.explode(F.array(
+               F.struct(F.col("a"), F.col("b")),
+               F.struct(F.col("b").alias("a"),
+                        F.col("a").alias("b")))).alias("_e"))
+           .select("_e.a", "_e.b"))
     if small_graph_cap:
-        # bounded probe: materializes the lazy checkpoint as its action
-        # (over-cap graphs lose nothing — the loop reads persisted blocks)
+        # bounded probe FIRST, against the bare symmetrized stream (r14):
+        # the common small-graph path used to probe through the
+        # repartition+checkpoint built for the distributed loop, paying a
+        # full extra exchange and block persistence only to discard them
+        # when the union-find answered. Probing the un-repartitioned
+        # stream keeps the small path at exactly one pipeline run with no
+        # exchange/persist; an over-cap graph pays one bounded probe job
+        # before the loop's checkpoint materialization (rare by
+        # construction, and the probe's limit bounds its extra cost).
         sym_cap = 2 * small_graph_cap
-        probe = und_all.limit(sym_cap + 1).collect()
+        probe = sym.limit(sym_cap + 1).collect()
         if len(probe) <= sym_cap:
             parent: dict = {}
 
@@ -133,9 +134,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(v, find(v)) for v in parent]
-            und_all.unpersist()
             from ..session import local_df
             return local_df(spark, rows, "node long, component long")
+    # over-cap (or cap=0): build the loop's static edge side.
+    # repartition("b") BEFORE the checkpoint (see the block comment
+    # above): every round joins und on "b" and Dataset.checkpoint
+    # preserves the hash partitioning, so the static side never
+    # re-shuffles inside the loop. LAZY: round 1's convergence action
+    # materializes it.
+    und_all = _ckpt(sym.repartition(F.col("b")), eager=False)
+    # adjacency side: both endpoints real. Half-null edges appear in
+    # und_all as exactly one (valid, null) row each (the symmetric twin
+    # is (null, valid)) — those valid endpoints become singletons.
+    und = und_all.where(F.col("a").isNotNull() & F.col("b").isNotNull())
     # localCheckpoint per round, NOT just persist: an iterative self-join
     # grows the LOGICAL plan exponentially even when the data is cached —
     # analysis/codegen OOMs by ~iteration 20. Checkpointing truncates the

@@ -427,9 +427,9 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
     import numpy as np
 
     from .similarity import _hyperplanes, srp_buckets_batch
-    # the (id, vector) projection feeds several logical reads (count/dim
-    # probe, bucket fan-out, both re-rank sides) — eagerly localCheckpoint
-    # it so the upstream plan (often a union/transform, not a bare scan)
+    # the (id, vector) projection feeds two logical reads (count/dim
+    # probe, bucket fan-out) — localCheckpoint it so the upstream plan
+    # (often a union/transform, not a bare scan)
     # executes exactly once. Blocks spill like MEMORY_AND_DISK; at 100 TB
     # the bucket columns would be precomputed as stored cluster keys (and
     # executor-loss recovery would argue for reliable checkpoint instead).
@@ -501,12 +501,28 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
         # shuffle partition's fanned rows in pandas — governed by
         # spark.sql.shuffle.partitions like any shuffle, while each salted
         # cell within it stays <= ~2*bucket_cap rows for the matmul.
+        #
+        # Each surviving pair is emitted WITH both stored vectors (r14,
+        # guide §2.4): the old shape emitted ids only and re-attached
+        # vectors via two joins back to the checkpointed base — two extra
+        # joins + base reads whose only purpose was data the kernel
+        # already held. Survivor pairs are the near-duplicates (a bounded
+        # fraction of the corpus), so the carried payload is 2*dim doubles
+        # per emitted row, far cheaper than re-joining the corpus.
         import pandas as pd
         chunks = list(iter_pdf)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        out_a, out_b = [], []
+        out_a, out_b, out_va, out_vb = [], [], [], []
+
+        def emit(ids_i, ids_j, vecs, ii, jj):
+            a_min = ids_i[ii] < ids_j[jj]
+            out_a.append(np.where(a_min, ids_i[ii], ids_j[jj]))
+            out_b.append(np.where(a_min, ids_j[jj], ids_i[ii]))
+            out_va.extend(np.where(a_min, vecs[0][ii], vecs[1][jj]))
+            out_vb.extend(np.where(a_min, vecs[1][jj], vecs[0][ii]))
+
         for (_t, _b, ci, cj), g in pdf.groupby(
                 ["_t", "_bucket", "_ci", "_cj"], sort=False):
             if len(g) < 2:
@@ -516,6 +532,7 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
             norms[norms == 0.0] = 1.0
             unit = mat / norms[:, None]
             ids = g[id_col].to_numpy()
+            raw = g["_v"].to_numpy()
             if ci == cj:
                 # in-cell pairs: chunk rows so the sims block stays ~16 MB
                 step = max(1, (1 << 21) // max(len(unit), 1))
@@ -523,33 +540,41 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.95,
                     sims = unit[lo:lo + step] @ unit.T
                     r, c = np.nonzero(sims >= threshold - margin)
                     keep = (lo + r) < c  # upper triangle only
-                    out_a.append(np.minimum(ids[lo + r[keep]], ids[c[keep]]))
-                    out_b.append(np.maximum(ids[lo + r[keep]], ids[c[keep]]))
+                    emit(ids, ids, (raw, raw), lo + r[keep], c[keep])
             else:
                 lmask = (g["_salt"] == ci).to_numpy()
                 left, right = unit[lmask], unit[~lmask]
                 lids, rids = ids[lmask], ids[~lmask]
+                lraw, rraw = raw[lmask], raw[~lmask]
                 if len(left) and len(right):
                     step = max(1, (1 << 21) // max(len(right), 1))
                     for lo in range(0, len(left), step):
                         sims = left[lo:lo + step] @ right.T
                         r, c = np.nonzero(sims >= threshold - margin)
-                        out_a.append(np.minimum(lids[lo + r], rids[c]))
-                        out_b.append(np.maximum(lids[lo + r], rids[c]))
+                        emit(lids, rids, (lraw, rraw), lo + r, c)
         if out_a:
             yield pd.DataFrame({
                 "id_a": np.concatenate(out_a).astype("int64"),
-                "id_b": np.concatenate(out_b).astype("int64")})
+                "id_b": np.concatenate(out_b).astype("int64"),
+                "_va": pd.Series(out_va, dtype="object"),
+                "_vb": pd.Series(out_vb, dtype="object")})
         else:
             yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                "id_b": pd.Series([], dtype="int64")})
+                                "id_b": pd.Series([], dtype="int64"),
+                                "_va": pd.Series([], dtype="object"),
+                                "_vb": pd.Series([], dtype="object")})
 
+    # a pair found in several tables carries identical vectors each time,
+    # so deduping on the id pair alone is exact; the final sim is the SAME
+    # builtin left-to-right double fold as before (cosine_rounded over the
+    # stored vectors), bit-identical to the oracle — only the join-back
+    # plumbing is gone.
     cands = (fanned.repartition("_t", "_bucket", "_ci", "_cj")
-             .mapInPandas(_pairs_in_partition, "id_a long, id_b long")
-             .dropDuplicates())
-    va = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
-    return (cands.join(va, "id_a").join(vb, "id_b")
+             .mapInPandas(_pairs_in_partition,
+                          "id_a long, id_b long, "
+                          "_va array<double>, _vb array<double>")
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands
             .withColumn("sim", cosine_rounded(F.col("_va"), F.col("_vb")))
             .where(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim"))
@@ -578,7 +603,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def contamination_flags(docs: DataFrame, benchmark: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str = "text", n: int = 3,
-                        min_shared: int = 1) -> DataFrame:
+                        min_shared: int = 1,
+                        doc_shingles: Optional[DataFrame] = None,
+                        bench_shingles: Optional[DataFrame] = None) -> DataFrame:
     """Benchmark decontamination: per training doc, how many DISTINCT
     word-n-grams it shares with ANY benchmark doc, and a contaminated flag
     at ``min_shared``. The standard eval-leakage guard for training-data
@@ -588,9 +615,20 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     each), the join runs hash-on-shingle against the DISTINCT benchmark
     shingle set (dimension-sized -> broadcast when small, shuffle join at
     benchmark scale), then one map-side-combinable distinct-count per doc.
-    Never a doc-by-doc cross join."""
-    d = shingle_df(docs, text_col, id_col, n)
-    b = (shingle_df(benchmark, bench_text_col, id_col, n)
+    Never a doc-by-doc cross join.
+
+    ``doc_shingles`` / ``bench_shingles``: optional precomputed
+    (``id_col``, shingle) frames replacing the internal shingle passes.
+    When both sides are filters of ONE table, the caller can gram the
+    union of the slices in a single Arrow kernel crossing, materialize
+    it once (localCheckpoint), and pass the two filtered shingle views
+    here — halving the gram work and scans (guide §4; the same fusion
+    pattern as the LSH head's _gram_minhash_pandas). Semantics are
+    unchanged: each frame must equal shingle_df(side, ...) exactly."""
+    d = (doc_shingles if doc_shingles is not None
+         else shingle_df(docs, text_col, id_col, n))
+    b = ((bench_shingles if bench_shingles is not None
+          else shingle_df(benchmark, bench_text_col, id_col, n))
          .select("shingle").distinct())
     shared = (d.join(b, "shingle")
               .groupBy(id_col)

@@ -881,6 +881,56 @@ def _auto_scan_filters_ex(query: str, catalog=None):
     return out, per_ref
 
 
+def _memoizable_tables(query: str, catalog) -> Optional[frozenset]:
+    """Catalog tables referenced by ``query`` when the query is
+    CATALOG-CLOSED — every relation in every select block parses and
+    resolves to an existing catalog table. None when any block fails to
+    parse, any reference is a CTE/derived/temp view/Iceberg view/metadata
+    table/travel clause, or the catalog lacks filesystem state
+    (_run_sql_select_memo's safety gate: only catalog-closed plans can be
+    keyed on catalog state alone — a temp view's content is invisible to
+    the fingerprint, so any query that could touch one is never memoized)."""
+    if not (hasattr(catalog, "warehouse") and hasattr(catalog, "io")
+            and hasattr(catalog, "_metadata_dir")):
+        return None
+    blocks = _from_where_blocks(query)
+    if not blocks:
+        return None
+    tables = set()
+    for from_part, _w, _off in blocks:
+        parsed = _parse_block_refs(from_part)
+        if parsed is None:
+            return None
+        refs = parsed[0]
+        for _alias, tbl in refs.items():
+            if tbl is _OPAQUE:
+                return None
+            tables.add(tbl)
+    if not tables:
+        return None
+    for tbl in tables:
+        try:
+            if not catalog.table_exists(tbl):
+                return None
+        except Exception:
+            return None
+    return frozenset(tables)
+
+
+def _catalog_fingerprint(catalog, tables) -> Optional[tuple]:
+    """(table, version-hint mtime_ns) per referenced table — changes on
+    every commit/replace/drop (the hint file is atomically renamed into
+    place per commit). None if any table's hint is unreadable."""
+    from .io import posix_join as _pj
+    try:
+        return tuple(sorted(
+            (t, catalog.io.mtime_ns(
+                _pj(catalog._metadata_dir(t), "version-hint.text")))
+            for t in tables))
+    except Exception:
+        return None
+
+
 def _register_scan_view(spark: SparkSession, t: "Table", full: str,
                         view_name: str, pred, fallback_pred=None) -> None:
     """Register ``view_name`` over ``t.scan(row_filter=pred)``. Capture is
@@ -1434,6 +1484,37 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
         t.update_where(spark, pred, assignments)
         return spark.createDataFrame([(n,)], "updated_rows long")
 
+    # SELECT-path plan memo (guide §1.2 driver chatter): parse + capture +
+    # per-reference view registration + Catalyst analysis cost ~0.15 s of
+    # pure construct per call and are a deterministic function of (query
+    # text, scan_filters, referenced-table state) for CATALOG-CLOSED
+    # queries (_memoizable_tables). The memo holds the analyzed LAZY
+    # DataFrame only — every action still plans jobs and reads parquet —
+    # keyed on each referenced table's version-hint mtime so any commit,
+    # replace or drop invalidates it (same immutable-state argument as
+    # scan.cached_parquet_relation). Queries that could resolve a temp
+    # view, CTE, Iceberg view, metadata table or travel clause are never
+    # memoized; AUDIT_SCANS bypasses the memo so per-call audit records
+    # keep appending.
+    memo_key = memo_fp = None
+    if AUDIT_SCANS is None:
+        memo_tables = _memoizable_tables(query, catalog)
+        if memo_tables:
+            memo_fp = _catalog_fingerprint(catalog, memo_tables)
+        if memo_fp is not None:
+            sf_key = tuple(sorted((t, str(p))
+                           for t, p in scan_filters.items()))
+            memo_key = (catalog.warehouse, query, sf_key)
+            memo = getattr(spark, "_irs_run_sql_memo", None)
+            if memo is None:
+                from collections import OrderedDict
+                memo = OrderedDict()
+                spark._irs_run_sql_memo = memo
+            hit = memo.get(memo_key)
+            if hit is not None and hit[0] == memo_fp:
+                memo.move_to_end(memo_key)
+                return hit[1]
+
     auto, per_ref = _auto_scan_filters_ex(query, catalog)
     if auto:
         scan_filters = {**{t: p for t, p in auto.items()
@@ -1539,7 +1620,14 @@ def run_sql(spark: SparkSession, catalog: FileSystemCatalog, query: str,
             view_name = f"__ice_view_{ns}_{vname}"
             vc.read_view(spark, full).createOrReplaceTempView(view_name)
             rewritten = pat.sub(view_name, rewritten)
-    return spark.sql(rewritten)
+    out = spark.sql(rewritten)
+    if memo_key is not None:
+        memo = spark._irs_run_sql_memo
+        memo[memo_key] = (memo_fp, out)
+        memo.move_to_end(memo_key)
+        while len(memo) > 64:
+            memo.popitem(last=False)
+    return out
 
 
 # positional signatures for named-argument (`name => value`) calls;

@@ -610,15 +610,32 @@ def net_changes(changes: DataFrame, keys: List[str]) -> DataFrame:
     i_struct = "struct(" + ", ".join(f"_last.{bq(c)}" for c in val_cols) + ")"
     changed = (f"(NOT ({has_d}) OR NOT ({has_i}) "
                f"OR NOT ({d_struct} <=> {i_struct}))")
-    del_rows = (agg.where(f"{has_d} AND {changed}")
-                .selectExpr(*[f"_first.{bq(c)} AS {bq(c)}"
-                              for c in val_cols],
-                            f"'{DELETE}' AS _change_type"))
-    ins_rows = (agg.where(f"{has_i} AND {changed}")
-                .selectExpr(*[f"_last.{bq(c)} AS {bq(c)}"
-                              for c in val_cols],
-                            f"'{INSERT}' AS _change_type"))
-    return del_rows.unionByName(ins_rows)
+    # ONE pass over the aggregate (r14, guide §2.4): the former
+    # del_rows.unionByName(ins_rows) referenced `agg` twice, and Catalyst
+    # duplicates a twice-referenced subtree — the ENTIRE changelog scan +
+    # sort + min_by/max_by aggregate ran twice (plan-verified: two
+    # identical SortAggregate+Exchange branches under the Union). explode
+    # of two conditional structs emits exactly the same rows from a single
+    # aggregate: the delete row iff the first change is a delete, the
+    # insert row iff the last change is an insert, neither when the key's
+    # net effect is a no-op (the `changed` pre-filter, identical to the
+    # conjunct both old branches shared).
+
+    def nq(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    d_named = ("named_struct(" + ", ".join(
+        f"{nq(c)}, _first.{bq(c)}" for c in val_cols)
+        + f", '_change_type', '{DELETE}')")
+    i_named = ("named_struct(" + ", ".join(
+        f"{nq(c)}, _last.{bq(c)}" for c in val_cols)
+        + f", '_change_type', '{INSERT}')")
+    return (agg.where(changed)
+            .selectExpr(f"explode(array(if({has_d}, {d_named}, null), "
+                        f"if({has_i}, {i_named}, null))) AS _r")
+            .where("_r IS NOT NULL")
+            .selectExpr(*[f"_r.{bq(c)} AS {bq(c)}" for c in val_cols],
+                        "_r._change_type AS _change_type"))
 
 
 class ChangesReader:
