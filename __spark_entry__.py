@@ -250,10 +250,17 @@ _COPY_OFFSET = 100000
 
 
 def _docs_with_exact_copies(spark, sf_dir):
+    # single-scan explode, not union (r14; same rationale as
+    # _docs_with_near_copies below): the union's two branches each
+    # re-scanned the table; explode emits the base row and its shifted-id
+    # copy from one pass. Same row multiset, order-insensitive consumers.
     d = read_table(spark, sf_dir, "documents")
-    copy = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-                    "text", "lang", "source", "n_chars")
-    return d.unionByName(copy)
+    keep = [F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars")]
+    return (d.select(F.explode(F.array(
+                F.struct(F.col("doc_id"), *keep),
+                F.struct((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                         *keep))).alias("_r"))
+            .select("_r.*"))
 
 
 def _docs_with_near_copies(spark, sf_dir, max_id: int):
@@ -280,6 +287,11 @@ def _emb_with_near_copies(spark, sf_dir, max_id: int):
     """embeddings (vec_id < max_id) plus deterministic near-duplicate copies:
     every component shifted by +0.02 (cosine vs the original ≈ 0.987-0.990 on
     this data; unrelated pairs stay < 0.52)."""
+    # kept as a union (r14: an explode-based single-scan twin was measured
+    # interleaved A/B/A/B at sf0.1 — dedup_embedding_lsh min 1.133s explode
+    # vs 1.049s union, i.e. no win: the 500-row input is checkpoint-
+    # materialized once inside embedding_lsh_pairs, so the second scan the
+    # explode removes is already nearly free)
     e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_id)
     base = e.select("vec_id", as_double_array(F.col("embedding")).alias("embedding"))
     noisy = base.select((F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
